@@ -1,0 +1,84 @@
+"""Text scalar functions (Column-expression builders, JVM-side only).
+
+Re-expresses the reference's text handling (normalization at
+operators/dedup/text_exact_dedup.py:66-72, length resolution at
+operators/filters/text_length_filter.py:43-57) as Catalyst expressions, and
+adds the token/shingle machinery the near-dedup family needs.
+
+All semantics are chosen to be expressible identically in ANSI SQL (DuckDB
+oracle): literal `replace`/`regexp` with ASCII word boundaries, no
+engine-specific collation or hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str, *, lowercase: bool = True, collapse_whitespace: bool = True) -> Column:
+    """Canonical text normalization: trim, collapse runs of whitespace to one
+    space, lowercase. Mirrors reference text_exact_dedup.py:66-72 (both steps
+    optional there too). NULL stays NULL.
+    """
+    c = _c(col)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return c
+
+
+def text_length(text_col: Column | str = "text", length_col: Column | str | None = None) -> Column:
+    """Effective text length per reference text_length_filter.py:43-57:
+    trust a precomputed numeric length column when present, else
+    ``length(text)``, else 0 for missing text.
+    """
+    ln = F.length(_c(text_col))
+    if length_col is not None:
+        ln = F.coalesce(_c(length_col).cast("long"), ln.cast("long"))
+    return F.coalesce(ln.cast("long"), F.lit(0).cast("long"))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count: 0 for NULL/empty/blank, else number of
+    maximal non-whitespace runs. Computed arithmetically on the normalized
+    string so the SQL oracle can use the identical formula:
+    ``len(norm) - len(replace(norm, ' ', '')) + 1``.
+    """
+    norm = normalize_text(col, lowercase=False)
+    n = F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit(""))) + F.lit(1)
+    return F.when(norm.isNull() | (F.length(norm) == 0), F.lit(0)).otherwise(n).cast("long")
+
+
+def word_occurrences(col: Column | str, word: str) -> Column:
+    r"""Count of whole-word occurrences of ``word`` (case-insensitive) using
+    an ASCII ``\b`` regex — same counting rule RE2 (DuckDB) and Java regex
+    (Spark) agree on. 0 for NULL text.
+    """
+    # lower() the text rather than using (?i) so the oracle SQL stays trivial.
+    pat = r"\b" + word.lower() + r"\b"
+    return F.coalesce(F.regexp_count(F.lower(_c(col)), F.lit(pat)), F.lit(0)).cast("long")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingles over the normalized text, preserving
+    document order (duplicates included). Documents with fewer than ``n``
+    tokens yield a single shingle of the whole normalized text, so every
+    non-empty document has at least one shingle (keeps Jaccard well-defined).
+
+    Pure Catalyst: split -> sequence of start offsets -> transform/slice ->
+    concat_ws. The SQL oracle mirrors this with list comprehensions.
+    """
+    norm = normalize_text(col)
+    words = F.split(norm, " ")
+    k = F.size(words)
+    starts = F.sequence(F.lit(1), k - F.lit(n - 1))  # 1-based starts
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.when(norm.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.when(k >= n, grams).otherwise(F.array(norm))
+    )

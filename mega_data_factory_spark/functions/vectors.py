@@ -1,0 +1,47 @@
+"""Vector (array<float>) math as Catalyst higher-order functions.
+
+Embedding columns are plain ``array<float>`` (the reference stores CLIP /
+SigLIP embeddings as ``pa.list_(pa.float32())`` — reference
+operators/refiners/image_clip_embedding.py:171-179). All math here runs
+JVM-side via ``zip_with``/``aggregate`` — no Python round-trip — and folds
+left-to-right in document order so an oracle that folds the same way gets
+bit-identical doubles.
+
+For very hot paths (brute-force kNN over billions of vectors) a vectorized
+pandas-UDF variant exists in operators/similarity.py; these expression forms
+are the default because they keep the whole plan in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Sequential left-to-right dot product in float64."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL if either vector is NULL or zero-norm."""
+    na, nb = l2_norm(a), l2_norm(b)
+    denom = na * nb
+    return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize; zero vectors pass through unchanged (reference
+    CLIP refiner emits zero vectors as the failure default —
+    image_clip_embedding.py:161-162)."""
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(_c(a), lambda x: (x.cast("double") / n).cast("float"))).otherwise(_c(a))

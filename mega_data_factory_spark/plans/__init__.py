@@ -1,0 +1,52 @@
+"""Query/plan registry.
+
+Each submodule exposes ``QUERIES: dict[str, (spark, sf_dir) -> DataFrame]``
+and ``ORACLE: dict[str, str]`` (DuckDB-runnable ANSI SQL over the same
+parquet tables, pre-registered as views). ``all_queries()`` /
+``all_oracles()`` merge them for ``__spark_entry__``.
+
+Hash-stability rules every query here follows (the driver compares Spark vs
+DuckDB by sorted-column value hash):
+  * additive money/quantity aggregates are summed as DECIMAL (exact, order
+    independent) — double sums would differ in low bits between engines;
+  * ratios/averages are DOUBLE computed from exact decimal sums and counts
+    (identical IEEE inputs -> identical IEEE result), never re-aggregated;
+  * float scores (cosine etc.) are rounded to a fixed scale in BOTH engines;
+  * every computed column is aliased identically in both formulations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    mods = _modules()
+    out: dict[str, QueryFn] = {}
+    for m in mods:
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    mods = _modules()
+    out: dict[str, str] = {}
+    for m in mods:
+        out.update(m.ORACLE)
+    return out
+
+
+def _modules():
+    from mega_data_factory_spark.plans import (
+        curation,
+        dedup_queries,
+        events,
+        relational,
+        similarity_queries,
+    )
+
+    return [relational, events, curation, dedup_queries, similarity_queries]

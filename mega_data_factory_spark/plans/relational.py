@@ -1,0 +1,214 @@
+"""Relational benchmark queries (TPC-H-shaped) on the test-data tables.
+
+These exercise the engine's aggregate/join/sort/limit surface — the
+capabilities Spark provides natively that the reference lacks (SURVEY §2.6
+"absent in the reference" / §2.7) but that the correctness harness can
+validate best. They double as the bench.py headline workload.
+
+Scale notes (100 TB posture):
+  * fact-side filters appear before joins so Catalyst pushes them into the
+    parquet scan (check: PushedFilters in .explain);
+  * dimension tables (region/nation/customer/supplier/part at any realistic
+    SF) are broadcast explicitly — no shuffle of the fact table for them;
+  * aggregates are partial (map-side) automatically via hash aggregation;
+  * decimal sums: exact & order-independent, so AQE re-planning can never
+    change results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.session import load_tables
+
+DEC = "decimal(18,6)"
+DECW = "decimal(38,6)"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem.
+
+    Sums are DECIMAL-exact; averages are doubles derived from exact sums.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    l = t["lineitem"]
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast(DEC)
+    agg = (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DECW).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DECW).alias("sum_base_price"),
+            F.sum(disc_price).cast(DECW).alias("sum_disc_price"),
+            F.sum(charge).cast(DECW).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price").cast("double") / F.col("count_order"), 6))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    return agg
+
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+  COUNT(*) AS count_order,
+  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top unshipped-revenue orders for one market segment.
+
+    customer is dim-sized -> broadcast; orders⋈lineitem is the only shuffle.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    df = (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "inner",
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast(DECW).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+    return df
+
+
+Q3_ORACLE = """
+SELECT
+  l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue by nation within one region.
+
+    region/nation/supplier/customer are all broadcast; lineitem⋈orders is
+    the single large shuffle join.
+    """
+    t = load_tables(spark, sf_dir, ("region", "nation", "customer", "supplier", "orders", "lineitem"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    df = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast(DECW).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+    return df
+
+
+Q5_ORACLE = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k by sort key — Spark's TakeOrderedAndProject (per-partition
+    top-k then merge on the driver; no full sort, no shuffle of the data)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (beyond the reference's surface — SURVEY §2.6):
+    order counts and exact totals by (status, priority) with subtotals."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    df = (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast(DECW).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+    return df
+
+
+ROLLUP_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_segment_revenue": q3_segment_revenue,
+    "q5_region_nation_revenue": q5_region_nation_revenue,
+    "topk_orders": topk_orders,
+    "rollup_order_status": rollup_order_status,
+}
+
+ORACLE = {
+    "q1_pricing_summary": Q1_ORACLE,
+    "q3_segment_revenue": Q3_ORACLE,
+    "q5_region_nation_revenue": Q5_ORACLE,
+    "topk_orders": TOPK_ORACLE,
+    "rollup_order_status": ROLLUP_ORACLE,
+}

@@ -1,0 +1,79 @@
+"""SparkSession factory tuned for the engine's workloads.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same settings are the
+ones we'd ship as cluster defaults (AQE on, adaptive skew-join, Arrow for all
+Python exchange). Partition counts scale with cores locally and with the
+cluster's ``spark.sql.shuffle.partitions`` in real deployments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mega-data-factory-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Defaults are chosen for large-scale batch curation:
+      * AQE + skew-join handling: near-dup and groupBy keys in web data are
+        Zipfian; AQE splits skewed shuffle partitions at runtime.
+      * Arrow exchange for every pandas UDF / mapInPandas hop, with a bounded
+        batch size so wide binary columns (images) don't blow executor memory.
+      * Shuffle partition count = 2x cores locally; on a real cluster this is
+        overridden (or left to AQE coalescing, which is enabled).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
+    """Read the test-data parquet tables and register them as temp views.
+
+    Returns ``{name: DataFrame}``. Reading is lazy; registering views lets
+    both the DataFrame API and ``spark.sql`` address the same relations.
+    """
+    dfs = {}
+    for name in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs

@@ -1,0 +1,91 @@
+"""Shared fixtures: one SparkSession per test run, DuckDB oracle helper."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from mega_data_factory_spark.session import TABLES, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("mdf-spark-tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for sf in {SF_DIR, SF_DIR_ORACLE}:
+        pass
+    yield con
+    con.close()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Fresh DuckDB connection with the test tables registered as views —
+    mirrors the driver's harness."""
+    con = duckdb.connect()
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def assert_query_matches_oracle(spark, name: str, sf_dir: str = SF_DIR_ORACLE, rel_tol: float = 0.0):
+    """Run queries()[name] on Spark and oracle_sql()[name] on DuckDB and
+    compare row-count, sorted-column names, and values (exact, or to rel_tol
+    for floats). Mimics the driver's CORRECTNESS gate."""
+    import math
+    from decimal import Decimal
+
+    from mega_data_factory_spark.plans import all_oracles, all_queries
+
+    sdf = all_queries()[name](spark, sf_dir)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(r[c] for c in spark_cols) for r in sdf.collect()]
+
+    con = duck_con(sf_dir)
+    res = con.execute(all_oracles()[name])
+    duck_cols_raw = [d[0] for d in res.description]
+    order = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
+    duck_cols = [duck_cols_raw[i] for i in order]
+    duck_rows = [tuple(row[i] for i in order) for row in res.fetchall()]
+    con.close()
+
+    assert spark_cols == duck_cols, f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+
+    def norm(v):
+        if isinstance(v, Decimal):
+            return v
+        if isinstance(v, float):
+            return v
+        return v
+
+    s_sorted = sorted(spark_rows, key=_row_key)
+    d_sorted = sorted(duck_rows, key=_row_key)
+    for i, (sr, dr) in enumerate(zip(s_sorted, d_sorted)):
+        for c, (a, b) in zip(spark_cols, zip(sr, dr)):
+            a, b = norm(a), norm(b)
+            if isinstance(a, float) and isinstance(b, (float, int, Decimal)):
+                b = float(b)
+                if rel_tol:
+                    assert math.isclose(a, b, rel_tol=rel_tol, abs_tol=1e-9), f"{name} row {i} col {c}: {a!r} != {b!r}"
+                else:
+                    assert a == b or (math.isnan(a) and math.isnan(b)), f"{name} row {i} col {c}: {a!r} != {b!r}"
+            elif isinstance(a, Decimal) or isinstance(b, Decimal):
+                assert Decimal(str(a)) == Decimal(str(b)), f"{name} row {i} col {c}: {a!r} != {b!r}"
+            else:
+                assert a == b, f"{name} row {i} col {c}: {a!r} != {b!r} ({type(a)} vs {type(b)})"
+
+
+def _row_key(row):
+    return tuple((v is None, str(v)) for v in row)

@@ -1,0 +1,18 @@
+"""Oracle-differential tests for the relational query surface."""
+
+import pytest
+
+from tests.conftest import assert_query_matches_oracle
+
+RELATIONAL = [
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_region_nation_revenue",
+    "topk_orders",
+    "rollup_order_status",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_relational_matches_oracle(spark, name):
+    assert_query_matches_oracle(spark, name)
