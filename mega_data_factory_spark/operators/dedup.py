@@ -1,0 +1,330 @@
+"""Deduplication operators — the engine's stateful/cross-record family.
+
+Reference semantics (SURVEY §2.5): first-seen-wins on a derived key,
+duplicates rejected with ``dedup_key`` + ``representative_id``. The engine
+replaces the reference's sharded seen-set actors (framework/backend.py) with
+a hash-shuffle window — the shuffle partitioning by key IS the bucketing —
+and strengthens "first seen" to a deterministic ``min(order_col)``.
+
+Beyond the reference's exact/phash dedup, this module adds the near-dedup
+family a 100 TB training-data pipeline needs (MinHash-LSH, SimHash, n-gram
+Jaccard, embedding cosine). Scale design notes on each class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.functions.hashing import content_key, hash64_from_md5
+from mega_data_factory_spark.functions.text import word_shingles
+from mega_data_factory_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
+from mega_data_factory_spark.operators.base import Deduplicator, rejection_details
+
+
+class TextExactDeduplicator(Deduplicator):
+    """Exact-content dedup: normalize -> md5 -> first-wins
+    (reference operators/dedup/text_exact_dedup.py:22-114; optional
+    FineWeb-style url+text composite key, :104-108)."""
+
+    def __init__(
+        self,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        url_col: str | None = None,
+        lowercase: bool = True,
+        collapse_whitespace: bool = True,
+        name: str | None = None,
+    ):
+        super().__init__(name, order_col=id_col, id_col=id_col)
+        self.text_col = text_col
+        self.url_col = url_col
+        self.lowercase = lowercase
+        self.collapse_whitespace = collapse_whitespace
+
+    def key(self, df: DataFrame) -> Column:
+        return content_key(
+            self.text_col,
+            self.id_col,
+            url_col=self.url_col,
+            lowercase=self.lowercase,
+            collapse_whitespace=self.collapse_whitespace,
+        )
+
+
+class KeyDeduplicator(Deduplicator):
+    """Dedup on an arbitrary existing column/expression (generic first-wins
+    per key — e.g. one row per customer, one event per (user, type))."""
+
+    def __init__(self, key_cols: list[str], *, order_col: str, id_col: str | None = None, name: str | None = None):
+        super().__init__(name, order_col=order_col, id_col=id_col)
+        self.key_cols = key_cols
+
+    def key(self, df: DataFrame) -> Column:
+        return F.concat_ws("", *[F.col(c).cast("string") for c in self.key_cols])
+
+
+def minhash_signature(text_col: Column | str, *, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature as ``array<bigint>`` of length ``num_hashes``.
+
+    Pipeline: word n-gram shingles -> per-seed 60-bit md5-derived hash ->
+    array_min per seed. Entirely Catalyst higher-order functions; the hash
+    family (md5 of ``shingle#seed``) is reproducible in ANSI SQL, so the
+    oracle can compute identical signatures.
+
+    Scale path note: at 100 TB you'd precompute distinct shingles per doc
+    once (explode -> hash -> groupBy-min) instead of nesting transforms, and
+    swap md5 for xxhash64; semantics are unchanged.
+    """
+    shingles = F.array_distinct(word_shingles(text_col, shingle_n))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, seed=seed: hash64_from_md5(s, seed=seed)))
+            for seed in range(num_hashes)
+        ]
+    )
+    return sig
+
+
+class MinHashLSHDeduplicator(Deduplicator):
+    """Near-dedup via MinHash + banded LSH.
+
+    Docs whose signatures agree on *every* hash in any band are near-dup
+    candidates; candidates sharing a band bucket are grouped and first-wins
+    applied per bucket (min id survives). With ``bands * rows_per_band =
+    num_hashes``, the usual S-curve collision probability applies.
+
+    Implementation (all shuffle-friendly):
+      1. signature per doc (narrow);
+      2. explode bands -> (band_idx, band_hash_key, id)  — compact keys only,
+         never the text, so the shuffle payload is tiny (the phash-precompute
+         pattern at scale);
+      3. first-wins per (band_idx, band_key) via min(id);
+      4. a doc is a duplicate iff some band bucket has an earlier doc;
+         representative = the smallest such earlier id.
+
+    Note this is candidate-level dedup (pure LSH); the verified-Jaccard
+    variant is NgramJaccardDeduplicator below.
+    """
+
+    def __init__(
+        self,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+        name: str | None = None,
+    ):
+        super().__init__(name, order_col=id_col, id_col=id_col)
+        assert num_hashes % bands == 0, "bands must divide num_hashes"
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self.shingle_n = shingle_n
+
+    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
+        raise NotImplementedError("MinHashLSH dedup is not a single-key dedup")
+
+    def _band_pairs(self, df: DataFrame) -> DataFrame:
+        """(id, earliest id sharing any band bucket)."""
+        sig = minhash_signature(self.text_col, num_hashes=self.num_hashes, shingle_n=self.shingle_n)
+        bands = F.array(
+            *[
+                F.concat_ws(
+                    "_",
+                    F.lit(b),
+                    F.concat_ws(",", *[F.element_at(F.col("__sig"), b * self.rows_per_band + r + 1).cast("string") for r in range(self.rows_per_band)]),
+                )
+                for b in range(self.bands)
+            ]
+        )
+        ids = df.select(F.col(self.id_col), sig.alias("__sig")).select(
+            F.col(self.id_col), F.explode(bands).alias("__band_key")
+        )
+        w = Window.partitionBy("__band_key")
+        return (
+            ids.withColumn("__bucket_min", F.min(F.col(self.id_col)).over(w))
+            .filter(F.col("__bucket_min") < F.col(self.id_col))
+            .groupBy(self.id_col)
+            .agg(F.min("__bucket_min").alias("__rep"))
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        dups = self._band_pairs(df).select(self.id_col)
+        return df.join(dups, on=self.id_col, how="left_anti")
+
+    def rejected(self, df: DataFrame) -> DataFrame:
+        dups = self._band_pairs(df)
+        return df.join(dups, on=self.id_col, how="inner").withColumn(
+            "_rejection_details",
+            rejection_details("duplicate", self.name, F.lit(None), F.col("__rep").cast("string")),
+        ).drop("__rep")
+
+
+def simhash64(text_col: Column | str, *, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles as BIGINT.
+
+    Each shingle hashes to 60 bits (md5-derived, SQL-reproducible); bit i of
+    the result is 1 iff more shingles have bit i set than clear. Uses
+    ``aggregate`` over the shingle array with a 64-slot counter vector —
+    fully JVM-side.
+    """
+    shingles = F.array_distinct(word_shingles(text_col, shingle_n))
+    hashes = F.transform(shingles, lambda s: hash64_from_md5(s))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 60),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(59)), lambda i: F.shiftright(h, i).bitwiseAND(F.lit(1))),
+            lambda a, b: a + (b * 2 - 1),  # +1 for set bit, -1 for clear
+        ),
+    )
+    bits = F.transform(counts, lambda c: F.when(c > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    return F.aggregate(
+        F.zip_with(bits, F.sequence(F.lit(0), F.lit(59)), lambda b, i: F.shiftleft(b, i)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+class SimHashDeduplicator(Deduplicator):
+    """Near-dedup on exact SimHash collision (hamming distance 0 fast path).
+
+    First-wins per simhash value. The hamming-distance<=k variant would
+    explode each hash into its k-bit-flip neighborhood or band the 64 bits
+    into (k+1) segments (any exact segment match -> candidate); the banded
+    form is the 100 TB path and mirrors MinHashLSH above.
+    """
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2, name: str | None = None):
+        super().__init__(name, order_col=id_col, id_col=id_col)
+        self.text_col = text_col
+        self.shingle_n = shingle_n
+
+    def key(self, df: DataFrame) -> Column:
+        return simhash64(self.text_col, shingle_n=self.shingle_n).cast("string")
+
+
+class NgramJaccardDeduplicator(Deduplicator):
+    """Verified near-dedup: docs are duplicates iff the Jaccard similarity of
+    their distinct word-shingle sets >= threshold; an earlier (smaller id)
+    near-duplicate wins.
+
+    Implementation is the classic set-similarity join:
+      1. explode distinct shingles -> (shingle, id): inverted index;
+      2. self-join on shingle with id< to get candidate pairs + intersection
+         counts (docs sharing no shingle can't be near-dups);
+      3. Jaccard = inter / (|A| + |B| - inter); keep pairs >= threshold;
+      4. a doc survives iff no earlier doc is a near-dup of it.
+
+    At 100 TB you'd add prefix filtering (only index each doc's
+    (1-t)*|shingles|+1 rarest shingles) to shrink the candidate space —
+    noted here as the next optimization; the join shape is already the
+    scalable one (shuffle on shingle, then on pair).
+    """
+
+    def __init__(
+        self,
+        threshold: float = 0.8,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        shingle_n: int = 3,
+        name: str | None = None,
+    ):
+        super().__init__(name, order_col=id_col, id_col=id_col)
+        self.threshold = threshold
+        self.text_col = text_col
+        self.shingle_n = shingle_n
+
+    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
+        raise NotImplementedError("Jaccard dedup is not a single-key dedup")
+
+    def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        sh = df.select(
+            F.col(self.id_col).alias("__id"),
+            F.array_distinct(word_shingles(self.text_col, self.shingle_n)).alias("__sh"),
+        ).withColumn("__n", F.size("__sh"))
+        inv = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
+        a = inv.select(F.col("__id").alias("__ida"), F.col("__n").alias("__na"), "__s")
+        b = inv.select(F.col("__id").alias("__idb"), F.col("__n").alias("__nb"), "__s")
+        pairs = (
+            a.join(b, on="__s")
+            .filter(F.col("__ida") < F.col("__idb"))
+            .groupBy("__ida", "__idb", "__na", "__nb")
+            .agg(F.count(F.lit(1)).alias("__inter"))
+            .withColumn("__jac", F.col("__inter").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__inter")))
+            .filter(F.col("__jac") >= self.threshold)
+        )
+        return pairs.groupBy(F.col("__idb").alias(self.id_col)).agg(F.min("__ida").alias("__rep"))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.join(self._dup_pairs(df).select(self.id_col), on=self.id_col, how="left_anti")
+
+    def rejected(self, df: DataFrame) -> DataFrame:
+        return (
+            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
+            .withColumn(
+                "_rejection_details",
+                rejection_details("duplicate", self.name, F.lit(None), F.col("__rep").cast("string")),
+            )
+            .drop("__rep")
+        )
+
+
+class EmbeddingCosineDeduplicator(Deduplicator):
+    """Near-dedup by embedding cosine similarity >= threshold; earliest
+    (min id) near-neighbor wins.
+
+    This direct form is O(n^2) per comparison scope and exists as the exact
+    baseline; the scale path buckets by an LSH key first (see
+    operators/similarity.py random-hyperplane bucketing) so the self-join is
+    per-bucket. Cosines are computed on unit-normalized vectors via a single
+    dot product.
+    """
+
+    def __init__(
+        self,
+        threshold: float = 0.95,
+        *,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        name: str | None = None,
+    ):
+        super().__init__(name, order_col=id_col, id_col=id_col)
+        self.threshold = threshold
+        self.vec_col = vec_col
+
+    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
+        raise NotImplementedError("cosine dedup is not a single-key dedup")
+
+    def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        base = df.select(F.col(self.id_col).alias("__id"), F.col(self.vec_col).alias("__v")).filter(
+            F.col("__v").isNotNull() & (l2_norm("__v") > 0)
+        )
+        a = base.select(F.col("__id").alias("__ida"), F.col("__v").alias("__va"))
+        b = base.select(F.col("__id").alias("__idb"), F.col("__v").alias("__vb"))
+        pairs = (
+            a.join(b, F.col("__ida") < F.col("__idb"))
+            .withColumn("__cos", F.round(cosine_similarity("__va", "__vb"), 6))
+            .filter(F.col("__cos") >= self.threshold)
+        )
+        return pairs.groupBy(F.col("__idb").alias(self.id_col)).agg(F.min("__ida").alias("__rep"))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.join(self._dup_pairs(df).select(self.id_col), on=self.id_col, how="left_anti")
+
+    def rejected(self, df: DataFrame) -> DataFrame:
+        return (
+            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
+            .withColumn(
+                "_rejection_details",
+                rejection_details("duplicate", self.name, F.lit(None), F.col("__rep").cast("string")),
+            )
+            .drop("__rep")
+        )

@@ -1,4 +1,388 @@
-"""Placeholder — populated in this round."""
+"""Curation-pipeline queries: the reference's text-operator surface
+(filters, refiners, exact dedup, rejection accounting) expressed on the
+``documents``/``part``/``orders`` test tables, each with a DuckDB oracle.
 
-QUERIES = {}
-ORACLE = {}
+The oracle SQL for anything arithmetic is *generated from the same word
+lists / weights* as the Spark expression, so both engines evaluate the same
+operation tree (identical IEEE results — no tolerance needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.operators.dedup import KeyDeduplicator, TextExactDeduplicator
+from mega_data_factory_spark.operators.filters import DomainBlocklistFilter, TextLengthFilter, WordScoreFilter
+from mega_data_factory_spark.operators.refiners import (
+    DEFAULT_STOPWORDS,
+    LANG_MARKERS,
+    FingerprintRefiner,
+    LanguageIdRefiner,
+    QualityScoreRefiner,
+    TextStatsRefiner,
+)
+from mega_data_factory_spark.session import load_tables
+
+# ---------------------------------------------------------------- SQL helpers
+# These mirror functions/text.py exactly; keep the two in lockstep.
+
+NORM_NOLOWER = "trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+NORM = "lower(" + NORM_NOLOWER + ")"
+
+
+def _wc(col: str, word: str) -> str:
+    """SQL mirror of functions.text.word_occurrences."""
+    return f"coalesce(len(regexp_extract_all(lower({col}), '\\b{word.lower()}\\b')), 0)"
+
+
+def _token_count(col: str) -> str:
+    norm = NORM_NOLOWER.format(c=col)
+    return (
+        f"(CASE WHEN {norm} IS NULL OR length({norm}) = 0 THEN 0 "
+        f"ELSE length({norm}) - length(replace({norm}, ' ', '')) + 1 END)"
+    )
+
+
+def _text_length(text_col: str, length_col: str | None) -> str:
+    if length_col:
+        return f"coalesce(CAST({length_col} AS BIGINT), CAST(length({text_col}) AS BIGINT), 0)"
+    return f"coalesce(CAST(length({text_col}) AS BIGINT), 0)"
+
+
+def _word_score(col: str, weights: dict[str, float]) -> str:
+    """SQL mirror of operators.filters.word_score (same evaluation tree)."""
+    matched = [f"(CASE WHEN {_wc(col, w)} > 0 THEN {float(wt)!r} ELSE 0.0 END)" for w, wt in weights.items()]
+    max_w = matched[0] if len(matched) == 1 else "greatest(" + ", ".join(matched) + ")"
+    sum_w = " + ".join(matched)
+    return f"(CASE WHEN {max_w} > 0 THEN 0.8 * {max_w} + least(({sum_w}) / 3.0, 0.2) ELSE 0.0 END)"
+
+
+# ------------------------------------------------------------------- queries
+
+LEN_LO, LEN_HI = 100, 400
+
+
+def text_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference TextLengthFilter (text_length_filter.py:15-70) on documents;
+    trusts the precomputed n_chars column, falls back to length(text)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    f = TextLengthFilter(LEN_LO, LEN_HI, length_col="n_chars")
+    return f.apply(t["documents"]).select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+TEXT_LENGTH_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_text_length('text', 'n_chars')} BETWEEN {LEN_LO} AND {LEN_HI}
+ORDER BY doc_id
+"""
+
+
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference TextExactDeduplicator: normalize -> md5 -> first-wins by
+    min(doc_id). Returns survivors with their content key."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = TextExactDeduplicator(id_col="doc_id")
+    out = d.apply(t["documents"].withColumn("content_key", d.key(t["documents"])))
+    return out.select("doc_id", "content_key").orderBy("doc_id")
+
+
+TEXT_DEDUP_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, md5({NORM.format(c='text')}) AS content_key,
+         row_number() OVER (PARTITION BY md5({NORM.format(c='text')}) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, content_key FROM keyed WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def orders_first_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic first-wins key dedup (reference Deduplicator semantics,
+    operator.py:271-382) on a table with real key collisions: one surviving
+    order per customer, earliest orderkey wins."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    d = KeyDeduplicator(["o_custkey"], order_col="o_orderkey")
+    return d.apply(t["orders"]).select("o_orderkey", "o_custkey", "o_totalprice").orderBy("o_orderkey")
+
+
+ORDERS_DEDUP_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice FROM ranked WHERE rn = 1 ORDER BY o_orderkey
+"""
+
+
+def orders_dedup_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rejected side output of the same dedup: duplicates carrying
+    dedup_key + representative_id (reference operator.py:343-353),
+    flattened for comparison."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    d = KeyDeduplicator(["o_custkey"], order_col="o_orderkey", name="KeyDeduplicator")
+    rej = d.rejected(t["orders"])
+    return rej.select(
+        "o_orderkey",
+        F.col("_rejection_details.reason").alias("reason"),
+        F.col("_rejection_details.operator").alias("operator"),
+        F.col("_rejection_details.dedup_key").alias("dedup_key"),
+        F.col("_rejection_details.representative_id").alias("representative_id"),
+    ).orderBy("o_orderkey")
+
+
+ORDERS_DEDUP_REJECTED_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS dedup_key,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+         CAST(min(o_orderkey) OVER (PARTITION BY o_custkey) AS VARCHAR) AS representative_id
+  FROM orders
+)
+SELECT o_orderkey, 'duplicate' AS reason, 'KeyDeduplicator' AS operator, dedup_key, representative_id
+FROM ranked WHERE rn > 1 ORDER BY o_orderkey
+"""
+
+
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextStatsRefiner: effective length, token count, mean token length."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    r = TextStatsRefiner(length_col="n_chars")
+    return r.apply(t["documents"]).select("doc_id", "text_length", "token_count", "avg_token_len").orderBy("doc_id")
+
+
+_norm = NORM_NOLOWER.format(c="text")
+TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+  {_text_length('text', 'n_chars')} AS text_length,
+  CAST({_token_count('text')} AS BIGINT) AS token_count,
+  CASE WHEN {_token_count('text')} > 0
+       THEN round(CAST(length({_norm}) - ({_token_count('text')} - 1) AS DOUBLE) / {_token_count('text')}, 6)
+       ELSE 0.0 END AS avg_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LanguageIdRefiner: marker-word argmax heuristic."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    r = LanguageIdRefiner()
+    return r.apply(t["documents"]).select("doc_id", "lang_pred", "lang_score").orderBy("doc_id")
+
+
+def _lang_oracle() -> str:
+    scores = {
+        lang: "(" + " + ".join(_wc("text", w) for w in words) + ")"
+        for lang, words in LANG_MARKERS.items()
+    }
+    sel = ", ".join(f"{s} AS s_{lang}" for lang, s in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    case = "CASE " + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in scores) + " ELSE 'und' END"
+    return f"""
+WITH scored AS (SELECT doc_id, {sel} FROM documents),
+ranked AS (SELECT doc_id, {best} AS best, {', '.join(f's_{lang}' for lang in scores)} FROM scored)
+SELECT doc_id,
+  CASE WHEN best > 0 THEN ({case}) ELSE 'und' END AS lang_pred,
+  CAST(best AS BIGINT) AS lang_score
+FROM ranked ORDER BY doc_id
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QualityScoreRefiner: structural quality heuristics."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    r = QualityScoreRefiner()
+    return r.apply(t["documents"]).select("doc_id", "stopword_ratio", "quality_score").orderBy("doc_id")
+
+
+def _quality_oracle() -> str:
+    tokens = _token_count("text")
+    hits = " + ".join(_wc("text", w) for w in DEFAULT_STOPWORDS)
+    ratio = f"(CASE WHEN {tokens} > 0 THEN CAST(({hits}) AS DOUBLE) / {tokens} ELSE 0.0 END)"
+    avg_len = f"(CASE WHEN {tokens} > 0 THEN CAST(length({_norm}) - ({tokens} - 1) AS DOUBLE) / {tokens} ELSE 0.0 END)"
+    score = (
+        f"0.4 * least(CAST({tokens} AS DOUBLE) / 200.0, 1.0) "
+        f"+ 0.3 * least({ratio} * 5.0, 1.0) "
+        f"+ 0.3 * (CASE WHEN {avg_len} >= 3.0 AND {avg_len} <= 10.0 THEN 1.0 ELSE 0.0 END)"
+    )
+    return f"""
+SELECT doc_id, round({ratio}, 6) AS stopword_ratio, round({score}, 6) AS quality_score
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FingerprintRefiner: md5 content fingerprint + compact bucket prefix."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    r = FingerprintRefiner()
+    return r.apply(t["documents"]).select("doc_id", "fingerprint", "fingerprint_prefix").orderBy("doc_id")
+
+
+FINGERPRINT_ORACLE = f"""
+SELECT doc_id, md5({NORM.format(c='text')}) AS fingerprint,
+       substr(md5({NORM.format(c='text')}), 1, 8) AS fingerprint_prefix
+FROM documents ORDER BY doc_id
+"""
+
+
+PART_WEIGHTS = {"widget": 0.5, "bolt": 0.3, "gear": 0.4, "cold": 0.2}
+PART_THRESHOLD = 0.5
+
+
+def word_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference URLFilter's weighted word-score rule (url_filter.py:255-282)
+    applied to part names: keep parts scoring below the block threshold."""
+    t = load_tables(spark, sf_dir, ("part",))
+    f = WordScoreFilter(PART_WEIGHTS, PART_THRESHOLD, text_col="p_name")
+    kept = f.apply(t["part"])
+    return kept.select("p_partkey", "p_name", F.round(f.score(), 6).alias("word_score")).orderBy("p_partkey")
+
+
+WORD_SCORE_ORACLE = f"""
+SELECT p_partkey, p_name, round({_word_score('p_name', PART_WEIGHTS)}, 6) AS word_score
+FROM part
+WHERE {_word_score('p_name', PART_WEIGHTS)} < {PART_THRESHOLD}
+ORDER BY p_partkey
+"""
+
+
+BLOCKED_SOURCES = ["src3", "src7", "src11", "src19"]
+
+
+def source_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference URLFilter's domain-blocklist rule (url_filter.py:217-234)
+    keyed on the documents' source column (suffix-chain membership against a
+    broadcast blocklist)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    f = DomainBlocklistFilter(BLOCKED_SOURCES, domain_col="source")
+    return f.apply(t["documents"]).select("doc_id", "source").orderBy("doc_id")
+
+
+BLOCKLIST_ORACLE = f"""
+SELECT doc_id, source FROM documents
+WHERE source IS NULL OR lower(source) NOT IN ({', '.join(f"'{s}'" for s in BLOCKED_SOURCES)})
+ORDER BY doc_id
+"""
+
+
+# Chosen so single hits stay below the 0.5 threshold but the conjunction
+# slow+big+spark crosses it (score 0.503) — the filter genuinely partitions
+# the synthetic corpus (~55% rejected) instead of being a no-op.
+PIPE_WEIGHTS = {"slow": 0.4, "big": 0.1, "spark": 0.05}
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical text pipeline shape (BASELINE.md: CommonCrawl
+    -> URLFilter -> TextLengthFilter [-> dedup]) as one composed plan:
+    length filter -> word-score filter -> exact dedup, returning survivors
+    with their quality stats. One Catalyst plan end-to-end; the only
+    shuffle is the dedup window."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    df = t["documents"]
+    df = TextLengthFilter(LEN_LO, LEN_HI, length_col="n_chars").apply(df)
+    ws = WordScoreFilter(PIPE_WEIGHTS, 0.5, text_col="text")
+    df = ws.apply(df)
+    df = TextExactDeduplicator(id_col="doc_id").apply(df)
+    df = TextStatsRefiner(length_col="n_chars").apply(df)
+    return df.select("doc_id", "lang", "token_count").orderBy("doc_id")
+
+
+CURATION_PIPELINE_ORACLE = f"""
+WITH len_kept AS (
+  SELECT * FROM documents WHERE {_text_length('text', 'n_chars')} BETWEEN {LEN_LO} AND {LEN_HI}
+),
+score_kept AS (
+  SELECT * FROM len_kept WHERE {_word_score('text', PIPE_WEIGHTS)} < 0.5
+),
+deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY md5({NORM.format(c='text')}) ORDER BY doc_id) AS rn
+  FROM score_kept
+)
+SELECT doc_id, lang, CAST({_token_count('text')} AS BIGINT) AS token_count
+FROM deduped WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def curation_rejection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-operator rejection accounting for the pipeline above — the
+    engine's metrics surface (reference pass-rate metrics,
+    framework/operator.py:119-184): rows rejected by each stage, in stage
+    order, plus final survivor count."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    df = t["documents"]
+    lenf = TextLengthFilter(LEN_LO, LEN_HI, length_col="n_chars", name="TextLengthFilter")
+    ws = WordScoreFilter(PIPE_WEIGHTS, 0.5, text_col="text", name="WordScoreFilter")
+    dd = TextExactDeduplicator(id_col="doc_id", name="TextExactDeduplicator")
+
+    stage1 = lenf.apply(df)
+    stage2 = ws.apply(stage1)
+    stage3 = dd.apply(stage2)
+    rej = (
+        lenf.rejected(df)
+        .select(F.col("_rejection_details.operator").alias("operator"))
+        .unionByName(ws.rejected(stage1).select(F.col("_rejection_details.operator").alias("operator")))
+        .unionByName(dd.rejected(stage2).select(F.col("_rejection_details.operator").alias("operator")))
+        .groupBy("operator")
+        .agg(F.count(F.lit(1)).alias("n_rejected"))
+    )
+    out = rej.unionByName(
+        stage3.select(F.lit("__passed__").alias("operator")).groupBy("operator").agg(F.count(F.lit(1)).alias("n_rejected"))
+    )
+    return out.orderBy("operator")
+
+
+REJECTION_SUMMARY_ORACLE = f"""
+WITH len_kept AS (
+  SELECT * FROM documents WHERE {_text_length('text', 'n_chars')} BETWEEN {LEN_LO} AND {LEN_HI}
+),
+score_kept AS (
+  SELECT * FROM len_kept WHERE {_word_score('text', PIPE_WEIGHTS)} < 0.5
+),
+deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY md5({NORM.format(c='text')}) ORDER BY doc_id) AS rn
+  FROM score_kept
+),
+counts AS (
+  SELECT 'TextLengthFilter' AS operator,
+         (SELECT count(*) FROM documents) - (SELECT count(*) FROM len_kept) AS n_rejected
+  UNION ALL
+  SELECT 'WordScoreFilter', (SELECT count(*) FROM len_kept) - (SELECT count(*) FROM score_kept)
+  UNION ALL
+  SELECT 'TextExactDeduplicator', (SELECT count(*) FROM deduped WHERE rn > 1)
+  UNION ALL
+  SELECT '__passed__', (SELECT count(*) FROM deduped WHERE rn = 1)
+)
+SELECT operator, n_rejected FROM counts WHERE n_rejected > 0 OR operator = '__passed__' ORDER BY operator
+"""
+
+
+QUERIES = {
+    "text_length_filter": text_length_filter,
+    "text_exact_dedup": text_exact_dedup,
+    "orders_first_per_customer": orders_first_per_customer,
+    "orders_dedup_rejected": orders_dedup_rejected,
+    "docs_token_stats": docs_token_stats,
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "doc_fingerprint": doc_fingerprint,
+    "word_score_filter": word_score_filter,
+    "source_blocklist_filter": source_blocklist_filter,
+    "curation_pipeline": curation_pipeline,
+    "curation_rejection_summary": curation_rejection_summary,
+}
+
+ORACLE = {
+    "text_length_filter": TEXT_LENGTH_ORACLE,
+    "text_exact_dedup": TEXT_DEDUP_ORACLE,
+    "orders_first_per_customer": ORDERS_DEDUP_ORACLE,
+    "orders_dedup_rejected": ORDERS_DEDUP_REJECTED_ORACLE,
+    "docs_token_stats": TOKEN_STATS_ORACLE,
+    "lang_id": _lang_oracle(),
+    "quality_score": _quality_oracle(),
+    "doc_fingerprint": FINGERPRINT_ORACLE,
+    "word_score_filter": WORD_SCORE_ORACLE,
+    "source_blocklist_filter": BLOCKLIST_ORACLE,
+    "curation_pipeline": CURATION_PIPELINE_ORACLE,
+    "curation_rejection_summary": REJECTION_SUMMARY_ORACLE,
+}

@@ -1,0 +1,25 @@
+"""Oracle-differential tests for the curation operator surface."""
+
+import pytest
+
+from tests.conftest import assert_query_matches_oracle
+
+CURATION = [
+    "text_length_filter",
+    "text_exact_dedup",
+    "orders_first_per_customer",
+    "orders_dedup_rejected",
+    "docs_token_stats",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "word_score_filter",
+    "source_blocklist_filter",
+    "curation_pipeline",
+    "curation_rejection_summary",
+]
+
+
+@pytest.mark.parametrize("name", CURATION)
+def test_curation_matches_oracle(spark, name):
+    assert_query_matches_oracle(spark, name)
