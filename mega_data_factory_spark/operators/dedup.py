@@ -78,13 +78,13 @@ def minhash_signature(text_col: Column | str, *, num_hashes: int = 16, shingle_n
     swap md5 for xxhash64; semantics are unchanged.
     """
     shingles = F.array_distinct(word_shingles(text_col, shingle_n))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, seed=seed: hash64_from_md5(s, seed=seed)))
-            for seed in range(num_hashes)
-        ]
-    )
-    return sig
+
+    def _hasher(seed: int):
+        # NB: must return a ONE-argument lambda — PySpark treats a
+        # two-parameter transform lambda as (element, index).
+        return lambda s: hash64_from_md5(s, seed=seed)
+
+    return F.array(*[F.array_min(F.transform(shingles, _hasher(seed))) for seed in range(num_hashes)])
 
 
 class MinHashLSHDeduplicator(Deduplicator):
@@ -165,31 +165,36 @@ class MinHashLSHDeduplicator(Deduplicator):
         ).drop("__rep")
 
 
-def simhash64(text_col: Column | str, *, shingle_n: int = 2) -> Column:
-    """64-bit SimHash over word shingles as BIGINT.
+SIMHASH_BITS = 60  # md5-derived hashes carry 60 usable bits (15 hex chars)
 
-    Each shingle hashes to 60 bits (md5-derived, SQL-reproducible); bit i of
-    the result is 1 iff more shingles have bit i set than clear. Uses
-    ``aggregate`` over the shingle array with a 64-slot counter vector —
-    fully JVM-side.
+
+def simhash64(text_col: Column | str, *, shingle_n: int = 2) -> Column:
+    """SimHash over word shingles as BIGINT (60 significant bits).
+
+    Each distinct shingle hashes to 60 bits (md5-derived, SQL-reproducible);
+    bit i of the result is 1 iff more shingles have bit i set than clear.
+    One ``aggregate`` maintains the 60-slot +1/-1 counter vector; the final
+    value is ``sum(counts[i] > 0 ? 2^i : 0)`` — all exact integer math, so
+    an ANSI-SQL oracle computes the identical value.
+
+    Bit-shift amounts are unrolled as Python ints (Spark's shiftright takes
+    a literal, not a Column), and ``counts`` is referenced exactly once so
+    the aggregate isn't re-evaluated per bit.
     """
     shingles = F.array_distinct(word_shingles(text_col, shingle_n))
     hashes = F.transform(shingles, lambda s: hash64_from_md5(s))
     counts = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0).cast("long"), 60),
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(F.sequence(F.lit(0), F.lit(59)), lambda i: F.shiftright(h, i).bitwiseAND(F.lit(1))),
+            F.array(*[F.shiftright(h, i).bitwiseAND(F.lit(1)) for i in range(SIMHASH_BITS)]),
             lambda a, b: a + (b * 2 - 1),  # +1 for set bit, -1 for clear
         ),
     )
-    bits = F.transform(counts, lambda c: F.when(c > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
-    return F.aggregate(
-        F.zip_with(bits, F.sequence(F.lit(0), F.lit(59)), lambda b, i: F.shiftleft(b, i)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    terms = F.zip_with(counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 class SimHashDeduplicator(Deduplicator):

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies, per the build brief:
+  * ``BruteForceKNN`` — exact cosine top-k: broadcast the query vector(s),
+    score every row, TakeOrderedAndProject. The correctness baseline, and
+    at 100 TB still the right plan for a *single* query vector (one narrow
+    pass over the data, no shuffle; the top-k merge is per-partition then
+    driver).
+  * ``RandomProjectionLSH`` — sign-bucket ANN: b deterministic hyperplanes
+    derived from the vector's own coordinate differences (index arithmetic,
+    no RNG — reproducible everywhere including ANSI SQL); candidates are
+    restricted to the query's bucket. At scale the bucket id becomes the
+    shuffle/bucketing key, collapsing the candidate set by ~2^b; multi-probe
+    (flipping low-margin bits) trades recall for fan-out.
+
+IVF (k-means-partitioned) search is the third tier: cluster with
+``pyspark.ml.clustering.KMeans``, route queries to the nearest centroids,
+and search only those partitions — the plumbing is the same as
+RandomProjectionLSH with cluster-id as the bucket key.
+
+A vectorized Arrow/numpy path (mapInPandas over batched query sets) is the
+escape hatch when the Catalyst higher-order-function math dominates; for
+single-query top-k the expression form keeps everything in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.functions.vectors import cosine_similarity, l2_norm
+
+
+class BruteForceKNN:
+    """Exact top-k by cosine against a single query vector (itself a row of
+    a one-row DataFrame — never collected to the driver)."""
+
+    def __init__(self, *, vec_col: str = "embedding", id_col: str = "vec_id", k: int = 10, round_to: int = 6):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+        self.round_to = round_to
+
+    def topk(self, df: DataFrame, query: DataFrame) -> DataFrame:
+        """``query`` must have one row with column ``qv array<float>``.
+
+        Returns (id_col, cosine) of the k nearest by cosine, ties broken by
+        id. The broadcast cross-join is a narrow op; ordering+limit compiles
+        to TakeOrderedAndProject (per-partition top-k, no global sort).
+        """
+        scored = (
+            df.crossJoin(F.broadcast(query))
+            .withColumn("cosine", F.round(cosine_similarity(self.vec_col, "qv"), self.round_to))
+            .filter(F.col("cosine").isNotNull())
+        )
+        return (
+            scored.select(self.id_col, "cosine")
+            .orderBy(F.col("cosine").desc(), F.col(self.id_col))
+            .limit(self.k)
+        )
+
+
+def sign_bucket(vec_col: Column | str, *, bits: int = 8, stride: int = 32) -> Column:
+    """Deterministic sign-LSH bucket id in [0, 2^bits): bit i is the sign of
+    ``v[i+1] - v[i+1+stride]`` (1-based element_at). Coordinate-difference
+    hyperplanes are data-independent, reproducible in SQL, and orthogonal-ish
+    for embedding-type vectors; swap in seeded random hyperplanes via
+    ``hash64_from_md5`` when coordinates are correlated."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    terms = []
+    for i in range(bits):
+        diff = F.element_at(v, i + 1).cast("double") - F.element_at(v, i + 1 + stride).cast("double")
+        bit = F.when(diff > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        terms.append(F.shiftleft(bit, i))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+class RandomProjectionLSH:
+    """Sign-bucketed approximate nearest neighbors."""
+
+    def __init__(
+        self,
+        *,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        bits: int = 8,
+        stride: int = 32,
+        k: int = 5,
+        round_to: int = 6,
+    ):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.bits = bits
+        self.stride = stride
+        self.k = k
+        self.round_to = round_to
+
+    def with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("bucket", sign_bucket(self.vec_col, bits=self.bits, stride=self.stride))
+
+    def topk(self, df: DataFrame, query: DataFrame) -> DataFrame:
+        """Top-k within the query's bucket. ``query``: one row, ``qv``
+        array<float>. Returns (id, bucket, cosine)."""
+        q = query.select(
+            F.col("qv"), sign_bucket("qv", bits=self.bits, stride=self.stride).alias("qbucket")
+        )
+        scored = (
+            self.with_bucket(df)
+            .crossJoin(F.broadcast(q))
+            .filter(F.col("bucket") == F.col("qbucket"))
+            .withColumn("cosine", F.round(cosine_similarity(self.vec_col, "qv"), self.round_to))
+            .filter(F.col("cosine").isNotNull())
+        )
+        return (
+            scored.select(self.id_col, "bucket", "cosine")
+            .orderBy(F.col("cosine").desc(), F.col(self.id_col))
+            .limit(self.k)
+        )
+
+
+def normalized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize vectors so cosine becomes a dot product — do this once
+    before repeated similarity queries (column lineage reuse, the reference's
+    embedding-precompute pattern)."""
+    n = l2_norm(vec_col)
+    return df.withColumn(
+        vec_col,
+        F.when(n > 0, F.transform(F.col(vec_col), lambda x: (x.cast("double") / n).cast("float"))).otherwise(
+            F.col(vec_col)
+        ),
+    )

@@ -1,4 +1,290 @@
-"""Placeholder — populated in this round."""
+"""Near-dedup family queries with DuckDB oracles.
 
-QUERIES = {}
-ORACLE = {}
+The synthetic corpus has no natural near-duplicates (all 500 texts unique,
+max pairwise embedding cosine ~0.51), so each query *plants* deterministic
+duplicates in-query — built with the identical expressions on both engines:
+
+  * ``+10000`` ids: first 50 docs with the last 7 words dropped (word-level
+    Jaccard ~0.8 vs the original — a true near-duplicate);
+  * ``+20000`` ids: first 30 docs upper-cased with doubled spaces (identical
+    after normalization — an exact duplicate in disguise);
+  * ``+10000`` vec ids: first 40 vectors scaled 2x (cosine exactly 1.0).
+
+This makes every operator's detection behavior observable and
+oracle-checkable rather than vacuously "no duplicates found".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.functions.text import normalize_text
+from mega_data_factory_spark.operators.dedup import (
+    EmbeddingCosineDeduplicator,
+    MinHashLSHDeduplicator,
+    NgramJaccardDeduplicator,
+    SimHashDeduplicator,
+)
+from mega_data_factory_spark.session import load_tables
+
+# ------------------------------------------------------------ corpus (Spark)
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    base = docs.select("doc_id", "text")
+    w = F.split(normalize_text("text"), " ")
+    trunc = F.array_join(F.slice(w, 1, F.greatest(F.size(w) - F.lit(7), F.lit(3))), " ")
+    near = docs.filter(F.col("doc_id") < 50).select((F.col("doc_id") + 10000).alias("doc_id"), trunc.alias("text"))
+    exact = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.upper(F.replace(F.col("text"), F.lit(" "), F.lit("  "))).alias("text"),
+    )
+    return base.unionByName(near).unionByName(exact)
+
+
+def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    base = emb.select("vec_id", "embedding")
+    scaled = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x.cast("double") * F.lit(2.0)).cast("float")).alias("embedding"),
+    )
+    return base.unionByName(scaled)
+
+
+# -------------------------------------------------------------- SQL mirrors
+
+NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+DOC_CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000,
+         array_to_string(
+           (string_split({NORM_SQL}, ' '))[1:greatest(len(string_split({NORM_SQL}, ' ')) - 7, 3)], ' ')
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 20000, upper(replace(text, ' ', '  ')) FROM documents WHERE doc_id < 30
+)
+"""
+
+VEC_CORPUS_CTE = """
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2.0 AS FLOAT))
+  FROM embeddings WHERE vec_id < 40
+)
+"""
+
+
+def _h64(expr: str, seed: int | None = None) -> str:
+    """SQL mirror of functions.hashing.hash64_from_md5."""
+    s = expr if seed is None else f"{expr} || '#{seed}'"
+    return f"('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+def _shingle_ctes(n: int) -> str:
+    """CTEs norm/w/sh: distinct word n-gram shingles per corpus doc —
+    the SQL mirror of functions.text.word_shingles + array_distinct."""
+    return f"""
+norm AS (SELECT doc_id, {NORM_SQL} AS t FROM corpus),
+w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM norm),
+sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) >= {n}
+      THEN list_transform(range(1, len(ws) - {n - 2}), i -> array_to_string(ws[i:i+{n - 1}], ' '))
+      ELSE [t] END) AS s
+  FROM w
+)
+"""
+
+
+NUM_HASHES, BANDS, ROWS_PER_BAND = 16, 4, 4
+
+
+def _minhash_ctes() -> str:
+    sig_elems = ", ".join(f"list_min(list_transform(s, x -> {_h64('x', seed)}))" for seed in range(NUM_HASHES))
+    band_keys = ", ".join(
+        f"'{b}_' || array_to_string(sig[{b * ROWS_PER_BAND + 1}:{(b + 1) * ROWS_PER_BAND}], ',')"
+        for b in range(BANDS)
+    )
+    return f"""
+sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh),
+bands AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sig),
+buckets AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band_key) AS bmin FROM bands),
+dups AS (SELECT doc_id, min(bmin) AS rep FROM buckets WHERE bmin < doc_id GROUP BY doc_id)
+"""
+
+
+# -------------------------------------------------------------------- queries
+
+
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup survivors over the planted corpus."""
+    d = MinHashLSHDeduplicator(num_hashes=NUM_HASHES, bands=BANDS, id_col="doc_id")
+    return d.apply(_doc_corpus(spark, sf_dir)).select("doc_id").orderBy("doc_id")
+
+
+MINHASH_ORACLE = f"""
+WITH {DOC_CORPUS_CTE.strip()},
+{_shingle_ctes(3).strip()},
+{_minhash_ctes().strip()}
+SELECT c.doc_id FROM corpus c WHERE c.doc_id NOT IN (SELECT doc_id FROM dups) ORDER BY doc_id
+"""
+
+
+def minhash_lsh_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rejected side: duplicates with their representative (earliest
+    colliding doc across any band bucket)."""
+    d = MinHashLSHDeduplicator(num_hashes=NUM_HASHES, bands=BANDS, id_col="doc_id", name="MinHashLSHDeduplicator")
+    rej = d.rejected(_doc_corpus(spark, sf_dir))
+    return rej.select(
+        "doc_id",
+        F.col("_rejection_details.representative_id").alias("representative_id"),
+    ).orderBy("doc_id")
+
+
+MINHASH_REJECTED_ORACLE = f"""
+WITH {DOC_CORPUS_CTE.strip()},
+{_shingle_ctes(3).strip()},
+{_minhash_ctes().strip()}
+SELECT doc_id, CAST(rep AS VARCHAR) AS representative_id FROM dups ORDER BY doc_id
+"""
+
+
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup survivors with their simhash value (cross-engine
+    validation of the 60-bit signature itself, not just the survivor set)."""
+    d = SimHashDeduplicator(id_col="doc_id")
+    corpus = _doc_corpus(spark, sf_dir)
+    keyed = corpus.withColumn("simhash", d.key(corpus))
+    return d.apply(keyed).select("doc_id", "simhash").orderBy("doc_id")
+
+
+SIMHASH_ORACLE = f"""
+WITH {DOC_CORPUS_CTE.strip()},
+{_shingle_ctes(2).strip()},
+hashed AS (SELECT doc_id, list_transform(s, x -> {_h64('x')}) AS hs FROM sh),
+counted AS (
+  SELECT doc_id,
+    list_transform(range(0, 60), i ->
+      list_sum(list_transform(hs, h -> ((h >> i) & 1) * 2 - 1))) AS counts
+  FROM hashed
+),
+sim AS (
+  SELECT doc_id,
+    CAST(CAST(list_sum(list_transform(range(0, 60),
+      i -> CASE WHEN counts[i + 1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS VARCHAR) AS simhash
+  FROM counted
+),
+ranked AS (
+  SELECT doc_id, simhash, row_number() OVER (PARTITION BY simhash ORDER BY doc_id) AS rn FROM sim
+)
+SELECT doc_id, simhash FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+JACCARD_THRESHOLD = 0.6
+
+
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified n-gram-Jaccard near-dedup survivors (inverted-index
+    set-similarity join, threshold 0.6)."""
+    d = NgramJaccardDeduplicator(JACCARD_THRESHOLD, id_col="doc_id")
+    return d.apply(_doc_corpus(spark, sf_dir)).select("doc_id").orderBy("doc_id")
+
+
+def _jaccard_ctes() -> str:
+    return f"""
+sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+inv AS (SELECT doc_id, n, unnest(s) AS shingle FROM sized),
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, a.n AS na, b.n AS nb, count(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+dups AS (
+  SELECT idb AS doc_id, min(ida) AS rep FROM pairs
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_THRESHOLD}
+  GROUP BY idb
+)
+"""
+
+
+JACCARD_ORACLE = f"""
+WITH {DOC_CORPUS_CTE.strip()},
+{_shingle_ctes(3).strip()},
+{_jaccard_ctes().strip()}
+SELECT c.doc_id FROM corpus c WHERE c.doc_id NOT IN (SELECT doc_id FROM dups) ORDER BY doc_id
+"""
+
+
+def ngram_jaccard_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = NgramJaccardDeduplicator(JACCARD_THRESHOLD, id_col="doc_id", name="NgramJaccardDeduplicator")
+    rej = d.rejected(_doc_corpus(spark, sf_dir))
+    return rej.select("doc_id", F.col("_rejection_details.representative_id").alias("representative_id")).orderBy(
+        "doc_id"
+    )
+
+
+JACCARD_REJECTED_ORACLE = f"""
+WITH {DOC_CORPUS_CTE.strip()},
+{_shingle_ctes(3).strip()},
+{_jaccard_ctes().strip()}
+SELECT doc_id, CAST(rep AS VARCHAR) AS representative_id FROM dups ORDER BY doc_id
+"""
+
+COSINE_THRESHOLD = 0.45
+
+DOT_SQL = "list_reduce(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = DOT_SQL.format(a=a, b=b)
+    na = f"sqrt({DOT_SQL.format(a=a, b=a)})"
+    nb = f"sqrt({DOT_SQL.format(a=b, b=b)})"
+    return f"(CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) END)"
+
+
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup survivors (threshold 0.45 catches the
+    planted exact-direction duplicates at cosine 1.0 plus the few natural
+    pairs above 0.45)."""
+    d = EmbeddingCosineDeduplicator(COSINE_THRESHOLD, id_col="vec_id")
+    return d.apply(_vec_corpus(spark, sf_dir)).select("vec_id").orderBy("vec_id")
+
+
+COSINE_DEDUP_ORACLE = f"""
+WITH {VEC_CORPUS_CTE.strip()},
+pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+),
+dups AS (SELECT idb AS vec_id FROM pairs WHERE cos >= {COSINE_THRESHOLD} GROUP BY idb)
+SELECT c.vec_id FROM corpus c WHERE c.vec_id NOT IN (SELECT vec_id FROM dups) ORDER BY vec_id
+"""
+
+
+QUERIES = {
+    "minhash_lsh_dedup": minhash_lsh_dedup,
+    "minhash_lsh_rejected": minhash_lsh_rejected,
+    "simhash_dedup": simhash_dedup,
+    "ngram_jaccard_dedup": ngram_jaccard_dedup,
+    "ngram_jaccard_rejected": ngram_jaccard_rejected,
+    "embedding_cosine_dedup": embedding_cosine_dedup,
+}
+
+ORACLE = {
+    "minhash_lsh_dedup": MINHASH_ORACLE,
+    "minhash_lsh_rejected": MINHASH_REJECTED_ORACLE,
+    "simhash_dedup": SIMHASH_ORACLE,
+    "ngram_jaccard_dedup": JACCARD_ORACLE,
+    "ngram_jaccard_rejected": JACCARD_REJECTED_ORACLE,
+    "embedding_cosine_dedup": COSINE_DEDUP_ORACLE,
+}

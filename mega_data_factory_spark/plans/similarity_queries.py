@@ -1,4 +1,102 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search queries with DuckDB oracles."""
 
-QUERIES = {}
-ORACLE = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.functions.vectors import l2_norm
+from mega_data_factory_spark.operators.similarity import BruteForceKNN, RandomProjectionLSH
+from mega_data_factory_spark.plans.dedup_queries import DOT_SQL, _cos_sql
+from mega_data_factory_spark.session import load_tables
+
+QUERY_VEC_ID = 0
+KNN_K = 10
+
+
+def _query_df(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+
+
+def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for a single query vector — the ANN
+    correctness baseline. Broadcast query, narrow scan, TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    knn = BruteForceKNN(k=KNN_K)
+    return knn.topk(emb.filter(F.col("vec_id") != QUERY_VEC_ID), _query_df(emb))
+
+
+KNN_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, round({_cos_sql('embedding', 'qv')}, 6) AS cosine
+FROM embeddings, q
+WHERE vec_id != {QUERY_VEC_ID} AND {_cos_sql('embedding', 'qv')} IS NOT NULL
+ORDER BY cosine DESC, vec_id
+LIMIT {KNN_K}
+"""
+
+ANN_BITS, ANN_STRIDE, ANN_K = 8, 32, 5
+
+
+def ann_lsh_bucket_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket LSH ANN: candidates restricted to the query's bucket.
+    The bucket id is the scale path's shuffle key (2^bits-way candidate
+    reduction); this query validates bucket assignment + in-bucket ranking."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    ann = RandomProjectionLSH(bits=ANN_BITS, stride=ANN_STRIDE, k=ANN_K)
+    return ann.topk(emb.filter(F.col("vec_id") != QUERY_VEC_ID), _query_df(emb))
+
+
+def _bucket_sql(v: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN CAST({v}[{i + 1}] AS DOUBLE) - CAST({v}[{i + 1 + ANN_STRIDE}] AS DOUBLE) > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(ANN_BITS)
+    )
+    return f"({bits})"
+
+
+ANN_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv, {_bucket_sql('embedding')} AS qbucket
+           FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, {_bucket_sql('embedding')} AS bucket,
+       round({_cos_sql('embedding', 'qv')}, 6) AS cosine
+FROM embeddings, q
+WHERE vec_id != {QUERY_VEC_ID}
+  AND {_bucket_sql('embedding')} = qbucket
+  AND {_cos_sql('embedding', 'qv')} IS NOT NULL
+ORDER BY cosine DESC, vec_id
+LIMIT {ANN_K}
+"""
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-math smoke query: L2 norm per embedding (validates the fold
+    arithmetic cross-engine down to rounded-double equality)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return (
+        t["embeddings"]
+        .select("vec_id", F.round(l2_norm("embedding"), 6).alias("l2_norm"))
+        .orderBy("vec_id")
+    )
+
+
+NORMS_ORACLE = f"""
+SELECT vec_id, round(sqrt({DOT_SQL.format(a='embedding', b='embedding')}), 6) AS l2_norm
+FROM embeddings ORDER BY vec_id
+"""
+
+
+QUERIES = {
+    "knn_topk_cosine": knn_topk_cosine,
+    "ann_lsh_bucket_knn": ann_lsh_bucket_knn,
+    "embedding_norms": embedding_norms,
+}
+
+ORACLE = {
+    "knn_topk_cosine": KNN_ORACLE,
+    "ann_lsh_bucket_knn": ANN_ORACLE,
+    "embedding_norms": NORMS_ORACLE,
+}

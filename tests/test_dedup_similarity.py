@@ -1,0 +1,53 @@
+"""Oracle-differential tests for near-dedup + similarity queries, plus
+structural checks on the planted-duplicate detection."""
+
+import pytest
+
+from tests.conftest import SF_DIR_ORACLE, assert_query_matches_oracle
+
+NAMES = [
+    "minhash_lsh_dedup",
+    "minhash_lsh_rejected",
+    "simhash_dedup",
+    "ngram_jaccard_dedup",
+    "ngram_jaccard_rejected",
+    "embedding_cosine_dedup",
+    "knn_topk_cosine",
+    "ann_lsh_bucket_knn",
+    "embedding_norms",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_matches_oracle(spark, name):
+    assert_query_matches_oracle(spark, name)
+
+
+def test_planted_duplicates_are_detected(spark):
+    """The exact-in-disguise variants (+20000) must all be caught by
+    minhash (identical shingle sets) and simhash (identical signature);
+    the scaled vectors (+10000) must all be caught by cosine dedup."""
+    from mega_data_factory_spark.plans.dedup_queries import (
+        embedding_cosine_dedup,
+        minhash_lsh_dedup,
+        simhash_dedup,
+    )
+
+    mh = {r.doc_id for r in minhash_lsh_dedup(spark, SF_DIR_ORACLE).collect()}
+    assert not any(i >= 20000 for i in mh), "exact variants must be deduped by minhash"
+
+    sh = {r.doc_id for r in simhash_dedup(spark, SF_DIR_ORACLE).collect()}
+    assert not any(i >= 20000 for i in sh), "exact variants must be deduped by simhash"
+
+    cos = {r.vec_id for r in embedding_cosine_dedup(spark, SF_DIR_ORACLE).collect()}
+    assert not any(i >= 10000 for i in cos), "scaled vectors must be deduped by cosine"
+
+
+def test_near_duplicates_mostly_detected(spark):
+    """Truncated near-dups (+10000, Jaccard ~0.8) should be largely caught
+    by the Jaccard dedup at threshold 0.6 (short docs legitimately escape)."""
+    from mega_data_factory_spark.plans.dedup_queries import ngram_jaccard_dedup
+
+    surv = {r.doc_id for r in ngram_jaccard_dedup(spark, SF_DIR_ORACLE).collect()}
+    planted = [i for i in surv if 10000 <= i < 20000]
+    assert len(planted) < 25, f"most of the 50 planted near-dups should be caught, {len(planted)} escaped"
