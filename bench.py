@@ -27,8 +27,10 @@ HEADLINE = [
     "text_length_filter",
     "text_exact_dedup",
     "docs_token_stats",
+    "curation_pipeline",
     # near-dedup + similarity
     "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
     "knn_topk_cosine",
     # events
     "events_hourly_agg",

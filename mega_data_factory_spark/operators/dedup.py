@@ -65,26 +65,53 @@ class KeyDeduplicator(Deduplicator):
         return F.concat_ws("", *[F.col(c).cast("string") for c in self.key_cols])
 
 
-def minhash_signature(text_col: Column | str, *, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature as ``array<bigint>`` of length ``num_hashes``.
+# Universal-hash minhash family over the Mersenne prime 2^31-1: one base
+# md5 hash per shingle, then h_i = (A[i]*(h mod p) + B[i]) mod p. Constants
+# are fixed odd multipliers/offsets (any fixed coprime-ish values work; these
+# are from a seeded LCG, frozen here so the SQL oracle can embed them).
+MINHASH_P = 2_147_483_647
+MINHASH_A = [769116749, 1145682559, 168693347, 1526542265, 1109244541, 543626221,
+             1615106469, 921822459, 1078126273, 344191411, 462131939, 2029056883,
+             677523509, 1333406551, 1856540421, 1181873283]
+MINHASH_B = [433869145, 1926399517, 1450754249, 666679597, 1249217389, 1178684977,
+             341851381, 683417707, 105629239, 1855570049, 1902748001, 675194745,
+             1538585351, 421326187, 1864262133, 870042529]
 
-    Pipeline: word n-gram shingles -> per-seed 60-bit md5-derived hash ->
-    array_min per seed. Entirely Catalyst higher-order functions; the hash
-    family (md5 of ``shingle#seed``) is reproducible in ANSI SQL, so the
-    oracle can compute identical signatures.
 
-    Scale path note: at 100 TB you'd precompute distinct shingles per doc
-    once (explode -> hash -> groupBy-min) instead of nesting transforms, and
-    swap md5 for xxhash64; semantics are unchanged.
+def minhash_hash_family(base_hash: Column, i: int) -> Column:
+    """i-th universal-hash family member of a 60-bit base hash (exact int64
+    arithmetic, no overflow: a*(h%p)+b < 2^62)."""
+    return (F.lit(MINHASH_A[i]) * (base_hash % MINHASH_P) + F.lit(MINHASH_B[i])) % MINHASH_P
+
+
+def minhash_base_hashes(text_col: Column | str, *, shingle_n: int = 3) -> Column:
+    """One 60-bit md5-derived base hash per distinct word shingle — the
+    expensive step, evaluated once and materialized as a column before the
+    signature is built."""
+    return F.transform(F.array_distinct(word_shingles(text_col, shingle_n)), lambda s: hash64_from_md5(s))
+
+
+def _perm(i: int):
+    # NB: must be a ONE-argument lambda — PySpark treats a two-parameter
+    # transform lambda as (element, index), which would silently replace
+    # the family index with the array position.
+    return lambda h: minhash_hash_family(h, i)
+
+
+def minhash_signature(hashes: Column, *, num_hashes: int = 16) -> Column:
+    """MinHash signature (``array<bigint>``) over a *materialized* base-hash
+    array column (see ``minhash_base_hashes``).
+
+    The ``num_hashes`` permutations are cheap modular arithmetic over the
+    base hashes. Pass real columns, not inline expressions — Catalyst does
+    not share subtrees across the signature's array elements, so an inline
+    shingle/hash expression is evaluated ``num_hashes`` times (a measured
+    16x slowdown at sf0.1).
+
+    Scale path: at 100 TB precompute (explode -> base-hash -> groupBy-min
+    per seed) so text never enters the shuffle; semantics identical.
     """
-    shingles = F.array_distinct(word_shingles(text_col, shingle_n))
-
-    def _hasher(seed: int):
-        # NB: must return a ONE-argument lambda — PySpark treats a
-        # two-parameter transform lambda as (element, index).
-        return lambda s: hash64_from_md5(s, seed=seed)
-
-    return F.array(*[F.array_min(F.transform(shingles, _hasher(seed))) for seed in range(num_hashes)])
+    return F.array(*[F.array_min(F.transform(hashes, _perm(i))) for i in range(num_hashes)])
 
 
 class MinHashLSHDeduplicator(Deduplicator):
@@ -131,7 +158,6 @@ class MinHashLSHDeduplicator(Deduplicator):
 
     def _band_pairs(self, df: DataFrame) -> DataFrame:
         """(id, earliest id sharing any band bucket)."""
-        sig = minhash_signature(self.text_col, num_hashes=self.num_hashes, shingle_n=self.shingle_n)
         bands = F.array(
             *[
                 F.concat_ws(
@@ -142,8 +168,10 @@ class MinHashLSHDeduplicator(Deduplicator):
                 for b in range(self.bands)
             ]
         )
-        ids = df.select(F.col(self.id_col), sig.alias("__sig")).select(
-            F.col(self.id_col), F.explode(bands).alias("__band_key")
+        ids = (
+            df.select(F.col(self.id_col), minhash_base_hashes(self.text_col, shingle_n=self.shingle_n).alias("__h"))
+            .select(F.col(self.id_col), minhash_signature(F.col("__h"), num_hashes=self.num_hashes).alias("__sig"))
+            .select(F.col(self.id_col), F.explode(bands).alias("__band_key"))
         )
         w = Window.partitionBy("__band_key")
         return (

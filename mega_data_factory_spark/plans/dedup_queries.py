@@ -42,7 +42,11 @@ def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 20000).alias("doc_id"),
         F.upper(F.replace(F.col("text"), F.lit(" "), F.lit("  "))).alias("text"),
     )
-    return base.unionByName(near).unionByName(exact)
+    corpus = base.unionByName(near).unionByName(exact)
+    # The test file is a single parquet block -> 3 input splits, which
+    # starves the CPU-heavy shingle/hash expressions. On a cluster, input
+    # splits provide this parallelism; locally we spread explicitly.
+    return corpus.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,13 +113,19 @@ NUM_HASHES, BANDS, ROWS_PER_BAND = 16, 4, 4
 
 
 def _minhash_ctes() -> str:
-    sig_elems = ", ".join(f"list_min(list_transform(s, x -> {_h64('x', seed)}))" for seed in range(NUM_HASHES))
+    from mega_data_factory_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hs, h -> ({MINHASH_A[i]} * (h % {MINHASH_P}) + {MINHASH_B[i]}) % {MINHASH_P}))"
+        for i in range(NUM_HASHES)
+    )
     band_keys = ", ".join(
         f"'{b}_' || array_to_string(sig[{b * ROWS_PER_BAND + 1}:{(b + 1) * ROWS_PER_BAND}], ',')"
         for b in range(BANDS)
     )
     return f"""
-sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh),
+hashed AS (SELECT doc_id, list_transform(s, x -> {_h64('x')}) AS hs FROM sh),
+sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM hashed),
 bands AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sig),
 buckets AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band_key) AS bmin FROM bands),
 dups AS (SELECT doc_id, min(bmin) AS rep FROM buckets WHERE bmin < doc_id GROUP BY doc_id)

@@ -1,4 +1,205 @@
-"""Placeholder — populated in this round."""
+"""Event-stream analytics queries (batch form) with DuckDB oracles.
 
-QUERIES = {}
-ORACLE = {}
+The events table carries nanosecond parquet timestamps, which Spark reads
+only as raw longs (``spark.sql.legacy.parquet.nanosAsLong``) while DuckDB
+truncates to microseconds on read. All event-time logic therefore runs on
+**microsecond bigints** (``ts div 1000`` == DuckDB ``epoch_us(ts)`` —
+truncation semantics verified identical), keeping every comparison exact
+and engine-neutral. The streaming variants of these queries (watermarked
+tumbling windows, session windows) live in streaming/.
+
+Scale notes: hourly rollup is a single partial-aggregated shuffle keyed on
+(hour, type); sessionization shuffles once on user_id and sorts within
+partitions — the canonical "segment by gap then aggregate" plan that holds
+at any scale where one user's events fit an executor (they do: AQE splits
+pathological users only if a single key exceeds partition limits, at which
+point session windows via applyInPandasWithState are the streaming answer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.session import load_tables
+
+DEC = "decimal(18,6)"
+DECW = "decimal(38,6)"
+HOUR_US = 3_600_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t = load_tables(spark, sf_dir, ("events",))
+    return t["events"].withColumn("us", F.expr("ts div 1000"))
+
+
+def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time rollup by type (the batch form of the
+    watermarked streaming window)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("hour_start_us", (F.col("us") - (F.col("us") % HOUR_US)))
+        .groupBy("hour_start_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast(DECW).alias("sum_value"),
+        )
+        .orderBy("hour_start_us", "event_type")
+    )
+
+
+HOURLY_ORACLE = f"""
+SELECT (epoch_us(ts) - (epoch_us(ts) % {HOUR_US})) AS hour_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min of
+    user inactivity. Output: one row per session with bounds and exact
+    value totals. Single shuffle on user_id; lag + running-sum windows."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(F.col("prev_us").isNull() | ((F.col("us") - F.col("prev_us")) > SESSION_GAP_US), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(run))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.sum(F.col("value").cast(DEC)).cast(DECW).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type totals with exact sums and derived averages — the metrics
+    aggregate shape (reference per-operator stats, operator.py:119-184)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast(DECW).alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .withColumn("avg_value", F.round(F.col("sum_value").cast("double") / F.col("n_events"), 6))
+        .orderBy("event_type")
+    )
+
+
+TYPE_STATS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most active users — per-partition partial agg then top-k."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast(DECW).alias("sum_value"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+TOP_USERS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 10
+"""
+
+
+def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type): the generic keyed-dedup operator on a
+    genuinely streaming-shaped table (earliest microsecond, then event_id)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "us")
+        .orderBy("user_id", "event_type")
+    )
+
+
+FIRST_PER_USER_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, us FROM ranked WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+QUERIES = {
+    "events_hourly_agg": events_hourly_agg,
+    "events_sessionize": events_sessionize,
+    "events_type_stats": events_type_stats,
+    "events_top_users": events_top_users,
+    "events_first_per_user_type": events_first_per_user_type,
+}
+
+ORACLE = {
+    "events_hourly_agg": HOURLY_ORACLE,
+    "events_sessionize": SESSIONIZE_ORACLE,
+    "events_type_stats": TYPE_STATS_ORACLE,
+    "events_top_users": TOP_USERS_ORACLE,
+    "events_first_per_user_type": FIRST_PER_USER_ORACLE,
+}
