@@ -1,0 +1,108 @@
+"""Metrics subsystem: run/stage/operator metrics as schema'd parquet.
+
+Re-expresses the reference's three-level metrics (framework/metrics/
+writer.py:28-84 fixed schemas; collector.py aggregation rules: stage input
+= first operator's input, stage output = last operator's output, run totals
+from first/last stage). Time-derived per-record latency percentiles have no
+Spark equivalent (rows aren't processed one-at-a-time); wall-clock duration
+and count-derived columns are populated, latency columns are NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OPERATOR_METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("pipeline", StringType()),
+        StructField("stage_name", StringType()),
+        StructField("operator_name", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("input_records", LongType()),
+        StructField("output_records", LongType()),
+        StructField("pass_rate", DoubleType()),
+    ]
+)
+
+STAGE_METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("pipeline", StringType()),
+        StructField("stage_name", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("input_records", LongType()),
+        StructField("output_records", LongType()),
+        StructField("pass_rate", DoubleType()),
+    ]
+)
+
+RUN_METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("pipeline", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("input_records", LongType()),
+        StructField("output_records", LongType()),
+        StructField("pass_rate", DoubleType()),
+    ]
+)
+
+
+def write_metrics(spark: SparkSession, result, base_path: str) -> None:
+    """Write runs/stages/operators parquet under ``base_path`` (append)."""
+    now = F.current_timestamp()
+
+    op_rows = [
+        (result.run_id, result.pipeline, m.stage, m.operator, m.input_records, m.output_records, m.pass_rate)
+        for m in result.operators
+    ]
+    ops = spark.createDataFrame(
+        op_rows,
+        "run_id string, pipeline string, stage_name string, operator_name string, "
+        "input_records long, output_records long, pass_rate double",
+    ).withColumn("timestamp", now)
+
+    # stage rollup: first op's input, last op's output per stage (reference
+    # metrics/collector.py:181-189 serial-operator rule)
+    stage_rows: dict[str, tuple[int, int]] = {}
+    for m in result.operators:
+        if m.stage not in stage_rows:
+            stage_rows[m.stage] = (m.input_records, m.output_records)
+        else:
+            stage_rows[m.stage] = (stage_rows[m.stage][0], m.output_records)
+    stages = spark.createDataFrame(
+        [
+            (result.run_id, result.pipeline, s, i, o, (100.0 * o / i if i else 100.0))
+            for s, (i, o) in stage_rows.items()
+        ],
+        "run_id string, pipeline string, stage_name string, input_records long, output_records long, pass_rate double",
+    ).withColumn("timestamp", now)
+
+    runs = spark.createDataFrame(
+        [
+            (
+                result.run_id,
+                result.pipeline,
+                result.duration_sec,
+                result.input_records,
+                result.output_records,
+                result.pass_rate,
+            )
+        ],
+        "run_id string, pipeline string, duration_sec double, input_records long, output_records long, pass_rate double",
+    ).withColumn("timestamp", now)
+
+    ops.select([f.name for f in OPERATOR_METRICS_SCHEMA.fields]).write.mode("append").parquet(f"{base_path}/operators")
+    stages.select([f.name for f in STAGE_METRICS_SCHEMA.fields]).write.mode("append").parquet(f"{base_path}/stages")
+    runs.select([f.name for f in RUN_METRICS_SCHEMA.fields]).write.mode("append").parquet(f"{base_path}/runs")

@@ -1,0 +1,218 @@
+"""Config-driven pipeline execution — the reference's primary entry point
+(``mdf run -c config.yaml``, SURVEY §3.1) re-expressed as ONE Catalyst plan.
+
+Single-pass rejection tagging: instead of splitting passed/rejected per
+stage (which would re-scan the source once per side output — the reference
+writes rejected rows mid-pipeline from each worker, framework/worker.py:
+113-117), every row carries a nullable ``_rejection_details`` struct:
+
+  * a Filter fills it for failing rows that are still alive;
+  * a Refiner computes its columns for alive rows only (rejected rows get
+    NULL — model UDFs never run on dead rows);
+  * a single-key Deduplicator ranks *alive* rows per key — dead rows get a
+    unique sentinel key so they can't absorb or become representatives;
+  * join-based near-dedup operators tag via a left join against their
+    duplicate-pairs frame computed over alive rows.
+
+The tagged frame is persisted once; the passed sink, rejected sink
+(partitioned by rejecting operator, reference executor.py:100-124) and the
+metrics aggregation are then three cheap actions over the cached plan.
+Per-operator input/output counts are reconstructed from ONE aggregation of
+rejection counts by operator (no per-stage count() scans).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from mega_data_factory_spark.config import PipelineConfig
+from mega_data_factory_spark.operators.base import (
+    REJECTION_DETAILS_COL,
+    Deduplicator,
+    Filter,
+    Operator,
+    Refiner,
+    rejection_details,
+)
+from mega_data_factory_spark.registry import OPERATORS
+from mega_data_factory_spark.sinks import write_sink
+from mega_data_factory_spark.sources import read_source
+
+_R = REJECTION_DETAILS_COL
+
+
+@dataclass
+class OperatorMetrics:
+    stage: str
+    operator: str
+    input_records: int
+    output_records: int
+
+    @property
+    def pass_rate(self) -> float:
+        return 100.0 * self.output_records / self.input_records if self.input_records else 100.0
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    pipeline: str
+    duration_sec: float
+    input_records: int
+    output_records: int
+    operators: list[OperatorMetrics] = field(default_factory=list)
+
+    @property
+    def pass_rate(self) -> float:
+        return 100.0 * self.output_records / self.input_records if self.input_records else 100.0
+
+
+class Pipeline:
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        self._ops: list[tuple[str, Operator]] = []  # (stage, instance) in order
+        for stage in config.stages:
+            for oc in stage.operators:
+                if not oc.enabled:
+                    continue
+                self._ops.append((stage.name, OPERATORS.create(oc.name, oc.params)))
+
+    # ------------------------------------------------------------- building
+
+    def _alive(self) -> Column:
+        return F.col(_R).isNull()
+
+    def build(self, spark: SparkSession) -> DataFrame:
+        """Source -> tagged DataFrame (one logical plan, no actions)."""
+        df = read_source(spark, self.config.source, max_samples=self.config.max_samples)
+        if _R not in df.columns:
+            df = df.withColumn(
+                _R,
+                F.lit(None).cast("struct<reason:string,operator:string,dedup_key:string,representative_id:string>"),
+            )
+        for _stage, op in self._ops:
+            df = self._apply(df, op)
+        return df
+
+    def _apply(self, df: DataFrame, op: Operator) -> DataFrame:
+        alive = self._alive()
+        if isinstance(op, Filter):
+            keep = op.keep(df)
+            return df.withColumn(
+                _R,
+                F.when(alive & ~keep, rejection_details("filtered", op.name)).otherwise(F.col(_R)),
+            )
+        if isinstance(op, Deduplicator):
+            if hasattr(op, "_dup_pairs"):
+                return self._apply_join_dedup(df, op)
+            return self._apply_key_dedup(df, op)
+        if isinstance(op, Refiner):
+            cols = op.columns(df)
+            return df.withColumns({k: F.when(alive, v) for k, v in cols.items()})
+        # generic operator: full-frame transform (must preserve the tag col)
+        return op.apply(df)
+
+    def _apply_key_dedup(self, df: DataFrame, op: Deduplicator) -> DataFrame:
+        alive = self._alive()
+        key = F.when(alive, op.key(df).cast("string")).otherwise(
+            F.concat(F.lit("__dead__:"), F.col(op.id_col).cast("string"))
+        )
+        w = Window.partitionBy(F.col("__dk")).orderBy(F.col(op.order_col))
+        out = (
+            df.withColumn("__dk", key)
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("__rep", F.first(F.col(op.id_col)).over(w))
+        )
+        tagged = out.withColumn(
+            _R,
+            F.when(
+                self._alive() & (F.col("__rn") > 1),
+                rejection_details("duplicate", op.name, F.col("__dk"), F.col("__rep").cast("string")),
+            ).otherwise(F.col(_R)),
+        )
+        return tagged.drop("__dk", "__rn", "__rep")
+
+    def _apply_join_dedup(self, df: DataFrame, op: Deduplicator) -> DataFrame:
+        pairs = op._dup_pairs(df.filter(self._alive())).withColumnRenamed(op.id_col, "__dup_id")
+        joined = df.join(
+            F.broadcast(pairs) if _pairs_small(pairs) else pairs,
+            df[op.id_col] == F.col("__dup_id"),
+            "left",
+        )
+        tagged = joined.withColumn(
+            _R,
+            F.when(
+                self._alive() & F.col("__dup_id").isNotNull(),
+                rejection_details("duplicate", op.name, F.lit(None), F.col("__rep").cast("string")),
+            ).otherwise(F.col(_R)),
+        )
+        return tagged.drop("__dup_id", "__rep")
+
+    # -------------------------------------------------------------- running
+
+    def run(self, spark: SparkSession) -> PipelineResult:
+        t0 = time.time()
+        run_id = uuid.uuid4().hex[:12]
+        tagged = self.build(spark).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            passed = tagged.filter(self._alive()).drop(_R)
+            if self.config.sink:
+                write_sink(passed, self.config.sink)
+            if self.config.rejected_sink:
+                rejected = (
+                    tagged.filter(~self._alive())
+                    .withColumn("operator", F.col(f"{_R}.operator"))
+                )
+                cfg = self.config.rejected_sink
+                if not cfg.partition_by:
+                    cfg.partition_by = ["operator"]  # reference layout (executor.py:100-124)
+                write_sink(rejected, cfg)
+
+            # one aggregation yields every per-operator count
+            counts = {
+                r["op"]: r["n"]
+                for r in tagged.groupBy(F.coalesce(F.col(f"{_R}.operator"), F.lit("__passed__")).alias("op"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            total = sum(counts.values())
+            passed_n = counts.get("__passed__", 0)
+            ops_metrics: list[OperatorMetrics] = []
+            remaining = total
+            for stage, op in self._ops:
+                rejected_here = counts.get(op.name, 0)
+                ops_metrics.append(OperatorMetrics(stage, op.name, remaining, remaining - rejected_here))
+                remaining -= rejected_here
+            result = PipelineResult(
+                run_id=run_id,
+                pipeline=self.config.name,
+                duration_sec=time.time() - t0,
+                input_records=total,
+                output_records=passed_n,
+                operators=ops_metrics,
+            )
+            if self.config.metrics_path:
+                from mega_data_factory_spark.metrics import write_metrics
+
+                write_metrics(spark, result, self.config.metrics_path)
+            return result
+        finally:
+            tagged.unpersist()
+
+
+def _pairs_small(pairs: DataFrame) -> bool:
+    """Join-dedup pairs frames are (id, rep) only — broadcast unless the
+    plan suggests otherwise. Kept as a hook for a size-estimate heuristic;
+    AQE converts to broadcast at runtime anyway when small."""
+    return True
+
+
+def run_yaml(spark: SparkSession, yaml_path_or_text: str) -> PipelineResult:
+    """``mdf run -c config.yaml`` equivalent."""
+    return Pipeline(PipelineConfig.from_yaml(yaml_path_or_text)).run(spark)

@@ -1,0 +1,106 @@
+"""Operator / source / sink registries — the reference's dynamic
+instantiation contract (framework/registry.py:13-133): config names resolve
+to classes at pipeline-build time.
+
+Accepts registered PascalCase names AND snake_case spellings, including the
+reference's acronym quirks (``image_aigc_detector_refiner`` must resolve to
+``ImageAIGCDetectorRefiner`` even though naive snake->Pascal gives
+``ImageAigcDetectorRefiner`` — reference framework/config.py:21-28 vs
+operators/refiners/__init__.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+
+class Registry:
+    def __init__(self, kind: str):
+        self.kind = kind
+        self._by_name: dict[str, type] = {}
+
+    @staticmethod
+    def _snake(name: str) -> str:
+        return re.sub(r"(?<=[a-z0-9])(?=[A-Z])", "_", name).lower()
+
+    def register(self, cls: type, *aliases: str) -> type:
+        names = {cls.__name__, self._snake(cls.__name__), *aliases}
+        for n in names:
+            self._by_name[n.lower()] = cls
+        return cls
+
+    def get(self, name: str) -> type:
+        cls = self._by_name.get(name.lower())
+        if cls is None:
+            raise KeyError(f"unknown {self.kind} {name!r}; known: {sorted(set(self._by_name))}")
+        return cls
+
+    def create(self, name: str, params: dict[str, Any] | None = None):
+        return self.get(name)(**(params or {}))
+
+    def names(self) -> list[str]:
+        return sorted({c.__name__ for c in self._by_name.values()})
+
+
+OPERATORS = Registry("operator")
+SOURCES = Registry("source")
+SINKS = Registry("sink")
+
+
+def _register_builtins() -> None:
+    from mega_data_factory_spark.operators.dedup import (
+        EmbeddingCosineDeduplicator,
+        KeyDeduplicator,
+        MinHashLSHDeduplicator,
+        NgramJaccardDeduplicator,
+        SimHashDeduplicator,
+        TextExactDeduplicator,
+    )
+    from mega_data_factory_spark.operators.filters import (
+        DomainBlocklistFilter,
+        ImageQualityFilter,
+        NumericRangeFilter,
+        TextLengthFilter,
+        UrlFilter,
+        WordScoreFilter,
+    )
+    from mega_data_factory_spark.operators.images import (
+        ImageMetadataRefiner,
+        ImagePhashDeduplicator,
+        ImageTechnicalQualityRefiner,
+    )
+    from mega_data_factory_spark.operators.refiners import (
+        FingerprintRefiner,
+        LanguageIdRefiner,
+        QualityScoreRefiner,
+        TextStatsRefiner,
+    )
+
+    for cls in (
+        TextLengthFilter,
+        WordScoreFilter,
+        DomainBlocklistFilter,
+        ImageQualityFilter,
+        NumericRangeFilter,
+        TextStatsRefiner,
+        LanguageIdRefiner,
+        QualityScoreRefiner,
+        FingerprintRefiner,
+        TextExactDeduplicator,
+        KeyDeduplicator,
+        MinHashLSHDeduplicator,
+        SimHashDeduplicator,
+        NgramJaccardDeduplicator,
+        EmbeddingCosineDeduplicator,
+        ImageMetadataRefiner,
+        ImageTechnicalQualityRefiner,
+        ImagePhashDeduplicator,
+    ):
+        OPERATORS.register(cls)
+    # reference acronym-quirk aliases (framework/config.py:21-28)
+    OPERATORS.register(UrlFilter, "URLFilter", "url_filter")
+    OPERATORS.register(MinHashLSHDeduplicator, "min_hash_lsh_deduplicator", "minhash_lsh_deduplicator")
+
+
+_register_builtins()

@@ -1,0 +1,34 @@
+"""Sink factory: DataFrame + config -> write action.
+
+Reference writers (SURVEY §2.2): append-only parquet with optional
+hive-style partitioning (parquet_writer.py:20-162) and an Iceberg table
+sink (iceberg_writer.py). Under Spark both are ``DataFrameWriter`` calls —
+task-unique filenames, partitioned layout, and concurrent append come from
+the writer/committer, not hand-rolled uuid filenames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from mega_data_factory_spark.config import SinkConfig
+
+
+def write_sink(df: DataFrame, cfg: SinkConfig) -> None:
+    fmt = cfg.format.lower()
+    if fmt == "iceberg":
+        # Requires an Iceberg catalog on the session (spark.sql.catalog.*).
+        # cfg.path is the table identifier, e.g. "local.db.events".
+        writer = df.writeTo(cfg.path)
+        if cfg.partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in cfg.partition_by])
+        writer.createOrReplace() if cfg.mode == "overwrite" else writer.append()
+        return
+    if cfg.path is None:
+        raise ValueError("sink needs a path")
+    writer = df.write.format(fmt).mode(cfg.mode).options(**cfg.options)
+    if cfg.partition_by:
+        writer = writer.partitionBy(*cfg.partition_by)
+    writer.save(cfg.path)

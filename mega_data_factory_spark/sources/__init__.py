@@ -1,0 +1,42 @@
+"""Source factory: config -> DataFrame.
+
+The reference's loaders (SURVEY §2.1) are file-lister + record-iterator
+pairs; under Spark both collapse into ``spark.read`` with input-split
+parallelism. ``max_samples`` caps input like the reference's global cap
+(executor.py:253-259). The WARC source lives in sources/warc.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mega_data_factory_spark.config import SourceConfig
+
+_FORMATS = {"parquet", "json", "csv", "orc", "text"}
+
+
+def read_source(spark: SparkSession, cfg: SourceConfig, *, max_samples: int | None = None) -> DataFrame:
+    if cfg.table:
+        df = spark.table(cfg.table)
+    else:
+        if cfg.path is None:
+            raise ValueError("source needs a path or table")
+        fmt = cfg.format.lower()
+        if fmt == "huggingface":
+            # HF parquet exports are plain parquet files addressable by path
+            # (hf:// via fsspec, or a local snapshot dir) — reference
+            # HuggingFaceLoader reduces to a parquet scan under Spark.
+            fmt = "parquet"
+        if fmt == "warc":
+            from mega_data_factory_spark.sources.warc import read_warc
+
+            return read_warc(spark, cfg.path, options=cfg.options)
+        if fmt not in _FORMATS:
+            raise ValueError(f"unsupported source format {cfg.format!r}")
+        reader = spark.read.format(fmt).options(**cfg.options)
+        if cfg.schema:
+            reader = reader.schema(cfg.schema)
+        df = reader.load(cfg.path)
+    if max_samples:
+        df = df.limit(max_samples)
+    return df

@@ -1,0 +1,140 @@
+"""Pipeline-runner tests: YAML contract, single-pass rejection tagging,
+sinks, metrics — checked against independently-computed DuckDB counts."""
+
+import os
+
+import duckdb
+import pytest
+
+from mega_data_factory_spark.config import PipelineConfig
+from mega_data_factory_spark.plans.pipeline import Pipeline
+from tests.conftest import SF_DIR_ORACLE
+
+DOCS = f"{SF_DIR_ORACLE}/documents.parquet"
+
+YAML = f"""
+pipeline:
+  name: text_curation
+  id_col: doc_id
+  source:
+    format: parquet
+    path: {DOCS}
+  stages:
+    - name: filtering
+      operators:
+        - name: TextLengthFilter
+          params: {{min_length: 100, max_length: 400, length_col: n_chars}}
+        - name: word_score_filter
+          params: {{weights: {{slow: 0.4, big: 0.1, spark: 0.05}}, threshold: 0.5}}
+    - name: dedup
+      operators:
+        - name: text_exact_deduplicator
+          params: {{id_col: doc_id}}
+"""
+
+
+def _oracle_counts():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    len_kept = con.execute(
+        "SELECT count(*) FROM documents WHERE coalesce(n_chars, length(text), 0) BETWEEN 100 AND 400"
+    ).fetchone()[0]
+    return total, len_kept
+
+
+def test_yaml_contract_parses():
+    cfg = PipelineConfig.from_yaml(YAML)
+    assert cfg.name == "text_curation"
+    assert [s.name for s in cfg.stages] == ["filtering", "dedup"]
+    assert cfg.stages[0].operators[0].params["min_length"] == 100
+
+
+def test_legacy_flat_operator_list():
+    cfg = PipelineConfig.from_dict(
+        {"pipeline": {"name": "p", "source": {"path": "x"}, "operators": [{"name": "TextLengthFilter"}]}}
+    )
+    assert len(cfg.stages) == 1 and cfg.stages[0].operators[0].name == "TextLengthFilter"
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    cfg = PipelineConfig.from_yaml(YAML)
+    cfg.sink = type(cfg.sink)() if cfg.sink else None
+    from mega_data_factory_spark.config import SinkConfig
+
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"), mode="overwrite")
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rejected"), mode="overwrite")
+    cfg.metrics_path = str(tmp_path / "metrics")
+
+    result = Pipeline(cfg).run(spark)
+
+    total, len_kept = _oracle_counts()
+    assert result.input_records == total
+    # accounting: passed + all rejects == input
+    rejected_total = sum(m.input_records - m.output_records for m in result.operators)
+    assert result.output_records + rejected_total == total
+    # first operator's counts match the oracle
+    m0 = result.operators[0]
+    assert m0.operator == "TextLengthFilter"
+    assert m0.input_records == total and m0.output_records == len_kept
+
+    # sinks: passed + rejected parquet row counts reconcile
+    passed = spark.read.parquet(str(tmp_path / "out"))
+    rejected = spark.read.parquet(str(tmp_path / "rejected"))
+    assert passed.count() == result.output_records
+    assert rejected.count() == rejected_total
+    # rejected is hive-partitioned by rejecting operator
+    parts = {p for p in os.listdir(tmp_path / "rejected") if p.startswith("operator=")}
+    assert "operator=TextLengthFilter" in parts
+    # rejection details preserved
+    row = rejected.filter("operator = 'TextLengthFilter'").select("_rejection_details.reason").first()
+    assert row[0] == "filtered"
+
+    # metrics parquet written with count-derived columns
+    ops = spark.read.parquet(cfg.metrics_path + "/operators")
+    assert ops.count() == len(result.operators)
+    runs = spark.read.parquet(cfg.metrics_path + "/runs")
+    assert runs.first()["input_records"] == total
+
+
+def test_pipeline_dedup_representative(spark, tmp_path):
+    """Planted exact duplicates: dedup must reject the later id with the
+    earlier id as representative, computed only over alive rows."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text", "n_chars")
+    dup = docs.filter(F.col("doc_id") < 5).withColumn("doc_id", F.col("doc_id") + 90000)
+    corpus = docs.unionByName(dup)
+    corpus.createOrReplaceTempView("pipeline_dedup_input")
+
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "dedup_only",
+                "id_col": "doc_id",
+                "source": {"table": "pipeline_dedup_input"},
+                "stages": [
+                    {"name": "s", "operators": [{"name": "TextExactDeduplicator", "params": {"id_col": "doc_id"}}]}
+                ],
+            }
+        }
+    )
+    from mega_data_factory_spark.config import SinkConfig
+
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rej"), mode="overwrite")
+    result = Pipeline(cfg).run(spark)
+    assert result.output_records == docs.count()  # originals survive
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    rows = rej.select("doc_id", "_rejection_details.representative_id").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert int(r["representative_id"]) == r["doc_id"] - 90000
+
+
+def test_registry_name_resolution():
+    from mega_data_factory_spark.registry import OPERATORS
+
+    for name in ["TextLengthFilter", "text_length_filter", "URLFilter", "url_filter", "UrlFilter"]:
+        assert OPERATORS.get(name) is not None
+    with pytest.raises(KeyError):
+        OPERATORS.get("nope")

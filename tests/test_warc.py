@@ -1,0 +1,62 @@
+"""WARC source tests: synthesized WARC files through the binaryFile +
+mapInPandas path (reference CommonCrawlLoader record shape)."""
+
+import gzip
+
+
+def make_warc(records):
+    """records: list of (url, date, html_bytes)."""
+    out = bytearray()
+    for url, date, html in records:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\nContent-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        out += head + http + b"\r\n\r\n"
+    # one non-response record that must be skipped
+    meta = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    return bytes(out) + meta
+
+
+HTML = (
+    b"<html><head><title>Test  Page</title><script>var x=1;</script></head>"
+    b"<body><p>" + b"useful words " * 20 + b"</p></body></html>"
+)
+TINY = b"<html><body>short</body></html>"  # extract < 50 chars -> dropped
+
+
+def test_parse_warc_bytes():
+    from mega_data_factory_spark.sources.warc import parse_warc_bytes
+
+    data = make_warc(
+        [
+            ("http://a.example/x", "2024-01-01T00:00:00Z", HTML),
+            ("http://b.example/y", "2024-01-02T00:00:00Z", TINY),
+        ]
+    )
+    rows = list(parse_warc_bytes(data, "w.warc", "CC-TEST"))
+    assert len(rows) == 1  # tiny extract dropped, warcinfo skipped
+    r = rows[0]
+    assert r["url"] == "http://a.example/x"
+    assert r["title"] == "Test Page"
+    assert "useful words" in r["text"] and "var x=1" not in r["text"]
+    assert r["text_length"] == len(r["text"])
+    # gzipped variant parses identically
+    assert list(parse_warc_bytes(gzip.compress(data), "w.warc.gz", "CC-TEST"))[0]["text"] == r["text"]
+
+
+def test_read_warc_spark(spark, tmp_path):
+    from mega_data_factory_spark.sources.warc import read_warc
+
+    for i in range(3):
+        (tmp_path / f"f{i}.warc").write_bytes(
+            make_warc([(f"http://site{i}.example/", "2024-01-01T00:00:00Z", HTML)])
+        )
+    df = read_warc(spark, str(tmp_path), options={"crawl_id": "CC-TEST"})
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.url for r in rows} == {f"http://site{i}.example/" for i in range(3)}
+    assert all(r.crawl_id == "CC-TEST" and r.text_length >= 50 for r in rows)
+    # schema contract matches the reference record shape
+    assert df.columns == ["crawl_id", "warc_path", "url", "warc_date", "title", "text", "text_length"]
