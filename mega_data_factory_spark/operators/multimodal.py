@@ -1,0 +1,336 @@
+"""Multimodal model refiners: embeddings, learned scores, resize, frame
+sampling — the reference's ML operator family (SURVEY §2.3: CLIP/SigLIP
+embeddings, aesthetic MLP, AIGC detector head, visual degradations) with
+Spark-first plumbing and deterministic stand-in weights.
+
+The real models (OpenCLIP, SigLIP2, torch MLP heads) are not in this
+container; what IS real here — and what the reference itself tests
+(SURVEY §5: "parity-by-construction ... testing glue not weights") — is:
+
+  * the lazy per-executor model singleton pattern (load once per Python
+    worker, reference image_clip_embedding.py:74-106);
+  * Arrow-batched inference with bounded mini-batches;
+  * output contracts: ``array<float>`` embeddings (L2-normalized, zero
+    vector on failure — image_clip_embedding.py:161-162), float32 scores,
+    ``score > threshold`` booleans (image_aigc_detector.py:214-223);
+  * embedding-column reuse across operators (aesthetic/AIGC consume a
+    precomputed embedding column instead of re-encoding — the reference's
+    column-reuse pattern, image_aesthetic_quality.py:167-194).
+
+Stand-in weights are seeded deterministic projections, so tests can assert
+exact behavior; swapping in torch weights changes only ``_Model.load``.
+When torch/PIL are importable the load hook uses them (import-gated).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mega_data_factory_spark.operators.base import Refiner
+from mega_data_factory_spark.operators.images import _bytes_col, decode_image
+
+# --------------------------------------------------------- model singletons
+
+_MODEL_CACHE: dict[tuple, object] = {}
+
+
+def _get_model(kind: str, dim: int, seed: int):
+    """Lazy per-executor-process model instance (the per-actor lazy-load
+    pattern of the reference, image_visual_degradations.py:73-102). The
+    cache lives in the Python worker process; each executor pays one load."""
+    key = (kind, dim, seed)
+    if key not in _MODEL_CACHE:
+        rng = np.random.default_rng(seed)
+        if kind == "embed":
+            # stand-in visual tower: fixed random projection of 64-bin
+            # luminance histogram features -> dim, rows unit-normalized
+            _MODEL_CACHE[key] = rng.standard_normal((64, dim)).astype(np.float32)
+        elif kind == "head":
+            # stand-in scoring head: fixed weight vector over embeddings
+            _MODEL_CACHE[key] = rng.standard_normal(dim).astype(np.float32)
+    return _MODEL_CACHE[key]
+
+
+def _histogram_features(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 3:
+        gray = img[..., : min(3, img.shape[2])].astype(np.float64).mean(axis=2)
+    else:
+        gray = img.astype(np.float64)
+    counts = np.bincount((gray / 4).astype(np.int64).clip(0, 63).reshape(-1), minlength=64)
+    return (counts / counts.sum()).astype(np.float32)
+
+
+class ImageEmbeddingRefiner(Refiner):
+    """Adds ``image_emb`` (array<float>, L2-normalized, ``dim`` wide; zero
+    vector when undecodable — the reference CLIP refiner's failure default).
+    Inference runs in Arrow batches with an internal mini-batch size knob
+    (``inference_batch_size``, reference image_clip_embedding.py:122-169)."""
+
+    def __init__(
+        self,
+        *,
+        image_col: str = "image",
+        output_col: str = "image_emb",
+        dim: int = 64,
+        seed: int = 7,
+        inference_batch_size: int = 32,
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        self.image_col = image_col
+        self.output_col = output_col
+        self.dim = dim
+        self.seed = seed
+        self.batch = inference_batch_size
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        import pandas as pd
+
+        dim, seed, batch = self.dim, self.seed, self.batch
+
+        @F.pandas_udf(ArrayType(FloatType()))
+        def embed_udf(data):
+            w = _get_model("embed", dim, seed)
+            out = []
+            buf: list[np.ndarray | None] = []
+
+            def flush():
+                for feats in buf:
+                    if feats is None:
+                        out.append([0.0] * dim)
+                    else:
+                        v = feats @ w
+                        n = float(np.linalg.norm(v))
+                        out.append((v / n if n > 0 else v).tolist())
+                buf.clear()
+
+            for b in data:
+                img = decode_image(b)
+                buf.append(None if img is None else _histogram_features(img))
+                if len(buf) >= batch:
+                    flush()
+            flush()
+            return pd.Series(out)
+
+        return {self.output_col: embed_udf(_bytes_col(df, self.image_col))}
+
+
+class AestheticScoreRefiner(Refiner):
+    """Adds ``image_aesthetic_score`` (float ~1-10) from a PRECOMPUTED
+    embedding column — column reuse, no re-encode (reference
+    image_aesthetic_quality.py:71-233; default 0.0 on missing/wrong-dim
+    embeddings, :176-187)."""
+
+    def __init__(self, *, emb_col: str = "image_emb", dim: int = 64, seed: int = 11, name: str | None = None):
+        super().__init__(name)
+        self.emb_col = emb_col
+        self.dim = dim
+        self.seed = seed
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        import pandas as pd
+
+        dim, seed = self.dim, self.seed
+
+        @F.pandas_udf(FloatType())
+        def score_udf(embs):
+            w = _get_model("head", dim, seed)
+            out = []
+            for e in embs:
+                if e is None or len(e) != dim:
+                    out.append(0.0)
+                else:
+                    x = float(np.asarray(e, dtype=np.float32) @ w)
+                    out.append(1.0 + 9.0 / (1.0 + np.exp(-x)))  # squash to ~1..10
+            return pd.Series(out, dtype="float32")
+
+        return {"image_aesthetic_score": score_udf(F.col(self.emb_col))}
+
+
+class AigcDetectorRefiner(Refiner):
+    """Adds ``image_aigc_score`` (sigmoid of head logit) and
+    ``image_is_aigc`` (score > threshold, default 0.5) from a precomputed
+    embedding column (reference image_aigc_detector.py:48-233)."""
+
+    def __init__(
+        self,
+        *,
+        emb_col: str = "image_emb",
+        dim: int = 64,
+        seed: int = 13,
+        threshold: float = 0.5,
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        self.emb_col = emb_col
+        self.dim = dim
+        self.seed = seed
+        self.threshold = threshold
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        import pandas as pd
+
+        dim, seed = self.dim, self.seed
+
+        @F.pandas_udf(FloatType())
+        def aigc_udf(embs):
+            w = _get_model("head", dim, seed)
+            out = []
+            for e in embs:
+                if e is None or len(e) != dim:
+                    out.append(None)
+                else:
+                    x = float(np.asarray(e, dtype=np.float32) @ w)
+                    out.append(1.0 / (1.0 + np.exp(-x)))
+            return pd.Series(out, dtype="float32")
+
+        score = aigc_udf(F.col(self.emb_col))
+        return {
+            "image_aigc_score": score,
+            # boolean derives from the score COLUMN (not the UDF twice)
+        }
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = super().apply(df)
+        return out.withColumn("image_is_aigc", F.col("image_aigc_score") > F.lit(self.threshold))
+
+
+class ImageResizeRefiner(Refiner):
+    """Adds ``image_resized`` struct<bytes: binary (raw RGB row-major),
+    width: int, height: int> via deterministic area-mean resize — the
+    preprocessing step GPU embedding stages consume. Real numpy, no PIL."""
+
+    def __init__(self, width: int = 32, height: int = 32, *, image_col: str = "image", name: str | None = None):
+        super().__init__(name)
+        self.width = width
+        self.height = height
+        self.image_col = image_col
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        import pandas as pd
+
+        tw, th = self.width, self.height
+
+        def _resize(data):
+            out_b, out_w, out_h = [], [], []
+            for b in data:
+                img = decode_image(b)
+                if img is None:
+                    out_b.append(None)
+                    out_w.append(None)
+                    out_h.append(None)
+                    continue
+                if img.ndim == 2:
+                    img = img[..., None].repeat(3, axis=2)
+                img = img[..., :3]
+                h, w = img.shape[:2]
+                ys = (np.arange(th + 1) * h) // th
+                xs = (np.arange(tw + 1) * w) // tw
+                small = np.empty((th, tw, 3), dtype=np.uint8)
+                for i in range(th):
+                    rows = img[ys[i] : max(ys[i + 1], ys[i] + 1)]
+                    for j in range(tw):
+                        small[i, j] = rows[:, xs[j] : max(xs[j + 1], xs[j] + 1)].mean(axis=(0, 1)).astype(np.uint8)
+                out_b.append(small.tobytes())
+                out_w.append(tw)
+                out_h.append(th)
+            return pd.DataFrame({"bytes": out_b, "width": out_w, "height": out_h})
+
+        resize_udf = F.pandas_udf(
+            _resize,
+            StructType(
+                [
+                    StructField("bytes", BinaryType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                ]
+            ),
+        )
+        return {"image_resized": resize_udf(_bytes_col(df, self.image_col))}
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("frame_index", IntegerType()),
+        StructField("timestamp_ms", IntegerType()),
+        StructField("frame_bytes", StringType()),  # placeholder until a real decoder lands
+    ]
+)
+
+
+class VideoFrameSampleRefiner(Refiner):
+    """Frame sampling over an opaque video ``binary`` column.
+
+    Real video decode needs ffmpeg/pyav (absent here), so decode is STUBBED:
+    container sniffing (MP4/WebM/MKV magic) is real, and the Spark plumbing —
+    schema ``array<struct<frame_index,timestamp_ms,frame_bytes>>``, Arrow
+    batching, every-Nth-frame sampling contract — is real and tested via the
+    deterministic ``FAKEVID`` container (header + fixed-size frame payloads)
+    the tests synthesize. Swap ``_decode_frames`` for a pyav implementation
+    to go live; nothing else changes.
+    """
+
+    def __init__(self, every_n: int = 10, *, video_col: str = "video", name: str | None = None):
+        super().__init__(name)
+        self.every_n = every_n
+        self.video_col = video_col
+
+    @staticmethod
+    def sniff_container(b: bytes | None) -> str:
+        if not b or len(b) < 12:
+            return "ERROR"
+        if b[4:8] == b"ftyp":
+            return "MP4"
+        if b[:4] == b"\x1a\x45\xdf\xa3":
+            return "WEBM/MKV"
+        if b[:7] == b"FAKEVID":
+            return "FAKEVID"
+        return "UNKNOWN"
+
+    @staticmethod
+    def _decode_frames(b: bytes, every_n: int):
+        kind = VideoFrameSampleRefiner.sniff_container(b)
+        if kind == "FAKEVID":
+            # FAKEVID layout: b"FAKEVID" + uint8 n_frames + n_frames x 4 bytes
+            n = b[7]
+            frames = []
+            for i in range(0, n, every_n):
+                payload = b[8 + 4 * i : 12 + 4 * i]
+                frames.append((i, i * 40, payload.hex()))  # 25 fps -> 40 ms
+            return frames
+        if kind in ("MP4", "WEBM/MKV"):
+            raise NotImplementedError(
+                "real video decode requires pyav/ffmpeg; install and replace "
+                "VideoFrameSampleRefiner._decode_frames"
+            )
+        return None
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        import pandas as pd
+
+        every_n = self.every_n
+
+        @F.pandas_udf(ArrayType(VIDEO_FRAME_SCHEMA))
+        def frames_udf(data):
+            out = []
+            for b in data:
+                try:
+                    frames = None if b is None else self._decode_frames(bytes(b), every_n)
+                except NotImplementedError:
+                    frames = None
+                out.append(frames)
+            return pd.Series(out)
+
+        return {"video_frames": frames_udf(_bytes_col(df, self.video_col))}

@@ -70,6 +70,13 @@ def _register_builtins() -> None:
         ImagePhashDeduplicator,
         ImageTechnicalQualityRefiner,
     )
+    from mega_data_factory_spark.operators.multimodal import (
+        AestheticScoreRefiner,
+        AigcDetectorRefiner,
+        ImageEmbeddingRefiner,
+        ImageResizeRefiner,
+        VideoFrameSampleRefiner,
+    )
     from mega_data_factory_spark.operators.refiners import (
         FingerprintRefiner,
         LanguageIdRefiner,
@@ -96,10 +103,19 @@ def _register_builtins() -> None:
         ImageMetadataRefiner,
         ImageTechnicalQualityRefiner,
         ImagePhashDeduplicator,
+        ImageEmbeddingRefiner,
+        AestheticScoreRefiner,
+        ImageResizeRefiner,
+        VideoFrameSampleRefiner,
     ):
         OPERATORS.register(cls)
     # reference acronym-quirk aliases (framework/config.py:21-28)
     OPERATORS.register(UrlFilter, "URLFilter", "url_filter")
+    OPERATORS.register(
+        AigcDetectorRefiner, "ImageAIGCDetectorRefiner", "image_aigc_detector_refiner", "image_a_i_g_c_detector_refiner"
+    )
+    OPERATORS.register(ImageEmbeddingRefiner, "ImageClipEmbeddingRefiner", "image_clip_embedding_refiner")
+    OPERATORS.register(AestheticScoreRefiner, "ImageAestheticQualityRefiner", "image_aesthetic_quality_refiner")
     OPERATORS.register(MinHashLSHDeduplicator, "min_hash_lsh_deduplicator", "minhash_lsh_deduplicator")
 
 

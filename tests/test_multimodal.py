@@ -1,0 +1,80 @@
+"""Multimodal model-refiner tests: embedding plumbing, head scoring with
+column reuse, resize, video frame-sample plumbing — structural parity with
+the reference's ML operators (stub weights, real glue)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.operators.multimodal import (
+    AestheticScoreRefiner,
+    AigcDetectorRefiner,
+    ImageEmbeddingRefiner,
+    ImageResizeRefiner,
+    VideoFrameSampleRefiner,
+)
+from tests.test_images import GRADIENT, NOISE, SOLID, make_bmp, make_png
+
+
+@pytest.fixture(scope="module")
+def imgs(spark):
+    rows = [
+        (1, make_png(SOLID)),
+        (2, make_png(NOISE)),
+        (3, make_bmp(GRADIENT)),
+        (4, b"corrupt"),
+    ]
+    return spark.createDataFrame(rows, "id int, image binary")
+
+
+def test_embedding_contract(spark, imgs):
+    out = ImageEmbeddingRefiner(dim=64).apply(imgs).select("id", "image_emb").collect()
+    embs = {r.id: np.array(r.image_emb) for r in out}
+    for i in (1, 2, 3):
+        assert embs[i].shape == (64,)
+        assert abs(np.linalg.norm(embs[i]) - 1.0) < 1e-5  # L2-normalized
+    assert np.allclose(embs[4], 0.0)  # failure default: zero vector
+    # deterministic: same input -> identical embedding
+    again = {r.id: np.array(r.image_emb) for r in ImageEmbeddingRefiner(dim=64).apply(imgs).collect()}
+    assert np.array_equal(embs[2], again[2])
+    # different content -> different embedding
+    assert not np.allclose(embs[1], embs[2])
+
+
+def test_head_scores_reuse_embedding_column(spark, imgs):
+    """Aesthetic + AIGC heads consume the PRECOMPUTED embedding column —
+    the reference's column-reuse pattern (no image re-encode)."""
+    with_emb = ImageEmbeddingRefiner(dim=64).apply(imgs)
+    scored = AigcDetectorRefiner(dim=64).apply(AestheticScoreRefiner(dim=64).apply(with_emb))
+    rows = {r.id: r for r in scored.select("id", "image_aesthetic_score", "image_aigc_score", "image_is_aigc").collect()}
+    for i in (1, 2, 3):
+        assert 1.0 <= rows[i].image_aesthetic_score <= 10.0
+        assert 0.0 <= rows[i].image_aigc_score <= 1.0
+        assert rows[i].image_is_aigc == (rows[i].image_aigc_score > 0.5)
+    # wrong-dim / missing embedding -> defaults (reference :176-187)
+    bad = spark.createDataFrame([(9, [0.1, 0.2]), (10, None)], "id int, image_emb array<float>")
+    out = {r.id: r for r in AestheticScoreRefiner(dim=64).apply(bad).collect()}
+    assert out[9].image_aesthetic_score == 0.0 and out[10].image_aesthetic_score == 0.0
+
+
+def test_resize(spark, imgs):
+    out = {r.id: r.image_resized for r in ImageResizeRefiner(16, 16).apply(imgs).collect()}
+    assert out[1].width == 16 and out[1].height == 16
+    assert len(out[1].bytes) == 16 * 16 * 3
+    # solid image stays solid after area-mean resize
+    assert set(bytes(out[1].bytes)) == {128}
+    assert out[4] is None or out[4].bytes is None  # corrupt -> nulls
+
+
+def test_video_frame_sampling_plumbing(spark):
+    fake = b"FAKEVID" + bytes([25]) + bytes(range(100))  # 25 frames x 4 bytes
+    mp4 = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16  # real container, no decoder
+    df = spark.createDataFrame([(1, fake), (2, mp4), (3, None)], "id int, video binary")
+    out = {r.id: r.video_frames for r in VideoFrameSampleRefiner(every_n=10).apply(df).collect()}
+    frames = out[1]
+    assert [f.frame_index for f in frames] == [0, 10, 20]
+    assert [f.timestamp_ms for f in frames] == [0, 400, 800]
+    assert frames[1].frame_bytes == bytes(range(40, 44)).hex()
+    assert out[2] is None  # real container -> NotImplementedError -> NULL (stub documented)
+    assert out[3] is None
+    assert VideoFrameSampleRefiner.sniff_container(mp4) == "MP4"
