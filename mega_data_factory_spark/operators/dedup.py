@@ -157,22 +157,32 @@ class MinHashLSHDeduplicator(Deduplicator):
         raise NotImplementedError("MinHashLSH dedup is not a single-key dedup")
 
     def _band_pairs(self, df: DataFrame) -> DataFrame:
-        """(id, earliest id sharing any band bucket)."""
+        """(id, earliest id sharing any band bucket).
+
+        Signature via explode -> base-hash -> groupBy(id) with num_hashes
+        plain min() aggregates: simple expressions (fast to codegen — the
+        nested-lambda array form cost ~8s of janino compile alone), map-side
+        partial aggregation, and text never enters a shuffle — the shape
+        that holds at 100 TB.
+        """
+        exploded = df.select(
+            F.col(self.id_col),
+            F.explode(F.array_distinct(word_shingles(self.text_col, self.shingle_n))).alias("__s"),
+        ).select(F.col(self.id_col), hash64_from_md5(F.col("__s")).alias("__bh"))
+        sig = exploded.groupBy(self.id_col).agg(
+            *[F.min(minhash_hash_family(F.col("__bh"), i)).alias(f"__m{i}") for i in range(self.num_hashes)]
+        )
         bands = F.array(
             *[
                 F.concat_ws(
                     "_",
                     F.lit(b),
-                    F.concat_ws(",", *[F.element_at(F.col("__sig"), b * self.rows_per_band + r + 1).cast("string") for r in range(self.rows_per_band)]),
+                    F.concat_ws(",", *[F.col(f"__m{b * self.rows_per_band + r}").cast("string") for r in range(self.rows_per_band)]),
                 )
                 for b in range(self.bands)
             ]
         )
-        ids = (
-            df.select(F.col(self.id_col), minhash_base_hashes(self.text_col, shingle_n=self.shingle_n).alias("__h"))
-            .select(F.col(self.id_col), minhash_signature(F.col("__h"), num_hashes=self.num_hashes).alias("__sig"))
-            .select(F.col(self.id_col), F.explode(bands).alias("__band_key"))
-        )
+        ids = sig.select(F.col(self.id_col), F.explode(bands).alias("__band_key"))
         w = Window.partitionBy("__band_key")
         return (
             ids.withColumn("__bucket_min", F.min(F.col(self.id_col)).over(w))

@@ -19,15 +19,6 @@ def spark():
     yield s
 
 
-@pytest.fixture(scope="session")
-def duck():
-    con = duckdb.connect()
-    for sf in {SF_DIR, SF_DIR_ORACLE}:
-        pass
-    yield con
-    con.close()
-
-
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Fresh DuckDB connection with the test tables registered as views —
     mirrors the driver's harness."""
