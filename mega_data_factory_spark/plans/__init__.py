@@ -45,8 +45,10 @@ def _modules():
         curation,
         dedup_queries,
         events,
+        join_queries,
         relational,
         similarity_queries,
+        window_queries,
     )
 
-    return [relational, events, curation, dedup_queries, similarity_queries]
+    return [relational, events, curation, dedup_queries, similarity_queries, window_queries, join_queries]

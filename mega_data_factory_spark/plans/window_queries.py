@@ -1,0 +1,193 @@
+"""Window-function, grouping-sets, and exact-percentile queries — analytic
+surface beyond the reference (SURVEY §2.6-2.7 'absent in reference'), all
+oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.session import load_tables
+
+DEC = "decimal(18,6)"
+DECW = "decimal(38,6)"
+
+
+def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price: ranking window (single shuffle on
+    custkey; at scale AQE splits skewed customers)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+CUSTOMER_RANKS_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM ranked WHERE rnk <= 3
+ORDER BY o_custkey, rnk
+"""
+
+
+def lineitem_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-order revenue by line number (frame-bounded running sum
+    over exact decimals)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") <= 1000)
+        .withColumn("running_revenue", F.sum(rev).over(w).cast(DECW))
+        .select("l_orderkey", "l_linenumber", "running_revenue")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+RUNNING_REVENUE_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+       OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_revenue
+FROM lineitem WHERE l_orderkey <= 1000
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def orders_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily order totals: aggregate then slide —
+    the two-level (pre-agg + window) shape that keeps window state small."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    daily = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast(DECW).alias("daily_total"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn(
+            "moving_avg_7d",
+            F.round(F.sum(F.col("daily_total").cast("double")).over(w) / F.count(F.lit(1)).over(w), 6),
+        )
+        .select("day", "daily_total", "moving_avg_7d")
+        .orderBy("day")
+        .limit(100)
+    )
+
+
+MOVING_AVG_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS daily_total
+  FROM orders GROUP BY 1
+)
+SELECT day, daily_total,
+  ROUND(SUM(CAST(daily_total AS DOUBLE)) OVER w / COUNT(*) OVER w, 6) AS moving_avg_7d
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+LIMIT 100
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregate via the SQL entry point (status-only,
+    priority-only, grand total)."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark ``percentile``
+    == DuckDB ``quantile_cont`` bit-for-bit — verified). The approximate
+    scale path is ``percentile_approx``/t-digest; exact is the oracle-able
+    form."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILES_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (exact; approx_count_distinct is the scale path
+    but HLL sketches differ across engines, so the oracle uses exact)."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "customer_order_ranks": customer_order_ranks,
+    "lineitem_running_revenue": lineitem_running_revenue,
+    "orders_daily_moving_avg": orders_daily_moving_avg,
+    "grouping_sets_orders": grouping_sets_orders,
+    "events_value_percentiles": events_value_percentiles,
+    "distinct_aggregates": distinct_aggregates,
+}
+
+ORACLE = {
+    "customer_order_ranks": CUSTOMER_RANKS_ORACLE,
+    "lineitem_running_revenue": RUNNING_REVENUE_ORACLE,
+    "orders_daily_moving_avg": MOVING_AVG_ORACLE,
+    "grouping_sets_orders": GROUPING_SETS_ORACLE,
+    "events_value_percentiles": PERCENTILES_ORACLE,
+    "distinct_aggregates": DISTINCT_ORACLE,
+}
