@@ -1,0 +1,69 @@
+"""CLI — the reference's ``mdf`` entry point (cli.py:41-101) for this engine.
+
+    python -m mega_data_factory_spark run -c pipeline.yaml [--cpus N]
+    python -m mega_data_factory_spark list-operators
+    python -m mega_data_factory_spark list-queries
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mega-data-factory-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run a YAML pipeline")
+    runp.add_argument("-c", "--config", required=True, help="YAML config path")
+    runp.add_argument("--cpus", type=int, default=None)
+    sub.add_parser("list-operators", help="registered operator names")
+    sub.add_parser("list-queries", help="oracle-checked query names")
+    args = p.parse_args(argv)
+
+    if args.cmd == "list-operators":
+        from mega_data_factory_spark.registry import OPERATORS
+
+        print("\n".join(OPERATORS.names()))
+        return 0
+    if args.cmd == "list-queries":
+        from mega_data_factory_spark.plans import all_oracles, all_queries
+
+        oracles = all_oracles()
+        for name in sorted(all_queries()):
+            print(f"{name}\t{'oracle' if name in oracles else 'rows-only'}")
+        return 0
+
+    from mega_data_factory_spark.plans.pipeline import run_yaml
+    from mega_data_factory_spark.session import get_spark
+
+    spark = get_spark("mdf-spark-cli", cpus=args.cpus)
+    result = run_yaml(spark, args.config)
+    print(
+        json.dumps(
+            {
+                "run_id": result.run_id,
+                "pipeline": result.pipeline,
+                "duration_sec": round(result.duration_sec, 3),
+                "input_records": result.input_records,
+                "output_records": result.output_records,
+                "pass_rate": round(result.pass_rate, 3),
+                "operators": [
+                    {
+                        "stage": m.stage,
+                        "operator": m.operator,
+                        "input": m.input_records,
+                        "output": m.output_records,
+                        "pass_rate": round(m.pass_rate, 3),
+                    }
+                    for m in result.operators
+                ],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -357,8 +357,49 @@ SELECT operator, n_rejected FROM counts WHERE n_rejected > 0 OR operator = '__pa
 """
 
 
+def curation_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pass-through funnel for the three-stage pipeline: input
+    count, survivors of each stage, and final pass rate — the per-dimension
+    metrics view a curation run reports (reference pass-rate metrics
+    grouped by provenance)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    df = t["documents"]
+    lenf = TextLengthFilter(LEN_LO, LEN_HI, length_col="n_chars")
+    ws = WordScoreFilter(PIPE_WEIGHTS, 0.5, text_col="text")
+    keep_len = lenf.keep(df)
+    keep_ws = ws.keep(df)
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(keep_len.cast("long")).alias("n_after_length"),
+            F.sum((keep_len & keep_ws).cast("long")).alias("n_after_score"),
+        )
+        .withColumn(
+            "pass_rate",
+            F.round(F.col("n_after_score").cast("double") / F.col("n_input") * 100, 4),
+        )
+        .orderBy("source")
+    )
+
+
+FUNNEL_ORACLE = f"""
+SELECT source,
+  COUNT(*) AS n_input,
+  SUM(CASE WHEN {_text_length('text', 'n_chars')} BETWEEN {LEN_LO} AND {LEN_HI} THEN 1 ELSE 0 END) AS n_after_length,
+  SUM(CASE WHEN {_text_length('text', 'n_chars')} BETWEEN {LEN_LO} AND {LEN_HI}
+            AND {_word_score('text', PIPE_WEIGHTS)} < 0.5 THEN 1 ELSE 0 END) AS n_after_score,
+  ROUND(CAST(SUM(CASE WHEN {_text_length('text', 'n_chars')} BETWEEN {LEN_LO} AND {LEN_HI}
+            AND {_word_score('text', PIPE_WEIGHTS)} < 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 100, 4) AS pass_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_length_filter": text_length_filter,
+    "curation_funnel_by_source": curation_funnel_by_source,
     "text_exact_dedup": text_exact_dedup,
     "orders_first_per_customer": orders_first_per_customer,
     "orders_dedup_rejected": orders_dedup_rejected,
@@ -374,6 +415,7 @@ QUERIES = {
 
 ORACLE = {
     "text_length_filter": TEXT_LENGTH_ORACLE,
+    "curation_funnel_by_source": FUNNEL_ORACLE,
     "text_exact_dedup": TEXT_DEDUP_ORACLE,
     "orders_first_per_customer": ORDERS_DEDUP_ORACLE,
     "orders_dedup_rejected": ORDERS_DEDUP_REJECTED_ORACLE,

@@ -89,12 +89,45 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means-partitioned) ANN: route the query to its nprobe nearest
+    centroids, brute-force only those clusters. Iterative training -> not
+    SQL-expressible; the driver records a rows-only check and the test
+    suite asserts recall against the exact baseline."""
+    from mega_data_factory_spark.operators.clustering import KMeansIndex
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    idx = KMeansIndex(k=8).fit(emb)
+    out = idx.ivf_topk(emb.filter(F.col("vec_id") != QUERY_VEC_ID), _query_df(emb), k=10, nprobe=3)
+    return out.select("vec_id", "cluster", "cosine")
+
+
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-partitioned embedding dedup (the reference's semantic-dedup
+    design, backend.py:89-93): near-dup pairs only compared within a
+    k-means cluster. Rows-only check (iterative training)."""
+    from mega_data_factory_spark.operators.clustering import KMeansIndex
+    from mega_data_factory_spark.plans.dedup_queries import _vec_corpus
+
+    corpus = _vec_corpus(spark, sf_dir)
+    idx = KMeansIndex(k=8).fit(corpus)
+    survivors, _rejected = idx.semantic_dedup(corpus, threshold=0.45)
+    return survivors.select("vec_id").orderBy("vec_id")
+
+
 QUERIES = {
     "knn_topk_cosine": knn_topk_cosine,
     "ann_lsh_bucket_knn": ann_lsh_bucket_knn,
     "embedding_norms": embedding_norms,
+    "ivf_ann_topk": ivf_ann_topk,
+    "semantic_dedup_kmeans": semantic_dedup_kmeans,
 }
 
+# ivf_ann_topk / semantic_dedup_kmeans deliberately have no oracle entry:
+# k-means training is iterative and not ANSI-SQL-expressible. The driver
+# records the weaker rows-only check; tests/test_clustering.py holds the
+# real bar (recall vs exact brute force, survivor-set invariants).
 ORACLE = {
     "knn_topk_cosine": KNN_ORACLE,
     "ann_lsh_bucket_knn": ANN_ORACLE,
