@@ -35,6 +35,10 @@ HEADLINE = [
     # events
     "events_hourly_agg",
     "events_sessionize",
+    # joins + skew
+    "events_asof_purchase_click",
+    "events_salted_user_totals",
+    "url_filter_full",
 ]
 
 

@@ -47,8 +47,9 @@ def _modules():
         events,
         join_queries,
         relational,
+        setops,
         similarity_queries,
         window_queries,
     )
 
-    return [relational, events, curation, dedup_queries, similarity_queries, window_queries, join_queries]
+    return [relational, events, curation, dedup_queries, similarity_queries, window_queries, join_queries, setops]

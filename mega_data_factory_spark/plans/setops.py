@@ -1,0 +1,186 @@
+"""Set operations, semi/anti joins, and skew-salted aggregation.
+
+SURVEY §2.7: the reference has no relational set ops (union appears only as
+stream concatenation, framework/operator.py:411-430; the blocklist check
+url_filter.py:217-234 is morally a broadcast anti-join). This module gives
+the engine the full set-op surface with DuckDB oracles, plus a two-phase
+salted aggregation that demonstrates the skew-mitigation pattern with
+semantics identical to the plain groupBy (oracle-checked).
+
+Scale notes:
+  * semi/anti joins against a small dim side are broadcast — no shuffle of
+    the big side; against a big side they shuffle on the join key and AQE
+    picks the strategy.
+  * intersect/except compile to aggregate + join under Catalyst (we use
+    explicit distinct-join forms so the plan is visible and hintable).
+  * salted aggregation splits each hot key into SALT subkeys for the first
+    (heavy) partial aggregate, then re-aggregates the SALT partials — the
+    second shuffle moves one row per (key, salt), bounding any single
+    reducer at 1/SALT of the hottest key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.session import load_tables
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no order since mid-1997 (lapsed
+    customers), with their segment. The date filter is pushed below the
+    join, so the anti side shrinks before the shuffle."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
+    return (
+        t["customer"]
+        .join(recent, t["customer"].c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+ORDER BY c_custkey
+"""
+
+
+def customers_with_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers with at least one order over 400k —
+    membership test without duplicating customer rows (the reference's
+    blocklist-membership shape, url_filter.py:217-234, inverted)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_HIGH_VALUE_ORACLE = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+def nations_customers_minus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics — DataFrame.subtract): nations that have
+    customers but no high-balance (> 9000) supplier."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier", "nation"))
+    cn = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    sn = (
+        t["supplier"]
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    diff = cn.subtract(sn)
+    return (
+        diff.join(t["nation"], diff.nationkey == t["nation"].n_nationkey)
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+NATIONS_EXCEPT_ORACLE = """
+SELECT n_nationkey, n_name FROM nation
+WHERE n_nationkey IN (
+  SELECT c_nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+)
+ORDER BY n_nationkey
+"""
+
+
+def nations_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations present on both sides, counted per side."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    cn = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    sn = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    both = cn.intersect(sn)
+    counts = (
+        t["customer"]
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .join(
+            t["supplier"].groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count(F.lit(1)).alias("n_suppliers")),
+            "nationkey",
+        )
+    )
+    return both.join(counts, "nationkey").orderBy("nationkey")
+
+
+NATIONS_INTERSECT_ORACLE = """
+SELECT nationkey, n_customers, n_suppliers FROM (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1
+) c
+JOIN (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1
+) s USING (nationkey)
+WHERE nationkey IN (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+ORDER BY nationkey
+"""
+
+
+SALT = 16
+
+
+def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the (Zipfian) events user_id key:
+    phase 1 aggregates (user_id, salt) partials, phase 2 merges the SALT
+    partials per user. Result is identical to a plain groupBy (the oracle
+    is the unsalted SQL); the plan bounds the hottest reducer to ~1/SALT
+    of the hottest key's rows. Top-50 spenders by total value.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].withColumn("__salt", (F.xxhash64("event_id") % SALT))
+    partial = ev.groupBy("user_id", "__salt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("__v"),
+    )
+    totals = (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("__n").alias("n_events"),
+            F.sum("__v").cast("decimal(38,6)").alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(50)
+    )
+    return totals
+
+
+SALTED_TOTALS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 50
+"""
+
+
+QUERIES = {
+    "customers_without_orders": customers_without_orders,
+    "customers_with_high_value_orders": customers_with_high_value_orders,
+    "nations_customers_minus_suppliers": nations_customers_minus_suppliers,
+    "nations_customers_and_suppliers": nations_customers_and_suppliers,
+    "events_salted_user_totals": events_salted_user_totals,
+}
+
+ORACLE = {
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+    "customers_with_high_value_orders": CUSTOMERS_HIGH_VALUE_ORACLE,
+    "nations_customers_minus_suppliers": NATIONS_EXCEPT_ORACLE,
+    "nations_customers_and_suppliers": NATIONS_INTERSECT_ORACLE,
+    "events_salted_user_totals": SALTED_TOTALS_ORACLE,
+}
