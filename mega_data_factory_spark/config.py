@@ -51,6 +51,7 @@ class SourceConfig:
     table: str | None = None
     options: dict[str, str] = field(default_factory=dict)
     schema: str | None = None  # DDL string for schema-on-read sources
+    resume_manifest: str | None = None  # processed-file manifest (batch resume)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> SourceConfig:
@@ -60,6 +61,7 @@ class SourceConfig:
             table=d.get("table"),
             options=d.get("options", {}) or {},
             schema=d.get("schema"),
+            resume_manifest=d.get("resume_manifest"),
         )
 
 

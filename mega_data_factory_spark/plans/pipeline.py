@@ -88,9 +88,9 @@ class Pipeline:
     def _alive(self) -> Column:
         return F.col(_R).isNull()
 
-    def build(self, spark: SparkSession) -> DataFrame:
+    def build(self, spark: SparkSession, files: list[str] | None = None) -> DataFrame:
         """Source -> tagged DataFrame (one logical plan, no actions)."""
-        df = read_source(spark, self.config.source, max_samples=self.config.max_samples)
+        df = read_source(spark, self.config.source, max_samples=self.config.max_samples, files=files)
         if _R not in df.columns:
             df = df.withColumn(
                 _R,
@@ -159,7 +159,15 @@ class Pipeline:
     def run(self, spark: SparkSession) -> PipelineResult:
         t0 = time.time()
         run_id = uuid.uuid4().hex[:12]
-        tagged = self.build(spark).persist(StorageLevel.MEMORY_AND_DISK)
+        src = self.config.source
+        pending: list[str] | None = None
+        if src.resume_manifest and src.path and not src.table:
+            from mega_data_factory_spark.sources.manifest import unprocessed_files
+
+            pending = unprocessed_files(src.path, src.resume_manifest, src.format.lower())
+            if not pending:  # fully resumed — nothing left to process
+                return PipelineResult(run_id, self.config.name, time.time() - t0, 0, 0, [])
+        tagged = self.build(spark, files=pending).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             passed = tagged.filter(self._alive()).drop(_R)
             if self.config.sink:
@@ -201,6 +209,10 @@ class Pipeline:
                 from mega_data_factory_spark.metrics import write_metrics
 
                 write_metrics(spark, result, self.config.metrics_path)
+            if pending is not None:  # sinks + metrics landed: checkpoint the files
+                from mega_data_factory_spark.sources.manifest import mark_processed
+
+                mark_processed(src.resume_manifest, pending, run_id)
             return result
         finally:
             tagged.unpersist()

@@ -15,7 +15,15 @@ from mega_data_factory_spark.config import SourceConfig
 _FORMATS = {"parquet", "json", "csv", "orc", "text"}
 
 
-def read_source(spark: SparkSession, cfg: SourceConfig, *, max_samples: int | None = None) -> DataFrame:
+def read_source(
+    spark: SparkSession,
+    cfg: SourceConfig,
+    *,
+    max_samples: int | None = None,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """Build the source DataFrame. ``files`` (from the resume manifest)
+    overrides the path with an explicit unprocessed-file list."""
     if cfg.table:
         df = spark.table(cfg.table)
     else:
@@ -36,7 +44,7 @@ def read_source(spark: SparkSession, cfg: SourceConfig, *, max_samples: int | No
         reader = spark.read.format(fmt).options(**cfg.options)
         if cfg.schema:
             reader = reader.schema(cfg.schema)
-        df = reader.load(cfg.path)
+        df = reader.load(files if files is not None else cfg.path)
     if max_samples:
         df = df.limit(max_samples)
     return df

@@ -1,0 +1,92 @@
+"""Batch checkpoint/resume via the processed-file manifest — the reference's
+per-shard resume semantics (loader_worker.py:133-140,236-252) at file
+granularity."""
+
+import os
+
+import duckdb
+import pytest
+
+from mega_data_factory_spark.config import PipelineConfig
+from mega_data_factory_spark.plans.pipeline import Pipeline
+from mega_data_factory_spark.sources.manifest import (
+    list_input_files,
+    mark_processed,
+    processed_files,
+    unprocessed_files,
+)
+from tests.conftest import SF_DIR_ORACLE
+
+
+@pytest.fixture()
+def split_docs(tmp_path):
+    """documents split into 4 parquet part files in a directory source."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR_ORACLE}/documents.parquet')")
+    for i in range(4):
+        con.execute(f"COPY (SELECT * FROM documents WHERE doc_id % 4 = {i}) TO '{src}/part-{i}.parquet' (FORMAT PARQUET)")
+    return src
+
+
+def _cfg(src, tmp_path) -> PipelineConfig:
+    return PipelineConfig.from_yaml(
+        f"""
+pipeline:
+  name: resumable
+  id_col: doc_id
+  source:
+    format: parquet
+    path: {src}
+    resume_manifest: {tmp_path}/manifest.jsonl
+  stages:
+    - name: filtering
+      operators:
+        - name: TextLengthFilter
+          params: {{min_length: 100, max_length: 400, length_col: n_chars}}
+  sink:
+    format: parquet
+    path: {tmp_path}/out
+"""
+    )
+
+
+def test_manifest_listing_roundtrip(split_docs, tmp_path):
+    man = str(tmp_path / "m.jsonl")
+    files = list_input_files(str(split_docs))
+    assert len(files) == 4 and files == sorted(files)
+    assert unprocessed_files(str(split_docs), man) == files
+    mark_processed(man, files[:2], "run_a")
+    assert processed_files(man) == set(files[:2])
+    assert unprocessed_files(str(split_docs), man) == files[2:]
+
+
+def test_pipeline_resume_skips_processed_files(spark, split_docs, tmp_path):
+    cfg = _cfg(split_docs, tmp_path)
+    man = cfg.source.resume_manifest
+
+    # simulate a partial previous run: 2 of 4 files already checkpointed
+    files = list_input_files(str(split_docs))
+    mark_processed(man, files[:2], "run_partial")
+
+    r1 = Pipeline(cfg).run(spark)
+    con = duckdb.connect()
+    expect = con.execute(
+        f"SELECT count(*) FROM read_parquet(['{files[2]}', '{files[3]}'])"
+    ).fetchone()[0]
+    assert r1.input_records == expect  # only the unprocessed half was read
+    assert processed_files(man) == set(files)  # run checkpointed the rest
+
+    # fully resumed: second run is a no-op and writes nothing new
+    out_files = set(os.listdir(tmp_path / "out"))
+    r2 = Pipeline(cfg).run(spark)
+    assert r2.input_records == 0 and r2.output_records == 0
+    assert set(os.listdir(tmp_path / "out")) == out_files
+
+    # a new file arriving is picked up incrementally
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{files[0]}') LIMIT 10) TO '{split_docs}/part-4.parquet' (FORMAT PARQUET)"
+    )
+    r3 = Pipeline(cfg).run(spark)
+    assert r3.input_records == 10
