@@ -20,6 +20,11 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--cpus", type=int, default=None)
     sub.add_parser("list-operators", help="registered operator names")
     sub.add_parser("list-queries", help="oracle-checked query names")
+    repp = sub.add_parser("report", help="HTML report from a metrics path")
+    repp.add_argument("-m", "--metrics", required=True, help="metrics parquet base path")
+    repp.add_argument("-o", "--out", required=True, help="output HTML file")
+    repp.add_argument("--run-id", default=None)
+    repp.add_argument("--cpus", type=int, default=4)
     args = p.parse_args(argv)
 
     if args.cmd == "list-operators":
@@ -33,6 +38,14 @@ def main(argv: list[str] | None = None) -> int:
         oracles = all_oracles()
         for name in sorted(all_queries()):
             print(f"{name}\t{'oracle' if name in oracles else 'rows-only'}")
+        return 0
+
+    if args.cmd == "report":
+        from mega_data_factory_spark.metrics.report import write_report
+        from mega_data_factory_spark.session import get_spark
+
+        path = write_report(get_spark("mdf-spark-cli", cpus=args.cpus), args.metrics, args.out, args.run_id)
+        print(path)
         return 0
 
     from mega_data_factory_spark.plans.pipeline import run_yaml

@@ -197,12 +197,49 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate: all 2^2 grouping combinations of (status, priority)
+    with exact totals — completes the grouping family (rollup / grouping
+    sets / cube). GROUPING() distinguishes real NULLs from subtotal rows."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast(DECW).alias("total_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .orderBy(
+            F.col("g_status"),
+            F.col("g_priority"),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority,
+  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_segment_revenue": q3_segment_revenue,
     "q5_region_nation_revenue": q5_region_nation_revenue,
     "topk_orders": topk_orders,
     "rollup_order_status": rollup_order_status,
+    "cube_status_priority": cube_status_priority,
 }
 
 ORACLE = {
@@ -211,4 +248,5 @@ ORACLE = {
     "q5_region_nation_revenue": Q5_ORACLE,
     "topk_orders": TOPK_ORACLE,
     "rollup_order_status": ROLLUP_ORACLE,
+    "cube_status_priority": CUBE_ORACLE,
 }

@@ -138,3 +138,23 @@ def test_registry_name_resolution():
         assert OPERATORS.get(name) is not None
     with pytest.raises(KeyError):
         OPERATORS.get("nope")
+
+
+def test_html_report_from_metrics(spark, tmp_path):
+    """Reference reporter parity (metrics/reporter.py funnel + bottleneck):
+    HTML generated from the metrics parquet names every operator with its
+    pass rate and flags the lowest-pass-rate operator as the bottleneck."""
+    cfg = PipelineConfig.from_yaml(YAML)
+    cfg.metrics_path = str(tmp_path / "metrics")
+    result = Pipeline(cfg).run(spark)
+
+    from mega_data_factory_spark.metrics.report import write_report
+
+    out = write_report(spark, cfg.metrics_path, str(tmp_path / "report.html"))
+    html_text = open(out).read()
+    assert result.run_id in html_text
+    for m in result.operators:
+        assert m.operator in html_text
+    assert "Bottleneck" in html_text
+    worst = min(result.operators, key=lambda m: m.pass_rate)
+    assert f"<b>Bottleneck (lowest pass rate):</b> {worst.operator}" in html_text

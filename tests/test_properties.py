@@ -1,0 +1,86 @@
+"""Property-based tests (SURVEY §5 item 4, beyond the reference's own
+suite): dedup idempotence, filter conjunction-order invariance,
+passed/rejected partition completeness — on hypothesis-generated corpora
+run through the REAL operators on Spark."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.operators.dedup import MinHashLSHDeduplicator, TextExactDeduplicator
+from mega_data_factory_spark.operators.filters import TextLengthFilter, WordScoreFilter
+
+# Small alphabets force collisions (duplicate texts) so dedup is exercised.
+_WORD = st.sampled_from(["spark", "data", "big", "slow", "pipeline", "the", "of"])
+_TEXT = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
+_CORPUS = st.lists(_TEXT, min_size=1, max_size=25)
+
+_SETTINGS = dict(
+    max_examples=8,  # each example runs Spark jobs — keep the loop tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@settings(**_SETTINGS)
+@given(texts=_CORPUS)
+def test_exact_dedup_idempotent_and_partitioning(spark, texts):
+    """apply(apply(df)) == apply(df); survivors + rejected partition the
+    input exactly; every rejected row's representative survives."""
+    df = _df(spark, texts)
+    d = TextExactDeduplicator(id_col="doc_id")
+    once = d.apply(df)
+    ids_once = {r.doc_id for r in once.collect()}
+    ids_twice = {r.doc_id for r in d.apply(once).collect()}
+    assert ids_twice == ids_once  # idempotent
+
+    rej = d.rejected(df)
+    rej_rows = rej.select("doc_id", F.col("_rejection_details.representative_id").alias("rep")).collect()
+    ids_rej = {r.doc_id for r in rej_rows}
+    assert ids_once | ids_rej == set(range(len(texts)))  # complete
+    assert ids_once & ids_rej == set()  # disjoint
+    assert all(int(r.rep) in ids_once for r in rej_rows)  # reps survive
+
+
+@settings(**_SETTINGS)
+@given(texts=_CORPUS, lo=st.integers(0, 20), hi=st.integers(20, 80))
+def test_filter_conjunction_order_invariance(spark, texts, lo, hi):
+    """length-then-score == score-then-length == single conjunct filter."""
+    df = _df(spark, texts)
+    lenf = TextLengthFilter(lo, hi)
+    ws = WordScoreFilter({"slow": 0.4, "big": 0.3}, 0.5)
+    a = {r.doc_id for r in df.filter(lenf.keep(df)).filter(ws.keep(df)).collect()}
+    b = {r.doc_id for r in df.filter(ws.keep(df)).filter(lenf.keep(df)).collect()}
+    c = {r.doc_id for r in df.filter(lenf.keep(df) & ws.keep(df)).collect()}
+    assert a == b == c
+
+
+@settings(**_SETTINGS)
+@given(texts=_CORPUS)
+def test_minhash_never_drops_uniques_catches_exacts(spark, texts):
+    """Exact duplicate texts always collide in every band -> only the
+    first survives; and survivors are always a subset of the input."""
+    df = _df(spark, texts)
+    d = MinHashLSHDeduplicator(num_hashes=16, bands=4, id_col="doc_id")
+    kept = {r.doc_id for r in d.apply(df).collect()}
+    assert kept <= set(range(len(texts)))
+    first_of = {}
+    for i, t in enumerate(texts):
+        first_of.setdefault(t, i)
+    for i, t in enumerate(texts):
+        if first_of[t] != i:
+            assert i not in kept  # later exact copy must be deduped
+        if first_of[t] == i and i in kept:
+            pass  # first occurrence may survive (unless near-dup of other text)
+    # every text's first occurrence group is represented by <=1 survivor
+    for t, grp in [(t, [i for i, x in enumerate(texts) if x == t]) for t in set(texts)]:
+        assert len(set(grp) & kept) <= 1

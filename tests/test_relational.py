@@ -10,6 +10,7 @@ RELATIONAL = [
     "q5_region_nation_revenue",
     "topk_orders",
     "rollup_order_status",
+    "cube_status_priority",
 ]
 
 
