@@ -188,12 +188,43 @@ ORDER BY user_id, event_type
 """
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction over the ``props`` JSON-string column (SURVEY
+    §2.8: the reference's nested-path partition-key extraction,
+    parquet_writer.py:57-93, over dict-or-JSON-string): pull ``$.k``,
+    bucket it, count per bucket. get_json_object evaluates inside codegen —
+    no UDF, and only the two referenced columns are scanned."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "event_type")
+        .withColumn("k_bucket", F.col("k") - (F.col("k") % 10))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+JSON_PROPS_ORACLE = """
+SELECT CAST(props->>'$.k' AS BIGINT) - (CAST(props->>'$.k' AS BIGINT) % 10) AS k_bucket,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "events_hourly_agg": events_hourly_agg,
     "events_sessionize": events_sessionize,
     "events_type_stats": events_type_stats,
     "events_top_users": events_top_users,
     "events_first_per_user_type": events_first_per_user_type,
+    "events_json_props": events_json_props,
 }
 
 ORACLE = {
@@ -202,4 +233,5 @@ ORACLE = {
     "events_type_stats": TYPE_STATS_ORACLE,
     "events_top_users": TOP_USERS_ORACLE,
     "events_first_per_user_type": FIRST_PER_USER_ORACLE,
+    "events_json_props": JSON_PROPS_ORACLE,
 }

@@ -24,8 +24,9 @@ dedup via ``dropDuplicates`` upstream.
 from mega_data_factory_spark.streaming.runner import (
     StreamingPipeline,
     session_window_agg,
+    stateful_user_totals,
     stream_exact_dedup,
     windowed_agg,
 )
 
-__all__ = ["StreamingPipeline", "windowed_agg", "session_window_agg", "stream_exact_dedup"]
+__all__ = ["StreamingPipeline", "windowed_agg", "session_window_agg", "stream_exact_dedup", "stateful_user_totals"]

@@ -77,6 +77,48 @@ def stream_exact_dedup(df: DataFrame, key: Column, *, ts_col: str | None = None,
     return out.drop("__dedup_key")
 
 
+def stateful_user_totals(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key cumulative (count, sum) carried across micro-batches — the
+    generic form of the reference's only cross-record state (the dedup
+    seen-set actor, framework/backend.py:13-226), here as arbitrary
+    per-key accumulators. Emits one row per key per micro-batch with the
+    running totals; state is partitioned by key across executors exactly
+    like the reference's ``hash(key) % num_buckets`` actor sharding.
+
+    NoTimeout = never evicted (the reference's semantics). For bounded
+    state at 100 TB/day, switch to EventTimeTimeout + a watermark and
+    evict idle keys.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return (
+        df.select(key_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"{key_col} long, n_events long, sum_value double",
+            stateStructType="n long, s double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 class StreamingPipeline:
     """Run a batch-defined pipeline config continuously over a file stream.
 

@@ -10,6 +10,7 @@ EVENTS = [
     "events_type_stats",
     "events_top_users",
     "events_first_per_user_type",
+    "events_json_props",
 ]
 
 

@@ -130,3 +130,42 @@ def test_streaming_pipeline_checkpoint_resume(spark, tmp_path):
     # batch A's rows appended exactly once (no reprocessing), batch B adds
     # events 5 and 6 (6 passes the value filter; no dedup op in this config)
     assert ids == [2, 3, 4, 5, 6]
+
+
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user running totals must accumulate
+    ACROSS micro-batches (maxFilesPerTrigger=1 forces one batch per file)."""
+    from mega_data_factory_spark.streaming import stateful_user_totals
+
+    src = tmp_path / "in"
+    write_events(src, EVENTS_A, "a")
+    write_events(src, EVENTS_B, "b")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = stateful_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from user_totals").collect()
+    # one emission per (user, batch containing that user); the final
+    # (max) emission per user is the global total
+    final = {}
+    for r in rows:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.sum_value)
+    all_events = EVENTS_A + EVENTS_B
+    for uid in {e["user_id"] for e in all_events}:
+        n = sum(1 for e in all_events if e["user_id"] == uid)
+        s = sum(e["value"] for e in all_events if e["user_id"] == uid)
+        assert final[uid] == (n, s), f"user {uid}"
+    # state really carried across >=2 batches for user 1 (present in both files)
+    assert len([r for r in rows if r.user_id == 1]) >= 2
