@@ -42,6 +42,51 @@ HEADLINE = [
 ]
 
 
+def _text_pipeline_1m(spark) -> int:
+    """1M-record URLFilter -> TextLengthFilter pipeline, the reference's
+    headline benchmark workload (docs/ARCHITECTURE.md:418-434)."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.filters import TextLengthFilter, UrlFilter
+
+    words = ["analysis", "report", "casino", "pipeline", "poker", "data", "spark", "stream", "model", "web"]
+    doms = ["example.com", "news.site.org", "spam-casino.biz", "blog.dev", "docs.io", "shop.net"]
+    df = (
+        spark.range(1_000_000)
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("http://"),
+                F.element_at(F.array(*[F.lit(d) for d in doms]), (F.col("id") % 6 + 1).cast("int")),
+                F.lit("/page/"),
+                F.col("id").cast("string"),
+                F.lit("?q="),
+                F.element_at(F.array(*[F.lit(w) for w in words]), (F.col("id") % 10 + 1).cast("int")),
+            ),
+        )
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(
+                        F.array(*[F.lit(w) for w in words]), ((F.col("id") * (i + 7)) % 10 + 1).cast("int")
+                    )
+                    for i in range(40)
+                ],
+            ),
+        )
+    )
+    uf = UrlFilter(
+        blocked_domains=["spam-casino.biz", "bad.example.net"],
+        word_weights={"casino": 0.8, "poker": 0.6, "spam": 0.5},
+        threshold=0.5,
+    )
+    lf = TextLengthFilter(50, 5000)
+    out = df.filter(uf.keep(df)).filter(lf.keep(df))
+    return out.count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -65,6 +110,18 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    # Baseline-comparable pipeline throughput: the reference's headline
+    # benchmark is 1M records through URLFilter -> TextLengthFilter in
+    # 49.11 s on 8 CPUs = 20,362 rec/s (BASELINE.md / ARCHITECTURE.md:418-434).
+    # Same workload shape on a generated 1M-row corpus (deterministic
+    # expressions; the filters run against realistic URL + text columns).
+    t0 = time.perf_counter()
+    n_out = _text_pipeline_1m(spark)
+    dt = time.perf_counter() - t0
+    timings["text_pipeline_1m"] = round(dt, 4)
+    total += dt
+    print(f"# text_pipeline_1m: {dt:.3f}s ({n_out} rows kept, {1_000_000/dt:,.0f} rec/s)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
