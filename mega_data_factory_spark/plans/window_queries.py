@@ -174,6 +174,46 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per market segment: quartile (ntile),
+    percent_rank and cume_dist of each customer's total spend — completes
+    the analytic-window family (ranking + distribution functions).
+    One shuffle for the per-customer aggregate, one for the segment window.
+    """
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast(DECW).alias("spend"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_mktsegment", "spend")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("spend"), F.col("c_custkey"))
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .withColumn("cume", F.round(F.cume_dist().over(w), 6))
+        .orderBy("c_mktsegment", "spend", "c_custkey")
+    )
+
+
+SPEND_DISTRIBUTION_ORACLE = """
+WITH spend AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_mktsegment
+)
+SELECT c_custkey, c_mktsegment, spend,
+       ntile(4)       OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist()    OVER w, 6) AS cume
+FROM spend
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, c_custkey)
+ORDER BY c_mktsegment, spend, c_custkey
+"""
+
+
 QUERIES = {
     "customer_order_ranks": customer_order_ranks,
     "lineitem_running_revenue": lineitem_running_revenue,
@@ -181,6 +221,7 @@ QUERIES = {
     "grouping_sets_orders": grouping_sets_orders,
     "events_value_percentiles": events_value_percentiles,
     "distinct_aggregates": distinct_aggregates,
+    "customer_spend_distribution": customer_spend_distribution,
 }
 
 ORACLE = {
@@ -190,4 +231,5 @@ ORACLE = {
     "grouping_sets_orders": GROUPING_SETS_ORACLE,
     "events_value_percentiles": PERCENTILES_ORACLE,
     "distinct_aggregates": DISTINCT_ORACLE,
+    "customer_spend_distribution": SPEND_DISTRIBUTION_ORACLE,
 }

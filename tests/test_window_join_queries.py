@@ -11,6 +11,7 @@ NAMES = [
     "grouping_sets_orders",
     "events_value_percentiles",
     "distinct_aggregates",
+    "customer_spend_distribution",
     "events_asof_purchase_click",
     "parts_price_range_join",
     "url_filter_full",
