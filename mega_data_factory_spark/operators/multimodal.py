@@ -207,6 +207,56 @@ class AigcDetectorRefiner(Refiner):
         return out.withColumn("image_is_aigc", F.col("image_aigc_score") > F.lit(self.threshold))
 
 
+class VisualDegradationsRefiner(Refiner):
+    """Adds the multi-head degradation scores ``img_vd_color_cast``,
+    ``img_vd_blurriness``, ``img_vd_watermark``, ``img_vd_noise`` and
+    ``img_vd_overall_quality`` from a precomputed embedding column
+    (reference image_visual_degradations.py:40-192; head weights and the
+    overall formula ``1 - (0.2*cc + 0.3*blur + 0.25*wm + 0.25*noise)`` from
+    models/image_quality_assessment/trainer.py:276-280,333-336). The four
+    sigmoid heads here are deterministic stand-ins for the trained CNN
+    heads — the Spark plumbing (one Arrow batch pass, four scores + the
+    derived overall, NULLs without a valid embedding) is the real contract.
+    """
+
+    HEAD_SEEDS = {"color_cast": 17, "blurriness": 19, "watermark": 23, "noise": 29}
+    WEIGHTS = {"color_cast": 0.2, "blurriness": 0.3, "watermark": 0.25, "noise": 0.25}
+
+    def __init__(self, *, emb_col: str = "image_emb", dim: int = 64, name: str | None = None):
+        super().__init__(name)
+        self.emb_col = emb_col
+        self.dim = dim
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        import pandas as pd
+
+        dim = self.dim
+        seeds = self.HEAD_SEEDS
+
+        @F.pandas_udf("color_cast float, blurriness float, watermark float, noise float")
+        def heads_udf(embs):
+            ws = {k: _get_model("head", dim, s) for k, s in seeds.items()}
+            rows = []
+            for e in embs:
+                if e is None or len(e) != dim:
+                    rows.append({k: None for k in ws})
+                else:
+                    x = np.asarray(e, dtype=np.float32)
+                    rows.append({k: float(1.0 / (1.0 + np.exp(-(x @ w)))) for k, w in ws.items()})
+            return pd.DataFrame(rows, dtype="float32")
+
+        h = heads_udf(F.col(self.emb_col))
+        cols = {f"img_vd_{k}": h[k] for k in seeds}
+        return cols
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = super().apply(df)
+        overall = F.lit(1.0) - sum(
+            F.col(f"img_vd_{k}") * F.lit(w) for k, w in self.WEIGHTS.items()
+        )
+        return out.withColumn("img_vd_overall_quality", overall.cast("float"))
+
+
 class ImageResizeRefiner(Refiner):
     """Adds ``image_resized`` struct<bytes: binary (raw RGB row-major),
     width: int, height: int> via deterministic area-mean resize — the

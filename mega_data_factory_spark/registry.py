@@ -76,6 +76,7 @@ def _register_builtins() -> None:
         ImageEmbeddingRefiner,
         ImageResizeRefiner,
         VideoFrameSampleRefiner,
+        VisualDegradationsRefiner,
     )
     from mega_data_factory_spark.operators.refiners import (
         FingerprintRefiner,
@@ -107,6 +108,7 @@ def _register_builtins() -> None:
         AestheticScoreRefiner,
         ImageResizeRefiner,
         VideoFrameSampleRefiner,
+        VisualDegradationsRefiner,
     ):
         OPERATORS.register(cls)
     # reference acronym-quirk aliases (framework/config.py:21-28)
@@ -114,9 +116,17 @@ def _register_builtins() -> None:
     OPERATORS.register(
         AigcDetectorRefiner, "ImageAIGCDetectorRefiner", "image_aigc_detector_refiner", "image_a_i_g_c_detector_refiner"
     )
-    OPERATORS.register(ImageEmbeddingRefiner, "ImageClipEmbeddingRefiner", "image_clip_embedding_refiner")
+    OPERATORS.register(
+        ImageEmbeddingRefiner,
+        "ImageClipEmbeddingRefiner",
+        "image_clip_embedding_refiner",
+        "ImageSigLIPEmbeddingRefiner",
+        "image_siglip_embedding_refiner",
+        "image_sig_l_i_p_embedding_refiner",
+    )
     OPERATORS.register(AestheticScoreRefiner, "ImageAestheticQualityRefiner", "image_aesthetic_quality_refiner")
     OPERATORS.register(MinHashLSHDeduplicator, "min_hash_lsh_deduplicator", "minhash_lsh_deduplicator")
+    OPERATORS.register(VisualDegradationsRefiner, "ImageVisualDegradationsRefiner", "image_visual_degradations_refiner")
 
 
 _register_builtins()

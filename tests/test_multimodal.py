@@ -78,3 +78,24 @@ def test_video_frame_sampling_plumbing(spark):
     assert out[2] is None  # real container -> NotImplementedError -> NULL (stub documented)
     assert out[3] is None
     assert VideoFrameSampleRefiner.sniff_container(mp4) == "MP4"
+
+
+def test_visual_degradations_heads(spark, imgs):
+    """Four degradation scores in (0,1) + overall = 1 - weighted sum
+    (reference trainer.py:276-280); NULL heads on missing embedding."""
+    from mega_data_factory_spark.operators.multimodal import VisualDegradationsRefiner
+
+    emb = ImageEmbeddingRefiner(dim=64).apply(imgs)
+    out = VisualDegradationsRefiner(dim=64).apply(emb)
+    rows = {r.id: r for r in out.collect()}
+    w = VisualDegradationsRefiner.WEIGHTS
+    for i in (1, 2, 3):
+        r = rows[i]
+        scores = {k: getattr(r, f"img_vd_{k}") for k in w}
+        assert all(0.0 < v < 1.0 for v in scores.values()), scores
+        expect = 1.0 - sum(scores[k] * wt for k, wt in w.items())
+        assert abs(r.img_vd_overall_quality - expect) < 1e-5
+    # corrupt image -> zero-vector embedding is still dim-valid; missing emb -> NULLs
+    bad = spark.createDataFrame([(9, None)], "id int, image_emb array<float>")
+    br = VisualDegradationsRefiner(dim=64).apply(bad).collect()[0]
+    assert br.img_vd_color_cast is None and br.img_vd_overall_quality is None
