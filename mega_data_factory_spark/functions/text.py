@@ -55,6 +55,23 @@ def token_count(col: Column | str) -> Column:
     return F.when(norm.isNull() | (F.length(norm) == 0), F.lit(0)).otherwise(n).cast("long")
 
 
+# GPT-2-style pre-tokenizer classes (contractions | letter runs | digit
+# runs | punctuation runs), restricted to constructs both Java regex and
+# RE2 (DuckDB) interpret identically — no lookarounds, no backrefs.
+SUBWORD_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def subword_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: number of matches of the GPT-2-style
+    pre-tokenizer regex over the normalized text — the cheap stand-in for a
+    real BPE vocab when budgeting LLM training tokens. 0 for NULL/empty.
+    Oracle mirror: ``len(regexp_extract_all(norm, pattern))`` (RE2 and Java
+    agree on this pattern by construction)."""
+    norm = normalize_text(col, lowercase=False)
+    n = F.regexp_count(norm, F.lit(SUBWORD_PATTERN))
+    return F.when(norm.isNull(), F.lit(0)).otherwise(n).cast("long")
+
+
 def word_occurrences(col: Column | str, word: str) -> Column:
     r"""Count of whole-word occurrences of ``word`` (case-insensitive) using
     an ASCII ``\b`` regex — same counting rule RE2 (DuckDB) and Java regex

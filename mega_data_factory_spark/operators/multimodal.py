@@ -207,6 +207,78 @@ class AigcDetectorRefiner(Refiner):
         return out.withColumn("image_is_aigc", F.col("image_aigc_score") > F.lit(self.threshold))
 
 
+class AudioMetadataRefiner(Refiner):
+    """Adds ``audio_sample_rate:int``, ``audio_channels:int``,
+    ``audio_bits:int``, ``audio_duration_sec:float``, ``audio_format:string``
+    from an opaque ``binary`` audio column — the audio counterpart of
+    ImageMetadataRefiner (reference image_metadata.py:25-67: header-only
+    decode, 0/"ERROR" defaults on failure). RIFF/WAVE header parsing is
+    pure-python struct reads (REAL decode, no audio lib needed); other
+    containers report format "ERROR" until a decoder is plugged in.
+    Header-only = the bytes column is never materialized beyond the Arrow
+    batch, and only ~44 bytes per row are touched."""
+
+    def __init__(self, *, audio_col: str = "audio", name: str | None = None):
+        super().__init__(name)
+        self.audio_col = audio_col
+
+    @staticmethod
+    def _parse_wav(b: bytes):
+        import struct
+
+        if b is None or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        pos, n = 12, len(b)
+        fmt = None
+        data_size = None
+        while pos + 8 <= n:
+            cid, csize = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+            if cid == b"fmt " and pos + 8 + 16 <= n:
+                _tag, ch, rate = struct.unpack_from("<HHI", b, pos + 8)
+                bits = struct.unpack_from("<H", b, pos + 8 + 14)[0]
+                fmt = (ch, rate, bits)
+            elif cid == b"data":
+                data_size = csize
+            pos += 8 + csize + (csize & 1)
+        if fmt is None:
+            return None
+        ch, rate, bits = fmt
+        if not (ch and rate and bits) or data_size is None:
+            return None
+        frames = data_size // (ch * (bits // 8)) if bits >= 8 else 0
+        return ch, rate, bits, frames / rate
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        import pandas as pd
+
+        parse = self._parse_wav
+
+        @F.pandas_udf(
+            "sample_rate int, channels int, bits int, duration_sec float, format string"
+        )
+        def meta_udf(blobs):
+            rows = []
+            for b in blobs:
+                p = parse(bytes(b) if b is not None else None)
+                if p is None:
+                    rows.append({"sample_rate": 0, "channels": 0, "bits": 0, "duration_sec": 0.0, "format": "ERROR"})
+                else:
+                    ch, rate, bits, dur = p
+                    rows.append(
+                        {"sample_rate": rate, "channels": ch, "bits": bits, "duration_sec": dur, "format": "WAV"}
+                    )
+            return pd.DataFrame(rows)
+
+        m = meta_udf(_bytes_col(df, self.audio_col))
+        return {
+            "audio_sample_rate": m["sample_rate"],
+            "audio_channels": m["channels"],
+            "audio_bits": m["bits"],
+            "audio_duration_sec": m["duration_sec"],
+            "audio_format": m["format"],
+        }
+
+
 class VisualDegradationsRefiner(Refiner):
     """Adds the multi-head degradation scores ``img_vd_color_cast``,
     ``img_vd_blurriness``, ``img_vd_watermark``, ``img_vd_noise`` and

@@ -164,6 +164,41 @@ FROM documents ORDER BY doc_id
 """
 
 
+def docs_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counts next to whitespace tokens — the
+    training-token budgeting view (tokens-per-word ratio per document)."""
+    from mega_data_factory_spark.functions.text import subword_token_count, token_count
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    ws = token_count("text")
+    sw = subword_token_count("text")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            ws.alias("ws_tokens"),
+            sw.alias("subword_tokens"),
+            F.when(ws > 0, F.round(sw.cast("double") / ws, 6)).otherwise(F.lit(0.0)).alias("tokens_per_word"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _subword_oracle() -> str:
+    from mega_data_factory_spark.functions.text import SUBWORD_PATTERN
+
+    pat = SUBWORD_PATTERN.replace("'", "''")
+    sw = f"len(regexp_extract_all({_norm}, '{pat}'))"
+    tc = _token_count("text")
+    return f"""
+SELECT doc_id,
+  CAST({tc} AS BIGINT) AS ws_tokens,
+  CAST({sw} AS BIGINT) AS subword_tokens,
+  CASE WHEN {tc} > 0 THEN round(CAST({sw} AS DOUBLE) / {tc}, 6) ELSE 0.0 END AS tokens_per_word
+FROM documents ORDER BY doc_id
+"""
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LanguageIdRefiner: marker-word argmax heuristic."""
     t = load_tables(spark, sf_dir, ("documents",))
@@ -404,6 +439,7 @@ QUERIES = {
     "orders_first_per_customer": orders_first_per_customer,
     "orders_dedup_rejected": orders_dedup_rejected,
     "docs_token_stats": docs_token_stats,
+    "docs_subword_tokens": docs_subword_tokens,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "doc_fingerprint": doc_fingerprint,
@@ -420,6 +456,7 @@ ORACLE = {
     "orders_first_per_customer": ORDERS_DEDUP_ORACLE,
     "orders_dedup_rejected": ORDERS_DEDUP_REJECTED_ORACLE,
     "docs_token_stats": TOKEN_STATS_ORACLE,
+    "docs_subword_tokens": _subword_oracle(),
     "lang_id": _lang_oracle(),
     "quality_score": _quality_oracle(),
     "doc_fingerprint": FINGERPRINT_ORACLE,

@@ -72,6 +72,7 @@ def _register_builtins() -> None:
     )
     from mega_data_factory_spark.operators.multimodal import (
         AestheticScoreRefiner,
+        AudioMetadataRefiner,
         AigcDetectorRefiner,
         ImageEmbeddingRefiner,
         ImageResizeRefiner,
@@ -109,6 +110,7 @@ def _register_builtins() -> None:
         ImageResizeRefiner,
         VideoFrameSampleRefiner,
         VisualDegradationsRefiner,
+        AudioMetadataRefiner,
     ):
         OPERATORS.register(cls)
     # reference acronym-quirk aliases (framework/config.py:21-28)

@@ -11,6 +11,7 @@ CURATION = [
     "orders_first_per_customer",
     "orders_dedup_rejected",
     "docs_token_stats",
+    "docs_subword_tokens",
     "lang_id",
     "quality_score",
     "doc_fingerprint",

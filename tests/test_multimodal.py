@@ -99,3 +99,34 @@ def test_visual_degradations_heads(spark, imgs):
     bad = spark.createDataFrame([(9, None)], "id int, image_emb array<float>")
     br = VisualDegradationsRefiner(dim=64).apply(bad).collect()[0]
     assert br.img_vd_color_cast is None and br.img_vd_overall_quality is None
+
+
+def test_audio_metadata_wav_headers(spark):
+    """RIFF/WAVE header decode: real parse of synthesized WAV bytes;
+    non-WAV bytes -> ERROR defaults (reference image_metadata.py error
+    contract applied to audio)."""
+    import struct
+
+    from mega_data_factory_spark.operators.multimodal import AudioMetadataRefiner
+
+    def wav(rate, ch, bits, n_frames):
+        data_size = n_frames * ch * (bits // 8)
+        hdr = b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+        return hdr + fmt + b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+
+    rows = [
+        (1, wav(16000, 1, 16, 16000)),   # 1.0 s mono
+        (2, wav(44100, 2, 16, 88200)),   # 2.0 s stereo
+        (3, b"not audio at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, audio binary")
+    out = {r.id: r for r in AudioMetadataRefiner().apply(df).collect()}
+    assert (out[1].audio_sample_rate, out[1].audio_channels, out[1].audio_bits) == (16000, 1, 16)
+    assert abs(out[1].audio_duration_sec - 1.0) < 1e-6
+    assert (out[2].audio_sample_rate, out[2].audio_channels) == (44100, 2)
+    assert abs(out[2].audio_duration_sec - 2.0) < 1e-6
+    assert out[1].audio_format == out[2].audio_format == "WAV"
+    assert out[3].audio_format == "ERROR" and out[3].audio_sample_rate == 0
+    assert out[4].audio_format == "ERROR"
