@@ -218,6 +218,23 @@ ORDER BY 1
 """
 
 
+def events_user_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type next to the
+    exact count — the 100 TB cardinality path (no exact distinct shuffle;
+    sketches merge associatively). No SQL oracle: HLL sketches are
+    engine-specific, so the driver records rows-only; the test suite
+    asserts <=5% relative error against the exact count."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "events_hourly_agg": events_hourly_agg,
     "events_sessionize": events_sessionize,
@@ -225,6 +242,7 @@ QUERIES = {
     "events_top_users": events_top_users,
     "events_first_per_user_type": events_first_per_user_type,
     "events_json_props": events_json_props,
+    "events_user_approx_distinct": events_user_approx_distinct,
 }
 
 ORACLE = {

@@ -17,3 +17,13 @@ EVENTS = [
 @pytest.mark.parametrize("name", EVENTS)
 def test_events_matches_oracle(spark, name):
     assert_query_matches_oracle(spark, name)
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ approx_count_distinct at rsd=0.02 stays within 5% of exact."""
+    from mega_data_factory_spark.plans.events import events_user_approx_distinct
+
+    rows = events_user_approx_distinct(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= 0.05 * r.exact_users, r
