@@ -1,0 +1,88 @@
+"""Storage-layout scale features: bucketed co-located joins (no shuffle)
+and hive-style partition pruning (no scan of excluded partitions) — the
+two layout levers the 100 TB posture depends on, asserted on physical
+plans, not just results."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    yield spark, tmp_path
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_shuffle(warehouse):
+    """Both sides bucketed by the join key into the same bucket count ->
+    SortMergeJoin with ZERO Exchange nodes: the co-located join that makes
+    repeated fact-fact joins affordable at 100 TB."""
+    spark, tmp_path = warehouse
+    sf = "/root/testdata/sf0.01"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_quantity", "l_extendedprice")
+
+    (
+        orders.write.mode("overwrite")
+        .option("path", str(tmp_path / "b_orders"))
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        lineitem.write.mode("overwrite")
+        .option("path", str(tmp_path / "b_lineitem"))
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+
+    # at sf0.01 the dims are broadcast-sized, which would bypass the
+    # bucketed path we're asserting; at real scale both sides are big, so
+    # force the non-broadcast strategy for this check
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(spark.table("b_lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _plan(joined)
+        # the join itself must not shuffle either side (bucketing
+        # pre-partitions); the only exchange allowed is the tiny post-join
+        # groupBy on o_orderstatus
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section, join_section
+        # and it still returns the right answer
+        n = joined.agg(F.sum("n")).collect()[0][0]
+        assert n == spark.read.parquet(f"{sf}/lineitem.parquet").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partition_pruning_skips_directories(spark, tmp_path):
+    """Hive-partitioned layout (the reference's partition_by sink contract,
+    parquet_writer.py:57-93): a filter on the partition column must appear
+    as a PartitionFilters entry and prune to one directory."""
+    sf = "/root/testdata/sf0.01"
+    out = str(tmp_path / "by_status")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    statuses = [d for d in os.listdir(out) if d.startswith("o_orderstatus=")]
+    assert len(statuses) >= 2
+
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
+    expect = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert df.count() == expect
