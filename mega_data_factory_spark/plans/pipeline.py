@@ -169,9 +169,33 @@ class Pipeline:
                 return PipelineResult(run_id, self.config.name, time.time() - t0, 0, 0, [])
         tagged = self.build(spark, files=pending).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            passed = tagged.filter(self._alive()).drop(_R)
+            # Free-rider metrics: an Observation on the tagged frame is
+            # populated by whichever action runs first (the passed-sink
+            # write), so per-operator counts cost NO extra scan when a sink
+            # exists (SURVEY §2.6: reference per-operator stats ->
+            # df.observe). Without a sink, one aggregation over the cache.
+            from pyspark.sql import Observation
+
+            obs = Observation("pipeline_metrics")
+            # rejection tags carry the operator NAME; if two instances share
+            # a name, attribute their (merged) count to the first instance
+            # rather than counting the same rows twice
+            seen_names: set[str] = set()
+            obs_exprs = [F.count(F.lit(1)).alias("total")]
+            for i, (_s, op) in enumerate(self._ops):
+                expr = (
+                    F.sum(F.when(F.col(f"{_R}.operator") == op.name, 1).otherwise(0))
+                    if op.name not in seen_names
+                    else F.max(F.lit(0))
+                )
+                seen_names.add(op.name)
+                obs_exprs.append(expr.alias(f"rej_{i}"))
+            observed = tagged.observe(obs, *obs_exprs)
+            passed = observed.filter(self._alive()).drop(_R)
             if self.config.sink:
                 write_sink(passed, self.config.sink)
+            else:
+                passed.count()  # populate the observation
             if self.config.rejected_sink:
                 rejected = (
                     tagged.filter(~self._alive())
@@ -182,19 +206,13 @@ class Pipeline:
                     cfg.partition_by = ["operator"]  # reference layout (executor.py:100-124)
                 write_sink(rejected, cfg)
 
-            # one aggregation yields every per-operator count
-            counts = {
-                r["op"]: r["n"]
-                for r in tagged.groupBy(F.coalesce(F.col(f"{_R}.operator"), F.lit("__passed__")).alias("op"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            total = sum(counts.values())
-            passed_n = counts.get("__passed__", 0)
+            got = obs.get
+            total = got["total"]
+            rejected_by_idx = [got[f"rej_{i}"] or 0 for i in range(len(self._ops))]
+            passed_n = total - sum(rejected_by_idx)
             ops_metrics: list[OperatorMetrics] = []
             remaining = total
-            for stage, op in self._ops:
-                rejected_here = counts.get(op.name, 0)
+            for (stage, op), rejected_here in zip(self._ops, rejected_by_idx):
                 ops_metrics.append(OperatorMetrics(stage, op.name, remaining, remaining - rejected_here))
                 remaining -= rejected_here
             result = PipelineResult(

@@ -77,6 +77,17 @@ def stream_exact_dedup(df: DataFrame, key: Column, *, ts_col: str | None = None,
     return out.drop("__dedup_key")
 
 
+def stream_enrich(stream_df: DataFrame, static_df: DataFrame, on, *, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    broadcast static dimension (user/account/domain metadata) without
+    shuffling the stream — the streaming counterpart of the engine's
+    broadcast dim joins, and the reference's blocklist-membership shape
+    (url_filter.py:217-234) applied to a live stream. The static side is
+    re-resolved per micro-batch, so a view over a slowly-changing table
+    picks up updates between batches."""
+    return stream_df.join(F.broadcast(static_df), on, how)
+
+
 def stateful_user_totals(
     df: DataFrame,
     *,

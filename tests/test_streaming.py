@@ -169,3 +169,27 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
         assert final[uid] == (n, s), f"user {uid}"
     # state really carried across >=2 batches for user 1 (present in both files)
     assert len([r for r in rows if r.user_id == 1]) >= 2
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Micro-batches join a broadcast static dim without shuffling the
+    stream; unmatched keys survive with NULLs (left join)."""
+    from mega_data_factory_spark.streaming import stream_enrich
+
+    src = tmp_path / "in"
+    write_events(src, EVENTS_A, "a")
+    users = spark.createDataFrame([(1, "gold"), (3, "silver")], "user_id long, tier string")
+    out = stream_enrich(_stream(spark, src), users, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from enriched").collect()
+    assert len(rows) == len(EVENTS_A)
+    tiers = {r.event_id: r.tier for r in rows}
+    assert tiers[1] == tiers[2] == tiers[3] == "gold"  # user 1
+    assert tiers[4] is None  # user 2 not in dim, kept by left join
