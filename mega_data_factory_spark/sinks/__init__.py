@@ -16,6 +16,17 @@ from mega_data_factory_spark.config import SinkConfig
 
 def write_sink(df: DataFrame, cfg: SinkConfig) -> None:
     fmt = cfg.format.lower()
+    try:
+        # custom writer contract (reference DataWriterRegistry): SINKS maps
+        # a format name to a callable ``(df, cfg) -> None``
+        from mega_data_factory_spark.registry import SINKS
+
+        custom = SINKS.get(fmt)
+    except KeyError:
+        custom = None
+    if custom is not None:
+        custom(df, cfg)
+        return
     if fmt == "iceberg":
         # Requires an Iceberg catalog on the session (spark.sql.catalog.*).
         # cfg.path is the table identifier, e.g. "local.db.events".

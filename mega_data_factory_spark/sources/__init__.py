@@ -15,6 +15,29 @@ from mega_data_factory_spark.config import SourceConfig
 _FORMATS = {"parquet", "json", "csv", "orc", "text"}
 
 
+def _custom_source(fmt: str):
+    """Resolve a registered custom loader (the reference's
+    DataLoaderRegistry contract): SOURCES maps a format name to a callable
+    ``(spark, path, options=...) -> DataFrame``. Built-ins register at
+    import (sources.warc); user code registers its own the same way."""
+    from mega_data_factory_spark.registry import SOURCES
+
+    try:
+        return SOURCES.get(fmt)
+    except KeyError:
+        return None
+
+
+def _register_builtin_sources() -> None:
+    from mega_data_factory_spark.registry import SOURCES
+    from mega_data_factory_spark.sources.warc import read_warc
+
+    SOURCES.register(read_warc, "warc")
+
+
+_register_builtin_sources()
+
+
 def read_source(
     spark: SparkSession,
     cfg: SourceConfig,
@@ -35,10 +58,12 @@ def read_source(
             # (hf:// via fsspec, or a local snapshot dir) — reference
             # HuggingFaceLoader reduces to a parquet scan under Spark.
             fmt = "parquet"
-        if fmt == "warc":
-            from mega_data_factory_spark.sources.warc import read_warc
-
-            return read_warc(spark, cfg.path, options=cfg.options)
+        custom = _custom_source(fmt)
+        if custom is not None:
+            # custom loader contract (reference DataLoaderRegistry,
+            # framework/registry.py:13-133): (spark, path, options) -> DataFrame
+            df = custom(spark, cfg.path, options=cfg.options)
+            return df.limit(max_samples) if max_samples else df
         if fmt not in _FORMATS:
             raise ValueError(f"unsupported source format {cfg.format!r}")
         reader = spark.read.format(fmt).options(**cfg.options)

@@ -158,3 +158,46 @@ def test_html_report_from_metrics(spark, tmp_path):
     assert "Bottleneck" in html_text
     worst = min(result.operators, key=lambda m: m.pass_rate)
     assert f"<b>Bottleneck (lowest pass rate):</b> {worst.operator}" in html_text
+
+
+def test_custom_source_and_sink_registries(spark, tmp_path):
+    """Reference DataLoaderRegistry/DataWriterRegistry contract: a custom
+    format name resolves to a user-registered callable for both ends."""
+    from mega_data_factory_spark.registry import SINKS, SOURCES
+
+    captured = {}
+
+    def fake_loader(spark_, path, options=None):
+        return spark_.range(7).withColumnRenamed("id", "doc_id").withColumn(
+            "text", __import__("pyspark.sql.functions", fromlist=["repeat"]).repeat(
+                __import__("pyspark.sql.functions", fromlist=["lit"]).lit("x"), 150
+            )
+        )
+
+    def fake_writer(df, cfg):
+        captured["rows"] = df.count()
+        captured["path"] = cfg.path
+
+    SOURCES.register(fake_loader, "sevenrows")
+    SINKS.register(fake_writer, "capture")
+    try:
+        cfg = PipelineConfig.from_yaml(
+            f"""
+pipeline:
+  name: custom_ends
+  id_col: doc_id
+  source: {{format: sevenrows, path: ignored}}
+  stages:
+    - name: s
+      operators:
+        - name: TextLengthFilter
+          params: {{min_length: 100, max_length: 400}}
+  sink: {{format: capture, path: {tmp_path}/out}}
+"""
+        )
+        result = Pipeline(cfg).run(spark)
+        assert result.input_records == 7 and result.output_records == 7
+        assert captured == {"rows": 7, "path": f"{tmp_path}/out"}
+    finally:
+        SOURCES._by_name.pop("sevenrows", None)
+        SINKS._by_name.pop("capture", None)
