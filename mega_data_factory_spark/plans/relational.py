@@ -233,6 +233,35 @@ ORDER BY g_status, g_priority,
 """
 
 
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders whose price exceeds 2x their own
+    customer's average. Catalyst decorrelates this into an aggregate +
+    join (no per-row re-execution — SURVEY §4's 'subquery decorrelation'
+    rewrite, absent in the reference, free here). Expressed through the
+    SQL entry point to exercise the parser path."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (
+          SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+ABOVE_AVG_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (
+  SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_segment_revenue": q3_segment_revenue,
@@ -240,6 +269,7 @@ QUERIES = {
     "topk_orders": topk_orders,
     "rollup_order_status": rollup_order_status,
     "cube_status_priority": cube_status_priority,
+    "orders_above_customer_avg": orders_above_customer_avg,
 }
 
 ORACLE = {
@@ -249,4 +279,5 @@ ORACLE = {
     "topk_orders": TOPK_ORACLE,
     "rollup_order_status": ROLLUP_ORACLE,
     "cube_status_priority": CUBE_ORACLE,
+    "orders_above_customer_avg": ABOVE_AVG_ORACLE,
 }

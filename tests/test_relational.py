@@ -11,6 +11,7 @@ RELATIONAL = [
     "topk_orders",
     "rollup_order_status",
     "cube_status_priority",
+    "orders_above_customer_avg",
 ]
 
 
