@@ -23,6 +23,9 @@ HEADLINE = [
     "q3_segment_revenue",
     "q5_region_nation_revenue",
     "topk_orders",
+    "cube_status_priority",
+    "customer_spend_distribution",
+    "orders_above_customer_avg",
     # curation pipeline surface (reference-shaped workload)
     "text_length_filter",
     "text_exact_dedup",

@@ -60,3 +60,37 @@ def test_read_warc_spark(spark, tmp_path):
     assert all(r.crawl_id == "CC-TEST" and r.text_length >= 50 for r in rows)
     # schema contract matches the reference record shape
     assert df.columns == ["crawl_id", "warc_path", "url", "warc_date", "title", "text", "text_length"]
+
+
+def test_warc_through_yaml_pipeline(spark, tmp_path):
+    """The reference's CommonCrawl entry shape end-to-end: YAML config with
+    a warc source (resolved via the custom-source registry), a length
+    filter stage, and a parquet sink."""
+    from mega_data_factory_spark.config import PipelineConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    (tmp_path / "crawl").mkdir()
+    with open(tmp_path / "crawl" / "a.warc", "wb") as f:
+        f.write(make_warc([
+            ("http://ok.example.com/1", "2024-01-01T00:00:00Z", HTML),
+            ("http://ok.example.com/2", "2024-01-01T00:00:01Z", TINY),  # dropped (<50 chars)
+        ]))
+
+    cfg = PipelineConfig.from_yaml(
+        f"""
+pipeline:
+  name: warc_pipeline
+  id_col: url
+  source: {{format: warc, path: {tmp_path}/crawl, options: {{crawl_id: CC-TEST}}}}
+  stages:
+    - name: s
+      operators:
+        - name: TextLengthFilter
+          params: {{min_length: 50, max_length: 100000, length_col: text_length}}
+  sink: {{format: parquet, path: {tmp_path}/out, mode: overwrite}}
+"""
+    )
+    result = Pipeline(cfg).run(spark)
+    assert result.input_records == 1 and result.output_records == 1  # TINY dropped at parse
+    out = spark.read.parquet(f"{tmp_path}/out").collect()
+    assert out[0].crawl_id == "CC-TEST" and out[0].title == "Test Page"
