@@ -138,3 +138,19 @@ class Deduplicator(Operator):
             REJECTION_DETAILS_COL,
             rejection_details("duplicate", self.name, F.col("__dedup_key"), F.col("__rep").cast("string")),
         ).drop("__dedup_key", "__rn", "__rep")
+
+
+def anti_join_once(df: DataFrame, dup_ids: DataFrame, id_col: str) -> DataFrame:
+    """LEFT ANTI expressed as left-outer join + IS NULL filter.
+
+    Catalyst's PushLeftSemiLeftAntiThroughJoin/Union rules push a LeftAnti
+    join into each branch of a Union left side, CLONING the right-hand
+    subplan per branch (measured on a 3-way union corpus: the dup-pairs
+    plan — scans, explodes, self-join — appeared 3x with zero exchange
+    reuse). The equivalent outer join is not pushed, so the dup-id subplan
+    executes exactly once and the join itself is the same single hash
+    shuffle. ``dup_ids`` must be unique per id (all dedup operators emit
+    one row per duplicate), so the outer join cannot multiply rows.
+    """
+    marked = dup_ids.select(F.col(id_col)).withColumn("__is_dup", F.lit(1))
+    return df.join(marked, on=id_col, how="left").filter(F.col("__is_dup").isNull()).drop("__is_dup")

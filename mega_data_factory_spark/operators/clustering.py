@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mega_data_factory_spark.functions.vectors import cosine_similarity
-from mega_data_factory_spark.operators.base import rejection_details
+from mega_data_factory_spark.operators.base import anti_join_once, rejection_details
 
 
 class KMeansIndex:
@@ -103,7 +103,7 @@ class KMeansIndex:
             .groupBy(F.col("__idb").alias(id_col))
             .agg(F.min("__ida").alias("__rep"))
         )
-        survivors = df.join(pairs.select(id_col), on=id_col, how="left_anti")
+        survivors = anti_join_once(df, pairs, id_col)
         rejected = (
             df.join(pairs, on=id_col)
             .withColumn(

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from mega_data_factory_spark.functions.hashing import content_key, hash64_from_md5
 from mega_data_factory_spark.functions.text import word_shingles
 from mega_data_factory_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
-from mega_data_factory_spark.operators.base import Deduplicator, rejection_details
+from mega_data_factory_spark.operators.base import Deduplicator, anti_join_once, rejection_details
 
 
 class TextExactDeduplicator(Deduplicator):
@@ -193,7 +193,7 @@ class MinHashLSHDeduplicator(Deduplicator):
 
     def apply(self, df: DataFrame) -> DataFrame:
         dups = self._band_pairs(df).select(self.id_col)
-        return df.join(dups, on=self.id_col, how="left_anti")
+        return anti_join_once(df, dups, self.id_col)
 
     def rejected(self, df: DataFrame) -> DataFrame:
         dups = self._band_pairs(df)
@@ -322,7 +322,7 @@ class NgramJaccardDeduplicator(Deduplicator):
         return pairs.groupBy(F.col("__idb").alias(self.id_col)).agg(F.min("__ida").alias("__rep"))
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.join(self._dup_pairs(df).select(self.id_col), on=self.id_col, how="left_anti")
+        return anti_join_once(df, self._dup_pairs(df), self.id_col)
 
     def rejected(self, df: DataFrame) -> DataFrame:
         return (
@@ -339,11 +339,20 @@ class EmbeddingCosineDeduplicator(Deduplicator):
     """Near-dedup by embedding cosine similarity >= threshold; earliest
     (min id) near-neighbor wins.
 
-    This direct form is O(n^2) per comparison scope and exists as the exact
-    baseline; the scale path buckets by an LSH key first (see
-    operators/similarity.py random-hyperplane bucketing) so the self-join is
-    per-bucket. Cosines are computed on unit-normalized vectors via a single
-    dot product.
+    Exact all-pairs baseline as a BLOCK MATRIX PRODUCT: the unit-normalized
+    reference matrix is broadcast once; each task computes its row block's
+    cosines against it with one vectorized float64 matmul inside
+    ``mapInPandas``. A per-pair expression join measured ~14 µs/pair
+    (higher-order array functions are interpreted, not codegen'd) — 133 s
+    for a 2k-vector corpus vs ~1 s for the matmul form.
+
+    Scale envelope: broadcast is capped at ``max_broadcast_rows``
+    (n x dim x 8 bytes; 200k x 64 ≈ 100 MB). Beyond it, bucket first —
+    LSH (operators/similarity.py) or k-means cells (operators/
+    clustering.py semantic_dedup) — and run this exact form per bucket.
+    Float note: numpy's pairwise summation can differ from a sequential
+    sum in the last ulp; a cosine would have to sit within ~1e-15 of the
+    rounded threshold boundary to flip — accepted and documented.
     """
 
     def __init__(
@@ -352,30 +361,63 @@ class EmbeddingCosineDeduplicator(Deduplicator):
         *,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
+        max_broadcast_rows: int = 200_000,
         name: str | None = None,
     ):
         super().__init__(name, order_col=id_col, id_col=id_col)
         self.threshold = threshold
         self.vec_col = vec_col
+        self.max_broadcast_rows = max_broadcast_rows
 
     def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
         raise NotImplementedError("cosine dedup is not a single-key dedup")
 
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
         base = df.select(F.col(self.id_col).alias("__id"), F.col(self.vec_col).alias("__v")).filter(
             F.col("__v").isNotNull() & (l2_norm("__v") > 0)
         )
-        a = base.select(F.col("__id").alias("__ida"), F.col("__v").alias("__va"))
-        b = base.select(F.col("__id").alias("__idb"), F.col("__v").alias("__vb"))
-        pairs = (
-            a.join(b, F.col("__ida") < F.col("__idb"))
-            .withColumn("__cos", F.round(cosine_similarity("__va", "__vb"), 6))
-            .filter(F.col("__cos") >= self.threshold)
-        )
-        return pairs.groupBy(F.col("__idb").alias(self.id_col)).agg(F.min("__ida").alias("__rep"))
+        rows = base.collect()
+        if len(rows) > self.max_broadcast_rows:
+            raise ValueError(
+                f"{len(rows)} vectors exceed max_broadcast_rows={self.max_broadcast_rows}; "
+                "bucket first (LSH / k-means) and dedup per bucket"
+            )
+        ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["__v"] for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+        threshold = self.threshold
+        id_col = self.id_col
+
+        def block(pdf_iter):
+            import pandas as pd
+
+            r_ids, r_mat = bc.value
+            for pdf in pdf_iter:
+                if pdf.empty:
+                    continue
+                q = np.array(list(pdf["__v"]), dtype=np.float64)
+                q /= np.linalg.norm(q, axis=1, keepdims=True)
+                cos = np.round(q @ r_mat.T, 6)  # (block, n)
+                qid = pdf["__id"].to_numpy()
+                # only earlier (smaller-id) partners can be representatives
+                earlier = r_ids[None, :] < qid[:, None]
+                hit = (cos >= threshold) & earlier
+                any_hit = hit.any(axis=1)
+                first = hit.argmax(axis=1)  # index of SMALLEST earlier id (ids ascending)
+                out = pd.DataFrame(
+                    {id_col: qid[any_hit], "__rep": r_ids[first[any_hit]]}
+                )
+                yield out
+
+        return base.mapInPandas(block, schema=f"{id_col} long, __rep long")
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.join(self._dup_pairs(df).select(self.id_col), on=self.id_col, how="left_anti")
+        return anti_join_once(df, self._dup_pairs(df), self.id_col)
 
     def rejected(self, df: DataFrame) -> DataFrame:
         return (
