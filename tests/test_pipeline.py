@@ -3,6 +3,8 @@ sinks, metrics — checked against independently-computed DuckDB counts."""
 
 import os
 
+from pyspark.sql import functions as F
+
 import duckdb
 import pytest
 
@@ -201,3 +203,68 @@ pipeline:
     finally:
         SOURCES._by_name.pop("sevenrows", None)
         SINKS._by_name.pop("capture", None)
+
+
+def test_max_samples_caps_input(spark):
+    """The reference's global input cap (executor.py:253-259, divided per
+    worker there; a plain limit here)."""
+    cfg = PipelineConfig.from_yaml(YAML)
+    cfg.max_samples = 40
+    result = Pipeline(cfg).run(spark)
+    assert result.input_records == 40
+
+
+def test_image_yaml_pipeline_end_to_end(spark, tmp_path):
+    """The reference's z_image.yaml shape end-to-end on synthesized images:
+    metadata -> technical quality -> quality filter -> phash dedup ->
+    embedding -> aesthetic/AIGC heads, with rejected side output."""
+    from tests.test_images import GRADIENT, NOISE, SOLID, make_png
+
+    rows = [(i, make_png(NOISE)) for i in range(6)]          # pass quality, unique-ish
+    rows += [(10, make_png(SOLID)), (11, make_png(SOLID))]   # low entropy -> filtered
+    rows += [(12, make_png(GRADIENT)), (13, make_png(GRADIENT))]  # phash duplicates
+    spark.createDataFrame(rows, "id long, image binary").write.mode("overwrite").parquet(str(tmp_path / "imgs"))
+
+    cfg = PipelineConfig.from_yaml(
+        f"""
+pipeline:
+  name: image_curation
+  id_col: id
+  source: {{format: parquet, path: {tmp_path}/imgs}}
+  stages:
+    - name: metadata
+      operators:
+        - name: ImageMetadataRefiner
+        - name: ImageTechnicalQualityRefiner
+    - name: gate
+      operators:
+        - name: ImageQualityFilter
+          params: {{min_width: 4, min_height: 4, max_compression_artifacts: 1.0, min_entropy: 1.0}}
+    - name: dedup
+      operators:
+        - name: ImagePhashDeduplicator
+          params: {{id_col: id}}
+    - name: models
+      operators:
+        - name: ImageClipEmbeddingRefiner
+          params: {{dim: 64}}
+        - name: ImageAestheticQualityRefiner
+          params: {{dim: 64}}
+        - name: ImageAIGCDetectorRefiner
+          params: {{dim: 64}}
+  sink: {{format: parquet, path: {tmp_path}/passed, mode: overwrite}}
+  rejected_sink: {{format: parquet, path: {tmp_path}/rejected, mode: overwrite}}
+"""
+    )
+    result = Pipeline(cfg).run(spark)
+    assert result.input_records == 10
+    passed = spark.read.parquet(f"{tmp_path}/passed")
+    cols = set(passed.columns)
+    assert {"image_width", "image_information_entropy", "image_emb", "image_aesthetic_score", "image_aigc_score"} <= cols
+    ids = {r.id for r in passed.select("id").collect()}
+    assert 10 not in ids and 11 not in ids          # solid: entropy below gate
+    assert not {12, 13} <= ids                      # phash dups collapsed
+    rejected = spark.read.parquet(f"{tmp_path}/rejected")
+    by_op = {r["operator"]: r["n"] for r in rejected.groupBy("operator").agg(F.count("*").alias("n")).collect()}
+    assert by_op.get("ImageQualityFilter", 0) >= 2
+    assert by_op.get("ImagePhashDeduplicator", 0) >= 1
