@@ -191,6 +191,10 @@ class MinHashLSHDeduplicator(Deduplicator):
             .agg(F.min("__bucket_min").alias("__rep"))
         )
 
+    # join-dedup contract for the pipeline runner (pipeline._apply_join_dedup)
+    def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        return self._band_pairs(df)
+
     def apply(self, df: DataFrame) -> DataFrame:
         dups = self._band_pairs(df).select(self.id_col)
         return anti_join_once(df, dups, self.id_col)

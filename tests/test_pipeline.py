@@ -268,3 +268,39 @@ pipeline:
     by_op = {r["operator"]: r["n"] for r in rejected.groupBy("operator").agg(F.count("*").alias("n")).collect()}
     assert by_op.get("ImageQualityFilter", 0) >= 2
     assert by_op.get("ImagePhashDeduplicator", 0) >= 1
+
+
+def test_join_dedup_operator_in_pipeline(spark, tmp_path):
+    """A join-based near-dedup operator (MinHash-LSH) flows through the
+    single-pass tagging runner: duplicates tagged with representative,
+    alive rows only are compared (a row already rejected by a filter can't
+    absorb a later duplicate)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base + " ok"), (3, "completely different text about spark pipelines here"),
+            (4, "x" * 600)]  # rejected by the length filter BEFORE dedup
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView("jd_input")
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "near_dedup",
+                "id_col": "doc_id",
+                "source": {"table": "jd_input"},
+                "stages": [
+                    {"name": "f", "operators": [
+                        {"name": "TextLengthFilter", "params": {"min_length": 1, "max_length": 500}}]},
+                    {"name": "d", "operators": [
+                        {"name": "MinHashLSHDeduplicator", "params": {"id_col": "doc_id", "num_hashes": 16, "bands": 8}}]},
+                ],
+                "sink": {"format": "parquet", "path": str(tmp_path / "out"), "mode": "overwrite"},
+                "rejected_sink": {"format": "parquet", "path": str(tmp_path / "rej"), "mode": "overwrite"},
+            }
+        }
+    )
+    result = Pipeline(cfg).run(spark)
+    assert result.input_records == 4
+    kept = {r.doc_id for r in spark.read.parquet(f"{tmp_path}/out").collect()}
+    assert 1 in kept and 3 in kept and 2 not in kept and 4 not in kept
+    rej = spark.read.parquet(f"{tmp_path}/rej")
+    by_id = {r.doc_id: (r["operator"], r["_rejection_details"]["representative_id"]) for r in rej.collect()}
+    assert by_id[2][0] == "MinHashLSHDeduplicator" and by_id[2][1] == "1"
+    assert by_id[4][0] == "TextLengthFilter"
