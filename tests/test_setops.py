@@ -79,3 +79,17 @@ def test_salted_totals_two_phase(spark):
 
     plan = _plan(events_salted_user_totals(spark, "/root/testdata/sf0.001"))
     assert plan.count("HashAggregate") >= 4  # partial+final for each phase
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Sweep every registered query: none may compile to a non-broadcast
+    CartesianProduct (the plan shape that dies first at scale). Broadcast
+    nested-loop joins (deliberate, e.g. single-query kNN) are allowed."""
+    from mega_data_factory_spark.plans import all_queries
+
+    offenders = []
+    for name, fn in all_queries().items():
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
