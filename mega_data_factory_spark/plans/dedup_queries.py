@@ -46,7 +46,10 @@ def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The test file is a single parquet block -> 3 input splits, which
     # starves the CPU-heavy shingle/hash expressions. On a cluster, input
     # splits provide this parallelism; locally we spread explicitly.
-    return corpus.repartition(spark.sparkContext.defaultParallelism)
+    # HASH repartitioning (not round-robin): deterministic output, so when
+    # a self-join references the corpus twice Spark can reuse the exchange
+    # instead of recomputing the scan+union per branch.
+    return corpus.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
 
 
 def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
