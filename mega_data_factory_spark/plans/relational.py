@@ -262,6 +262,68 @@ ORDER BY o_orderkey
 """
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: share of revenue from promo parts in one month —
+    broadcast part join + conditional (CASE WHEN) aggregation."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast(DECW).alias("promo_revenue"),
+            F.sum(rev).cast(DECW).alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_pct",
+            F.round(F.lit(100.0) * F.col("promo_revenue").cast("double") / F.col("total_revenue").cast("double"), 6),
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS promo_revenue,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_revenue,
+  ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
+      / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
+def customer_order_counts_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join coverage: every customer with their recent-order
+    count, zero included (the rows an inner join would drop)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
+    return (
+        t["customer"]
+        .join(recent, t["customer"].c_custkey == recent.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_recent_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+OUTER_COUNTS_ORACLE = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_recent_orders
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01') o
+  ON c_custkey = o.o_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_segment_revenue": q3_segment_revenue,
@@ -270,6 +332,8 @@ QUERIES = {
     "rollup_order_status": rollup_order_status,
     "cube_status_priority": cube_status_priority,
     "orders_above_customer_avg": orders_above_customer_avg,
+    "q14_promo_revenue": q14_promo_revenue,
+    "customer_order_counts_outer": customer_order_counts_outer,
 }
 
 ORACLE = {
@@ -280,4 +344,6 @@ ORACLE = {
     "rollup_order_status": ROLLUP_ORACLE,
     "cube_status_priority": CUBE_ORACLE,
     "orders_above_customer_avg": ABOVE_AVG_ORACLE,
+    "q14_promo_revenue": Q14_ORACLE,
+    "customer_order_counts_outer": OUTER_COUNTS_ORACLE,
 }

@@ -12,6 +12,8 @@ RELATIONAL = [
     "rollup_order_status",
     "cube_status_priority",
     "orders_above_customer_avg",
+    "q14_promo_revenue",
+    "customer_order_counts_outer",
 ]
 
 
