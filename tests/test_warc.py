@@ -94,3 +94,26 @@ pipeline:
     assert result.input_records == 1 and result.output_records == 1  # TINY dropped at parse
     out = spark.read.parquet(f"{tmp_path}/out").collect()
     assert out[0].crawl_id == "CC-TEST" and out[0].title == "Test Page"
+
+
+def test_warc_python_datasource(spark, tmp_path):
+    """PySpark 4 Python DataSource variant: file-per-partition reads with
+    the same record contract as the mapInPandas path."""
+    from mega_data_factory_spark.sources.warc_datasource import register
+
+    (tmp_path / "ds").mkdir()
+    for i in range(3):
+        with open(tmp_path / "ds" / f"f{i}.warc", "wb") as f:
+            f.write(make_warc([(f"http://site{i}.com/a", "2024-01-01T00:00:00Z", HTML)]))
+
+    register(spark)
+    df = (
+        spark.read.format("warc")
+        .option("path", str(tmp_path / "ds"))
+        .option("crawl_id", "CC-DS")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one partition per WARC file
+    rows = df.orderBy("url").collect()
+    assert [r.url for r in rows] == [f"http://site{i}.com/a" for i in range(3)]
+    assert all(r.crawl_id == "CC-DS" and r.title == "Test Page" and r.text_length >= 50 for r in rows)
