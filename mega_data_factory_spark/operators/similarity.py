@@ -114,16 +114,32 @@ class RandomProjectionLSH:
     def with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn("bucket", sign_bucket(self.vec_col, bits=self.bits, stride=self.stride))
 
-    def topk(self, df: DataFrame, query: DataFrame) -> DataFrame:
-        """Top-k within the query's bucket. ``query``: one row, ``qv``
-        array<float>. Returns (id, bucket, cosine)."""
+    def topk(self, df: DataFrame, query: DataFrame, *, nprobe: int = 1) -> DataFrame:
+        """Top-k within the query's bucket(s). ``query``: one row, ``qv``
+        array<float>. Returns (id, bucket, cosine).
+
+        ``nprobe`` > 1 enables multi-probe: also search the ``nprobe - 1``
+        buckets reachable by flipping one hyperplane bit each, lowest bit
+        first (a standard recall/fan-out trade — a near neighbor that falls
+        on the other side of one hyperplane is recovered without doubling
+        the table's bucket count). Candidate volume grows ~linearly with
+        nprobe while a full scan grows with 2^bits.
+        """
         q = query.select(
             F.col("qv"), sign_bucket("qv", bits=self.bits, stride=self.stride).alias("qbucket")
         )
+        if nprobe > 1:
+            flips = [F.col("qbucket")] + [
+                F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(min(nprobe - 1, self.bits))
+            ]
+            q = q.withColumn("probe", F.explode(F.array(*flips)))
+            match = F.col("bucket") == F.col("probe")
+        else:
+            match = F.col("bucket") == F.col("qbucket")
         scored = (
             self.with_bucket(df)
             .crossJoin(F.broadcast(q))
-            .filter(F.col("bucket") == F.col("qbucket"))
+            .filter(match)
             .withColumn("cosine", F.round(cosine_similarity(self.vec_col, "qv"), self.round_to))
             .filter(F.col("cosine").isNotNull())
         )

@@ -51,3 +51,30 @@ def test_near_duplicates_mostly_detected(spark):
     surv = {r.doc_id for r in ngram_jaccard_dedup(spark, SF_DIR_ORACLE).collect()}
     planted = [i for i in surv if 10000 <= i < 20000]
     assert len(planted) < 25, f"most of the 50 planted near-dups should be caught, {len(planted)} escaped"
+
+
+def test_multiprobe_lsh_improves_recall(spark):
+    """Multi-probe LSH: probing 1-bit-flipped buckets recovers neighbors a
+    single bucket misses; recall vs brute-force is monotone in nprobe."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.similarity import BruteForceKNN, RandomProjectionLSH
+    from mega_data_factory_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR_ORACLE, ("embeddings",))
+    emb = t["embeddings"]
+    query = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    corpus = emb.filter(F.col("vec_id") != 7)
+
+    truth = {r.vec_id for r in BruteForceKNN(k=10).topk(corpus, query).collect()}
+    lsh = RandomProjectionLSH(k=10)
+    recalls = []
+    for nprobe in (1, 4, 8):
+        got = {r.vec_id for r in lsh.topk(corpus, query, nprobe=nprobe).collect()}
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls == sorted(recalls), recalls  # monotone non-decreasing
+    assert recalls[-1] >= recalls[0]
+    # probing more buckets must return at least as many candidates
+    n1 = lsh.topk(corpus, query, nprobe=1).count()
+    n8 = lsh.topk(corpus, query, nprobe=8).count()
+    assert n8 >= n1
