@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mega_data_factory_spark.functions.vectors import cosine_similarity
-from mega_data_factory_spark.operators.base import anti_join_once, rejection_details
+from mega_data_factory_spark.operators.base import Deduplicator, anti_join_once, rejection_details
 
 
 class KMeansIndex:
@@ -119,3 +119,86 @@ def array_to_vector_col(c: F.Column):
     from pyspark.ml.functions import array_to_vector
 
     return array_to_vector(c.cast("array<double>"))
+
+
+class SemanticDeduplicator(Deduplicator):
+    """Semantic dedup as a FIRST-CLASS pipeline operator — the reference
+    designed this (cluster id as dedup bucket, backend.py:89-93,
+    operator.py:278-282; hand-rolled distributed k-means
+    models/kmeans/distributed_trainer.py) but never wired it into a
+    pipeline. Here: Spark ML k-means assigns a cluster per embedding, then
+    each cluster deduplicates independently inside ``applyInPandas`` with
+    one vectorized all-pairs cosine matmul per cluster (earliest id wins).
+
+    Scale shape: the only shuffle is groupBy(cluster); per-cluster work is
+    O(n_c^2) vectorized flops with n_c bounded by k — the knob that turns
+    the global O(n^2) into something tractable. Boundary-straddling
+    near-dups are the recall cost (multi-probe assignment recovers them at
+    ~2x compute). Fitting k-means triggers Spark jobs at plan-build time
+    (pyspark.ml is eager) — the one operator with build-time actions.
+    """
+
+    def __init__(
+        self,
+        threshold: float = 0.95,
+        *,
+        k: int = 8,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 42,
+        name: str | None = None,
+    ):
+        super().__init__(name, order_col=id_col, id_col=id_col)
+        self.threshold = threshold
+        self.k = k
+        self.vec_col = vec_col
+        self.seed = seed
+
+    def key(self, df: DataFrame):  # pragma: no cover - not a single-key dedup
+        raise NotImplementedError("semantic dedup is not a single-key dedup")
+
+    def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        from mega_data_factory_spark.functions.vectors import l2_normalize
+
+        # Cluster on UNIT vectors (spherical k-means): cosine-identical
+        # vectors (e.g. a scaled copy) must land in the same cell, which
+        # euclidean k-means on raw magnitudes does not guarantee.
+        normed = df.withColumn("__nvec", l2_normalize(F.col(self.vec_col)))
+        idx = KMeansIndex(k=self.k, vec_col="__nvec", seed=self.seed).fit(normed)
+        assigned = idx.assign(normed).select(self.id_col, self.vec_col, "cluster")
+        t, id_col, vec = self.threshold, self.id_col, self.vec_col
+
+        def dedup_cluster(pdf):
+            import pandas as pd
+
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = np.array(list(pdf[vec].iloc[order]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            ok = norms > 0
+            iids, m, norms = ids[ok], m[ok], norms[ok]
+            if len(iids) < 2:
+                return pd.DataFrame({id_col: np.array([], dtype=np.int64), "__rep": np.array([], dtype=np.int64)})
+            cos = np.round((m @ m.T) / np.outer(norms, norms), 6)
+            hit = np.triu(cos >= t, 1)  # only i<j (earlier id -> later id)
+            any_col = hit.any(axis=0)
+            first = hit.argmax(axis=0)
+            return pd.DataFrame({id_col: iids[any_col], "__rep": iids[first[any_col]]})
+
+        return assigned.groupBy("cluster").applyInPandas(dedup_cluster, schema=f"{id_col} long, __rep long")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return anti_join_once(df, self._dup_pairs(df), self.id_col)
+
+    def rejected(self, df: DataFrame) -> DataFrame:
+        return (
+            df.join(self._dup_pairs(df), on=self.id_col)
+            .withColumn(
+                "_rejection_details",
+                rejection_details("duplicate", self.name, F.lit(None), F.col("__rep").cast("string")),
+            )
+            .drop("__rep")
+        )

@@ -79,6 +79,7 @@ def _register_builtins() -> None:
         VideoFrameSampleRefiner,
         VisualDegradationsRefiner,
     )
+    from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
     from mega_data_factory_spark.operators.refiners import (
         FingerprintRefiner,
         LanguageIdRefiner,
@@ -111,6 +112,7 @@ def _register_builtins() -> None:
         VideoFrameSampleRefiner,
         VisualDegradationsRefiner,
         AudioMetadataRefiner,
+        SemanticDeduplicator,
     ):
         OPERATORS.register(cls)
     # reference acronym-quirk aliases (framework/config.py:21-28)

@@ -56,3 +56,46 @@ def test_semantic_dedup_catches_planted(spark, index_and_emb):
     rej = {r.vec_id: r for r in rejected.select("vec_id", "_rejection_details.representative_id").collect()}
     for i in range(40):
         assert rej[10000 + i]["representative_id"] == str(i) or int(rej[10000 + i]["representative_id"]) < 10000
+
+
+def test_semantic_dedup_operator_in_pipeline(spark, tmp_path):
+    """SemanticDeduplicator as a YAML stage (the reference's designed-but-
+    unwired semantic dedup, wired): planted scaled duplicates (cosine 1.0)
+    land in the same k-means cell and are rejected with their earliest-id
+    representative."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.config import PipelineConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+    from mega_data_factory_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01", ("embeddings",))
+    emb = t["embeddings"].select("vec_id", "embedding")
+    scaled = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x.cast("double") * 2.0).cast("float")).alias("embedding"),
+    )
+    emb.unionByName(scaled).createOrReplaceTempView("sem_input")
+
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "semantic",
+                "id_col": "vec_id",
+                "source": {"table": "sem_input"},
+                "stages": [
+                    {"name": "d", "operators": [
+                        {"name": "SemanticDeduplicator",
+                         "params": {"threshold": 0.999, "k": 8, "id_col": "vec_id"}}]},
+                ],
+                "rejected_sink": {"format": "parquet", "path": str(tmp_path / "rej"), "mode": "overwrite"},
+            }
+        }
+    )
+    result = Pipeline(cfg).run(spark)
+    rej = spark.read.parquet(f"{tmp_path}/rej")
+    by_id = {r.vec_id: int(r["_rejection_details"]["representative_id"]) for r in rej.collect()}
+    # every planted +50000 copy must be rejected with its original as rep
+    for vid in range(20):
+        assert by_id.get(vid + 50000) == vid, (vid, by_id.get(vid + 50000))
+    assert result.output_records == result.input_records - len(by_id)
