@@ -106,14 +106,14 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-partitioned embedding dedup (the reference's semantic-dedup
     design, backend.py:89-93): near-dup pairs only compared within a
-    k-means cluster. Rows-only check (iterative training)."""
-    from mega_data_factory_spark.operators.clustering import KMeansIndex
+    spherical k-means cell, each cell deduped by one vectorized matmul.
+    Rows-only check (iterative training)."""
+    from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
     from mega_data_factory_spark.plans.dedup_queries import _vec_corpus
 
     corpus = _vec_corpus(spark, sf_dir)
-    idx = KMeansIndex(k=8).fit(corpus)
-    survivors, _rejected = idx.semantic_dedup(corpus, threshold=0.45)
-    return survivors.select("vec_id").orderBy("vec_id")
+    d = SemanticDeduplicator(threshold=0.45, k=8, id_col="vec_id")
+    return d.apply(corpus).select("vec_id").orderBy("vec_id")
 
 
 QUERIES = {
