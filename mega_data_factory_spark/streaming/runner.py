@@ -77,6 +77,55 @@ def stream_exact_dedup(df: DataFrame, key: Column, *, ts_col: str | None = None,
     return out.drop("__dedup_key")
 
 
+def stream_dedup_with_reps(
+    df: DataFrame,
+    *,
+    key_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Streaming first-seen-wins dedup that also TRACKS REPRESENTATIVES —
+    the reference's actual seen-set semantics (backend.py:21-47: per-key
+    ``{key: representative_id}``), which ``dropDuplicates`` alone loses.
+
+    ``applyInPandasWithState`` keyed on the dedup key holds the first-seen
+    id; every row is emitted with ``is_duplicate`` and the key's
+    ``representative_id``, so the caller splits survivors/rejected exactly
+    like the batch operators. Within one micro-batch, min(id) wins
+    (deterministic, like the batch path); across batches, the stored
+    representative wins. State is per-key and never evicted (NoTimeout) —
+    the reference's policy; add a timeout for bounded state at scale.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        rep = state.get[0] if state.exists else None
+        frames = [pdf for pdf in pdfs if not pdf.empty]
+        if not frames:
+            return
+        batch = pd.concat(frames).sort_values(id_col)
+        if rep is None:
+            rep = int(batch[id_col].iloc[0])
+            state.update((rep,))
+        out = batch[[id_col]].copy()
+        out[key_col] = key[0]
+        out["representative_id"] = rep
+        out["is_duplicate"] = out[id_col] != rep
+        yield out
+
+    return (
+        df.select(key_col, id_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"{id_col} long, {key_col} string, representative_id long, is_duplicate boolean",
+            stateStructType="rep long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_enrich(stream_df: DataFrame, static_df: DataFrame, on, *, how: str = "left") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     broadcast static dimension (user/account/domain metadata) without

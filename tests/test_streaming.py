@@ -193,3 +193,38 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     tiers = {r.event_id: r.tier for r in rows}
     assert tiers[1] == tiers[2] == tiers[3] == "gold"  # user 1
     assert tiers[4] is None  # user 2 not in dim, kept by left join
+
+
+def test_stream_dedup_with_representatives(spark, tmp_path):
+    """Cross-batch dedup with representative tracking: a key first seen in
+    batch 1 marks all later arrivals (same or later batches) as duplicates
+    of the stored representative — the reference's seen-set semantics."""
+    from mega_data_factory_spark.streaming import stream_dedup_with_reps
+
+    src = tmp_path / "in"
+    a = [
+        {"event_id": 5, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "k1", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 10:00:01", "user_id": 1, "event_type": "k1", "value": 1.0},  # dup in-batch, min wins
+        {"event_id": 3, "ts": "2024-01-01 10:00:02", "user_id": 1, "event_type": "k2", "value": 1.0},
+    ]
+    b = [
+        {"event_id": 9, "ts": "2024-01-01 11:00:00", "user_id": 1, "event_type": "k1", "value": 1.0},  # dup cross-batch
+        {"event_id": 1, "ts": "2024-01-01 11:00:01", "user_id": 1, "event_type": "k3", "value": 1.0},
+    ]
+    write_events(src, a, "a")
+    write_events(src, b, "b")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    out = stream_dedup_with_reps(stream, key_col="event_type", id_col="event_id")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_reps")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r.event_id: (r.representative_id, r.is_duplicate) for r in spark.sql("select * from dedup_reps").collect()}
+    assert rows[2] == (2, False)   # min id in first batch is the representative
+    assert rows[5] == (2, True)
+    assert rows[3] == (3, False)
+    assert rows[9] == (2, True)    # cross-batch duplicate of stored rep
+    assert rows[1] == (1, False)
