@@ -52,6 +52,7 @@ RUN_METRICS_SCHEMA = StructType(
         StructField("pipeline", StringType()),
         StructField("timestamp", TimestampType()),
         StructField("duration_sec", DoubleType()),
+        StructField("throughput_rps", DoubleType()),
         StructField("input_records", LongType()),
         StructField("output_records", LongType()),
         StructField("pass_rate", DoubleType()),
@@ -95,12 +96,13 @@ def write_metrics(spark: SparkSession, result, base_path: str) -> None:
                 result.run_id,
                 result.pipeline,
                 result.duration_sec,
+                result.throughput_rps,
                 result.input_records,
                 result.output_records,
                 result.pass_rate,
             )
         ],
-        "run_id string, pipeline string, duration_sec double, input_records long, output_records long, pass_rate double",
+        "run_id string, pipeline string, duration_sec double, throughput_rps double, input_records long, output_records long, pass_rate double",
     ).withColumn("timestamp", now)
 
     ops.select([f.name for f in OPERATOR_METRICS_SCHEMA.fields]).write.mode("append").parquet(f"{base_path}/operators")

@@ -72,6 +72,12 @@ class PipelineResult:
     def pass_rate(self) -> float:
         return 100.0 * self.output_records / self.input_records if self.input_records else 100.0
 
+    @property
+    def throughput_rps(self) -> float:
+        """End-to-end records/sec (reference run metrics' avg throughput,
+        metrics/collector.py:75-104)."""
+        return self.input_records / self.duration_sec if self.duration_sec > 0 else 0.0
+
 
 class Pipeline:
     def __init__(self, config: PipelineConfig):
@@ -153,6 +159,12 @@ class Pipeline:
             ).otherwise(F.col(_R)),
         )
         return tagged.drop("__dup_id", "__rep")
+
+    def explain(self, spark: SparkSession, mode: str = "formatted") -> str:
+        """Physical plan of the built pipeline (one Catalyst plan for all
+        stages) — the audit surface for pushdown/fusion/shuffle review."""
+        df = self.build(spark)
+        return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
     # -------------------------------------------------------------- running
 

@@ -304,3 +304,14 @@ def test_join_dedup_operator_in_pipeline(spark, tmp_path):
     by_id = {r.doc_id: (r["operator"], r["_rejection_details"]["representative_id"]) for r in rej.collect()}
     assert by_id[2][0] == "MinHashLSHDeduplicator" and by_id[2][1] == "1"
     assert by_id[4][0] == "TextLengthFilter"
+
+
+def test_pipeline_explain_surface(spark):
+    """Pipeline.explain(): one physical plan covering all stages — a
+    single parquet scan feeds the fused filter chain (no per-stage
+    re-scans), and the dedup shuffle appears exactly once."""
+    import re
+
+    plan = Pipeline(PipelineConfig.from_yaml(YAML)).explain(spark)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("hashpartitioning") == 1  # the dedup key shuffle
