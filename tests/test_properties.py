@@ -84,3 +84,23 @@ def test_minhash_never_drops_uniques_catches_exacts(spark, texts):
     # every text's first occurrence group is represented by <=1 survivor
     for t, grp in [(t, [i for i, x in enumerate(texts) if x == t]) for t in set(texts)]:
         assert len(set(grp) & kept) <= 1
+
+
+@settings(**_SETTINGS)
+@given(texts=_CORPUS)
+def test_jaccard_partitioning_and_idempotence(spark, texts):
+    """Near-dedup invariants: survivors+rejected partition the corpus;
+    every representative has a smaller id than its duplicate; survivors
+    are pairwise-stable (re-applying removes nothing)."""
+    from mega_data_factory_spark.operators.dedup import NgramJaccardDeduplicator
+
+    df = _df(spark, texts)
+    d = NgramJaccardDeduplicator(0.6, id_col="doc_id")
+    kept = {r.doc_id for r in d.apply(df).collect()}
+    rej = d.rejected(df).select("doc_id", F.col("_rejection_details.representative_id").alias("rep")).collect()
+    rej_ids = {r.doc_id for r in rej}
+    assert kept | rej_ids == set(range(len(texts)))
+    assert kept & rej_ids == set()
+    assert all(int(r.rep) < r.doc_id for r in rej)  # earlier id wins
+    kept2 = {r.doc_id for r in d.apply(d.apply(df)).collect()}
+    assert kept2 == kept  # idempotent
