@@ -75,12 +75,15 @@ class KMeansIndex:
         )
         assigned = self.assign(df)
         candidates = assigned.join(F.broadcast(probe), on="cluster")
-        scored = (
-            candidates.crossJoin(F.broadcast(query.select("qv")))
-            .withColumn("cosine", F.round(cosine_similarity(self.vec_col, "qv"), 6))
-            .filter(F.col("cosine").isNotNull())
+        # vectorized scoring of the candidate set (one numpy matmul per
+        # Arrow batch — same tier as BruteForceKNN's default path)
+        from mega_data_factory_spark.functions.vectors import cosine_to_query_udf
+
+        cos = cosine_to_query_udf(query.first()["qv"], round_to=6)
+        scored = candidates.withColumn("cosine", cos(F.col(self.vec_col))).filter(
+            F.col("cosine").isNotNull()
         )
-        return scored.drop("qv", self.vec_col).orderBy(F.col("cosine").desc()).limit(k)
+        return scored.drop(self.vec_col).orderBy(F.col("cosine").desc()).limit(k)
 
     def semantic_dedup(self, df: DataFrame, *, id_col: str = "vec_id", threshold: float = 0.95, name: str = "SemanticDeduplicator") -> tuple[DataFrame, DataFrame]:
         """Cluster-partitioned cosine near-dedup: pairs are only compared
