@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from mega_data_factory_spark.functions.hashing import content_key, hash64_from_md5
 from mega_data_factory_spark.functions.text import word_shingles
-from mega_data_factory_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
+from mega_data_factory_spark.functions.vectors import l2_norm
 from mega_data_factory_spark.operators.base import Deduplicator, anti_join_once, rejection_details
 
 
