@@ -315,3 +315,17 @@ def test_pipeline_explain_surface(spark):
     plan = Pipeline(PipelineConfig.from_yaml(YAML)).explain(spark)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert plan.count("hashpartitioning") == 1  # the dedup key shuffle
+
+
+def test_cli_report_subcommand(spark, tmp_path, capsys):
+    """python -m mega_data_factory_spark report -m <metrics> -o <html>."""
+    cfg = PipelineConfig.from_yaml(YAML)
+    cfg.metrics_path = str(tmp_path / "metrics")
+    Pipeline(cfg).run(spark)
+
+    from mega_data_factory_spark.__main__ import main
+
+    out = str(tmp_path / "r.html")
+    assert main(["report", "-m", cfg.metrics_path, "-o", out]) == 0
+    assert capsys.readouterr().out.strip() == out
+    assert "Operator funnel" in open(out).read()
