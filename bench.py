@@ -45,6 +45,62 @@ HEADLINE = [
 ]
 
 
+def _bmp_bytes(arr) -> bytes:
+    """Minimal 24-bit bottom-up BMP (matches operators.images._decode_bmp)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = arr.shape
+    row = ((w * 3 + 3) // 4) * 4
+    px = np.zeros((h, row), dtype=np.uint8)
+    px[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    data = px.tobytes()
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def _image_df(spark, n: int):
+    """n synthetic 64x64 BMP records; pixel content repeats every 2048 ids
+    so the phash dedup stage has real duplicates to reject."""
+    import pandas as pd
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            imgs = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng(int(i) % 2048)
+                imgs.append(_bmp_bytes(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)))
+            yield pd.DataFrame({"id": pdf["id"].astype("int64"), "image": imgs})
+
+    par = int(spark.sparkContext.defaultParallelism)
+    return spark.range(n).repartition(par, "id").mapInPandas(gen, "id long, image binary")
+
+
+def _image_pipeline(img_df) -> int:
+    """Metadata -> technical quality -> quality filter -> phash dedup: the
+    reference's image CPU stage (BASELINE.md: 1,630 rec/s end-to-end on
+    M1 Pro, docs/ARCHITECTURE.md:437-452), minus the GPU CLIP stage."""
+    from mega_data_factory_spark.operators.filters import ImageQualityFilter
+    from mega_data_factory_spark.operators.images import (
+        ImageMetadataRefiner,
+        ImagePhashDeduplicator,
+        ImageTechnicalQualityRefiner,
+    )
+
+    df = ImageMetadataRefiner().apply(img_df)
+    df = ImageTechnicalQualityRefiner().apply(df)
+    df = ImageQualityFilter(min_width=64, min_height=64, max_compression_artifacts=0.95, min_entropy=3.0).apply(df)
+    df = ImagePhashDeduplicator().apply(df)
+    return df.count()
+
+
 def _text_pipeline_1m(spark) -> int:
     """1M-record URLFilter -> TextLengthFilter pipeline, the reference's
     headline benchmark workload (docs/ARCHITECTURE.md:418-434)."""
@@ -144,6 +200,22 @@ def main() -> None:
     timings["text_pipeline_1m"] = round(dt, 4)
     total += dt
     print(f"# text_pipeline_1m: {dt:.3f}s ({n_out} rows kept, {1_000_000/dt:,.0f} rec/s)", file=sys.stderr)
+
+    # Baseline-comparable image CPU stage: metadata -> technical quality ->
+    # quality filter -> phash dedup at 1,630 rec/s on the reference
+    # (BASELINE.md, docs/ARCHITECTURE.md:437-452). Input bytes are
+    # materialized (persisted) before timing so the measurement covers the
+    # pipeline, not synthetic-BMP generation.
+    n_img = 100_000
+    img_df = _image_df(spark, n_img).persist()
+    img_df.count()
+    t0 = time.perf_counter()
+    n_out = _image_pipeline(img_df)
+    dt = time.perf_counter() - t0
+    img_df.unpersist()
+    timings["image_pipeline_100k"] = round(dt, 4)
+    total += dt
+    print(f"# image_pipeline_100k: {dt:.3f}s ({n_out} rows kept, {n_img/dt:,.0f} rec/s)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

@@ -267,14 +267,16 @@ def dct_phash(img: np.ndarray, hash_size: int = 8) -> str:
         gray = img.astype(np.float64)
     h, w = gray.shape
     n = 32
-    # area-mean resize via integer bucket averaging (deterministic)
-    ys = (np.arange(n + 1) * h) // n
-    xs = (np.arange(n + 1) * w) // n
-    small = np.empty((n, n))
-    for i in range(n):
-        rows = gray[ys[i] : max(ys[i + 1], ys[i] + 1)]
-        for j in range(n):
-            small[i, j] = rows[:, xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    # area-mean resize via integer bucket averaging (deterministic).
+    # reduceat sums each [ys[i], ys[i+1]) row band (an empty band yields the
+    # single row at ys[i], matching a 1-row fallback), then each column band.
+    ys = (np.arange(n) * h) // n
+    xs = (np.arange(n) * w) // n
+    band = np.add.reduceat(gray, ys, axis=0)
+    sums = np.add.reduceat(band, xs, axis=1)
+    ycnt = np.maximum(np.diff(np.append(ys, h)), 1)
+    xcnt = np.maximum(np.diff(np.append(xs, w)), 1)
+    small = sums / (ycnt[:, None] * xcnt[None, :])
     m = _dct_matrix(n)
     coeffs = m @ small @ m.T
     block = coeffs[:hash_size, :hash_size].reshape(-1)[1:]
