@@ -421,9 +421,9 @@ def curation_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_ORACLE = f"""
 SELECT source,
   COUNT(*) AS n_input,
-  SUM(CASE WHEN {_text_length('text', 'n_chars')} BETWEEN {LEN_LO} AND {LEN_HI} THEN 1 ELSE 0 END) AS n_after_length,
-  SUM(CASE WHEN {_text_length('text', 'n_chars')} BETWEEN {LEN_LO} AND {LEN_HI}
-            AND {_word_score('text', PIPE_WEIGHTS)} < 0.5 THEN 1 ELSE 0 END) AS n_after_score,
+  CAST(SUM(CASE WHEN {_text_length('text', 'n_chars')} BETWEEN {LEN_LO} AND {LEN_HI} THEN 1 ELSE 0 END) AS BIGINT) AS n_after_length,
+  CAST(SUM(CASE WHEN {_text_length('text', 'n_chars')} BETWEEN {LEN_LO} AND {LEN_HI}
+            AND {_word_score('text', PIPE_WEIGHTS)} < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_score,
   ROUND(CAST(SUM(CASE WHEN {_text_length('text', 'n_chars')} BETWEEN {LEN_LO} AND {LEN_HI}
             AND {_word_score('text', PIPE_WEIGHTS)} < 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 100, 4) AS pass_rate
 FROM documents

@@ -44,7 +44,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_start_us", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast(DECW).alias("sum_value"),
+            F.sum(F.col("value").cast(DEC)).cast(DECW).cast("double").alias("sum_value"),
         )
         .orderBy("hour_start_us", "event_type")
     )
@@ -54,7 +54,7 @@ HOURLY_ORACLE = f"""
 SELECT (epoch_us(ts) - (epoch_us(ts) % {HOUR_US})) AS hour_start_us,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -82,7 +82,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("us").alias("session_start_us"),
             F.max("us").alias("session_end_us"),
-            F.sum(F.col("value").cast(DEC)).cast(DECW).alias("sum_value"),
+            F.sum(F.col("value").cast(DEC)).cast(DECW).cast("double").alias("sum_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -103,9 +103,9 @@ numbered AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        MIN(us) AS session_start_us, MAX(us) AS session_end_us,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
@@ -120,10 +120,10 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast(DECW).alias("sum_value"),
+            F.sum(F.col("value").cast(DEC)).cast(DECW).cast("double").alias("sum_value"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
         )
-        .withColumn("avg_value", F.round(F.col("sum_value").cast("double") / F.col("n_events"), 6))
+        .withColumn("avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6))
         .orderBy("event_type")
     )
 
@@ -131,7 +131,7 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TYPE_STATS_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users,
        ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_value
 FROM events
@@ -147,7 +147,7 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast(DECW).alias("sum_value"),
+            F.sum(F.col("value").cast(DEC)).cast(DECW).cast("double").alias("sum_value"),
         )
         .orderBy(F.col("n_events").desc(), F.col("user_id"))
         .limit(10)
@@ -156,7 +156,7 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_USERS_ORACLE = """
 SELECT user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY user_id
 ORDER BY n_events DESC, user_id

