@@ -112,10 +112,27 @@ class Deduplicator(Operator):
     with ``dedup_key`` and ``representative_id`` = the survivor's id.
     """
 
-    def __init__(self, name: str | None = None, *, order_col: str = "doc_id", id_col: str | None = None):
+    def __init__(
+        self,
+        name: str | None = None,
+        *,
+        order_col: str = "doc_id",
+        id_col: str | None = None,
+        wide_payload: bool = False,
+    ):
         super().__init__(name)
         self.order_col = order_col
         self.id_col = id_col or order_col
+        # wide_payload: rows carry a heavy column (image/audio bytes) that
+        # must NOT go through the dedup shuffle. The window strategy
+        # shuffles whole rows; the semi-join strategy shuffles only
+        # (key, order) pairs to elect winners, then semi-joins the winner
+        # ids back — with AQE that is a broadcast join (no movement of the
+        # payload at all) until the winner set itself is huge, at which
+        # point it degrades to an id-only shuffle, still never the bytes.
+        # Requires order_col values to be unique (they are ids here) so
+        # "min(order) per key" identifies exactly one winner row.
+        self.wide_payload = wide_payload
 
     @abstractmethod
     def key(self, df: DataFrame) -> Column:
@@ -129,10 +146,36 @@ class Deduplicator(Operator):
             .withColumn("__rep", F.first(F.col(self.id_col)).over(w))
         )
 
+    def _winners(self, df: DataFrame) -> DataFrame:
+        """(winner order value, key) per dedup key — the compact election."""
+        return (
+            df.withColumn("__dedup_key", self.key(df))
+            .groupBy("__dedup_key")
+            .agg(F.min(F.col(self.order_col)).alias("__win_order"))
+        )
+
     def apply(self, df: DataFrame) -> DataFrame:
+        if self.wide_payload:
+            win = self._winners(df).select(F.col("__win_order").alias(self.order_col))
+            return df.join(win, on=self.order_col, how="left_semi")
         return self._ranked(df).filter(F.col("__rn") == 1).drop("__dedup_key", "__rn", "__rep")
 
     def rejected(self, df: DataFrame) -> DataFrame:
+        if self.wide_payload:
+            win = self._winners(df)
+            keyed = df.withColumn("__dedup_key", self.key(df))
+            dups = keyed.join(win, on="__dedup_key", how="inner").filter(
+                F.col(self.order_col) != F.col("__win_order")
+            )
+            # representative id == winner's id when id_col is order_col
+            # (the common case); otherwise fall back to the window path to
+            # recover the representative's id column.
+            if self.id_col != self.order_col:
+                dups = self._ranked(df).filter(F.col("__rn") > 1).withColumnRenamed("__rep", "__win_order")
+            return dups.withColumn(
+                REJECTION_DETAILS_COL,
+                rejection_details("duplicate", self.name, F.col("__dedup_key"), F.col("__win_order").cast("string")),
+            ).drop("__dedup_key", "__win_order", "__rn", "__rep")
         dups = self._ranked(df).filter(F.col("__rn") > 1)
         return dups.withColumn(
             REJECTION_DETAILS_COL,

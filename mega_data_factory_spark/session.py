@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bytes cap matters more than the record cap once rows carry image/
+        # audio payloads: 10k rows x 12 KiB = 120 MiB Arrow batches *per
+        # task* thrash the heap at 32 local tasks (measured 3x wall-clock on
+        # the 100k-image bench); 16 MiB keeps Python-side peak bounded while
+        # compact rows still batch by record count
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(16 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -155,3 +155,43 @@ def test_image_quality_filter_composition(spark, images_df):
     assert 2 in ids  # noise: high entropy, decodable
     assert 1 not in ids  # solid: entropy 0 < 3.0
     assert 4 not in ids  # corrupt: nulls treated as failing
+
+
+def test_image_feature_extractor_fused(spark, images_df):
+    """The fused one-crossing stage must agree with the per-operator chain
+    (same metadata/quality values, same phash) and feed the dedup with a
+    precomputed phash column."""
+    from mega_data_factory_spark.operators.images import ImageFeatureExtractor
+
+    fused = ImageFeatureExtractor().apply(images_df.drop("phash"))
+    unfused = ImageTechnicalQualityRefiner().apply(ImageMetadataRefiner().apply(images_df.drop("phash")))
+    f = {r.id: r for r in fused.collect()}
+    u = {r.id: r for r in unfused.collect()}
+    for i in u:
+        assert (f[i].image_width, f[i].image_height, f[i].image_format) == (
+            u[i].image_width,
+            u[i].image_height,
+            u[i].image_format,
+        )
+        assert f[i].image_file_size_bytes == u[i].image_file_size_bytes
+        if u[i].image_information_entropy is None:
+            assert f[i].image_information_entropy is None or np.isnan(f[i].image_information_entropy)
+        else:
+            assert abs(f[i].image_information_entropy - u[i].image_information_entropy) < 1e-6
+            assert abs(f[i].image_compression_artifacts - u[i].image_compression_artifacts) < 1e-6
+    # phash matches the standalone kernel and drives the dedup without Python
+    assert f[2].phash == dct_phash(NOISE) == f[5].phash
+    assert f[4].phash is None
+    survivors = {r.id for r in ImagePhashDeduplicator(id_col="id").apply(fused).collect()}
+    assert 2 in survivors and 5 not in survivors and 4 in survivors
+
+
+def test_image_phash_dedup_wide_payload(spark, images_df):
+    """wide_payload semi-join strategy: same survivors/rejects as the
+    window strategy, but the plan elects winners over compact columns."""
+    d = ImagePhashDeduplicator(id_col="id", wide_payload=True)
+    survivors = {r.id for r in d.apply(images_df).collect()}
+    assert survivors == {1, 2, 3, 4, 6}
+    rej = {r.id: r for r in d.rejected(images_df).select("id", "_rejection_details.*").collect()}
+    assert rej[5]["representative_id"] == "2"
+    assert rej[7]["representative_id"] == "6"
