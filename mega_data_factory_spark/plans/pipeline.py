@@ -145,9 +145,13 @@ class Pipeline:
         return tagged.drop("__dk", "__rn", "__rep")
 
     def _apply_join_dedup(self, df: DataFrame, op: Deduplicator) -> DataFrame:
+        # No broadcast hint: the dup-pairs frame is O(duplicates) — tiny on
+        # a clean corpus but O(n) on a near-dup-heavy one, where a forced
+        # broadcast OOMs the driver at scale. AQE sees the real size at
+        # runtime and picks broadcast itself whenever the frame is small.
         pairs = op._dup_pairs(df.filter(self._alive())).withColumnRenamed(op.id_col, "__dup_id")
         joined = df.join(
-            F.broadcast(pairs) if _pairs_small(pairs) else pairs,
+            pairs,
             df[op.id_col] == F.col("__dup_id"),
             "left",
         )
@@ -246,13 +250,6 @@ class Pipeline:
             return result
         finally:
             tagged.unpersist()
-
-
-def _pairs_small(pairs: DataFrame) -> bool:
-    """Join-dedup pairs frames are (id, rep) only — broadcast unless the
-    plan suggests otherwise. Kept as a hook for a size-estimate heuristic;
-    AQE converts to broadcast at runtime anyway when small."""
-    return True
 
 
 def run_yaml(spark: SparkSession, yaml_path_or_text: str) -> PipelineResult:

@@ -214,18 +214,30 @@ class StreamingPipeline:
                 tagged = self.pipeline._apply(tagged, op)
             tagged = tagged.persist()
             try:
+                import dataclasses
+
+                from mega_data_factory_spark.sinks import write_sink
+
                 alive = F.col(REJECTION_DETAILS_COL).isNull()
                 if cfg.sink:
-                    tagged.filter(alive).drop(REJECTION_DETAILS_COL).write.mode("append").options(
-                        **cfg.sink.options
-                    ).parquet(cfg.sink.path)
+                    # route through the batch sink factory so format/options/
+                    # custom SINKS registrations apply in streaming too; the
+                    # micro-batch contract forces append mode
+                    write_sink(
+                        tagged.filter(alive).drop(REJECTION_DETAILS_COL),
+                        dataclasses.replace(cfg.sink, mode="append"),
+                    )
                 if cfg.rejected_sink:
-                    (
-                        tagged.filter(~alive)
-                        .withColumn("operator", F.col(f"{REJECTION_DETAILS_COL}.operator"))
-                        .write.mode("append")
-                        .partitionBy("operator")
-                        .parquet(cfg.rejected_sink.path)
+                    rej_cfg = dataclasses.replace(
+                        cfg.rejected_sink,
+                        mode="append",
+                        partition_by=cfg.rejected_sink.partition_by or ["operator"],
+                    )
+                    write_sink(
+                        tagged.filter(~alive).withColumn(
+                            "operator", F.col(f"{REJECTION_DETAILS_COL}.operator")
+                        ),
+                        rej_cfg,
                     )
             finally:
                 tagged.unpersist()
