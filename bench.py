@@ -34,7 +34,7 @@ HEADLINE = [
     # near-dedup + similarity
     "minhash_lsh_dedup",
     "ngram_jaccard_dedup",
-    "knn_topk_cosine",
+    "topk_cosine",
     # events
     "events_hourly_agg",
     "events_sessionize",
@@ -45,42 +45,12 @@ HEADLINE = [
 ]
 
 
-def _bmp_bytes(arr) -> bytes:
-    """Minimal 24-bit bottom-up BMP (matches operators.images._decode_bmp)."""
-    import struct
-
-    import numpy as np
-
-    h, w, _ = arr.shape
-    row = ((w * 3 + 3) // 4) * 4
-    px = np.zeros((h, row), dtype=np.uint8)
-    px[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
-    data = px.tobytes()
-    return (
-        b"BM"
-        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
-        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
-        + data
-    )
-
-
 def _image_df(spark, n: int):
     """n synthetic 64x64 BMP records; pixel content repeats every 2048 ids
     so the phash dedup stage has real duplicates to reject."""
-    import pandas as pd
+    from mega_data_factory_spark.fixtures import image_df
 
-    def gen(batches):
-        import numpy as np
-
-        for pdf in batches:
-            imgs = []
-            for i in pdf["id"]:
-                rng = np.random.default_rng(int(i) % 2048)
-                imgs.append(_bmp_bytes(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)))
-            yield pd.DataFrame({"id": pdf["id"].astype("int64"), "image": imgs})
-
-    par = int(spark.sparkContext.defaultParallelism)
-    return spark.range(n).repartition(par, "id").mapInPandas(gen, "id long, image binary")
+    return image_df(spark, n, content_period=2048)
 
 
 def _image_pipeline(img_df) -> int:
@@ -232,6 +202,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                # the image pipeline is timed steady-state (one untimed
+                # full-shape warmup pass first — worker-pool spawn + kernel
+                # JIT excluded), matching the reference baseline methodology
+                "warmup_excluded": True,
             }
         )
     )

@@ -242,10 +242,9 @@ def simhash64(text_col: Column | str, *, shingle_n: int = 2) -> Column:
 class SimHashDeduplicator(Deduplicator):
     """Near-dedup on exact SimHash collision (hamming distance 0 fast path).
 
-    First-wins per simhash value. The hamming-distance<=k variant would
-    explode each hash into its k-bit-flip neighborhood or band the 64 bits
-    into (k+1) segments (any exact segment match -> candidate); the banded
-    form is the 100 TB path and mirrors MinHashLSH above.
+    First-wins per simhash value. For hamming distance <= k see
+    ``SimHashNearDeduplicator`` below (banded candidate generation +
+    exact-distance verification — the 100 TB path).
     """
 
     def __init__(self, *, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2, name: str | None = None):
@@ -255,6 +254,88 @@ class SimHashDeduplicator(Deduplicator):
 
     def key(self, df: DataFrame) -> Column:
         return simhash64(self.text_col, shingle_n=self.shingle_n).cast("string")
+
+
+class SimHashNearDeduplicator(Deduplicator):
+    """Near-dedup on SimHash hamming distance <= ``max_hamming``.
+
+    Candidate generation is banded (the pigeonhole construction the
+    reference documents for simhash scale-out): the 60 signature bits are
+    split into ``max_hamming + 1`` equal segments; two hashes within
+    hamming distance k must agree EXACTLY on at least one segment, so an
+    equi-join per (band index, band bits) finds every qualifying pair with
+    zero false negatives. Candidates are then verified with the exact
+    distance ``bit_count(a XOR b) <= k`` — banding is purely a pruning
+    step, so results are identical to the all-pairs form (which is what
+    the SQL oracle computes).
+
+    Scale posture mirrors MinHashLSH: only (id, 8-byte simhash, band key)
+    rows enter the self-join shuffle — never text — and each band bucket
+    is a hash-partitioned equi-join key, so AQE handles hot buckets.
+    First-wins: a doc is rejected iff an earlier (smaller-id) doc is
+    within distance k; representative = the smallest such id.
+    """
+
+    def __init__(
+        self,
+        max_hamming: int = 3,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        shingle_n: int = 2,
+        name: str | None = None,
+    ):
+        super().__init__(name, order_col=id_col, id_col=id_col)
+        if not 0 <= max_hamming < SIMHASH_BITS:
+            raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS})")
+        self.max_hamming = max_hamming
+        self.bands = max_hamming + 1
+        self.text_col = text_col
+        self.shingle_n = shingle_n
+
+    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
+        raise NotImplementedError("banded simhash dedup is not a single-key dedup")
+
+    def _band_width(self, b: int) -> tuple[int, int]:
+        """(start bit, width) of band b — remainder bits go to the last band."""
+        w = SIMHASH_BITS // self.bands
+        start = b * w
+        width = w if b < self.bands - 1 else SIMHASH_BITS - start
+        return start, width
+
+    def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        sim = df.select(
+            F.col(self.id_col).alias("__id"),
+            simhash64(self.text_col, shingle_n=self.shingle_n).alias("__sim"),
+        )
+        band_keys = []
+        for b in range(self.bands):
+            start, width = self._band_width(b)
+            bits = F.shiftright(F.col("__sim"), start).bitwiseAND(F.lit((1 << width) - 1))
+            band_keys.append(F.concat_ws("_", F.lit(b), bits.cast("string")))
+        banded = sim.select("__id", "__sim", F.explode(F.array(*band_keys)).alias("__bkey"))
+        a = banded.select(F.col("__id").alias("__ida"), F.col("__sim").alias("__sima"), "__bkey")
+        b_ = banded.select(F.col("__id").alias("__idb"), F.col("__sim").alias("__simb"), "__bkey")
+        pairs = (
+            a.join(b_, on="__bkey")
+            .filter(F.col("__ida") < F.col("__idb"))
+            .filter(F.bit_count(F.col("__sima").bitwiseXOR(F.col("__simb"))) <= self.max_hamming)
+        )
+        # a pair can collide in several bands -> min() also dedups pairs
+        return pairs.groupBy(F.col("__idb").alias(self.id_col)).agg(F.min("__ida").alias("__rep"))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return anti_join_once(df, self._dup_pairs(df), self.id_col)
+
+    def rejected(self, df: DataFrame) -> DataFrame:
+        return (
+            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
+            .withColumn(
+                "_rejection_details",
+                rejection_details("duplicate", self.name, F.lit(None), F.col("__rep").cast("string")),
+            )
+            .drop("__rep")
+        )
 
 
 class NgramJaccardDeduplicator(Deduplicator):
@@ -275,13 +356,26 @@ class NgramJaccardDeduplicator(Deduplicator):
       4. Jaccard = inter / (|A| + |B| - inter); keep pairs >= threshold;
       5. a doc survives iff no earlier (smaller-id) doc is a near-dup.
 
-    Scale posture: the only heavy shuffle is the inverted-index self-join;
-    hot shingles are bounded by AQE's skew-join splitting, and a stop-
-    shingle cut (drop document-frequency > cap, an extra aggregate)
-    plus AllPairs prefix filtering are the documented next steps for
-    extreme corpora. (A prefix+array_intersect verify variant measured
-    SLOWER here: shipping full shingle arrays per candidate pair costs
-    more than the aggregated long-key join it avoids.)
+    Scale posture: the only heavy shuffle is the inverted-index self-join.
+    ``max_doc_freq`` is the stop-shingle cut that makes it survive boiler-
+    plate at corpus scale: one map-side-combinable aggregate computes each
+    shingle's document frequency, and shingles with DF > cap are dropped
+    BEFORE the self-join (a shingle shared by m docs contributes m^2 joined
+    rows — one boilerplate shingle in 1% of a 100 TB corpus would otherwise
+    row-explode the join beyond what AQE skew-splitting can absorb).
+    Recall tradeoff (documented, like SemanticDeduplicator's cell
+    approximation): a pair whose overlap consists ONLY of capped shingles
+    is no longer generated as a candidate; since shingles that common carry
+    ~no signal (IDF ~ 0), near-duplicate pairs above any useful threshold
+    always share rarer shingles too. Verification stays exact: Jaccard is
+    still computed over FULL shingle sets (|A|, |B| from the uncapped
+    arrays; the intersection count over surviving shingles is a lower
+    bound, so capping can only lose candidates, never admit false ones).
+    Default None = exact semantics (no cut). AQE skew-join splitting plus
+    AllPairs prefix filtering remain the further refinements for extreme
+    corpora. (A prefix+array_intersect verify variant measured SLOWER
+    here: shipping full shingle arrays per candidate pair costs more than
+    the aggregated long-key join it avoids.)
     """
 
     def __init__(
@@ -291,12 +385,14 @@ class NgramJaccardDeduplicator(Deduplicator):
         text_col: str = "text",
         id_col: str = "doc_id",
         shingle_n: int = 3,
+        max_doc_freq: int | None = None,
         name: str | None = None,
     ):
         super().__init__(name, order_col=id_col, id_col=id_col)
         self.threshold = threshold
         self.text_col = text_col
         self.shingle_n = shingle_n
+        self.max_doc_freq = max_doc_freq
 
     def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
         raise NotImplementedError("Jaccard dedup is not a single-key dedup")
@@ -310,6 +406,21 @@ class NgramJaccardDeduplicator(Deduplicator):
         inv = sh.select("__id", "__n", F.explode("__sh").alias("__s")).select(
             "__id", "__n", F.xxhash64("__s").alias("__h")
         )
+        if self.max_doc_freq is not None:
+            # stop-shingle cut: drop shingles whose document frequency
+            # exceeds the cap before the quadratic self-join (see class
+            # docstring for the recall tradeoff). The DF aggregate is
+            # map-side combinable and its output is one tiny row per
+            # surviving shingle; the inner join below hash-partitions on
+            # __h — the same key as the self-join, so the exchange is
+            # shared, not added.
+            keep = (
+                inv.groupBy("__h")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= self.max_doc_freq)
+                .select("__h")
+            )
+            inv = inv.join(keep, on="__h")
         a = inv.select(F.col("__id").alias("__ida"), F.col("__n").alias("__na"), "__h")
         b = inv.select(F.col("__id").alias("__idb"), F.col("__n").alias("__nb"), "__h")
         pairs = (

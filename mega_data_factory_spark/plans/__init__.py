@@ -45,6 +45,7 @@ def _modules():
         curation,
         dedup_queries,
         events,
+        image_queries,
         join_queries,
         relational,
         setops,
@@ -52,4 +53,17 @@ def _modules():
         window_queries,
     )
 
-    return [relational, events, curation, dedup_queries, similarity_queries, window_queries, join_queries, setops]
+    # NB: the driver records CORRECTNESS rows for at most the FIRST 50
+    # registered queries — keep the total at <= 50 (tests/test_registry
+    # asserts it) so every query gets a row.
+    return [
+        relational,
+        events,
+        curation,
+        dedup_queries,
+        similarity_queries,
+        window_queries,
+        join_queries,
+        setops,
+        image_queries,
+    ]

@@ -146,45 +146,32 @@ FROM ranked WHERE rn > 1 ORDER BY o_orderkey
 
 
 def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextStatsRefiner: effective length, token count, mean token length."""
+    """TextStatsRefiner + subword token budgeting in one per-doc view:
+    effective length, whitespace token count, mean token length, BPE-ish
+    subword tokens and the tokens-per-word ratio (the training-token
+    budgeting columns)."""
+    from mega_data_factory_spark.functions.text import subword_token_count
+
     t = load_tables(spark, sf_dir, ("documents",))
     r = TextStatsRefiner(length_col="n_chars")
-    return r.apply(t["documents"]).select("doc_id", "text_length", "token_count", "avg_token_len").orderBy("doc_id")
-
-
-_norm = NORM_NOLOWER.format(c="text")
-TOKEN_STATS_ORACLE = f"""
-SELECT doc_id,
-  {_text_length('text', 'n_chars')} AS text_length,
-  CAST({_token_count('text')} AS BIGINT) AS token_count,
-  CASE WHEN {_token_count('text')} > 0
-       THEN round(CAST(length({_norm}) - ({_token_count('text')} - 1) AS DOUBLE) / {_token_count('text')}, 6)
-       ELSE 0.0 END AS avg_token_len
-FROM documents ORDER BY doc_id
-"""
-
-
-def docs_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish subword token counts next to whitespace tokens — the
-    training-token budgeting view (tokens-per-word ratio per document)."""
-    from mega_data_factory_spark.functions.text import subword_token_count, token_count
-
-    t = load_tables(spark, sf_dir, ("documents",))
-    ws = token_count("text")
+    out = r.apply(t["documents"])
+    ws = F.col("token_count")
     sw = subword_token_count("text")
     return (
-        t["documents"]
-        .select(
-            "doc_id",
-            ws.alias("ws_tokens"),
-            sw.alias("subword_tokens"),
-            F.when(ws > 0, F.round(sw.cast("double") / ws, 6)).otherwise(F.lit(0.0)).alias("tokens_per_word"),
+        out.withColumn("subword_tokens", sw)
+        .withColumn(
+            "tokens_per_word",
+            F.when(ws > 0, F.round(sw.cast("double") / ws, 6)).otherwise(F.lit(0.0)),
         )
+        .select("doc_id", "text_length", "token_count", "avg_token_len", "subword_tokens", "tokens_per_word")
         .orderBy("doc_id")
     )
 
 
-def _subword_oracle() -> str:
+_norm = NORM_NOLOWER.format(c="text")
+
+
+def _token_stats_oracle() -> str:
     from mega_data_factory_spark.functions.text import SUBWORD_PATTERN
 
     pat = SUBWORD_PATTERN.replace("'", "''")
@@ -192,21 +179,38 @@ def _subword_oracle() -> str:
     tc = _token_count("text")
     return f"""
 SELECT doc_id,
-  CAST({tc} AS BIGINT) AS ws_tokens,
+  {_text_length('text', 'n_chars')} AS text_length,
+  CAST({tc} AS BIGINT) AS token_count,
+  CASE WHEN {tc} > 0
+       THEN round(CAST(length({_norm}) - ({tc} - 1) AS DOUBLE) / {tc}, 6)
+       ELSE 0.0 END AS avg_token_len,
   CAST({sw} AS BIGINT) AS subword_tokens,
   CASE WHEN {tc} > 0 THEN round(CAST({sw} AS DOUBLE) / {tc}, 6) ELSE 0.0 END AS tokens_per_word
 FROM documents ORDER BY doc_id
 """
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LanguageIdRefiner: marker-word argmax heuristic."""
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full text-analysis refiner chain in one per-doc view: language
+    ID (marker-word argmax), structural quality scoring, and the md5
+    content fingerprint + bucket prefix. Three Refiners, one narrow plan —
+    refiner chains compose as column extensions, no extra scans."""
     t = load_tables(spark, sf_dir, ("documents",))
-    r = LanguageIdRefiner()
-    return r.apply(t["documents"]).select("doc_id", "lang_pred", "lang_score").orderBy("doc_id")
+    df = t["documents"]
+    for r in (LanguageIdRefiner(), QualityScoreRefiner(), FingerprintRefiner()):
+        df = r.apply(df)
+    return df.select(
+        "doc_id",
+        "lang_pred",
+        "lang_score",
+        "stopword_ratio",
+        "quality_score",
+        "fingerprint",
+        "fingerprint_prefix",
+    ).orderBy("doc_id")
 
 
-def _lang_oracle() -> str:
+def _text_analysis_oracle() -> str:
     scores = {
         lang: "(" + " + ".join(_wc("text", w) for w in words) + ")"
         for lang, words in LANG_MARKERS.items()
@@ -214,24 +218,6 @@ def _lang_oracle() -> str:
     sel = ", ".join(f"{s} AS s_{lang}" for lang, s in scores.items())
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
     case = "CASE " + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in scores) + " ELSE 'und' END"
-    return f"""
-WITH scored AS (SELECT doc_id, {sel} FROM documents),
-ranked AS (SELECT doc_id, {best} AS best, {', '.join(f's_{lang}' for lang in scores)} FROM scored)
-SELECT doc_id,
-  CASE WHEN best > 0 THEN ({case}) ELSE 'und' END AS lang_pred,
-  CAST(best AS BIGINT) AS lang_score
-FROM ranked ORDER BY doc_id
-"""
-
-
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QualityScoreRefiner: structural quality heuristics."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    r = QualityScoreRefiner()
-    return r.apply(t["documents"]).select("doc_id", "stopword_ratio", "quality_score").orderBy("doc_id")
-
-
-def _quality_oracle() -> str:
     tokens = _token_count("text")
     hits = " + ".join(_wc("text", w) for w in DEFAULT_STOPWORDS)
     ratio = f"(CASE WHEN {tokens} > 0 THEN CAST(({hits}) AS DOUBLE) / {tokens} ELSE 0.0 END)"
@@ -242,62 +228,65 @@ def _quality_oracle() -> str:
         f"+ 0.3 * (CASE WHEN {avg_len} >= 3.0 AND {avg_len} <= 10.0 THEN 1.0 ELSE 0.0 END)"
     )
     return f"""
-SELECT doc_id, round({ratio}, 6) AS stopword_ratio, round({score}, 6) AS quality_score
-FROM documents ORDER BY doc_id
-"""
-
-
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FingerprintRefiner: md5 content fingerprint + compact bucket prefix."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    r = FingerprintRefiner()
-    return r.apply(t["documents"]).select("doc_id", "fingerprint", "fingerprint_prefix").orderBy("doc_id")
-
-
-FINGERPRINT_ORACLE = f"""
-SELECT doc_id, md5({NORM.format(c='text')}) AS fingerprint,
-       substr(md5({NORM.format(c='text')}), 1, 8) AS fingerprint_prefix
-FROM documents ORDER BY doc_id
+WITH scored AS (SELECT doc_id, {sel} FROM documents),
+ranked AS (SELECT doc_id, {best} AS best, {', '.join(f's_{lang}' for lang in scores)} FROM scored)
+SELECT d.doc_id,
+  CASE WHEN r.best > 0 THEN ({case.replace('s_', 'r.s_')}) ELSE 'und' END AS lang_pred,
+  CAST(r.best AS BIGINT) AS lang_score,
+  round({ratio}, 6) AS stopword_ratio,
+  round({score}, 6) AS quality_score,
+  md5({NORM.format(c='text')}) AS fingerprint,
+  substr(md5({NORM.format(c='text')}), 1, 8) AS fingerprint_prefix
+FROM documents d JOIN ranked r ON d.doc_id = r.doc_id
+ORDER BY d.doc_id
 """
 
 
 PART_WEIGHTS = {"widget": 0.5, "bolt": 0.3, "gear": 0.4, "cold": 0.2}
 PART_THRESHOLD = 0.5
-
-
-def word_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference URLFilter's weighted word-score rule (url_filter.py:255-282)
-    applied to part names: keep parts scoring below the block threshold."""
-    t = load_tables(spark, sf_dir, ("part",))
-    f = WordScoreFilter(PART_WEIGHTS, PART_THRESHOLD, text_col="p_name")
-    kept = f.apply(t["part"])
-    return kept.select("p_partkey", "p_name", F.round(f.score(), 6).alias("word_score")).orderBy("p_partkey")
-
-
-WORD_SCORE_ORACLE = f"""
-SELECT p_partkey, p_name, round({_word_score('p_name', PART_WEIGHTS)}, 6) AS word_score
-FROM part
-WHERE {_word_score('p_name', PART_WEIGHTS)} < {PART_THRESHOLD}
-ORDER BY p_partkey
-"""
-
-
 BLOCKED_SOURCES = ["src3", "src7", "src11", "src19"]
 
 
-def source_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference URLFilter's domain-blocklist rule (url_filter.py:217-234)
-    keyed on the documents' source column (suffix-chain membership against a
-    broadcast blocklist)."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    f = DomainBlocklistFilter(BLOCKED_SOURCES, domain_col="source")
-    return f.apply(t["documents"]).select("doc_id", "source").orderBy("doc_id")
+def url_rule_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference URLFilter's two standalone sub-rules, each on its own
+    table, unioned into one tagged result (the composite blocklist+score
+    filter over real URLs is ``url_filter_full``):
+
+      * ``word_score`` (url_filter.py:255-282): keep parts whose weighted
+        word score on p_name stays below the block threshold;
+      * ``source_blocklist`` (url_filter.py:217-234): suffix-chain
+        membership of the documents' source against a broadcast blocklist.
+    """
+    t = load_tables(spark, sf_dir, ("part", "documents"))
+    ws = WordScoreFilter(PART_WEIGHTS, PART_THRESHOLD, text_col="p_name")
+    word_side = ws.apply(t["part"]).select(
+        F.lit("word_score").alias("rule"),
+        F.col("p_partkey").alias("entity_id"),
+        F.col("p_name").alias("attr"),
+        F.round(ws.score(), 6).alias("score"),
+    )
+    bl = DomainBlocklistFilter(BLOCKED_SOURCES, domain_col="source")
+    block_side = bl.apply(t["documents"]).select(
+        F.lit("source_blocklist").alias("rule"),
+        F.col("doc_id").alias("entity_id"),
+        F.col("source").alias("attr"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return word_side.unionByName(block_side).orderBy("rule", "entity_id")
 
 
-BLOCKLIST_ORACLE = f"""
-SELECT doc_id, source FROM documents
-WHERE source IS NULL OR lower(source) NOT IN ({', '.join(f"'{s}'" for s in BLOCKED_SOURCES)})
-ORDER BY doc_id
+URL_RULES_ORACLE = f"""
+SELECT * FROM (
+  SELECT 'word_score' AS rule, p_partkey AS entity_id, p_name AS attr,
+         round({_word_score('p_name', PART_WEIGHTS)}, 6) AS score
+  FROM part
+  WHERE {_word_score('p_name', PART_WEIGHTS)} < {PART_THRESHOLD}
+  UNION ALL
+  SELECT 'source_blocklist', doc_id, source, CAST(NULL AS DOUBLE)
+  FROM documents
+  WHERE source IS NULL OR lower(source) NOT IN ({', '.join(f"'{s}'" for s in BLOCKED_SOURCES)})
+)
+ORDER BY rule, entity_id
 """
 
 
@@ -439,12 +428,8 @@ QUERIES = {
     "orders_first_per_customer": orders_first_per_customer,
     "orders_dedup_rejected": orders_dedup_rejected,
     "docs_token_stats": docs_token_stats,
-    "docs_subword_tokens": docs_subword_tokens,
-    "lang_id": lang_id,
-    "quality_score": quality_score,
-    "doc_fingerprint": doc_fingerprint,
-    "word_score_filter": word_score_filter,
-    "source_blocklist_filter": source_blocklist_filter,
+    "text_analysis": text_analysis,
+    "url_rule_filters": url_rule_filters,
     "curation_pipeline": curation_pipeline,
     "curation_rejection_summary": curation_rejection_summary,
 }
@@ -455,13 +440,9 @@ ORACLE = {
     "text_exact_dedup": TEXT_DEDUP_ORACLE,
     "orders_first_per_customer": ORDERS_DEDUP_ORACLE,
     "orders_dedup_rejected": ORDERS_DEDUP_REJECTED_ORACLE,
-    "docs_token_stats": TOKEN_STATS_ORACLE,
-    "docs_subword_tokens": _subword_oracle(),
-    "lang_id": _lang_oracle(),
-    "quality_score": _quality_oracle(),
-    "doc_fingerprint": FINGERPRINT_ORACLE,
-    "word_score_filter": WORD_SCORE_ORACLE,
-    "source_blocklist_filter": BLOCKLIST_ORACLE,
+    "docs_token_stats": _token_stats_oracle(),
+    "text_analysis": _text_analysis_oracle(),
+    "url_rule_filters": URL_RULES_ORACLE,
     "curation_pipeline": CURATION_PIPELINE_ORACLE,
     "curation_rejection_summary": REJECTION_SUMMARY_ORACLE,
 }

@@ -25,6 +25,7 @@ from mega_data_factory_spark.operators.dedup import (
     MinHashLSHDeduplicator,
     NgramJaccardDeduplicator,
     SimHashDeduplicator,
+    SimHashNearDeduplicator,
 )
 from mega_data_factory_spark.session import load_tables
 
@@ -138,36 +139,36 @@ dups AS (SELECT doc_id, min(bmin) AS rep FROM buckets WHERE bmin < doc_id GROUP 
 # -------------------------------------------------------------------- queries
 
 
+def _tag_sides(corpus: DataFrame, dup_pairs: DataFrame, id_col: str) -> DataFrame:
+    """Kept + rejected sides in ONE plan: left-join the (id, __rep) dup
+    pairs and tag — the dup-pairs subplan (scan/explode/self-join) executes
+    once instead of once per side (the anti_join_once rationale)."""
+    return corpus.join(dup_pairs, on=id_col, how="left").select(
+        id_col,
+        F.when(F.col("__rep").isNull(), F.lit("kept")).otherwise(F.lit("rejected")).alias("side"),
+        F.col("__rep").cast("string").alias("representative_id"),
+    )
+
+
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dedup survivors over the planted corpus."""
+    """MinHash+LSH near-dedup over the planted corpus: every doc tagged
+    kept/rejected, duplicates carrying their representative (earliest
+    colliding doc across any band bucket) — both pipeline sides in one
+    plan/one driver row."""
     d = MinHashLSHDeduplicator(num_hashes=NUM_HASHES, bands=BANDS, id_col="doc_id")
-    return d.apply(_doc_corpus(spark, sf_dir)).select("doc_id").orderBy("doc_id")
+    corpus = _doc_corpus(spark, sf_dir)
+    return _tag_sides(corpus, d._band_pairs(corpus), "doc_id").orderBy("doc_id")
 
 
 MINHASH_ORACLE = f"""
 WITH {DOC_CORPUS_CTE.strip()},
 {_shingle_ctes(3).strip()},
 {_minhash_ctes().strip()}
-SELECT c.doc_id FROM corpus c WHERE c.doc_id NOT IN (SELECT doc_id FROM dups) ORDER BY doc_id
-"""
-
-
-def minhash_lsh_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The rejected side: duplicates with their representative (earliest
-    colliding doc across any band bucket)."""
-    d = MinHashLSHDeduplicator(num_hashes=NUM_HASHES, bands=BANDS, id_col="doc_id", name="MinHashLSHDeduplicator")
-    rej = d.rejected(_doc_corpus(spark, sf_dir))
-    return rej.select(
-        "doc_id",
-        F.col("_rejection_details.representative_id").alias("representative_id"),
-    ).orderBy("doc_id")
-
-
-MINHASH_REJECTED_ORACLE = f"""
-WITH {DOC_CORPUS_CTE.strip()},
-{_shingle_ctes(3).strip()},
-{_minhash_ctes().strip()}
-SELECT doc_id, CAST(rep AS VARCHAR) AS representative_id FROM dups ORDER BY doc_id
+SELECT c.doc_id,
+       CASE WHEN d.doc_id IS NULL THEN 'kept' ELSE 'rejected' END AS side,
+       CAST(d.rep AS VARCHAR) AS representative_id
+FROM corpus c LEFT JOIN dups d ON c.doc_id = d.doc_id
+ORDER BY c.doc_id
 """
 
 
@@ -202,14 +203,57 @@ ranked AS (
 SELECT doc_id, simhash FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
+MAX_HAMMING = 6
+
+
+def simhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dedup (hamming distance <= 6): candidates from
+    7-band pigeonhole buckets, verified with exact bit_count(xor). The
+    oracle computes the same survivor set all-pairs — banding is provably
+    lossless for distance <= k, so the two formulations must agree."""
+    d = SimHashNearDeduplicator(MAX_HAMMING, id_col="doc_id")
+    corpus = _doc_corpus(spark, sf_dir)
+    return _tag_sides(corpus, d._dup_pairs(corpus), "doc_id").orderBy("doc_id")
+
+
+SIMHASH_NEAR_ORACLE = f"""
+WITH {DOC_CORPUS_CTE.strip()},
+{_shingle_ctes(2).strip()},
+hashed AS (SELECT doc_id, list_transform(s, x -> {_h64('x')}) AS hs FROM sh),
+counted AS (
+  SELECT doc_id,
+    list_transform(range(0, 60), i ->
+      list_sum(list_transform(hs, h -> ((h >> i) & 1) * 2 - 1))) AS counts
+  FROM hashed
+),
+sim AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 60),
+      i -> CASE WHEN counts[i + 1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h
+  FROM counted
+),
+dups AS (
+  SELECT b.doc_id, min(a.doc_id) AS rep
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= {MAX_HAMMING}
+  GROUP BY b.doc_id
+)
+SELECT c.doc_id,
+       CASE WHEN d.doc_id IS NULL THEN 'kept' ELSE 'rejected' END AS side,
+       CAST(d.rep AS VARCHAR) AS representative_id
+FROM corpus c LEFT JOIN dups d ON c.doc_id = d.doc_id
+ORDER BY c.doc_id
+"""
+
 JACCARD_THRESHOLD = 0.6
 
 
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified n-gram-Jaccard near-dedup survivors (inverted-index
-    set-similarity join, threshold 0.6)."""
+    """Verified n-gram-Jaccard near-dedup (inverted-index set-similarity
+    join, threshold 0.6): every doc tagged kept/rejected with its
+    representative — both pipeline sides in one plan/one driver row."""
     d = NgramJaccardDeduplicator(JACCARD_THRESHOLD, id_col="doc_id")
-    return d.apply(_doc_corpus(spark, sf_dir)).select("doc_id").orderBy("doc_id")
+    corpus = _doc_corpus(spark, sf_dir)
+    return _tag_sides(corpus, d._dup_pairs(corpus), "doc_id").orderBy("doc_id")
 
 
 def _jaccard_ctes() -> str:
@@ -233,23 +277,11 @@ JACCARD_ORACLE = f"""
 WITH {DOC_CORPUS_CTE.strip()},
 {_shingle_ctes(3).strip()},
 {_jaccard_ctes().strip()}
-SELECT c.doc_id FROM corpus c WHERE c.doc_id NOT IN (SELECT doc_id FROM dups) ORDER BY doc_id
-"""
-
-
-def ngram_jaccard_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = NgramJaccardDeduplicator(JACCARD_THRESHOLD, id_col="doc_id", name="NgramJaccardDeduplicator")
-    rej = d.rejected(_doc_corpus(spark, sf_dir))
-    return rej.select("doc_id", F.col("_rejection_details.representative_id").alias("representative_id")).orderBy(
-        "doc_id"
-    )
-
-
-JACCARD_REJECTED_ORACLE = f"""
-WITH {DOC_CORPUS_CTE.strip()},
-{_shingle_ctes(3).strip()},
-{_jaccard_ctes().strip()}
-SELECT doc_id, CAST(rep AS VARCHAR) AS representative_id FROM dups ORDER BY doc_id
+SELECT c.doc_id,
+       CASE WHEN d.doc_id IS NULL THEN 'kept' ELSE 'rejected' END AS side,
+       CAST(d.rep AS VARCHAR) AS representative_id
+FROM corpus c LEFT JOIN dups d ON c.doc_id = d.doc_id
+ORDER BY c.doc_id
 """
 
 COSINE_THRESHOLD = 0.45
@@ -286,18 +318,16 @@ SELECT c.vec_id FROM corpus c WHERE c.vec_id NOT IN (SELECT vec_id FROM dups) OR
 
 QUERIES = {
     "minhash_lsh_dedup": minhash_lsh_dedup,
-    "minhash_lsh_rejected": minhash_lsh_rejected,
     "simhash_dedup": simhash_dedup,
+    "simhash_near_dedup": simhash_near_dedup,
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
-    "ngram_jaccard_rejected": ngram_jaccard_rejected,
     "embedding_cosine_dedup": embedding_cosine_dedup,
 }
 
 ORACLE = {
     "minhash_lsh_dedup": MINHASH_ORACLE,
-    "minhash_lsh_rejected": MINHASH_REJECTED_ORACLE,
     "simhash_dedup": SIMHASH_ORACLE,
+    "simhash_near_dedup": SIMHASH_NEAR_ORACLE,
     "ngram_jaccard_dedup": JACCARD_ORACLE,
-    "ngram_jaccard_rejected": JACCARD_REJECTED_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE,
 }

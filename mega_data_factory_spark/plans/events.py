@@ -113,8 +113,12 @@ ORDER BY user_id, session_id
 
 
 def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type totals with exact sums and derived averages — the metrics
-    aggregate shape (reference per-operator stats, operator.py:119-184)."""
+    """Per-type profile: counts, exact sums, distinct users, derived
+    average, and exact interpolated percentiles — the metrics aggregate
+    shape (reference per-operator stats, operator.py:119-184) plus the
+    distribution columns, all in ONE groupBy (one shuffle). Spark
+    ``percentile`` == DuckDB ``quantile_cont`` bit-for-bit (verified);
+    ``percentile_approx``/t-digest is the approximate scale path."""
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy("event_type")
@@ -122,6 +126,9 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast(DEC)).cast(DECW).cast("double").alias("sum_value"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+            F.percentile("value", 0.99).alias("p99"),
         )
         .withColumn("avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6))
         .orderBy("event_type")
@@ -133,34 +140,13 @@ SELECT event_type,
        COUNT(*) AS n_events,
        CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99,
        ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type
-"""
-
-
-def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 most active users — per-partition partial agg then top-k."""
-    ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast(DECW).cast("double").alias("sum_value"),
-        )
-        .orderBy(F.col("n_events").desc(), F.col("user_id"))
-        .limit(10)
-    )
-
-
-TOP_USERS_ORACLE = """
-SELECT user_id, COUNT(*) AS n_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
-FROM events
-GROUP BY user_id
-ORDER BY n_events DESC, user_id
-LIMIT 10
 """
 
 
@@ -239,7 +225,6 @@ QUERIES = {
     "events_hourly_agg": events_hourly_agg,
     "events_sessionize": events_sessionize,
     "events_type_stats": events_type_stats,
-    "events_top_users": events_top_users,
     "events_first_per_user_type": events_first_per_user_type,
     "events_json_props": events_json_props,
     "events_user_approx_distinct": events_user_approx_distinct,
@@ -249,7 +234,6 @@ ORACLE = {
     "events_hourly_agg": HOURLY_ORACLE,
     "events_sessionize": SESSIONIZE_ORACLE,
     "events_type_stats": TYPE_STATS_ORACLE,
-    "events_top_users": TOP_USERS_ORACLE,
     "events_first_per_user_type": FIRST_PER_USER_ORACLE,
     "events_json_props": JSON_PROPS_ORACLE,
 }

@@ -180,13 +180,17 @@ LIMIT 20
 
 def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregate (beyond the reference's surface — SURVEY §2.6):
-    order counts and exact totals by (status, priority) with subtotals."""
+    order counts, exact totals, and exact distinct-customer counts by
+    (status, priority) with subtotals — the distinct aggregate rides the
+    same shuffle (approx_count_distinct/HLL is the sketch-mergeable scale
+    path when exactness isn't required)."""
     t = load_tables(spark, sf_dir, ("orders",))
     df = (
         t["orders"]
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
             _dec_sum(F.col("o_totalprice").cast(DEC), "total_price"),
         )
         .orderBy(
@@ -200,6 +204,7 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLUP_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
   COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)

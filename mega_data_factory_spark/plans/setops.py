@@ -138,7 +138,8 @@ def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase 1 aggregates (user_id, salt) partials, phase 2 merges the SALT
     partials per user. Result is identical to a plain groupBy (the oracle
     is the unsalted SQL); the plan bounds the hottest reducer to ~1/SALT
-    of the hottest key's rows. Top-50 spenders by total value.
+    of the hottest key's rows. Two leaderboards off the ONE aggregate:
+    top-50 spenders by total value and top-10 most active by count.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t = load_tables(spark, sf_dir, ("events",))
@@ -147,25 +148,40 @@ def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("__v"),
     )
-    totals = (
-        partial.groupBy("user_id")
-        .agg(
-            F.sum("__n").alias("n_events"),
-            F.sum("__v").cast("decimal(38,6)").cast("double").alias("total_value"),
-        )
-        .orderBy(F.col("total_value").desc(), F.col("user_id"))
-        .limit(50)
+    totals = partial.groupBy("user_id").agg(
+        F.sum("__n").alias("n_events"),
+        F.sum("__v").cast("decimal(38,6)").cast("double").alias("total_value"),
     )
-    return totals
+    by_value = (
+        totals.orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(50)
+        .select(F.lit("by_value").alias("ranking"), "user_id", "n_events", "total_value")
+    )
+    by_count = (
+        totals.orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(10)
+        .select(F.lit("by_count").alias("ranking"), "user_id", "n_events", "total_value")
+    )
+    return by_value.unionByName(by_count).orderBy("ranking", "user_id")
 
 
 SALTED_TOTALS_ORACLE = """
-SELECT user_id, COUNT(*) AS n_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
-FROM events
-GROUP BY user_id
-ORDER BY total_value DESC, user_id
-LIMIT 50
+WITH totals AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+  FROM events
+  GROUP BY user_id
+)
+SELECT * FROM (
+  SELECT 'by_value' AS ranking, user_id, n_events, total_value
+  FROM totals ORDER BY total_value DESC, user_id LIMIT 50
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'by_count' AS ranking, user_id, n_events, total_value
+  FROM totals ORDER BY n_events DESC, user_id LIMIT 10
+)
+ORDER BY ranking, user_id
 """
 
 

@@ -18,35 +18,30 @@ def _query_df(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
 
 
-def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k for a single query vector — the ANN
-    correctness baseline. Broadcast query, narrow scan, TakeOrderedAndProject."""
-    t = load_tables(spark, sf_dir, ("embeddings",))
-    emb = t["embeddings"]
-    knn = BruteForceKNN(k=KNN_K)
-    return knn.topk(emb.filter(F.col("vec_id") != QUERY_VEC_ID), _query_df(emb))
-
-
-KNN_ORACLE = f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
-SELECT vec_id, round({_cos_sql('embedding', 'qv')}, 6) AS cosine
-FROM embeddings, q
-WHERE vec_id != {QUERY_VEC_ID} AND {_cos_sql('embedding', 'qv')} IS NOT NULL
-ORDER BY cosine DESC, vec_id
-LIMIT {KNN_K}
-"""
-
 ANN_BITS, ANN_STRIDE, ANN_K = 8, 32, 5
 
 
-def ann_lsh_bucket_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-bucket LSH ANN: candidates restricted to the query's bucket.
-    The bucket id is the scale path's shuffle key (2^bits-way candidate
-    reduction); this query validates bucket assignment + in-bucket ranking."""
+def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (the ANN correctness baseline:
+    broadcast query, narrow scan, TakeOrderedAndProject) UNIONED with the
+    sign-bucket LSH ANN top-k (candidates restricted to the query's
+    bucket — the bucket id is the scale path's shuffle key), tagged by
+    method. One driver row validates both the exact ranking and the LSH
+    bucket assignment + in-bucket ranking."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    ann = RandomProjectionLSH(bits=ANN_BITS, stride=ANN_STRIDE, k=ANN_K)
-    return ann.topk(emb.filter(F.col("vec_id") != QUERY_VEC_ID), _query_df(emb))
+    corpus = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    q = _query_df(emb)
+    brute = BruteForceKNN(k=KNN_K).topk(corpus, q).select(
+        F.lit("brute_force").alias("method"),
+        "vec_id",
+        F.lit(None).cast("long").alias("bucket"),
+        "cosine",
+    )
+    ann = RandomProjectionLSH(bits=ANN_BITS, stride=ANN_STRIDE, k=ANN_K).topk(corpus, q).select(
+        F.lit("lsh_bucket").alias("method"), "vec_id", "bucket", "cosine"
+    )
+    return brute.unionByName(ann).orderBy("method", F.col("cosine").desc(), "vec_id")
 
 
 def _bucket_sql(v: str) -> str:
@@ -58,17 +53,29 @@ def _bucket_sql(v: str) -> str:
     return f"({bits})"
 
 
-ANN_ORACLE = f"""
+TOPK_COSINE_ORACLE = f"""
 WITH q AS (SELECT embedding AS qv, {_bucket_sql('embedding')} AS qbucket
            FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
-SELECT vec_id, {_bucket_sql('embedding')} AS bucket,
-       round({_cos_sql('embedding', 'qv')}, 6) AS cosine
-FROM embeddings, q
-WHERE vec_id != {QUERY_VEC_ID}
-  AND {_bucket_sql('embedding')} = qbucket
-  AND {_cos_sql('embedding', 'qv')} IS NOT NULL
-ORDER BY cosine DESC, vec_id
-LIMIT {ANN_K}
+SELECT * FROM (
+  SELECT 'brute_force' AS method, vec_id, CAST(NULL AS BIGINT) AS bucket,
+         round({_cos_sql('embedding', 'qv')}, 6) AS cosine
+  FROM embeddings, q
+  WHERE vec_id != {QUERY_VEC_ID} AND {_cos_sql('embedding', 'qv')} IS NOT NULL
+  ORDER BY cosine DESC, vec_id
+  LIMIT {KNN_K}
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'lsh_bucket' AS method, vec_id, {_bucket_sql('embedding')} AS bucket,
+         round({_cos_sql('embedding', 'qv')}, 6) AS cosine
+  FROM embeddings, q
+  WHERE vec_id != {QUERY_VEC_ID}
+    AND {_bucket_sql('embedding')} = qbucket
+    AND {_cos_sql('embedding', 'qv')} IS NOT NULL
+  ORDER BY cosine DESC, vec_id
+  LIMIT {ANN_K}
+)
+ORDER BY method, cosine DESC, vec_id
 """
 
 
@@ -117,8 +124,7 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "knn_topk_cosine": knn_topk_cosine,
-    "ann_lsh_bucket_knn": ann_lsh_bucket_knn,
+    "topk_cosine": topk_cosine,
     "embedding_norms": embedding_norms,
     "ivf_ann_topk": ivf_ann_topk,
     "semantic_dedup_kmeans": semantic_dedup_kmeans,
@@ -129,7 +135,6 @@ QUERIES = {
 # records the weaker rows-only check; tests/test_clustering.py holds the
 # real bar (recall vs exact brute force, survivor-set invariants).
 ORACLE = {
-    "knn_topk_cosine": KNN_ORACLE,
-    "ann_lsh_bucket_knn": ANN_ORACLE,
+    "topk_cosine": TOPK_COSINE_ORACLE,
     "embedding_norms": NORMS_ORACLE,
 }

@@ -131,55 +131,6 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
-def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per event type (Spark ``percentile``
-    == DuckDB ``quantile_cont`` bit-for-bit — verified). The approximate
-    scale path is ``percentile_approx``/t-digest; exact is the oracle-able
-    form."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t = load_tables(spark, sf_dir, ("events",))
-    return (
-        t["events"]
-        .groupBy("event_type")
-        .agg(
-            F.percentile("value", 0.5).alias("p50"),
-            F.percentile("value", 0.95).alias("p95"),
-            F.percentile("value", 0.99).alias("p99"),
-        )
-        .orderBy("event_type")
-    )
-
-
-PERCENTILES_ORACLE = """
-SELECT event_type,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.95) AS p95,
-       quantile_cont(value, 0.99) AS p99
-FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-
-def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregates (exact; approx_count_distinct is the scale path
-    but HLL sketches differ across engines, so the oracle uses exact)."""
-    t = load_tables(spark, sf_dir, ("orders",))
-    return (
-        t["orders"]
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count_distinct("o_custkey").alias("n_customers"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-DISTINCT_ORACLE = """
-SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
-FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-"""
-
-
 def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution analytics per market segment: quartile (ntile),
     percent_rank and cume_dist of each customer's total spend — completes
@@ -228,8 +179,6 @@ QUERIES = {
     "lineitem_running_revenue": lineitem_running_revenue,
     "orders_daily_moving_avg": orders_daily_moving_avg,
     "grouping_sets_orders": grouping_sets_orders,
-    "events_value_percentiles": events_value_percentiles,
-    "distinct_aggregates": distinct_aggregates,
     "customer_spend_distribution": customer_spend_distribution,
 }
 
@@ -238,7 +187,5 @@ ORACLE = {
     "lineitem_running_revenue": RUNNING_REVENUE_ORACLE,
     "orders_daily_moving_avg": MOVING_AVG_ORACLE,
     "grouping_sets_orders": GROUPING_SETS_ORACLE,
-    "events_value_percentiles": PERCENTILES_ORACLE,
-    "distinct_aggregates": DISTINCT_ORACLE,
     "customer_spend_distribution": SPEND_DISTRIBUTION_ORACLE,
 }

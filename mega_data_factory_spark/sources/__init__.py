@@ -30,9 +30,11 @@ def _custom_source(fmt: str):
 
 def _register_builtin_sources() -> None:
     from mega_data_factory_spark.registry import SOURCES
+    from mega_data_factory_spark.sources.huggingface import read_huggingface
     from mega_data_factory_spark.sources.warc import read_warc
 
     SOURCES.register(read_warc, "warc")
+    SOURCES.register(read_huggingface, "huggingface")
 
 
 _register_builtin_sources()
@@ -53,11 +55,6 @@ def read_source(
         if cfg.path is None:
             raise ValueError("source needs a path or table")
         fmt = cfg.format.lower()
-        if fmt == "huggingface":
-            # HF parquet exports are plain parquet files addressable by path
-            # (hf:// via fsspec, or a local snapshot dir) — reference
-            # HuggingFaceLoader reduces to a parquet scan under Spark.
-            fmt = "parquet"
         custom = _custom_source(fmt)
         if custom is not None:
             # custom loader contract (reference DataLoaderRegistry,

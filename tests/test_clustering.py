@@ -26,10 +26,12 @@ def test_assignment_partitions_everything(spark, index_and_emb):
 
 def test_ivf_recall_vs_exact(spark, index_and_emb):
     """IVF with nprobe=3/8 must recover most of the exact top-10."""
-    from mega_data_factory_spark.plans.similarity_queries import QUERY_VEC_ID, _query_df, knn_topk_cosine
+    from mega_data_factory_spark.plans.similarity_queries import QUERY_VEC_ID, _query_df, topk_cosine
 
     idx, emb = index_and_emb
-    exact = {r.vec_id for r in knn_topk_cosine(spark, SF_DIR_ORACLE).collect()}
+    exact = {
+        r.vec_id for r in topk_cosine(spark, SF_DIR_ORACLE).filter(F.col("method") == "brute_force").collect()
+    }
     approx = {
         r.vec_id
         for r in idx.ivf_topk(emb.filter(F.col("vec_id") != QUERY_VEC_ID), _query_df(emb), k=10, nprobe=3).collect()

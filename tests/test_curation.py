@@ -11,12 +11,8 @@ CURATION = [
     "orders_first_per_customer",
     "orders_dedup_rejected",
     "docs_token_stats",
-    "docs_subword_tokens",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "word_score_filter",
-    "source_blocklist_filter",
+    "text_analysis",
+    "url_rule_filters",
     "curation_pipeline",
     "curation_rejection_summary",
 ]

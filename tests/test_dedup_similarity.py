@@ -7,13 +7,11 @@ from tests.conftest import SF_DIR_ORACLE, assert_query_matches_oracle
 
 NAMES = [
     "minhash_lsh_dedup",
-    "minhash_lsh_rejected",
     "simhash_dedup",
     "ngram_jaccard_dedup",
-    "ngram_jaccard_rejected",
+    "simhash_near_dedup",
     "embedding_cosine_dedup",
-    "knn_topk_cosine",
-    "ann_lsh_bucket_knn",
+    "topk_cosine",
     "embedding_norms",
 ]
 
@@ -33,7 +31,7 @@ def test_planted_duplicates_are_detected(spark):
         simhash_dedup,
     )
 
-    mh = {r.doc_id for r in minhash_lsh_dedup(spark, SF_DIR_ORACLE).collect()}
+    mh = {r.doc_id for r in minhash_lsh_dedup(spark, SF_DIR_ORACLE).collect() if r.side == "kept"}
     assert not any(i >= 20000 for i in mh), "exact variants must be deduped by minhash"
 
     sh = {r.doc_id for r in simhash_dedup(spark, SF_DIR_ORACLE).collect()}
@@ -48,7 +46,7 @@ def test_near_duplicates_mostly_detected(spark):
     by the Jaccard dedup at threshold 0.6 (short docs legitimately escape)."""
     from mega_data_factory_spark.plans.dedup_queries import ngram_jaccard_dedup
 
-    surv = {r.doc_id for r in ngram_jaccard_dedup(spark, SF_DIR_ORACLE).collect()}
+    surv = {r.doc_id for r in ngram_jaccard_dedup(spark, SF_DIR_ORACLE).collect() if r.side == "kept"}
     planted = [i for i in surv if 10000 <= i < 20000]
     assert len(planted) < 25, f"most of the 50 planted near-dups should be caught, {len(planted)} escaped"
 
@@ -78,3 +76,71 @@ def test_multiprobe_lsh_improves_recall(spark):
     n1 = lsh.topk(corpus, query, nprobe=1).count()
     n8 = lsh.topk(corpus, query, nprobe=8).count()
     assert n8 >= n1
+
+
+def test_simhash_near_banding_matches_allpairs(spark):
+    """Banded candidate generation (pigeonhole: k+1 segments) + exact
+    verification must equal brute-force all-pairs hamming<=k dedup."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.dedup import SimHashNearDeduplicator, simhash64
+    from mega_data_factory_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR_ORACLE, ("documents",))
+    docs = t["documents"].select("doc_id", "text").limit(200)
+    k = 8
+    d = SimHashNearDeduplicator(k, id_col="doc_id")
+    got = {r.doc_id for r in d.apply(docs).select("doc_id").collect()}
+
+    sims = {r.doc_id: r.s for r in docs.select("doc_id", simhash64("text").alias("s")).collect()}
+    expect = set()
+    for i, si in sims.items():
+        if not any(j < i and bin(si ^ sj).count("1") <= k for j, sj in sims.items()):
+            expect.add(i)
+    assert got == expect
+    # rejected side: every rejected doc's representative is an earlier doc within distance k
+    rej = d.rejected(docs).select(
+        "doc_id", F.col("_rejection_details.representative_id").cast("long").alias("rep")
+    ).collect()
+    assert {r.doc_id for r in rej} == set(sims) - expect
+    for r in rej:
+        assert r.rep < r.doc_id and bin(sims[r.doc_id] ^ sims[r.rep]).count("1") <= k
+
+
+def test_simhash_near_zero_hamming_equals_exact(spark):
+    """max_hamming=0 must reproduce the exact SimHashDeduplicator survivor set."""
+    from mega_data_factory_spark.operators.dedup import SimHashDeduplicator, SimHashNearDeduplicator
+    from mega_data_factory_spark.plans.dedup_queries import _doc_corpus
+
+    corpus = _doc_corpus(spark, SF_DIR_ORACLE)
+    exact = {r.doc_id for r in SimHashDeduplicator(id_col="doc_id").apply(corpus).select("doc_id").collect()}
+    banded = {r.doc_id for r in SimHashNearDeduplicator(0, id_col="doc_id").apply(corpus).select("doc_id").collect()}
+    assert banded == exact
+
+
+def test_ngram_df_cap_drops_universal_shingle(spark):
+    """A shingle present in EVERY doc must not create quadratic candidates
+    when the DF cap is set; true near-dups (sharing rare shingles) still
+    caught, docs overlapping only on the boilerplate shingle survive."""
+    from mega_data_factory_spark.operators.dedup import NgramJaccardDeduplicator
+
+    boiler = "all rights reserved by the site"  # 2x 3-shingles shared by all
+    rows = []
+    for i in range(60):
+        body = f"unique text number {i} with words alpha{i} beta{i} gamma{i} delta{i}"
+        rows.append((i, f"{body} {boiler}"))
+    # one true near-dup pair: doc 100 copies doc 0's body
+    rows.append((100, f"unique text number 0 with words alpha0 beta0 gamma0 delta0 {boiler}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # threshold 0.45: five shingles are universal (DF 61) and capped, so the
+    # true pair's Jaccard ESTIMATE is 9/19 ~ 0.474 (full Jaccard 1.0)
+    capped = NgramJaccardDeduplicator(0.45, id_col="doc_id", max_doc_freq=10)
+    surv = {r.doc_id for r in capped.apply(df).select("doc_id").collect()}
+    assert 100 not in surv, "true near-dup must still be rejected (rare shingles shared)"
+    assert surv == set(range(60)), "docs sharing only the boilerplate shingle must survive"
+
+    # and the candidate join is provably pruned: the capped plan generates
+    # candidates only for the one real pair, not the 61*60/2 boilerplate pairs
+    pairs = capped._dup_pairs(df).collect()
+    assert len(pairs) == 1 and pairs[0]["__rep"] == 0

@@ -8,7 +8,6 @@ EVENTS = [
     "events_hourly_agg",
     "events_sessionize",
     "events_type_stats",
-    "events_top_users",
     "events_first_per_user_type",
     "events_json_props",
 ]

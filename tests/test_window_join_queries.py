@@ -9,8 +9,6 @@ NAMES = [
     "lineitem_running_revenue",
     "orders_daily_moving_avg",
     "grouping_sets_orders",
-    "events_value_percentiles",
-    "distinct_aggregates",
     "customer_spend_distribution",
     "events_asof_purchase_click",
     "parts_price_range_join",
