@@ -302,9 +302,10 @@ def batch_phash(stack: np.ndarray, hash_size: int = 8) -> list[str]:
     xcnt = np.maximum(np.diff(np.append(xs, w)), 1)
     small = sums / (ycnt[None, :, None] * xcnt[None, None, :])
     m = _dct_matrix(n)
-    # batched GEMM (same BLAS kernel per slice as the per-image `m @ s @
-    # m.T`), bit-identical to dct_phash even for degenerate flat images
-    # where coefficients are float-noise around 0
+    # batched GEMM — same BLAS kernel per slice as a per-image `m @ s @ m.T`.
+    # This is THE phash definition: dct_phash below delegates here so flat/
+    # degenerate images (DCT coefficients that are float noise around 0)
+    # can't hash differently between a batched and a per-image code path.
     coeffs = np.matmul(np.matmul(m, small), m.T)
     block = coeffs[:, :hash_size, :hash_size].reshape(b, -1)[:, 1:]
     med = np.median(block, axis=1, keepdims=True)
@@ -347,32 +348,14 @@ def dct_phash(img: np.ndarray, hash_size: int = 8) -> str:
     top-left hash_size x hash_size coefficients (minus DC) thresholded at
     their median -> hex string. The classic pHash construction (reference
     uses DoubleGradient in Rust / imagehash.phash fallback,
-    image_phash_dedup.py:62-69 — same role, deterministic here)."""
-    if img.ndim == 3:
-        gray = img[..., : min(3, img.shape[2])].astype(np.float64).mean(axis=2)
-    else:
-        gray = img.astype(np.float64)
-    h, w = gray.shape
-    n = 32
-    # area-mean resize via integer bucket averaging (deterministic).
-    # reduceat sums each [ys[i], ys[i+1]) row band (an empty band yields the
-    # single row at ys[i], matching a 1-row fallback), then each column band.
-    ys = (np.arange(n) * h) // n
-    xs = (np.arange(n) * w) // n
-    band = np.add.reduceat(gray, ys, axis=0)
-    sums = np.add.reduceat(band, xs, axis=1)
-    ycnt = np.maximum(np.diff(np.append(ys, h)), 1)
-    xcnt = np.maximum(np.diff(np.append(xs, w)), 1)
-    small = sums / (ycnt[:, None] * xcnt[None, :])
-    m = _dct_matrix(n)
-    coeffs = m @ small @ m.T
-    block = coeffs[:hash_size, :hash_size].reshape(-1)[1:]
-    med = np.median(block)
-    bits = block > med
-    val = 0
-    for bit in bits:
-        val = (val << 1) | int(bit)
-    return format(val, f"0{(len(bits) + 3) // 4}x")
+    image_phash_dedup.py:62-69 — same role, deterministic here).
+
+    Delegates to batch_phash on a single-image stack so there is exactly
+    one hash definition — a separately-maintained per-image path drifted on
+    flat images (1/k tensordot grayscale vs astype+mean flips median-
+    threshold bits on float-noise coefficients)."""
+    stack = img if img.ndim == 3 else img[..., None]
+    return batch_phash(stack[None, ...], hash_size)[0]
 
 
 # ---------------------------------------------------------------- operators
@@ -408,7 +391,12 @@ def _project_struct_once(df: DataFrame, udf, input_col: Column, fields: dict[str
     """
     tmp = "__struct_once"
     out = df.withColumn(tmp, udf.asNondeterministic()(input_col))
-    sel = [F.col(c) for c in df.columns] + [F.col(f"{tmp}.{src}").alias(dst) for dst, src in fields.items()]
+    # replace, don't append: a frame that already carries one of the output
+    # columns (re-applied refiner, precomputed phash) must not end up with
+    # duplicate names -> ambiguous-reference AnalysisException downstream
+    produced = set(fields) | set(extra or {})
+    sel = [F.col(c) for c in df.columns if c not in produced]
+    sel += [F.col(f"{tmp}.{src}").alias(dst) for dst, src in fields.items()]
     for name, col in (extra or {}).items():
         sel.append(col.alias(name))
     return out.select(*sel)

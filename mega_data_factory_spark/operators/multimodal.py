@@ -18,8 +18,10 @@ container; what IS real here — and what the reference itself tests
     column-reuse pattern, image_aesthetic_quality.py:167-194).
 
 Stand-in weights are seeded deterministic projections, so tests can assert
-exact behavior; swapping in torch weights changes only ``_Model.load``.
-When torch/PIL are importable the load hook uses them (import-gated).
+exact behavior. When torch is importable, ``_Model`` applies the same
+weights through torch (fp16 on CUDA, one ``no_grad`` matmul per Arrow
+batch) — the import-gated hook where trained checkpoints slot in; without
+torch the numpy path computes identical results.
 """
 
 from __future__ import annotations
@@ -46,20 +48,57 @@ from mega_data_factory_spark.operators.images import _bytes_col, decode_image
 _MODEL_CACHE: dict[tuple, object] = {}
 
 
-def _get_model(kind: str, dim: int, seed: int):
+class _Model:
+    """One projection/head with seeded deterministic weights and a choice of
+    backend: torch when importable (fp16 on CUDA, fp32 on CPU, ``no_grad``),
+    numpy otherwise. Both backends apply the SAME weights, so swapping in a
+    trained checkpoint changes only ``__init__``'s weight source (reference
+    image_clip_embedding.py:74-106 loads OpenCLIP the same lazy way).
+
+    ``__call__`` takes a (B, in_dim) float32 matrix — one matmul per Arrow
+    batch, never per row.
+    """
+
+    def __init__(self, kind: str, dim: int, seed: int):
+        rng = np.random.default_rng(seed)
+        if kind == "embed":
+            # stand-in visual tower: fixed random projection of 64-bin
+            # luminance histogram features -> dim
+            self.w = rng.standard_normal((64, dim)).astype(np.float32)
+        else:  # "head": scoring vector over embeddings -> (B,) logits
+            self.w = rng.standard_normal((dim, 1)).astype(np.float32)
+        self.kind = kind
+        self._torch = None
+        try:  # import-gated torch backend
+            import torch
+
+            self._device = "cuda" if torch.cuda.is_available() else "cpu"
+            dtype = torch.float16 if self._device == "cuda" else torch.float32
+            self._tw = torch.as_tensor(self.w, dtype=dtype, device=self._device)
+            self._torch = torch
+        except ImportError:
+            pass
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        out_shape = (x.shape[0], self.w.shape[1]) if self.kind == "embed" else (x.shape[0],)
+        if x.shape[0] == 0:
+            return np.zeros(out_shape, dtype=np.float32)
+        if self._torch is not None:
+            t = self._torch.as_tensor(np.ascontiguousarray(x), dtype=self._tw.dtype, device=self._device)
+            with self._torch.no_grad():
+                y = (t @ self._tw).float().cpu().numpy()
+        else:
+            y = x @ self.w
+        return y if self.kind == "embed" else y[:, 0]
+
+
+def _get_model(kind: str, dim: int, seed: int) -> _Model:
     """Lazy per-executor-process model instance (the per-actor lazy-load
     pattern of the reference, image_visual_degradations.py:73-102). The
     cache lives in the Python worker process; each executor pays one load."""
     key = (kind, dim, seed)
     if key not in _MODEL_CACHE:
-        rng = np.random.default_rng(seed)
-        if kind == "embed":
-            # stand-in visual tower: fixed random projection of 64-bin
-            # luminance histogram features -> dim, rows unit-normalized
-            _MODEL_CACHE[key] = rng.standard_normal((64, dim)).astype(np.float32)
-        elif kind == "head":
-            # stand-in scoring head: fixed weight vector over embeddings
-            _MODEL_CACHE[key] = rng.standard_normal(dim).astype(np.float32)
+        _MODEL_CACHE[key] = _Model(kind, dim, seed)
     return _MODEL_CACHE[key]
 
 
@@ -102,18 +141,20 @@ class ImageEmbeddingRefiner(Refiner):
 
         @F.pandas_udf(ArrayType(FloatType()))
         def embed_udf(data):
-            w = _get_model("embed", dim, seed)
+            model = _get_model("embed", dim, seed)
             out = []
             buf: list[np.ndarray | None] = []
 
             def flush():
+                # one (mini-batch, 64) @ (64, dim) matmul per flush — the
+                # torch backend sees a single fp16 GEMM, never row loops
+                valid = [f for f in buf if f is not None]
+                vecs = model(np.stack(valid)) if valid else np.empty((0, dim), np.float32)
+                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                vecs = np.where(norms > 0, vecs / np.maximum(norms, 1e-30), vecs)
+                it = iter(vecs)
                 for feats in buf:
-                    if feats is None:
-                        out.append([0.0] * dim)
-                    else:
-                        v = feats @ w
-                        n = float(np.linalg.norm(v))
-                        out.append((v / n if n > 0 else v).tolist())
+                    out.append([0.0] * dim if feats is None else next(it).tolist())
                 buf.clear()
 
             for b in data:
@@ -146,14 +187,13 @@ class AestheticScoreRefiner(Refiner):
 
         @F.pandas_udf(FloatType())
         def score_udf(embs):
-            w = _get_model("head", dim, seed)
-            out = []
-            for e in embs:
-                if e is None or len(e) != dim:
-                    out.append(0.0)
-                else:
-                    x = float(np.asarray(e, dtype=np.float32) @ w)
-                    out.append(1.0 + 9.0 / (1.0 + np.exp(-x)))  # squash to ~1..10
+            model = _get_model("head", dim, seed)
+            rows = [np.asarray(e, dtype=np.float32) if e is not None and len(e) == dim else None for e in embs]
+            valid = [r for r in rows if r is not None]
+            logits = (model(np.stack(valid)) if valid else np.empty(0, np.float32)).astype(np.float64)
+            scores = 1.0 + 9.0 / (1.0 + np.exp(-logits))  # squash to ~1..10
+            it = iter(scores)
+            out = [0.0 if r is None else float(next(it)) for r in rows]
             return pd.Series(out, dtype="float32")
 
         return {"image_aesthetic_score": score_udf(F.col(self.emb_col))}
@@ -186,14 +226,12 @@ class AigcDetectorRefiner(Refiner):
 
         @F.pandas_udf(FloatType())
         def aigc_udf(embs):
-            w = _get_model("head", dim, seed)
-            out = []
-            for e in embs:
-                if e is None or len(e) != dim:
-                    out.append(None)
-                else:
-                    x = float(np.asarray(e, dtype=np.float32) @ w)
-                    out.append(1.0 / (1.0 + np.exp(-x)))
+            model = _get_model("head", dim, seed)
+            rows = [np.asarray(e, dtype=np.float32) if e is not None and len(e) == dim else None for e in embs]
+            valid = [r for r in rows if r is not None]
+            scores = 1.0 / (1.0 + np.exp(-model(np.stack(valid)).astype(np.float64))) if valid else np.empty(0)
+            it = iter(scores)
+            out = [None if r is None else float(next(it)) for r in rows]
             return pd.Series(out, dtype="float32")
 
         score = aigc_udf(F.col(self.emb_col))
@@ -307,15 +345,18 @@ class VisualDegradationsRefiner(Refiner):
 
         @F.pandas_udf("color_cast float, blurriness float, watermark float, noise float")
         def heads_udf(embs):
-            ws = {k: _get_model("head", dim, s) for k, s in seeds.items()}
-            rows = []
-            for e in embs:
-                if e is None or len(e) != dim:
-                    rows.append({k: None for k in ws})
-                else:
-                    x = np.asarray(e, dtype=np.float32)
-                    rows.append({k: float(1.0 / (1.0 + np.exp(-(x @ w)))) for k, w in ws.items()})
-            return pd.DataFrame(rows, dtype="float32")
+            models = {k: _get_model("head", dim, s) for k, s in seeds.items()}
+            rows = [np.asarray(e, dtype=np.float32) if e is not None and len(e) == dim else None for e in embs]
+            valid = [r for r in rows if r is not None]
+            mat = np.stack(valid) if valid else np.empty((0, dim), np.float32)
+            scored = {k: 1.0 / (1.0 + np.exp(-m(mat).astype(np.float64))) for k, m in models.items()}  # one matmul per head
+            out = {k: [] for k in models}
+            vi = 0
+            for r in rows:
+                for k in models:
+                    out[k].append(None if r is None else float(scored[k][vi]))
+                vi += r is not None
+            return pd.DataFrame(out, dtype="float32")
 
         h = heads_udf(F.col(self.emb_col))
         cols = {f"img_vd_{k}": h[k] for k in seeds}
@@ -358,13 +399,17 @@ class ImageResizeRefiner(Refiner):
                     img = img[..., None].repeat(3, axis=2)
                 img = img[..., :3]
                 h, w = img.shape[:2]
-                ys = (np.arange(th + 1) * h) // th
-                xs = (np.arange(tw + 1) * w) // tw
-                small = np.empty((th, tw, 3), dtype=np.uint8)
-                for i in range(th):
-                    rows = img[ys[i] : max(ys[i + 1], ys[i] + 1)]
-                    for j in range(tw):
-                        small[i, j] = rows[:, xs[j] : max(xs[j + 1], xs[j] + 1)].mean(axis=(0, 1)).astype(np.uint8)
+                # area-mean resize as two reduceat passes (the batch_phash
+                # kernel, images.py batch_phash) — no per-pixel Python loop.
+                # A duplicate bucket index (upscale) makes reduceat emit the
+                # single source row/col, count clamped to 1.
+                ys = (np.arange(th) * h) // th
+                xs = (np.arange(tw) * w) // tw
+                band = np.add.reduceat(img.astype(np.float64), ys, axis=0)
+                sums = np.add.reduceat(band, xs, axis=1)
+                ycnt = np.maximum(np.diff(np.append(ys, h)), 1)
+                xcnt = np.maximum(np.diff(np.append(xs, w)), 1)
+                small = (sums / (ycnt[:, None, None] * xcnt[None, :, None])).astype(np.uint8)
                 out_b.append(small.tobytes())
                 out_w.append(tw)
                 out_h.append(th)

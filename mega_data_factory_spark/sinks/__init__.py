@@ -28,8 +28,23 @@ def write_sink(df: DataFrame, cfg: SinkConfig) -> None:
         custom(df, cfg)
         return
     if fmt == "iceberg":
-        # Requires an Iceberg catalog on the session (spark.sql.catalog.*).
+        # Requires an Iceberg catalog on the session (spark.sql.catalog.*) —
+        # bootstrap with sinks.iceberg.iceberg_catalog_conf().
         # cfg.path is the table identifier, e.g. "local.db.events".
+        catalog = cfg.path.split(".", 1)[0] if cfg.path else ""
+        spark = df.sparkSession
+        if not spark.conf.get(f"spark.sql.catalog.{catalog}", None):
+            from mega_data_factory_spark.sinks.iceberg import find_iceberg_jar
+
+            hint = (
+                "runtime jar present — create the session with "
+                "iceberg_catalog_conf() in extra_conf"
+                if find_iceberg_jar()
+                else "no iceberg-spark-runtime jar installed (see sinks/iceberg.py)"
+            )
+            raise RuntimeError(
+                f"iceberg sink needs catalog '{catalog}' configured on the session; {hint}"
+            )
         writer = df.writeTo(cfg.path)
         if cfg.partition_by:
             from pyspark.sql import functions as F

@@ -195,3 +195,22 @@ def test_image_phash_dedup_wide_payload(spark, images_df):
     rej = {r.id: r for r in d.rejected(images_df).select("id", "_rejection_details.*").collect()}
     assert rej[5]["representative_id"] == "2"
     assert rej[7]["representative_id"] == "6"
+
+
+def test_dct_phash_matches_batch_on_flat_images():
+    # one hash definition: per-image delegates to the batched kernel, so
+    # flat/degenerate images (float-noise DCT coefficients) can't drift
+    from mega_data_factory_spark.operators.images import batch_phash
+
+    for img in (SOLID, NOISE, GRADIENT, np.full((64, 64, 3), 7, dtype=np.uint8)):
+        assert dct_phash(img) == batch_phash(img[None, ...])[0]
+    gray = NOISE[..., 0]
+    assert dct_phash(gray) == batch_phash(gray[None, ..., None])[0]
+
+
+def test_refiner_reapply_replaces_columns(spark, images_df):
+    once = ImageMetadataRefiner().apply(images_df)
+    twice = ImageMetadataRefiner().apply(once)
+    assert sorted(twice.columns) == sorted(once.columns)  # no duplicate names
+    # downstream reference must not be ambiguous
+    assert twice.filter(F.col("image_width") == 64).count() == once.filter(F.col("image_width") == 64).count()

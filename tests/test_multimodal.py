@@ -130,3 +130,41 @@ def test_audio_metadata_wav_headers(spark):
     assert out[1].audio_format == out[2].audio_format == "WAV"
     assert out[3].audio_format == "ERROR" and out[3].audio_sample_rate == 0
     assert out[4].audio_format == "ERROR"
+
+
+def test_model_numpy_torch_parity():
+    """The torch backend must compute the same projection as numpy (same
+    seeded weights, fp32 on CPU). Skips where torch isn't installed — the
+    numpy fallback is what every other test in this file exercises."""
+    torch = pytest.importorskip("torch")
+    from mega_data_factory_spark.operators.multimodal import _Model
+
+    m = _Model("embed", 16, 7)
+    assert m._torch is not None
+    x = np.random.default_rng(0).standard_normal((5, 64)).astype(np.float32)
+    got = m(x)
+    np.testing.assert_allclose(got, x @ m.w, rtol=1e-5, atol=1e-5)
+    head = _Model("head", 16, 11)
+    e = np.random.default_rng(1).standard_normal((5, 16)).astype(np.float32)
+    np.testing.assert_allclose(head(e), (e @ head.w)[:, 0], rtol=1e-5, atol=1e-5)
+
+
+def test_model_numpy_fallback_without_torch(monkeypatch):
+    """Force the ImportError branch: _Model must work with torch absent."""
+    import builtins
+
+    from mega_data_factory_spark.operators import multimodal as mm
+
+    real_import = builtins.__import__
+
+    def no_torch(name, *a, **kw):
+        if name == "torch":
+            raise ImportError("torch disabled for test")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    m = mm._Model("head", 8, 3)
+    assert m._torch is None
+    x = np.ones((2, 8), dtype=np.float32)
+    np.testing.assert_allclose(m(x), (x @ m.w)[:, 0])
+    assert m(np.empty((0, 8), np.float32)).shape == (0,)
