@@ -93,7 +93,15 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse PNG scanline filters (types 0-4). Row-sequential by
-    necessity (each row depends on the previous reconstructed row)."""
+    necessity (each row depends on the previous reconstructed row); within
+    a row, None/Up are elementwise and Sub is a per-channel-lane cumsum
+    (mod 256 distributes over the prefix sum, so cumsum-then-mask is
+    exact). Average and Paeth keep a per-pixel loop — both need the
+    reconstructed LEFT pixel through a floor-divide / predictor branch, so
+    no prefix-scan closed form exists. This decoder is the test-fixture /
+    no-dependency fallback: decode_image prefers PIL whenever importable,
+    and production PNG corpora should install it (Average/Paeth rows here
+    are decode-bound otherwise)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
     prev = np.zeros(stride, dtype=np.intp)
@@ -103,10 +111,10 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
         pos += 1 + stride
         if ftype == 0:
             cur = line
-        elif ftype == 1:  # Sub
+        elif ftype == 1:  # Sub: per-lane prefix sum, vectorized
             cur = line.copy()
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+            for c in range(bpp):
+                cur[c::bpp] = np.cumsum(cur[c::bpp]) & 0xFF
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average

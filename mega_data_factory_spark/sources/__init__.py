@@ -33,8 +33,26 @@ def _register_builtin_sources() -> None:
     from mega_data_factory_spark.sources.huggingface import read_huggingface
     from mega_data_factory_spark.sources.warc import read_warc
 
+    def read_commoncrawl_source(spark, path, *, options=None):
+        # path IS the crawl id (e.g. "CC-MAIN-2024-10"), matching the
+        # reference CLI contract (commoncrawl_loader.py:17-36)
+        from mega_data_factory_spark.sources.commoncrawl import read_commoncrawl
+
+        opts = dict(options or {})
+        kwargs = {}
+        if opts.get("base_url"):
+            kwargs["base_url"] = opts["base_url"]
+        if opts.get("num_files"):
+            kwargs["num_files"] = int(opts["num_files"])
+        if opts.get("max_samples"):
+            kwargs["max_samples"] = int(opts["max_samples"])
+        if opts.get("cache_dir"):
+            kwargs["cache_dir"] = opts["cache_dir"]
+        return read_commoncrawl(spark, opts.get("crawl_id", path), **kwargs)
+
     SOURCES.register(read_warc, "warc")
     SOURCES.register(read_huggingface, "huggingface")
+    SOURCES.register(read_commoncrawl_source, "commoncrawl")
 
 
 _register_builtin_sources()

@@ -214,3 +214,35 @@ def test_refiner_reapply_replaces_columns(spark, images_df):
     assert sorted(twice.columns) == sorted(once.columns)  # no duplicate names
     # downstream reference must not be ambiguous
     assert twice.filter(F.col("image_width") == 64).count() == once.filter(F.col("image_width") == 64).count()
+
+
+def test_png_sub_up_filters_roundtrip():
+    """Encoder writes filter-type 1 (Sub) and 2 (Up) scanlines; the
+    vectorized lane-cumsum unfilter must reconstruct exactly."""
+    from mega_data_factory_spark.operators.images import decode_image as dec
+
+    arr = GRADIENT
+    h, w = arr.shape[:2]
+    bpp = arr.shape[2]
+    raw = bytearray()
+    prev = np.zeros((w, bpp), dtype=np.int64)
+    for y in range(h):
+        row = arr[y].astype(np.int64)
+        if y % 2 == 0:  # Sub
+            filt = row.copy()
+            filt[1:] = (row[1:] - row[:-1]) & 0xFF
+            raw += b"\x01" + filt.astype(np.uint8).tobytes()
+        else:  # Up
+            raw += b"\x02" + ((row - prev) & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", zlib.crc32(tag + data))
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(dec(png), arr)

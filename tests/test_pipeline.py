@@ -160,6 +160,11 @@ def test_html_report_from_metrics(spark, tmp_path):
     assert "Bottleneck" in html_text
     worst = min(result.operators, key=lambda m: m.pass_rate)
     assert f"<b>Bottleneck (lowest pass rate):</b> {worst.operator}" in html_text
+    # chart sections (reference reporter parity: funnel/sankey/heatmap)
+    for aria in ("operator funnel", "record flow", "pass-rate heatmap"):
+        assert f'aria-label="{aria}"' in html_text
+    assert html_text.count("<svg") == 3
+    assert "prefers-color-scheme: dark" in html_text  # dark mode is selected, not flipped
 
 
 def test_custom_source_and_sink_registries(spark, tmp_path):
@@ -354,4 +359,4 @@ def test_cli_report_subcommand(spark, tmp_path, capsys):
     out = str(tmp_path / "r.html")
     assert main(["report", "-m", cfg.metrics_path, "-o", out]) == 0
     assert capsys.readouterr().out.strip() == out
-    assert "Operator funnel" in open(out).read()
+    assert "Data funnel" in open(out).read()
