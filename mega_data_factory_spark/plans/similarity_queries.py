@@ -6,7 +6,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mega_data_factory_spark.functions.vectors import l2_norm
-from mega_data_factory_spark.operators.similarity import BruteForceKNN, RandomProjectionLSH
 from mega_data_factory_spark.plans.dedup_queries import DOT_SQL, _cos_sql
 from mega_data_factory_spark.session import load_tables
 
@@ -22,24 +21,55 @@ ANN_BITS, ANN_STRIDE, ANN_K = 8, 32, 5
 
 
 def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-k (the ANN correctness baseline:
-    broadcast query, narrow scan, TakeOrderedAndProject) UNIONED with the
-    sign-bucket LSH ANN top-k (candidates restricted to the query's
-    bucket — the bucket id is the scale path's shuffle key), tagged by
-    method. One driver row validates both the exact ranking and the LSH
-    bucket assignment + in-bucket ranking."""
+    """Exact brute-force cosine top-k (the ANN correctness baseline) UNIONED
+    with the sign-bucket LSH ANN top-k (candidates restricted to the query's
+    bucket — the bucket id is the scale path's shuffle key), tagged by method.
+
+    Single-scan shape: the corpus is read ONCE, scored against the broadcast
+    query with one Arrow-batched matmul, bucketed with the codegen'd
+    sign-LSH expression, then projected down to compact (vec_id, bucket,
+    cosine) rows and cached. Both rankings are TakeOrderedAndProject jobs
+    over that cached 24-byte/row projection — the embedding bytes are
+    touched exactly once (the r2 union re-scanned and re-scored the table
+    per branch). At 100 TB the cached projection is ~0.1% of the scan.
+    One driver row validates both the exact ranking and the LSH bucket
+    assignment + in-bucket ranking."""
+    from mega_data_factory_spark.functions.vectors import cosine_to_query_udf
+    from mega_data_factory_spark.operators.similarity import sign_bucket
+
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    corpus = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-    q = _query_df(emb)
-    brute = BruteForceKNN(k=KNN_K).topk(corpus, q).select(
-        F.lit("brute_force").alias("method"),
-        "vec_id",
-        F.lit(None).cast("long").alias("bucket"),
-        "cosine",
+    qv = _query_df(emb).first()["qv"]
+    # driver-side replica of sign_bucket (floats widen to double exactly)
+    qbucket = sum(
+        (1 << i) for i in range(ANN_BITS) if float(qv[i]) - float(qv[i + ANN_STRIDE]) > 0
     )
-    ann = RandomProjectionLSH(bits=ANN_BITS, stride=ANN_STRIDE, k=ANN_K).topk(corpus, q).select(
-        F.lit("lsh_bucket").alias("method"), "vec_id", "bucket", "cosine"
+    cos = cosine_to_query_udf(qv, round_to=6)
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            sign_bucket("embedding", bits=ANN_BITS, stride=ANN_STRIDE).alias("bucket"),
+            cos(F.col("embedding")).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+        .cache()
+    )
+    brute = (
+        scored.orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(KNN_K)
+        .select(
+            F.lit("brute_force").alias("method"),
+            "vec_id",
+            F.lit(None).cast("long").alias("bucket"),
+            "cosine",
+        )
+    )
+    ann = (
+        scored.filter(F.col("bucket") == F.lit(qbucket))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(ANN_K)
+        .select(F.lit("lsh_bucket").alias("method"), "vec_id", "bucket", "cosine")
     )
     return brute.unionByName(ann).orderBy("method", F.col("cosine").desc(), "vec_id")
 
