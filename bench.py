@@ -147,15 +147,24 @@ def main() -> None:
     spark.range(64).repartition(int(spark.sparkContext.defaultParallelism)).select(_noop("id")).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
+        # One broken query must not zero the whole bench (a testdata schema
+        # change once crashed the entire run via a single events query):
+        # record the error and keep timing the rest.
+        try:
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED ({errors[name]})", file=sys.stderr)
+            continue
         timings[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
@@ -221,6 +230,7 @@ def main() -> None:
                 # matching the reference baseline methodology
                 "warmup_excluded": True,
                 "image_timing": "steady_state_min_of_2",
+                **({"errors": errors} if errors else {}),
             }
         )
     )

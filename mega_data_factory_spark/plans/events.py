@@ -1,11 +1,9 @@
 """Event-stream analytics queries (batch form) with DuckDB oracles.
 
-The events table carries nanosecond parquet timestamps, which Spark reads
-only as raw longs (``spark.sql.legacy.parquet.nanosAsLong``) while DuckDB
-truncates to microseconds on read. All event-time logic therefore runs on
-**microsecond bigints** (``ts div 1000`` == DuckDB ``epoch_us(ts)`` —
-truncation semantics verified identical), keeping every comparison exact
-and engine-neutral. The streaming variants of these queries (watermarked
+All event-time logic runs on **microsecond bigints** derived by
+``session.load_events_us`` (adaptive to the parquet's physical timestamp
+encoding, == DuckDB ``epoch_us(ts)``), keeping every comparison exact and
+engine-neutral. The streaming variants of these queries (watermarked
 tumbling windows, session windows) live in streaming/.
 
 Scale notes: hourly rollup is a single partial-aggregated shuffle keyed on
@@ -21,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mega_data_factory_spark.session import load_tables
+from mega_data_factory_spark.session import load_events_us
 
 DEC = "decimal(18,6)"
 DECW = "decimal(38,6)"
@@ -30,9 +28,7 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t = load_tables(spark, sf_dir, ("events",))
-    return t["events"].withColumn("us", F.expr("ts div 1000"))
+    return load_events_us(spark, sf_dir)
 
 
 def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

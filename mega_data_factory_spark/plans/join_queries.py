@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from mega_data_factory_spark.operators.filters import UrlFilter
 from mega_data_factory_spark.operators.joins import asof_join, range_join
-from mega_data_factory_spark.session import load_tables
+from mega_data_factory_spark.session import load_events_us, load_tables
 
 
 def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15,9 +15,7 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     (point-in-time correctness — the classic feature-store/as-of lookup).
     Union-window implementation: ONE shuffle on user_id, no range explosion.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t = load_tables(spark, sf_dir, ("events",))
-    ev = t["events"].withColumn("us", F.expr("ts div 1000"))
+    ev = load_events_us(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "us", "value")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "us", F.col("event_id").alias("click_event_id"), F.col("value").alias("click_value")

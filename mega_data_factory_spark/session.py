@@ -71,6 +71,32 @@ TABLES = (
 )
 
 
+def load_events_us(spark: SparkSession, sf_dir: str):
+    """Load the events table with an epoch-microsecond ``us`` column, whatever
+    physical timestamp encoding the parquet carries.
+
+    Generations of the test data have shipped ``ts`` as either nanosecond
+    timestamps (readable in Spark only as raw longs via
+    ``spark.sql.legacy.parquet.nanosAsLong``) or native microsecond
+    timestamps (read as TIMESTAMP_NTZ / TIMESTAMP). All event-time logic in
+    the engine runs on microsecond bigints so every comparison is exact and
+    engine-neutral against the DuckDB oracle's ``epoch_us(ts)`` (which treats
+    naive timestamps as UTC — hence the forced UTC session zone here, making
+    the NTZ->LTZ cast an identity on the wall clock).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = load_tables(spark, sf_dir, ("events",))["events"]
+    dtype = dict(df.dtypes)["ts"]
+    if dtype in ("bigint", "long"):
+        us = F.expr("ts div 1000")
+    else:
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return df.withColumn("us", us)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
     """Read the test-data parquet tables and register them as temp views.
 
