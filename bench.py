@@ -119,6 +119,13 @@ def _text_pipeline_1m(spark) -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # `--sf <dir-or-factor>` overrides the env: a bare factor like `1` maps
+    # to /root/testdata/sf1 (or a locally replicated scale dir); a path is
+    # used as-is. Lets one harness produce multi-scale datapoints.
+    argv = sys.argv[1:]
+    if "--sf" in argv:
+        v = argv[argv.index("--sf") + 1]
+        sf_dir = v if os.sep in v else f"/root/testdata/sf{v}"
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("mdf-spark-bench", cpus=cpus)
     from mega_data_factory_spark.plans import all_queries
@@ -132,7 +139,9 @@ def main() -> None:
     spark.range(1).count()
     from mega_data_factory_spark.session import TABLES, load_tables
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # events ns timestamps
+    # Read-path safety only: lets the warmup scan read either events-ts
+    # encoding; query-level handling is adaptive via load_events_us.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for name, df in load_tables(spark, sf_dir, TABLES).items():
         df.count()
     # spin up the Arrow/pandas Python worker pool once (daemon + worker
@@ -156,11 +165,22 @@ def main() -> None:
         # One broken query must not zero the whole bench (a testdata schema
         # change once crashed the entire run via a single events query):
         # record the error and keep timing the rest.
+        #
+        # min-of-2 passes per query (VERDICT r4 #3): a single pass conflates
+        # plan/codegen compile + file-listing cold costs with execution and
+        # produced ±30-60% round-over-round phantom swings (q1 2.97s cold vs
+        # 0.96s steady, q3 4.65s vs 0.71s — measured via scripts/diag_q1q3.py).
+        # Each pass still re-plans and re-executes from scratch; only OS page
+        # cache / JIT state carries over, matching the reference's
+        # steady-state methodology.
         try:
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
+            dt = float("inf")
+            n = 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                dt = min(dt, time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED ({errors[name]})", file=sys.stderr)
@@ -174,9 +194,11 @@ def main() -> None:
     # 49.11 s on 8 CPUs = 20,362 rec/s (BASELINE.md / ARCHITECTURE.md:418-434).
     # Same workload shape on a generated 1M-row corpus (deterministic
     # expressions; the filters run against realistic URL + text columns).
-    t0 = time.perf_counter()
-    n_out = _text_pipeline_1m(spark)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_out = _text_pipeline_1m(spark)
+        dt = min(dt, time.perf_counter() - t0)
     timings["text_pipeline_1m"] = round(dt, 4)
     total += dt
     print(f"# text_pipeline_1m: {dt:.3f}s ({n_out} rows kept, {1_000_000/dt:,.0f} rec/s)", file=sys.stderr)
@@ -187,6 +209,10 @@ def main() -> None:
     # materialized (persisted) before timing so the measurement covers the
     # pipeline, not synthetic-BMP generation.
     n_img = 100_000
+    # drop any cached plans/shuffle references the min-of-2 query passes left
+    # behind so the Arrow-heavy image stage isn't measured under their GC
+    # pressure (measured 12.5s vs 4s steady without the clear)
+    spark.catalog.clearCache()
     img_df = _image_df(spark, n_img).persist()
     img_df.count()
     # warmup: full-shape passes until steady — the first pass pays the
@@ -224,13 +250,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
-                # the image pipeline is timed steady-state (untimed
-                # full-shape warmup passes until converged, then min of 2
-                # timed passes — worker-pool spawn + kernel JIT excluded),
-                # matching the reference baseline methodology
+                # every query is timed min-of-2 full plan+execute passes
+                # (steady-state; session warmup excluded). The image pipeline
+                # additionally warms until converged before its timed passes
+                # (worker-pool spawn + kernel JIT excluded), matching the
+                # reference baseline methodology.
                 "warmup_excluded": True,
+                "timing": "min_of_2",
                 "image_timing": "steady_state_min_of_2",
-                **({"errors": errors} if errors else {}),
+                # a run with failed queries reports a smaller total than a
+                # clean run; flag it so comparisons don't read it as a win
+                **({"errors": errors, "partial": True} if errors else {}),
             }
         )
     )

@@ -141,9 +141,11 @@ def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the hottest key's rows. Two leaderboards off the ONE aggregate:
     top-50 spenders by total value and top-10 most active by count.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t = load_tables(spark, sf_dir, ("events",))
-    ev = t["events"].withColumn("__salt", (F.xxhash64("event_id") % SALT))
+    # load_events_us handles either physical ts encoding (ns-longs or native
+    # micros); ts/us are never selected here so they're pruned from the scan.
+    from mega_data_factory_spark.session import load_events_us
+
+    ev = load_events_us(spark, sf_dir).withColumn("__salt", (F.xxhash64("event_id") % SALT))
     partial = ev.groupBy("user_id", "__salt").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("__v"),

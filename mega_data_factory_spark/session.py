@@ -86,7 +86,15 @@ def load_events_us(spark: SparkSession, sf_dir: str):
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # SESSION-WIDE SIDE EFFECT (documented, deliberate): event-time semantics
+    # in this engine are defined in UTC so results are host-independent and
+    # match the DuckDB oracle's epoch_us(); get_spark already defaults the
+    # zone to UTC, and for sessions built elsewhere this makes it so. A
+    # caller needing non-UTC display must convert in their own projection,
+    # not via the session zone. nanosAsLong is a read-path legacy flag:
+    # required to read ns-encoded parquet at all, a no-op for micros files.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = load_tables(spark, sf_dir, ("events",))["events"]
     dtype = dict(df.dtypes)["ts"]
