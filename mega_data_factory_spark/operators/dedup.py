@@ -462,9 +462,15 @@ class EmbeddingCosineDeduplicator(Deduplicator):
     for a 2k-vector corpus vs ~1 s for the matmul form.
 
     Scale envelope: broadcast is capped at ``max_broadcast_rows``
-    (n x dim x 8 bytes; 200k x 64 ≈ 100 MB). Beyond it, bucket first —
-    LSH (operators/similarity.py) or k-means cells (operators/
-    clustering.py semantic_dedup) — and run this exact form per bucket.
+    (n x dim x 8 bytes; 200k x 64 ≈ 100 MB). Beyond the cap the operator
+    AUTO-ROUTES (``auto_bucket=True``) through sign-LSH buckets
+    (operators/similarity.py:sign_bucket): one shuffle on the compact
+    bucket id, then the same exact block matmul per bucket inside
+    ``applyInPandas``. The bucketed path is approximate in the standard
+    LSH sense — a near-dup pair split across buckets is missed; recall
+    rises as ``bucket_bits`` falls (exact copies always collide: identical
+    vectors get identical bucket ids). ``auto_bucket=False`` restores the
+    old hard error for callers who need guaranteed-exact-or-fail.
     Float note: numpy's pairwise summation can differ from a sequential
     sum in the last ulp; a cosine would have to sit within ~1e-15 of the
     rounded threshold boundary to flip — accepted and documented.
@@ -477,12 +483,18 @@ class EmbeddingCosineDeduplicator(Deduplicator):
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         max_broadcast_rows: int = 200_000,
+        auto_bucket: bool = True,
+        bucket_bits: int = 8,
+        bucket_stride: int = 32,
         name: str | None = None,
     ):
         super().__init__(name, order_col=id_col, id_col=id_col)
         self.threshold = threshold
         self.vec_col = vec_col
         self.max_broadcast_rows = max_broadcast_rows
+        self.auto_bucket = auto_bucket
+        self.bucket_bits = bucket_bits
+        self.bucket_stride = bucket_stride
 
     def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
         raise NotImplementedError("cosine dedup is not a single-key dedup")
@@ -493,12 +505,17 @@ class EmbeddingCosineDeduplicator(Deduplicator):
         base = df.select(F.col(self.id_col).alias("__id"), F.col(self.vec_col).alias("__v")).filter(
             F.col("__v").isNotNull() & (l2_norm("__v") > 0)
         )
-        rows = base.collect()
-        if len(rows) > self.max_broadcast_rows:
+        # Count before collecting: past the cap, no (id, vector) row ever
+        # reaches the driver — we either shuffle-bucket or fail fast.
+        n = base.count()
+        if n > self.max_broadcast_rows:
+            if self.auto_bucket:
+                return self._bucketed_dup_pairs(base)
             raise ValueError(
-                f"{len(rows)} vectors exceed max_broadcast_rows={self.max_broadcast_rows}; "
-                "bucket first (LSH / k-means) and dedup per bucket"
+                f"{n} vectors exceed max_broadcast_rows={self.max_broadcast_rows}; "
+                "bucket first (LSH / k-means) and dedup per bucket, or pass auto_bucket=True"
             )
+        rows = base.collect()
         ids = np.array([r["__id"] for r in rows], dtype=np.int64)
         mat = np.array([r["__v"] for r in rows], dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -530,6 +547,58 @@ class EmbeddingCosineDeduplicator(Deduplicator):
                 yield out
 
         return base.mapInPandas(block, schema=f"{id_col} long, __rep long")
+
+    def _bucketed_dup_pairs(self, base: DataFrame) -> DataFrame:
+        """Scale path past the broadcast cap: sign-LSH bucket assignment
+        (codegen'd JVM expression), ONE shuffle on the compact bucket id,
+        then the exact block matmul within each bucket via ``applyInPandas``.
+
+        Nothing wide moves twice: the shuffle payload is (id, vector,
+        bucket); cosines never leave the worker. The 100 TB plan shape is
+        groupBy(bucket) — skewed buckets are AQE-splittable only across
+        *tasks*, not within a group, so ``bucket_bits`` should be sized so
+        expected bucket rows ≲ max_broadcast_rows (2^bits buckets). Within
+        a bucket the matmul is blocked so peak memory is ~64 MB per task
+        regardless of bucket size.
+        """
+        from mega_data_factory_spark.operators.similarity import sign_bucket
+
+        threshold = self.threshold
+        id_col = self.id_col
+        bucketed = base.withColumn(
+            "__bucket", sign_bucket("__v", bits=self.bucket_bits, stride=self.bucket_stride)
+        )
+
+        def per_bucket(pdf):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pdf.sort_values("__id")
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            m = len(ids)
+            if m < 2:
+                return pd.DataFrame({id_col: pd.Series([], dtype="int64"), "__rep": pd.Series([], dtype="int64")})
+            mat = np.array(list(pdf["__v"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            # block rows so block_rows * m stays ~8M float64 cells (64 MB)
+            block_rows = max(64, min(4096, (8 << 20) // m))
+            out_ids, out_reps = [], []
+            for s in range(1, m, block_rows):  # row 0 has no earlier partner
+                e = min(s + block_rows, m)
+                cos = np.round(mat[s:e] @ mat.T, 6)
+                earlier = ids[None, :] < ids[s:e, None]
+                hit = (cos >= threshold) & earlier
+                any_hit = hit.any(axis=1)
+                if not any_hit.any():
+                    continue
+                first = hit.argmax(axis=1)  # smallest earlier id (ids ascending)
+                out_ids.append(ids[s:e][any_hit])
+                out_reps.append(ids[first[any_hit]])
+            if not out_ids:
+                return pd.DataFrame({id_col: pd.Series([], dtype="int64"), "__rep": pd.Series([], dtype="int64")})
+            return pd.DataFrame({id_col: np.concatenate(out_ids), "__rep": np.concatenate(out_reps)})
+
+        return bucketed.groupBy("__bucket").applyInPandas(per_bucket, schema=f"{id_col} long, __rep long")
 
     def apply(self, df: DataFrame) -> DataFrame:
         return anti_join_once(df, self._dup_pairs(df), self.id_col)

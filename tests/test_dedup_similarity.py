@@ -144,3 +144,64 @@ def test_ngram_df_cap_drops_universal_shingle(spark):
     # candidates only for the one real pair, not the 61*60/2 boilerplate pairs
     pairs = capped._dup_pairs(df).collect()
     assert len(pairs) == 1 and pairs[0]["__rep"] == 0
+
+
+def _cosine_corpus(spark, n_base=40, copies=8, dim=64, seed=7):
+    """n_base well-separated random unit vectors (pairwise cosine far below
+    threshold), each repeated `copies` times under increasing ids — exact
+    copies share sign-LSH buckets by construction, so the bucketed path
+    must reproduce the exact survivor set."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n_base, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    cos = base @ base.T
+    np.fill_diagonal(cos, 0)
+    assert np.abs(cos).max() < 0.7, "corpus precondition: distinct bases must be well below threshold"
+    rows = [
+        (int(c * n_base + b), [float(x) for x in base[b]])
+        for c in range(copies)
+        for b in range(n_base)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), n_base
+
+
+def test_embedding_cosine_auto_buckets_past_cap(spark):
+    """Past max_broadcast_rows the operator must route through the sign-LSH
+    bucketed applyInPandas path (not raise) and, on a corpus where near-dups
+    are exact copies, produce the identical survivor set and representative
+    mapping as the exact broadcast path."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.dedup import EmbeddingCosineDeduplicator
+
+    df, n_base = _cosine_corpus(spark)
+
+    exact = EmbeddingCosineDeduplicator(0.95, max_broadcast_rows=1_000_000)
+    bucketed = EmbeddingCosineDeduplicator(0.95, max_broadcast_rows=50, bucket_bits=4)
+
+    exact_surv = {r.vec_id for r in exact.apply(df).select("vec_id").collect()}
+    buck_surv = {r.vec_id for r in bucketed.apply(df).select("vec_id").collect()}
+    assert exact_surv == set(range(n_base)), "first copy of each base vector survives"
+    assert buck_surv == exact_surv
+
+    # representative mapping identical too: every rejected row points at the
+    # earliest copy of its own base vector
+    rej = bucketed.rejected(df).select(
+        "vec_id", F.col("_rejection_details.representative_id").cast("long").alias("rep")
+    ).collect()
+    assert {r.vec_id for r in rej} == {r for r in range(n_base, n_base * 8)}
+    for r in rej:
+        assert r.rep == r.vec_id % n_base
+
+
+def test_embedding_cosine_cap_raises_when_auto_bucket_off(spark):
+    import pytest as _pytest
+
+    from mega_data_factory_spark.operators.dedup import EmbeddingCosineDeduplicator
+
+    df, _ = _cosine_corpus(spark, n_base=10, copies=3)
+    d = EmbeddingCosineDeduplicator(0.95, max_broadcast_rows=5, auto_bucket=False)
+    with _pytest.raises(ValueError, match="max_broadcast_rows"):
+        d.apply(df).collect()
