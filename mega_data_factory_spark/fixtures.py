@@ -75,3 +75,92 @@ def image_df(spark, n: int, *, content_period: int = 2048, vary_size: bool = Fal
 
     par = int(spark.sparkContext.defaultParallelism)
     return spark.range(n).repartition(par, "id").mapInPandas(gen, "id long, image binary")
+
+
+# ------------------------------------------------------------ WARC fixtures
+
+WARC_DATE = "2024-01-01T00:00:00Z"
+RECS_PER_FILE = 3  # html responses kept per fixture file
+
+
+def warc_html(fid: int, rid: int) -> bytes:
+    """Deterministic HTML for record rid of file fid. The tag-strip
+    extractor yields exactly ``warc_text_sql``'s value (title text is part
+    of the stripped body, then whitespace collapses)."""
+    gid = fid * RECS_PER_FILE + rid
+    return (
+        f"<html><head><title>Doc {gid} title</title></head>"
+        f"<body><p>Paragraph one for document {gid} carries deterministic "
+        f"words alpha{gid} beta{gid} gamma{gid}.</p>"
+        f"<script>var x = {gid};</script></body></html>"
+    ).encode()
+
+
+def warc_text_sql(fid_expr: str, rid_expr: str) -> tuple[str, str, str]:
+    """SQL mirrors of (title, text, url) for record (fid, rid)."""
+    gid = f"({fid_expr} * {RECS_PER_FILE} + {rid_expr})"
+    title = f"('Doc ' || {gid} || ' title')"
+    text = (
+        f"('Doc ' || {gid} || ' title Paragraph one for document ' || {gid} || "
+        f"' carries deterministic words alpha' || {gid} || ' beta' || {gid} || "
+        f"' gamma' || {gid} || '.')"
+    )
+    url = f"('http://example.com/' || {fid_expr} || '/' || {rid_expr})"
+    return title, text, url
+
+
+def _warc_record(warc_type: bytes, uri: bytes, payload: bytes) -> bytes:
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + warc_type + b"\r\n"
+        b"WARC-Target-URI: " + uri + b"\r\n"
+        b"WARC-Date: " + WARC_DATE.encode() + b"\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+    )
+    return head + payload + b"\r\n\r\n"
+
+
+def warc_file_bytes(fid: int) -> bytes:
+    """One WARC file: a warcinfo record (skipped by the parser), three html
+    responses (kept), one text/plain response (skipped), one html response
+    whose extract is under MIN_TEXT_LEN (dropped). Odd fids are gzipped
+    (mtime pinned -> bytes deterministic) to exercise the decompress path.
+    """
+    import gzip as _gzip
+    import io as _io
+
+    def http(body: bytes, ctype: bytes) -> bytes:
+        return b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + body
+
+    out = [_warc_record(b"warcinfo", b"", b"software: fixture\r\n")]
+    for rid in range(RECS_PER_FILE):
+        uri = f"http://example.com/{fid}/{rid}".encode()
+        out.append(_warc_record(b"response", uri, http(warc_html(fid, rid), b"text/html")))
+    out.append(_warc_record(b"response", f"http://example.com/{fid}/plain".encode(), http(b"plain text payload, long enough to pass any length gate but wrong content type", b"text/plain")))
+    out.append(_warc_record(b"response", f"http://example.com/{fid}/short".encode(), http(b"<html><body><p>tiny</p></body></html>", b"text/html")))
+    raw = b"".join(out)
+    if fid % 2 == 1:
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(raw)
+        return buf.getvalue()
+    return raw
+
+
+def warc_files_df(spark, n_files: int):
+    """n_files synthetic WARC files ``(path string, content binary)`` —
+    the same shape a ``binaryFile`` scan produces, generated distributed
+    as a pure function of id (the image_df pattern)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": [f"mem://warc/{int(i)}.warc" + (".gz" if int(i) % 2 else "") for i in pdf["id"]],
+                    "content": [warc_file_bytes(int(i)) for i in pdf["id"]],
+                }
+            )
+
+    par = int(spark.sparkContext.defaultParallelism)
+    return spark.range(n_files).repartition(par, "id").mapInPandas(gen, "path string, content binary")

@@ -421,8 +421,49 @@ ORDER BY source
 """
 
 
+N_WARC_FILES = 12
+
+
+def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC parse -> HTML text extract -> length filter over deterministic
+    in-plan WARC fixture bytes (the image_queries pattern: the test tables
+    carry no WARC files, so the source synthesizes them as a pure function
+    of id — including gzipped files, skipped non-response/non-HTML records,
+    and under-length extracts the parser must drop). Exercises the full
+    sources/warc.py record parser + tag-strip extractor; the oracle mirrors
+    every kept record's title/text/url/length with string arithmetic.
+    Reference contract: loaders/commoncrawl_loader.py:66-145."""
+    from mega_data_factory_spark.fixtures import warc_files_df
+    from mega_data_factory_spark.sources.warc import parse_warc_files
+
+    files = warc_files_df(spark, N_WARC_FILES)
+    recs = parse_warc_files(files, crawl_id="fixture-crawl")
+    lenf = TextLengthFilter(60, 500, length_col="text_length")
+    return recs.filter(lenf.keep(recs)).orderBy("url")
+
+
+def _warc_extract_oracle() -> str:
+    from mega_data_factory_spark.fixtures import RECS_PER_FILE, WARC_DATE, warc_text_sql
+
+    title, text, url = warc_text_sql("fid", "rid")
+    return f"""
+SELECT 'fixture-crawl' AS crawl_id,
+  'mem://warc/' || fid || CASE WHEN fid % 2 = 1 THEN '.warc.gz' ELSE '.warc' END AS warc_path,
+  {url} AS url,
+  '{WARC_DATE}' AS warc_date,
+  {title} AS title,
+  {text} AS text,
+  CAST(length({text}) AS INTEGER) AS text_length
+FROM (SELECT f.range AS fid, r.range AS rid
+      FROM range(0, {N_WARC_FILES}) f, range(0, {RECS_PER_FILE}) r)
+WHERE length({text}) BETWEEN 60 AND 500
+ORDER BY url
+"""
+
+
 QUERIES = {
     "text_length_filter": text_length_filter,
+    "warc_extract": warc_extract,
     "curation_funnel_by_source": curation_funnel_by_source,
     "text_exact_dedup": text_exact_dedup,
     "orders_first_per_customer": orders_first_per_customer,
@@ -436,6 +477,7 @@ QUERIES = {
 
 ORACLE = {
     "text_length_filter": TEXT_LENGTH_ORACLE,
+    "warc_extract": _warc_extract_oracle(),
     "curation_funnel_by_source": FUNNEL_ORACLE,
     "text_exact_dedup": TEXT_DEDUP_ORACLE,
     "orders_first_per_customer": ORDERS_DEDUP_ORACLE,

@@ -245,13 +245,24 @@ ORDER BY c.doc_id
 """
 
 JACCARD_THRESHOLD = 0.6
+# The driver row runs the SCALE configuration: shingles whose document
+# frequency exceeds this cap are cut before the inverted-index self-join
+# (the 100 TB boilerplate defense, NgramJaccardDeduplicator.max_doc_freq) —
+# and the DuckDB oracle mirrors the cut exactly, so the documented scale
+# path is hash-verified, not trusted. At sf0.01 the cap drops the ~213
+# shingles with DF 6-10 (max observed DF 10); |A|/|B| stay full-set sizes
+# and the intersection over surviving shingles is the same lower bound on
+# both engines. Exact (uncapped) mode stays covered by
+# tests/test_dedup_similarity.py.
+NGRAM_MAX_DF = 5
 
 
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified n-gram-Jaccard near-dedup (inverted-index set-similarity
-    join, threshold 0.6): every doc tagged kept/rejected with its
-    representative — both pipeline sides in one plan/one driver row."""
-    d = NgramJaccardDeduplicator(JACCARD_THRESHOLD, id_col="doc_id")
+    join, threshold 0.6, DF-capped shingles — the scale configuration):
+    every doc tagged kept/rejected with its representative — both pipeline
+    sides in one plan/one driver row."""
+    d = NgramJaccardDeduplicator(JACCARD_THRESHOLD, id_col="doc_id", max_doc_freq=NGRAM_MAX_DF)
     corpus = _doc_corpus(spark, sf_dir)
     return _tag_sides(corpus, d._dup_pairs(corpus), "doc_id").orderBy("doc_id")
 
@@ -259,7 +270,13 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_ctes() -> str:
     return f"""
 sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
-inv AS (SELECT doc_id, n, unnest(s) AS shingle FROM sized),
+inv0 AS (SELECT doc_id, n, unnest(s) AS shingle FROM sized),
+shingle_df AS (SELECT shingle, count(*) AS dfreq FROM inv0 GROUP BY 1),
+inv AS (
+  SELECT i.doc_id, i.n, i.shingle FROM inv0 i
+  JOIN shingle_df d ON i.shingle = d.shingle
+  WHERE d.dfreq <= {NGRAM_MAX_DF}
+),
 pairs AS (
   SELECT a.doc_id AS ida, b.doc_id AS idb, a.n AS na, b.n AS nb, count(*) AS inter
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -339,12 +339,17 @@ ORDER BY c_custkey
 """
 
 
+# rollup_order_status is NOT registered as a driver row: its groupings are a
+# strict subset of cube_status_priority's (cube ⊇ rollup) and grouping_sets_
+# orders covers the general mechanism — three driver rows for one aggregate
+# family was the registry's near-duplication, consolidated to free the slot
+# for warc_extract (the 50-row driver window). The rollup API + its oracle
+# stay verified in tests/test_relational.py::test_rollup_matches_oracle.
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_segment_revenue": q3_segment_revenue,
     "q5_region_nation_revenue": q5_region_nation_revenue,
     "topk_orders": topk_orders,
-    "rollup_order_status": rollup_order_status,
     "cube_status_priority": cube_status_priority,
     "orders_above_customer_avg": orders_above_customer_avg,
     "q14_promo_revenue": q14_promo_revenue,
@@ -356,7 +361,6 @@ ORACLE = {
     "q3_segment_revenue": Q3_ORACLE,
     "q5_region_nation_revenue": Q5_ORACLE,
     "topk_orders": TOPK_ORACLE,
-    "rollup_order_status": ROLLUP_ORACLE,
     "cube_status_priority": CUBE_ORACLE,
     "orders_above_customer_avg": ABOVE_AVG_ORACLE,
     "q14_promo_revenue": Q14_ORACLE,

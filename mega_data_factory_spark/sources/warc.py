@@ -106,12 +106,12 @@ def parse_warc_bytes(data: bytes, warc_path: str, crawl_id: str) -> Iterator[dic
         }
 
 
-def read_warc(spark: SparkSession, path: str, *, options: dict[str, str] | None = None) -> DataFrame:
-    """WARC files -> DataFrame with the reference's text-record schema."""
+def parse_warc_files(files: DataFrame, *, crawl_id: str = "") -> DataFrame:
+    """(path, content) rows -> parsed text records. ``files`` is whatever
+    produced the bytes — a ``binaryFile`` scan, a remote-fetch stage, or an
+    in-plan fixture — so the parse stage is testable and oracle-checkable
+    independent of the I/O stage."""
     import pandas as pd
-
-    crawl_id = (options or {}).get("crawl_id", "")
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,3 +124,10 @@ def read_warc(spark: SparkSession, path: str, *, options: dict[str, str] | None 
             )
 
     return files.mapInPandas(_parse, WARC_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str, *, options: dict[str, str] | None = None) -> DataFrame:
+    """WARC files -> DataFrame with the reference's text-record schema."""
+    crawl_id = (options or {}).get("crawl_id", "")
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return parse_warc_files(files, crawl_id=crawl_id)

@@ -34,17 +34,22 @@ def assert_query_matches_oracle(spark, name: str, sf_dir: str = SF_DIR_ORACLE, r
     """Run queries()[name] on Spark and oracle_sql()[name] on DuckDB and
     compare row-count, sorted-column names, and values (exact, or to rel_tol
     for floats). Mimics the driver's CORRECTNESS gate."""
+    from mega_data_factory_spark.plans import all_oracles, all_queries
+
+    assert_df_matches_sql(all_queries()[name](spark, sf_dir), all_oracles()[name], sf_dir, rel_tol=rel_tol, name=name)
+
+
+def assert_df_matches_sql(sdf, oracle_sql: str, sf_dir: str = SF_DIR_ORACLE, *, rel_tol: float = 0.0, name: str = "query"):
+    """Driver-style compare for a DataFrame + oracle SQL pair that need not
+    be in the registry (unregistered/consolidated queries keep this bar)."""
     import math
     from decimal import Decimal
 
-    from mega_data_factory_spark.plans import all_oracles, all_queries
-
-    sdf = all_queries()[name](spark, sf_dir)
     spark_cols = sorted(sdf.columns)
     spark_rows = [tuple(r[c] for c in spark_cols) for r in sdf.collect()]
 
     con = duck_con(sf_dir)
-    res = con.execute(all_oracles()[name])
+    res = con.execute(oracle_sql)
     duck_cols_raw = [d[0] for d in res.description]
     order = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
     duck_cols = [duck_cols_raw[i] for i in order]

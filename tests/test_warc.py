@@ -117,3 +117,13 @@ def test_warc_python_datasource(spark, tmp_path):
     rows = df.orderBy("url").collect()
     assert [r.url for r in rows] == [f"http://site{i}.com/a" for i in range(3)]
     assert all(r.crawl_id == "CC-DS" and r.title == "Test Page" and r.text_length >= 50 for r in rows)
+
+
+def test_warc_extract_matches_oracle(spark):
+    """The registered warc_extract driver query: deterministic fixture WARC
+    bytes (gzipped + plain, with skipped warcinfo/non-HTML/short records)
+    through the full parser + extractor, hash-compared against the string-
+    arithmetic oracle."""
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, "warc_extract")
