@@ -24,6 +24,7 @@ def main(argv: list[str] | None = None) -> int:
     repp.add_argument("-m", "--metrics", required=True, help="metrics parquet base path")
     repp.add_argument("-o", "--out", required=True, help="output HTML file")
     repp.add_argument("--run-id", default=None)
+    repp.add_argument("--rejected", default=None, help="rejected-sink path for debug sample tables")
     repp.add_argument("--cpus", type=int, default=4)
     args = p.parse_args(argv)
 
@@ -44,7 +45,13 @@ def main(argv: list[str] | None = None) -> int:
         from mega_data_factory_spark.metrics.report import write_report
         from mega_data_factory_spark.session import get_spark
 
-        path = write_report(get_spark("mdf-spark-cli", cpus=args.cpus), args.metrics, args.out, args.run_id)
+        path = write_report(
+            get_spark("mdf-spark-cli", cpus=args.cpus),
+            args.metrics,
+            args.out,
+            args.run_id,
+            rejected_path=args.rejected,
+        )
         print(path)
         return 0
 

@@ -190,9 +190,62 @@ def _heatmap_svg(ops) -> str:
     )
 
 
-def generate_report(spark: SparkSession, metrics_path: str, run_id: str | None = None) -> str:
+_SAMPLE_N = 5
+_SAMPLE_CELL_CHARS = 80
+
+
+def _sample_tables(spark: SparkSession, rejected_path: str, operators: list[str]) -> str:
+    """Debug sample rows per rejecting operator (the reference reporter's
+    rejected-sample tables, framework/metrics/reporter.py:126-1313).
+
+    The rejected sink is hive-partitioned by ``operator``, so each
+    operator's samples are one partition-pruned scan + LIMIT — a per-
+    partition take, never a sort or full scan of the rejected data. Cells
+    are truncated driver-side; only N rows per operator ever reach the
+    driver."""
+    sections = []
+    for op in operators:
+        try:
+            rows = (
+                spark.read.parquet(rejected_path)
+                .filter(F.col("operator") == op)
+                .limit(_SAMPLE_N)
+                .collect()
+            )
+        except Exception:  # no rejected sink written / empty partition dir
+            continue
+        if not rows:
+            continue
+        cols = [c for c in rows[0].asDict() if c != "_rejection_details"]
+        detail_cols = ["reason", "dedup_key", "representative_id"]
+
+        def cell(v):
+            s = "" if v is None else str(v)
+            return _esc(s[:_SAMPLE_CELL_CHARS] + ("…" if len(s) > _SAMPLE_CELL_CHARS else ""))
+
+        head = "".join(f"<th>{_esc(c)}</th>" for c in detail_cols + cols)
+        body = []
+        for r in rows:
+            d = r["_rejection_details"]
+            det = [d[c] if d else None for c in detail_cols]
+            body.append(
+                "<tr>" + "".join(f"<td>{cell(v)}</td>" for v in det + [r[c] for c in cols]) + "</tr>"
+            )
+        sections.append(
+            f"<h3>{_esc(op)}</h3><table><tr>{head}</tr>" + "\n".join(body) + "</table>"
+        )
+    if not sections:
+        return ""
+    return "<h2>Rejected samples</h2>" + "".join(sections)
+
+
+def generate_report(
+    spark: SparkSession, metrics_path: str, run_id: str | None = None, *, rejected_path: str | None = None
+) -> str:
     """Render the HTML report for ``run_id`` (default: latest run) from the
-    metrics parquet at ``metrics_path``. Returns the HTML string."""
+    metrics parquet at ``metrics_path``. Returns the HTML string. With
+    ``rejected_path`` (the pipeline's rejected sink), embeds up to
+    ``_SAMPLE_N`` sample rows per rejecting operator."""
     runs = spark.read.parquet(os.path.join(metrics_path, "runs"))
     if run_id is None:
         run_id = runs.orderBy(F.col("timestamp").desc()).first()["run_id"]
@@ -234,6 +287,9 @@ def generate_report(spark: SparkSession, metrics_path: str, run_id: str | None =
         if bottleneck
         else ""
     )
+    samples = (
+        _sample_tables(spark, rejected_path, [m["operator_name"] for m in ops]) if rejected_path else ""
+    )
     return f"""<!doctype html><html><head><meta charset="utf-8">
 <title>Run {_esc(run_id)}</title><style>{_CSS}</style></head><body>
 <h1>Pipeline run {_esc(run['pipeline'])} / {_esc(run_id)}</h1>
@@ -253,14 +309,22 @@ def generate_report(spark: SparkSession, metrics_path: str, run_id: str | None =
 <table><tr><th>stage</th><th></th><th>in</th><th>out</th><th>pass</th></tr>
 {stage_rows}
 </table>
+{samples}
 <p class="legend">Per-record latency percentiles and stage-duration timeline are
 N/A under Spark's vectorized execution (see metrics/__init__.py); counts and
 pass rates carry the funnel/bottleneck diagnostics.</p>
 </body></html>"""
 
 
-def write_report(spark: SparkSession, metrics_path: str, out_path: str, run_id: str | None = None) -> str:
-    html_text = generate_report(spark, metrics_path, run_id)
+def write_report(
+    spark: SparkSession,
+    metrics_path: str,
+    out_path: str,
+    run_id: str | None = None,
+    *,
+    rejected_path: str | None = None,
+) -> str:
+    html_text = generate_report(spark, metrics_path, run_id, rejected_path=rejected_path)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         f.write(html_text)

@@ -146,13 +146,18 @@ def test_html_report_from_metrics(spark, tmp_path):
     """Reference reporter parity (metrics/reporter.py funnel + bottleneck):
     HTML generated from the metrics parquet names every operator with its
     pass rate and flags the lowest-pass-rate operator as the bottleneck."""
+    from mega_data_factory_spark.config import SinkConfig
+
     cfg = PipelineConfig.from_yaml(YAML)
     cfg.metrics_path = str(tmp_path / "metrics")
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rejected"), mode="overwrite")
     result = Pipeline(cfg).run(spark)
 
     from mega_data_factory_spark.metrics.report import write_report
 
-    out = write_report(spark, cfg.metrics_path, str(tmp_path / "report.html"))
+    out = write_report(
+        spark, cfg.metrics_path, str(tmp_path / "report.html"), rejected_path=cfg.rejected_sink.path
+    )
     html_text = open(out).read()
     assert result.run_id in html_text
     for m in result.operators:
@@ -165,6 +170,14 @@ def test_html_report_from_metrics(spark, tmp_path):
         assert f'aria-label="{aria}"' in html_text
     assert html_text.count("<svg") == 3
     assert "prefers-color-scheme: dark" in html_text  # dark mode is selected, not flipped
+    # rejected sample tables (reference reporter debug samples): one <h3>
+    # per rejecting operator, rows carrying the rejection reason
+    assert "Rejected samples" in html_text
+    assert "<h3>TextLengthFilter</h3>" in html_text
+    assert "filtered" in html_text
+    # without a rejected_path the section is absent (backwards compatible)
+    plain = write_report(spark, cfg.metrics_path, str(tmp_path / "plain.html"))
+    assert "Rejected samples" not in open(plain).read()
 
 
 def test_custom_source_and_sink_registries(spark, tmp_path):
@@ -360,3 +373,28 @@ def test_cli_report_subcommand(spark, tmp_path, capsys):
     assert main(["report", "-m", cfg.metrics_path, "-o", out]) == 0
     assert capsys.readouterr().out.strip() == out
     assert "Data funnel" in open(out).read()
+
+
+def test_shipped_yaml_config_scale_defaults(spark, tmp_path):
+    """The shipped example config must carry the scale-safe n-gram DF cap
+    (VERDICT r4 #7) and build a pipeline that honors it end-to-end."""
+    from mega_data_factory_spark.config import SinkConfig
+    from mega_data_factory_spark.operators.dedup import NgramJaccardDeduplicator
+
+    with open("configs/example_text_curation.yaml") as f:
+        cfg = PipelineConfig.from_yaml(f.read())
+    pipe = Pipeline(cfg)
+    ngrams = [op for _s, op in pipe._ops if isinstance(op, NgramJaccardDeduplicator)]
+    assert ngrams, "example config must include the n-gram deduplicator"
+    assert ngrams[0].max_doc_freq == 1000, "scale-safe DF cap must ship enabled"
+
+    # and the configured pipeline actually runs with the cap in place
+    cfg.source.path = DOCS
+    cfg.max_samples = 500
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"), mode="overwrite")
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rej"), mode="overwrite")
+    cfg.metrics_path = str(tmp_path / "metrics")
+    result = Pipeline(cfg).run(spark)
+    rejected_total = sum(m.input_records - m.output_records for m in result.operators)
+    assert result.output_records + rejected_total == result.input_records
+    assert any(m.operator == "NgramJaccardDeduplicator" for m in result.operators)
