@@ -34,11 +34,15 @@ class OperatorConfig:
 class StageConfig:
     name: str
     operators: list[OperatorConfig] = field(default_factory=list)
+    # per-stage task resources (reference framework/config.py:41-44:
+    # fractional gpu/cpu per worker) -> Spark stage-level scheduling; see
+    # mega_data_factory_spark/resources.py
+    resources: dict[str, float] | None = None
 
     @classmethod
     def from_dict(cls, d: dict[str, Any], idx: int) -> StageConfig:
         ops = [OperatorConfig.from_dict(o) for o in d.get("operators", [])]
-        return cls(name=d.get("name", f"stage_{idx}"), operators=ops)
+        return cls(name=d.get("name", f"stage_{idx}"), operators=ops, resources=d.get("resources"))
 
 
 @dataclass

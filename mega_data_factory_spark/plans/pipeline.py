@@ -81,8 +81,15 @@ class PipelineResult:
 
 class Pipeline:
     def __init__(self, config: PipelineConfig):
+        from mega_data_factory_spark.resources import build_task_profile
+
         self.config = config
         self._ops: list[tuple[str, Operator]] = []  # (stage, instance) in order
+        # per-stage ResourceProfiles (GPU stage placement, resources.py);
+        # built eagerly so a bad resources block fails at construction
+        self.stage_profiles = {
+            s.name: p for s in config.stages if (p := build_task_profile(s.resources)) is not None
+        }
         for stage in config.stages:
             for oc in stage.operators:
                 if not oc.enabled:
@@ -102,7 +109,16 @@ class Pipeline:
                 _R,
                 F.lit(None).cast("struct<reason:string,operator:string,dedup_key:string,representative_id:string>"),
             )
-        for _stage, op in self._ops:
+        tagged: set[str] = set()
+        for stage_name, op in self._ops:
+            # first operator of a resource-carrying stage: tag the Spark
+            # stage boundary so the fused model UDFs that follow schedule on
+            # the requested CPU/GPU amounts (no-op on local masters)
+            if stage_name in self.stage_profiles and stage_name not in tagged:
+                from mega_data_factory_spark.resources import tag_stage_resources
+
+                df = tag_stage_resources(df, self.stage_profiles[stage_name])
+                tagged.add(stage_name)
             df = self._apply(df, op)
         return df
 

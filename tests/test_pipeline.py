@@ -263,6 +263,7 @@ pipeline:
         - name: ImagePhashDeduplicator
           params: {{id_col: id}}
     - name: models
+      resources: {{cpus: 1, gpus: 0.25}}
       operators:
         - name: ImageClipEmbeddingRefiner
           params: {{dim: 64}}
@@ -274,7 +275,13 @@ pipeline:
   rejected_sink: {{format: parquet, path: {tmp_path}/rejected, mode: overwrite}}
 """
     )
-    result = Pipeline(cfg).run(spark)
+    pipe = Pipeline(cfg)
+    # GPU stage placement: the models stage builds a ResourceProfile with
+    # the reference's fractional-GPU shape; local master -> applying it is
+    # a documented no-op, the run below must succeed unchanged
+    prof = pipe.stage_profiles["models"]
+    assert {k: v.amount for k, v in prof.taskResources.items()} == {"cpus": 1.0, "gpu": 0.25}
+    result = pipe.run(spark)
     assert result.input_records == 10
     passed = spark.read.parquet(f"{tmp_path}/passed")
     cols = set(passed.columns)
@@ -398,3 +405,26 @@ def test_shipped_yaml_config_scale_defaults(spark, tmp_path):
     rejected_total = sum(m.input_records - m.output_records for m in result.operators)
     assert result.output_records + rejected_total == result.input_records
     assert any(m.operator == "NgramJaccardDeduplicator" for m in result.operators)
+
+
+def test_stage_resource_profile_surface(spark):
+    """resources.py contract: profile construction mirrors the reference's
+    stage-resource shape; local masters report no stage-level scheduling
+    and tagging is an identity no-op there."""
+    from mega_data_factory_spark.resources import (
+        build_task_profile,
+        supports_stage_level_scheduling,
+        tag_stage_resources,
+    )
+
+    assert build_task_profile(None) is None
+    assert build_task_profile({}) is None
+    prof = build_task_profile({"gpus": 0.5})
+    assert {k: v.amount for k, v in prof.taskResources.items()} == {"gpu": 0.5}
+    # reference key aliases (framework/config.py uses cpu/gpu singulars)
+    prof2 = build_task_profile({"cpu": 2, "gpu": 0.25})
+    assert {k: v.amount for k, v in prof2.taskResources.items()} == {"cpus": 2.0, "gpu": 0.25}
+
+    assert not supports_stage_level_scheduling(spark)  # local[...] master
+    df = spark.range(5)
+    assert tag_stage_resources(df, prof) is df  # no-op: same plan object
