@@ -61,7 +61,14 @@ def _vec_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.transform("embedding", lambda x: (x.cast("double") * F.lit(2.0)).cast("float")).alias("embedding"),
     )
-    return base.unionByName(scaled)
+    # Same rationale as _doc_corpus: the embeddings file is 1-4 input
+    # splits, which serializes the CPU-heavy interpreted vector expressions
+    # (l2_normalize folds, ml-vector conversion) downstream consumers run —
+    # measured 16.5s -> 5.9s on the k-means dedup at the 10x scale dir.
+    # Hash partitioning keeps the exchange reusable across self-references.
+    return base.unionByName(scaled).repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
 
 
 # -------------------------------------------------------------- SQL mirrors
