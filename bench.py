@@ -35,6 +35,8 @@ HEADLINE = [
     "minhash_lsh_dedup",
     "ngram_jaccard_dedup",
     "topk_cosine",
+    "ivf_ann_topk",
+    "semantic_dedup_kmeans",
     # events
     "events_hourly_agg",
     "events_sessionize",
@@ -194,6 +196,9 @@ def main() -> None:
     # 49.11 s on 8 CPUs = 20,362 rec/s (BASELINE.md / ARCHITECTURE.md:418-434).
     # Same workload shape on a generated 1M-row corpus (deterministic
     # expressions; the filters run against realistic URL + text columns).
+    # drop cached plans the query loop left behind (the k-means fits cache
+    # feature frames) before the memory-sensitive synthetic pipelines
+    spark.catalog.clearCache()
     dt = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
