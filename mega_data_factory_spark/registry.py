@@ -83,7 +83,9 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.refiners import (
         FingerprintRefiner,
         LanguageIdRefiner,
+        PiiRedactRefiner,
         QualityScoreRefiner,
+        RepetitionStatsRefiner,
         TextStatsRefiner,
     )
 
@@ -96,6 +98,8 @@ def _register_builtins() -> None:
         TextStatsRefiner,
         LanguageIdRefiner,
         QualityScoreRefiner,
+        RepetitionStatsRefiner,
+        PiiRedactRefiner,
         FingerprintRefiner,
         TextExactDeduplicator,
         KeyDeduplicator,
