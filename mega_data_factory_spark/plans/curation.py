@@ -83,6 +83,12 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference TextExactDeduplicator: normalize -> md5 -> first-wins by
     min(doc_id). Returns survivors with their content key."""
     t = load_tables(spark, sf_dir, ("documents",))
+    # NOT repartitioned before keying: an explicit spread would push the
+    # full text column through an exchange (measured 2x at sf0.1) to fix
+    # what is purely a test-file artifact — the single-row-group parquet
+    # caps scan parallelism at 2 tasks locally, whereas any real corpus
+    # scan has thousands of splits. WindowGroupLimit keeps the real
+    # shuffle at one compact row per key.
     d = TextExactDeduplicator(id_col="doc_id")
     out = d.apply(t["documents"].withColumn("content_key", d.key(t["documents"])))
     return out.select("doc_id", "content_key").orderBy("doc_id")
