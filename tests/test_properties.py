@@ -104,3 +104,56 @@ def test_jaccard_partitioning_and_idempotence(spark, texts):
     assert all(int(r.rep) < r.doc_id for r in rej)  # earlier id wins
     kept2 = {r.doc_id for r in d.apply(d.apply(df)).collect()}
     assert kept2 == kept  # idempotent
+
+
+_PII_FRAG = st.sampled_from(
+    [
+        "plain words here",
+        "mail bob@site.org now",
+        "call 555-123-4567",
+        "host 10.0.0.1 up",
+        "almost 1.2.3 mail@ nope",
+    ]
+)
+_PII_TEXT = st.lists(_PII_FRAG, min_size=0, max_size=5).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_PII_TEXT, min_size=1, max_size=10))
+def test_pii_redaction_idempotent_and_clean(spark, texts):
+    """Redacting already-redacted text is a no-op (placeholders contain no
+    PII-shaped substrings) and redacted output never matches any PII
+    pattern; counts are 0 on redacted text."""
+    from mega_data_factory_spark.operators.refiners import PiiRedactRefiner
+
+    df = _df(spark, texts)
+    r = PiiRedactRefiner()
+    once = r.apply(df)
+    again = r.apply(once.select("doc_id", F.col("text_redacted").alias("text")))
+    rows = {x.doc_id: x for x in again.collect()}
+    for o in once.collect():
+        a = rows[o.doc_id]
+        assert a.text == o.text_redacted  # input to the 2nd pass
+        assert a.text_redacted == o.text_redacted  # idempotent
+        assert a.pii_email_count == 0 and a.pii_phone_count == 0 and a.pii_ip_count == 0
+
+
+@settings(**_SETTINGS)
+@given(texts=_CORPUS)
+def test_repetition_ratios_bounded_and_consistent(spark, texts):
+    """Both ratios live in [0,1]; a single-word-vocabulary text maximizes
+    both; ratios are pure functions of the text (same text -> same ratios)."""
+    from mega_data_factory_spark.operators.refiners import RepetitionStatsRefiner
+
+    df = _df(spark, texts)
+    out = RepetitionStatsRefiner().apply(df).collect()
+    by_text: dict[str, tuple] = {}
+    for r in out:
+        assert 0.0 <= r.dup_word_ratio <= 1.0
+        assert 0.0 <= r.top_bigram_ratio <= 1.0
+        key = (r.dup_word_ratio, r.top_bigram_ratio)
+        t = texts[r.doc_id]
+        assert by_text.setdefault(t, key) == key  # deterministic per text
+        words = [w for w in t.split() if w]
+        if len(set(words)) == 1 and len(words) >= 3:
+            assert r.top_bigram_ratio == 1.0
