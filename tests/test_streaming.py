@@ -228,3 +228,51 @@ def test_stream_dedup_with_representatives(spark, tmp_path):
     assert rows[3] == (3, False)
     assert rows[9] == (2, True)    # cross-batch duplicate of stored rep
     assert rows[1] == (1, False)
+
+
+def test_streaming_text_refiners_compose(spark, tmp_path):
+    """The text curation refiners (PII redaction + repetition stats) are
+    pure Column operators, so they flow through the foreachBatch streaming
+    runner unchanged — same registry, same YAML contract as batch."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.streaming import StreamingPipeline
+
+    src = tmp_path / "docs_in"
+    write_events(
+        src,
+        [
+            {"doc_id": 1, "text": "mail bob@site.org and call 555-123-4567 please"},
+            {"doc_id": 2, "text": "spam spam spam spam spam"},
+            {"doc_id": 3, "text": "a perfectly ordinary document with unique words"},
+        ],
+        "a",
+    )
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "stream_text_refine",
+                "id_col": "doc_id",
+                "source": {"table": "unused"},
+                "stages": [
+                    {
+                        "name": "refine",
+                        "operators": [
+                            {"name": "PiiRedactRefiner"},
+                            {"name": "RepetitionStatsRefiner"},
+                        ],
+                    }
+                ],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "docs_out"))
+
+    sp = StreamingPipeline(cfg, checkpoint_dir=str(tmp_path / "docs_ckpt"))
+    q = sp.start(spark.readStream.schema("doc_id long, text string").json(str(src)))
+    q.awaitTermination(120)
+
+    out = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "docs_out")).collect()}
+    assert out[1].pii_email_count == 1 and out[1].pii_phone_count == 1
+    assert "<EMAIL>" in out[1].text_redacted and "<PHONE>" in out[1].text_redacted
+    assert out[2].top_bigram_ratio == 1.0 and out[2].dup_word_ratio == 0.8
+    assert out[3].pii_email_count == 0 and out[3].dup_word_ratio == 0.0
