@@ -23,6 +23,9 @@ from mega_data_factory_spark.session import load_events_us
 
 DEC = "decimal(18,6)"
 DECW = "decimal(38,6)"
+# sum emission = round(decimal_sum, 2) -> double: see plans/relational.py
+# _dec_sum for why the decimal-space HALF_UP round is required for
+# engine-identical doubles at corpus-scale magnitudes.
 HOUR_US = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
@@ -40,7 +43,7 @@ def events_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_start_us", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast(DECW).cast("double").alias("sum_value"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast(DECW), 2).cast("double").alias("sum_value"),
         )
         .orderBy("hour_start_us", "event_type")
     )
@@ -50,7 +53,7 @@ HOURLY_ORACLE = f"""
 SELECT (epoch_us(ts) - (epoch_us(ts) % {HOUR_US})) AS hour_start_us,
        event_type,
        COUNT(*) AS n_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -78,7 +81,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("us").alias("session_start_us"),
             F.max("us").alias("session_end_us"),
-            F.sum(F.col("value").cast(DEC)).cast(DECW).cast("double").alias("sum_value"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast(DECW), 2).cast("double").alias("sum_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -101,7 +104,7 @@ numbered AS (
 )
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        MIN(us) AS session_start_us, MAX(us) AS session_end_us,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
@@ -113,18 +116,20 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     average, and exact interpolated percentiles — the metrics aggregate
     shape (reference per-operator stats, operator.py:119-184) plus the
     distribution columns, all in ONE groupBy (one shuffle). Spark
-    ``percentile`` == DuckDB ``quantile_cont`` bit-for-bit (verified);
+    ``percentile`` and DuckDB ``quantile_cont`` use the same interpolated
+    definition but different FP expression forms, which drift by 1 ulp at
+    some row counts (seen at the 10x scale dir) — both sides round to 6dp.
     ``percentile_approx``/t-digest is the approximate scale path."""
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast(DECW).cast("double").alias("sum_value"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast(DECW), 2).cast("double").alias("sum_value"),
             F.count_distinct(F.col("user_id")).alias("n_users"),
-            F.percentile("value", 0.5).alias("p50"),
-            F.percentile("value", 0.95).alias("p95"),
-            F.percentile("value", 0.99).alias("p99"),
+            F.round(F.percentile("value", 0.5), 6).alias("p50"),
+            F.round(F.percentile("value", 0.95), 6).alias("p95"),
+            F.round(F.percentile("value", 0.99), 6).alias("p99"),
         )
         .withColumn("avg_value", F.round(F.col("sum_value") / F.col("n_events"), 6))
         .orderBy("event_type")
@@ -134,12 +139,12 @@ def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TYPE_STATS_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value,
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.95) AS p95,
-       quantile_cont(value, 0.99) AS p99,
-       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_value
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       ROUND(CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) / COUNT(*), 6) AS avg_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type

@@ -26,14 +26,29 @@ DEC = "decimal(18,6)"
 DECW = "decimal(38,6)"
 
 # Final projected money columns: summed as exact DECIMAL (order-independent
-# under AQE re-planning), then the *final* value is cast to double so both
-# engines emit the identical IEEE double — Spark's toPandas() keeps DECIMAL
-# as decimal.Decimal objects while DuckDB coerces to float64, which breaks
-# the driver's representation-sensitive value hash (VERDICT r1 §wrong-1).
+# under AQE re-planning), HALF_UP-rounded to 2 decimals IN DECIMAL SPACE,
+# then cast to double so both engines emit the identical IEEE double —
+# Spark's toPandas() keeps DECIMAL as decimal.Decimal objects while DuckDB
+# coerces to float64, which breaks the driver's representation-sensitive
+# value hash (VERDICT r1 §wrong-1).
+#
+# Why the 2dp round (round-5 10x-scale finding): a 6dp decimal above ~9e9
+# needs >53 bits, and the decimal->double conversions then disagree by 1 ulp
+# (DuckDB converts int128/10^6 with two roundings; Java BigDecimal rounds
+# correctly once). The 2dp decimal stays exactly double-representable to
+# ~9e13, so the conversion is exact in both engines at any realistic money
+# magnitude. Tie rule matches: Spark round = HALF_UP, DuckDB ROUND(decimal)
+# = half-away-from-zero — equal for positive sums. (A bare DuckDB CAST
+# rescale would be half-EVEN — not usable.) SQL mirror: _dsum_sql.
 
 
 def _dec_sum(col, alias: str):
-    return F.sum(col).cast(DECW).cast("double").alias(alias)
+    return F.round(F.sum(col).cast(DECW), 2).cast("double").alias(alias)
+
+
+def _dsum_sql(expr: str) -> str:
+    """DuckDB mirror of _dec_sum over a (decimal-castable) SQL expression."""
+    return f"CAST(ROUND(CAST(SUM({expr}) AS DECIMAL(38,6)), 2) AS DOUBLE)"
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,17 +77,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg
 
 
-Q1_ORACLE = """
+Q1_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
-  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+  {_dsum_sql("CAST(l_quantity AS DECIMAL(18,6))")} AS sum_qty,
+  {_dsum_sql("CAST(l_extendedprice AS DECIMAL(18,6))")} AS sum_base_price,
+  {_dsum_sql("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))")} AS sum_disc_price,
+  {_dsum_sql("CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))")} AS sum_charge,
   COUNT(*) AS count_order,
-  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-  ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6) AS avg_price
+  ROUND({_dsum_sql("CAST(l_quantity AS DECIMAL(18,6))")} / COUNT(*), 6) AS avg_qty,
+  ROUND({_dsum_sql("CAST(l_extendedprice AS DECIMAL(18,6))")} / COUNT(*), 6) AS avg_price
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -104,10 +119,10 @@ def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-Q3_ORACLE = """
+Q3_ORACLE = f"""
 SELECT
   l_orderkey, o_orderdate, o_orderpriority,
-  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+  {_dsum_sql("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))")} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -143,9 +158,9 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-Q5_ORACLE = """
+Q5_ORACLE = f"""
 SELECT n_name,
-  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+  {_dsum_sql("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))")} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -201,11 +216,11 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-ROLLUP_ORACLE = """
+ROLLUP_ORACLE = f"""
 SELECT o_orderstatus, o_orderpriority,
   COUNT(*) AS n_orders,
   COUNT(DISTINCT o_custkey) AS n_customers,
-  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
+  {_dsum_sql("CAST(o_totalprice AS DECIMAL(18,6))")} AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -235,10 +250,10 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CUBE_ORACLE = """
+CUBE_ORACLE = f"""
 SELECT o_orderstatus, o_orderpriority,
   COUNT(*) AS n_orders,
-  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price,
+  {_dsum_sql("CAST(o_totalprice AS DECIMAL(18,6))")} AS total_price,
   CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
   CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
 FROM orders
@@ -300,16 +315,18 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q14_ORACLE = """
+_PROMO_EXPR = (
+    "CASE WHEN p_type LIKE 'PROMO%' "
+    "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) "
+    "ELSE CAST(0 AS DECIMAL(18,6)) END"
+)
+_REV_EXPR = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+
+Q14_ORACLE = f"""
 SELECT
-  CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue,
-  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue,
-  ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE)
-      / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE), 6) AS promo_pct
+  {_dsum_sql(_PROMO_EXPR)} AS promo_revenue,
+  {_dsum_sql(_REV_EXPR)} AS total_revenue,
+  ROUND(100.0 * {_dsum_sql(_PROMO_EXPR)} / {_dsum_sql(_REV_EXPR)}, 6) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
 """

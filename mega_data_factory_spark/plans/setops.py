@@ -152,7 +152,9 @@ def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = partial.groupBy("user_id").agg(
         F.sum("__n").alias("n_events"),
-        F.sum("__v").cast("decimal(38,6)").cast("double").alias("total_value"),
+        # round(dec, 2) -> double: engine-identical at any magnitude (see
+        # plans/relational.py _dec_sum)
+        F.round(F.sum("__v").cast("decimal(38,6)"), 2).cast("double").alias("total_value"),
     )
     by_value = (
         totals.orderBy(F.col("total_value").desc(), F.col("user_id"))
@@ -170,7 +172,7 @@ def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 SALTED_TOTALS_ORACLE = """
 WITH totals AS (
   SELECT user_id, COUNT(*) AS n_events,
-         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+         CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_value
   FROM events
   GROUP BY user_id
 )

@@ -11,6 +11,12 @@ from mega_data_factory_spark.session import load_tables
 
 DEC = "decimal(18,6)"
 DECW = "decimal(38,6)"
+# grouping_sets' grand total uses the round(dec,2)->double emission (see
+# plans/relational.py _dec_sum — corpus-scale sums diverge by 1 ulp in the
+# raw decimal->double conversion between engines). The PER-ENTITY sums here
+# (running revenue per order, daily totals, per-customer spend) keep the
+# plain 6dp cast: their magnitude is bounded by one entity, exactly
+# double-representable far past any realistic scale.
 
 
 def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,26 +46,37 @@ ORDER BY o_custkey, rnk
 
 def lineitem_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-order revenue by line number (frame-bounded running sum
-    over exact decimals)."""
+    over exact decimals).
+
+    The window order is a TOTAL order: the synthetic lineitem does not
+    guarantee (l_orderkey, l_linenumber) uniqueness (found at the 10x
+    scale dir), and a running sum under a partial order is nondeterministic
+    — ties on the full key are exact duplicate rows, whose prefix sums are
+    order-invariant as a multiset."""
     t = load_tables(spark, sf_dir, ("lineitem",))
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice", "l_discount", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
         t["lineitem"]
         .filter(F.col("l_orderkey") <= 1000)
         .withColumn("running_revenue", F.sum(rev).over(w).cast(DECW).cast("double"))
         .select("l_orderkey", "l_linenumber", "running_revenue")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "running_revenue")
     )
 
 
 RUNNING_REVENUE_ORACLE = """
 SELECT l_orderkey, l_linenumber,
   CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-       OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+       OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_extendedprice, l_discount, l_partkey, l_suppkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE) AS running_revenue
 FROM lineitem WHERE l_orderkey <= 1000
-ORDER BY l_orderkey, l_linenumber
+ORDER BY l_orderkey, l_linenumber, running_revenue
 """
 
 
@@ -113,7 +130,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
+               CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -124,7 +141,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUPING_SETS_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_price
+       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
