@@ -39,23 +39,34 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     suffix: str = "_asof",
+    right_order: str | None = None,
 ) -> DataFrame:
     """For each left row: columns of the latest right row (per ``on`` key)
     whose ``right_ts <= left_ts``; NULLs when no such row. Ties on equal
     timestamps: the right row sorts BEFORE the left row (side 0 < 1), so a
     right row at exactly left_ts matches it.
+
+    ``right_order`` makes the choice among MULTIPLE right rows with the
+    same timestamp deterministic: the one with the LARGEST value of that
+    column wins (without it the window order is partial over such ties and
+    the carried payload is plan-dependent — found when duplicate-timestamp
+    events appeared in the 10x scale corpus). Pass the right side's unique
+    id whenever timestamps can collide.
     """
     lcols = left.columns
+    tie = F.col(right_order) if right_order is not None else F.lit(0)
     r_tagged = right.select(
         F.col(on),
         F.col(right_ts).alias("__ats"),
         F.lit(0).alias("__side"),
+        tie.alias("__tie"),
         F.struct(*[F.col(c) for c in right_payload]).alias("__payload"),
     )
     l_tagged = left.select(
         F.col(on),
         F.col(left_ts).alias("__ats"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__tie"].dataType).alias("__tie"),
         F.lit(None).cast(r_tagged.schema["__payload"].dataType).alias("__payload"),
         F.struct(*[F.col(c) for c in lcols]).alias("__row"),
     )
@@ -64,7 +75,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ats"), F.col("__side"))
+        .orderBy(F.col("__ats"), F.col("__side"), F.col("__tie"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__last", F.last("__payload", ignorenulls=True).over(w))

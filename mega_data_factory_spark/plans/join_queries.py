@@ -28,6 +28,9 @@ def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="us",
         right_payload=["click_event_id", "click_value"],
         suffix="",
+        # duplicate-ts clicks exist in replicated/real corpora: the largest
+        # click_event_id wins deterministically (mirrored in the oracle)
+        right_order="click_event_id",
     )
     return out.orderBy("event_id")
 
@@ -40,16 +43,15 @@ c AS (
   SELECT user_id, epoch_us(ts) AS us, event_id AS click_event_id, value AS click_value
   FROM events WHERE event_type = 'click'
 ),
-m AS (
-  SELECT p.event_id, max(c.us) AS cus
+ranked AS (
+  SELECT p.event_id, p.user_id, p.us, p.value, c.click_event_id, c.click_value,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.us DESC, c.click_event_id DESC) AS rn
   FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.us <= p.us
-  GROUP BY p.event_id
 )
-SELECT p.event_id, p.user_id, p.us, p.value, c.click_event_id, c.click_value
-FROM p
-LEFT JOIN m ON m.event_id = p.event_id
-LEFT JOIN c ON c.user_id = p.user_id AND c.us = m.cus
-ORDER BY p.event_id
+SELECT event_id, user_id, us, value, click_event_id, click_value
+FROM ranked WHERE rn = 1
+ORDER BY event_id
 """
 
 

@@ -1,0 +1,98 @@
+"""Driver-style correctness gate, runnable at any scale dir.
+
+Mirrors the round driver's CORRECTNESS check: every `queries()` entry runs
+on Spark, its `oracle_sql()` twin on DuckDB over the same parquet views,
+compared on sorted column names + stringified sorted rows.
+
+    python scripts/oracle_gate.py                      # sf0.01, all queries
+    python scripts/oracle_gate.py --sf /root/repo/.localdata/sf1 \
+        --only q1_pricing_summary,events_type_stats
+    python scripts/oracle_gate.py --sf ... --skip-quadratic
+
+--skip-quadratic drops the oracles that are all-pairs SQL by construction
+(near-dedup families): their DuckDB side is O(n^2) and intentionally sized
+for the sf0.01 driver gate, not for scale dirs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# all-pairs (or otherwise superlinear) DuckDB formulations — driver-gate-sized
+QUADRATIC_ORACLES = {
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "simhash_near_dedup",
+    "ngram_jaccard_dedup",
+    "embedding_cosine_dedup",
+    "parts_price_range_join",
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument("--skip-quadratic", action="store_true")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from mega_data_factory_spark.session import TABLES, get_spark
+
+    spark = get_spark("mdf-oracle-gate", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(args.sf, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs, osql = e.queries(), e.oracle_sql()
+    names = args.only.split(",") if args.only else list(qs)
+    bad = ok = skipped = 0
+    for name in names:
+        fn = qs.get(name)
+        if fn is None:
+            print(f"{name}: unknown query", file=sys.stderr)
+            bad += 1
+            continue
+        if name not in osql:
+            skipped += 1
+            continue
+        if args.skip_quadratic and name in QUADRATIC_ORACLES:
+            skipped += 1
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf)
+            scols = sorted(sdf.columns)
+            srows = sorted(tuple(str(r[c]) for c in scols) for r in sdf.collect())
+            res = con.execute(osql[name])
+            dcols_raw = [d[0] for d in res.description]
+            order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+            drows = sorted(tuple(str(row[i]) for i in order) for row in res.fetchall())
+            good = scols == [dcols_raw[i] for i in order] and srows == drows
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}"[:200], flush=True)
+            bad += 1
+            continue
+        if good:
+            ok += 1
+            print(f"{name}: OK ({len(srows)} rows, {time.time()-t0:.1f}s)", flush=True)
+        else:
+            bad += 1
+            print(f"{name}: MISMATCH ({len(srows)} vs {len(drows)} rows)", flush=True)
+    print(f"gate @ {args.sf}: {ok} OK, {bad} bad, {skipped} skipped (rows-only/quadratic)")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
