@@ -219,14 +219,29 @@ class SemanticDeduplicator(Deduplicator):
             m = np.array(list(pdf[vec].iloc[order]), dtype=np.float64)
             norms = np.linalg.norm(m, axis=1)
             ok = norms > 0
-            iids, m, norms = ids[ok], m[ok], norms[ok]
-            if len(iids) < 2:
+            iids, m = ids[ok], m[ok] / norms[ok][:, None]
+            n = len(iids)
+            if n < 2:
                 return pd.DataFrame({id_col: np.array([], dtype=np.int64), "__rep": np.array([], dtype=np.int64)})
-            cos = np.round((m @ m.T) / np.outer(norms, norms), 6)
-            hit = np.triu(cos >= t, 1)  # only i<j (earlier id -> later id)
-            any_col = hit.any(axis=0)
-            first = hit.argmax(axis=0)
-            return pd.DataFrame({id_col: iids[any_col], "__rep": iids[first[any_col]]})
+            # blocked rows-vs-all matmul (same bound as EmbeddingCosine's
+            # bucketed path): peak ~64 MB per task regardless of cell size —
+            # a full n x n cosine matrix on a 25k-row cell would be 5 GB
+            block_rows = max(64, min(4096, (8 << 20) // n))
+            out_ids, out_reps = [], []
+            for s in range(1, n, block_rows):  # row 0 has no earlier partner
+                e = min(s + block_rows, n)
+                cos = np.round(m[s:e] @ m.T, 6)
+                earlier = np.arange(n)[None, :] < np.arange(s, e)[:, None]
+                hit = (cos >= t) & earlier
+                any_hit = hit.any(axis=1)
+                if not any_hit.any():
+                    continue
+                first = hit.argmax(axis=1)  # smallest earlier id (ids ascending)
+                out_ids.append(iids[s:e][any_hit])
+                out_reps.append(iids[first[any_hit]])
+            if not out_ids:
+                return pd.DataFrame({id_col: np.array([], dtype=np.int64), "__rep": np.array([], dtype=np.int64)})
+            return pd.DataFrame({id_col: np.concatenate(out_ids), "__rep": np.concatenate(out_reps)})
 
         return assigned.groupBy("cluster").applyInPandas(dedup_cluster, schema=f"{id_col} long, __rep long")
 
