@@ -176,7 +176,8 @@ class SemanticDeduplicator(Deduplicator):
         self,
         threshold: float = 0.95,
         *,
-        k: int = 8,
+        k: int | None = 8,
+        cell_target_rows: int = 4096,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         seed: int = 42,
@@ -185,7 +186,14 @@ class SemanticDeduplicator(Deduplicator):
     ):
         super().__init__(name, order_col=id_col, id_col=id_col)
         self.threshold = threshold
+        # k=None -> auto-scale: ceil(n / cell_target_rows). Per-cell work is
+        # O(n_c^2) flops, so a FIXED k degrades quadratically as the corpus
+        # grows (measured 14x wall at 100x data with k=8); scaling k keeps
+        # expected cell rows ~cell_target_rows and per-cell cost ~constant,
+        # trading recall only at the extra cell boundaries (multi-probe
+        # assignment recovers those at ~2x cost).
         self.k = k
+        self.cell_target_rows = cell_target_rows
         self.vec_col = vec_col
         self.seed = seed
         # bucketing needs stable cells, not converged centroids: half the
@@ -198,6 +206,8 @@ class SemanticDeduplicator(Deduplicator):
         raise NotImplementedError("semantic dedup is not a single-key dedup")
 
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        import math
+
         import numpy as np
 
         from mega_data_factory_spark.functions.vectors import l2_normalize
@@ -206,7 +216,8 @@ class SemanticDeduplicator(Deduplicator):
         # vectors (e.g. a scaled copy) must land in the same cell, which
         # euclidean k-means on raw magnitudes does not guarantee.
         normed = df.withColumn("__nvec", l2_normalize(F.col(self.vec_col)))
-        idx = KMeansIndex(k=self.k, vec_col="__nvec", seed=self.seed, max_iter=self.max_iter).fit(normed)
+        k = self.k if self.k is not None else max(2, math.ceil(df.count() / self.cell_target_rows))
+        idx = KMeansIndex(k=k, vec_col="__nvec", seed=self.seed, max_iter=self.max_iter).fit(normed)
         assigned = idx.assign(normed).select(self.id_col, self.vec_col, "cluster")
         t, id_col, vec = self.threshold, self.id_col, self.vec_col
 

@@ -101,3 +101,22 @@ def test_semantic_dedup_operator_in_pipeline(spark, tmp_path):
     for vid in range(20):
         assert by_id.get(vid + 50000) == vid, (vid, by_id.get(vid + 50000))
     assert result.output_records == result.input_records - len(by_id)
+
+
+def test_semantic_dedup_auto_k(spark):
+    """k=None auto-scales cells to the corpus: on a corpus over
+    cell_target_rows the operator trains more than the old fixed default
+    and still catches the planted cosine-identical duplicates."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
+    from mega_data_factory_spark.plans.dedup_queries import _vec_corpus
+    from tests.conftest import SF_DIR_ORACLE
+
+    corpus = _vec_corpus(spark, SF_DIR_ORACLE)
+    d = SemanticDeduplicator(threshold=0.45, k=None, cell_target_rows=64, id_col="vec_id")
+    surv = {r.vec_id for r in d.apply(corpus).select("vec_id").collect()}
+    # the +10000 scaled copies are cosine-identical to their originals:
+    # identical unit vectors share a cell at ANY k, so every one is caught
+    assert not any(v >= 10000 for v in surv), "cosine-identical planted dups must be rejected"
+    assert len(surv) > 400  # distinct base vectors survive
