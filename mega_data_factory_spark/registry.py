@@ -54,6 +54,7 @@ def _register_builtins() -> None:
         KeyDeduplicator,
         MinHashLSHDeduplicator,
         NgramJaccardDeduplicator,
+        SharedSpanDeduplicator,
         SimHashDeduplicator,
         TextExactDeduplicator,
     )
@@ -106,6 +107,7 @@ def _register_builtins() -> None:
         MinHashLSHDeduplicator,
         SimHashDeduplicator,
         NgramJaccardDeduplicator,
+        SharedSpanDeduplicator,
         EmbeddingCosineDeduplicator,
         ImageMetadataRefiner,
         ImageTechnicalQualityRefiner,

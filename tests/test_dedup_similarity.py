@@ -205,3 +205,61 @@ def test_embedding_cosine_cap_raises_when_auto_bucket_off(spark):
     d = EmbeddingCosineDeduplicator(0.95, max_broadcast_rows=5, auto_bucket=False)
     with _pytest.raises(ValueError, match="max_broadcast_rows"):
         d.apply(df).collect()
+
+
+def test_shared_span_dedup_behavior(spark):
+    """Exact substring (k-token span) dedup: a doc embedding a verbatim
+    20-token span from an earlier doc is rejected with that doc as
+    representative; a 19-token overlap survives."""
+    from mega_data_factory_spark.operators.dedup import SharedSpanDeduplicator
+    from pyspark.sql import functions as F
+
+    span20 = " ".join(f"w{i}" for i in range(20))
+    span19 = " ".join(f"w{i}" for i in range(19))
+    rows = [
+        (1, f"intro text before the span {span20} and some trailing words here"),
+        (2, f"completely different framing yet contains {span20} inside other words"),
+        (3, f"only nineteen shared tokens {span19} then diverges entirely afterwards xyz"),
+        (4, "an unrelated document with enough words to clear the twenty token span threshold easily one two three four five six"),
+        (5, "short doc"),  # under the span length: never a candidate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = SharedSpanDeduplicator(span_tokens=20, id_col="doc_id")
+    surv = {r.doc_id for r in d.apply(df).select("doc_id").collect()}
+    assert surv == {1, 3, 4, 5}
+    rej = d.rejected(df).select(
+        "doc_id", F.col("_rejection_details.representative_id").alias("rep")
+    ).collect()
+    assert len(rej) == 1 and rej[0].doc_id == 2 and rej[0].rep == "1"
+
+
+def test_shared_span_dedup_matches_oracle(spark):
+    """Survivor set over the real documents corpus vs an exact DuckDB
+    mirror of the span inverted index (k=12 so natural overlaps exist)."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    from mega_data_factory_spark.operators.dedup import SharedSpanDeduplicator
+    from mega_data_factory_spark.session import load_tables
+
+    k = 12
+    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"]
+    d = SharedSpanDeduplicator(span_tokens=k, id_col="doc_id")
+    out = d.apply(docs).select("doc_id").orderBy("doc_id")
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    sql = f"""
+WITH w AS (SELECT doc_id, string_split({norm}, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(ws) - {k - 2}), i -> array_to_string(ws[i:i+{k - 1}], ' '))) AS s
+  FROM w WHERE len(ws) >= {k}
+),
+inv AS (SELECT doc_id, unnest(s) AS span FROM sh),
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb
+  FROM inv a JOIN inv b ON a.span = b.span AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dups AS (SELECT DISTINCT idb AS doc_id FROM pairs)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+ORDER BY doc_id
+"""
+    assert_df_matches_sql(out, sql, name="shared_span_dedup")
