@@ -120,14 +120,20 @@ def _text_pipeline_1m(spark) -> int:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import argparse
+    import re
+
     # `--sf <dir-or-factor>` overrides the env: a bare factor like `1` maps
-    # to /root/testdata/sf1 (or a locally replicated scale dir); a path is
-    # used as-is. Lets one harness produce multi-scale datapoints.
-    argv = sys.argv[1:]
-    if "--sf" in argv:
-        v = argv[argv.index("--sf") + 1]
-        sf_dir = v if os.sep in v else f"/root/testdata/sf{v}"
+    # to /root/testdata/sf1 (or a locally replicated scale dir); anything
+    # else is treated as a directory path. Lets one harness produce
+    # multi-scale datapoints.
+    ap = argparse.ArgumentParser(description="headline-query benchmark")
+    ap.add_argument("--sf", default=None, help="scale factor (e.g. 0.1) or data directory path")
+    args = ap.parse_args()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if args.sf is not None:
+        v = args.sf
+        sf_dir = f"/root/testdata/sf{v}" if re.fullmatch(r"[0-9.]+", v) else v
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("mdf-spark-bench", cpus=cpus)
     from mega_data_factory_spark.plans import all_queries

