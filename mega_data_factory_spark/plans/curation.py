@@ -17,9 +17,14 @@ from mega_data_factory_spark.operators.filters import DomainBlocklistFilter, Tex
 from mega_data_factory_spark.operators.refiners import (
     DEFAULT_STOPWORDS,
     LANG_MARKERS,
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
     FingerprintRefiner,
     LanguageIdRefiner,
+    PiiRedactRefiner,
     QualityScoreRefiner,
+    RepetitionStatsRefiner,
     TextStatsRefiner,
 )
 from mega_data_factory_spark.session import load_tables
@@ -245,6 +250,87 @@ SELECT d.doc_id,
   substr(md5({NORM.format(c='text')}), 1, 8) AS fingerprint_prefix
 FROM documents d JOIN ranked r ON d.doc_id = r.doc_id
 ORDER BY d.doc_id
+"""
+
+
+# Planted rows for the cleanup refiners: the synthetic corpus has neither
+# PII nor heavy repetition, so observable cases are added IN-QUERY with the
+# identical literals on both engines (the dedup_queries planted-corpus
+# pattern). No apostrophes — the strings embed verbatim in the SQL mirror.
+CLEANUP_PLANTED: list[tuple[int, str]] = [
+    (900001, "Contact john.doe@example.com or jane99@mail.co for details. "
+             "Call 555-123-4567 or 555 987 6543 now. Server 10.0.0.1 logs requests."),
+    (900002, "buy now buy now buy now buy now limited offer spam spam spam spam"),
+    (900003, "A clean sentence with no repeated content and no contact details at all."),
+]
+
+
+def text_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-training cleanup refiners in one per-doc view:
+    RepetitionStatsRefiner (Gopher repetition rules: dup-word ratio,
+    top-bigram share) + PiiRedactRefiner (email/phone/IPv4 counts and the
+    redacted text), over documents plus three planted repetition/PII rows.
+    Pure codegen'd Column/regex expressions — zero shuffle at any scale —
+    and every column has an exact DuckDB mirror (array HOFs; RE2-compatible
+    anchored patterns), so this row is hash-checked, not rows-only."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select("doc_id", "text")
+    planted = spark.createDataFrame(CLEANUP_PLANTED, "doc_id long, text string")
+    df = base.unionByName(planted)
+    for r in (RepetitionStatsRefiner(), PiiRedactRefiner()):
+        df = r.apply(df)
+    return df.select(
+        "doc_id",
+        "dup_word_ratio",
+        "top_bigram_ratio",
+        "pii_email_count",
+        "pii_phone_count",
+        "pii_ip_count",
+        "text_redacted",
+    ).orderBy("doc_id")
+
+
+def _text_cleanup_oracle() -> str:
+    planted = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{s}' AS text" for i, s in CLEANUP_PLANTED
+    )
+    # RE2 (DuckDB) and Java (Spark) agree on these anchored, backtracking-
+    # free patterns by construction (operators/refiners.py PII_*).
+    email, phone, ip = PII_EMAIL, PII_PHONE, PII_IPV4
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),"
+        f" '{phone}', '<PHONE>', 'g'), '{ip}', '<IP>', 'g')"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  {planted}
+),
+arr AS (
+  SELECT doc_id, text,
+    string_split({NORM.format(c='text')}, ' ') AS ws
+  FROM corpus
+),
+bi AS (
+  SELECT doc_id, text, ws,
+    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bg
+  FROM arr
+)
+SELECT doc_id,
+  CASE WHEN len(ws) > 0
+       THEN round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+       ELSE 0.0 END AS dup_word_ratio,
+  CASE WHEN len(bg) > 0
+       THEN round(CAST(list_max(list_transform(list_distinct(bg),
+                    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
+       ELSE 0.0 END AS top_bigram_ratio,
+  CAST(len(regexp_extract_all(text, '{email}')) AS INTEGER) AS pii_email_count,
+  CAST(len(regexp_extract_all(text, '{phone}')) AS INTEGER) AS pii_phone_count,
+  CAST(len(regexp_extract_all(text, '{ip}')) AS INTEGER) AS pii_ip_count,
+  {redacted} AS text_redacted
+FROM bi
+ORDER BY doc_id
 """
 
 
@@ -476,6 +562,7 @@ QUERIES = {
     "orders_dedup_rejected": orders_dedup_rejected,
     "docs_token_stats": docs_token_stats,
     "text_analysis": text_analysis,
+    "text_cleanup": text_cleanup,
     "url_rule_filters": url_rule_filters,
     "curation_pipeline": curation_pipeline,
     "curation_rejection_summary": curation_rejection_summary,
@@ -490,6 +577,7 @@ ORACLE = {
     "orders_dedup_rejected": ORDERS_DEDUP_REJECTED_ORACLE,
     "docs_token_stats": _token_stats_oracle(),
     "text_analysis": _text_analysis_oracle(),
+    "text_cleanup": _text_cleanup_oracle(),
     "url_rule_filters": URL_RULES_ORACLE,
     "curation_pipeline": CURATION_PIPELINE_ORACLE,
     "curation_rejection_summary": REJECTION_SUMMARY_ORACLE,

@@ -24,6 +24,7 @@ from mega_data_factory_spark.operators.dedup import (
     EmbeddingCosineDeduplicator,
     MinHashLSHDeduplicator,
     NgramJaccardDeduplicator,
+    SharedSpanDeduplicator,
     SimHashDeduplicator,
     SimHashNearDeduplicator,
 )
@@ -308,6 +309,72 @@ FROM corpus c LEFT JOIN dups d ON c.doc_id = d.doc_id
 ORDER BY c.doc_id
 """
 
+SPAN_TOKENS, SPAN_MIN_SHARED, SPAN_MAX_DF = 20, 2, 5
+
+
+def shared_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring/span dedup (Lee et al. 2022) over the planted corpus
+    in its SCALE configuration (span-DF boilerplate cap, mirrored in the
+    oracle): docs sharing >= 2 exact 20-word spans collapse to the earliest.
+
+    The corpus plants both observable cases: ``+20000`` docs are exact
+    normalized duplicates (share EVERY span of their original), and
+    ``+10000`` docs (last 7 words dropped) are the PARTIAL-overlap case —
+    every span of the truncated doc is verbatim in the original, but the
+    docs are not equal. Docs under 20 words have no spans and must be kept.
+    Both pipeline sides in one plan/one driver row."""
+    d = SharedSpanDeduplicator(
+        span_tokens=SPAN_TOKENS, min_shared=SPAN_MIN_SHARED, max_doc_freq=SPAN_MAX_DF, id_col="doc_id"
+    )
+    corpus = _doc_corpus(spark, sf_dir)
+    return _tag_sides(corpus, d._dup_pairs(corpus), "doc_id").orderBy("doc_id")
+
+
+def _span_ctes(n: int) -> str:
+    """CTEs norm/w/sp/inv: distinct word n-gram SPANS per corpus doc — like
+    _shingle_ctes but docs with fewer than n words are DROPPED (they have no
+    n-token span; the whole-text fallback is a Jaccard-only convention) —
+    plus the span-DF cut before the self-join. The Spark side joins on
+    xxhash64(span) (~1e-9 collision odds, accepted as in the Jaccard
+    oracle); the oracle joins the strings."""
+    return f"""
+norm AS (SELECT doc_id, {NORM_SQL} AS t FROM corpus),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+sp AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(ws) - {n - 2}), i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS s
+  FROM w WHERE len(ws) >= {n}
+),
+inv0 AS (SELECT doc_id, unnest(s) AS span FROM sp),
+span_df AS (SELECT span, count(*) AS dfreq FROM inv0 GROUP BY 1),
+inv AS (
+  SELECT i.doc_id, i.span FROM inv0 i
+  JOIN span_df d ON i.span = d.span
+  WHERE d.dfreq <= {SPAN_MAX_DF}
+)
+"""
+
+
+SHARED_SPAN_ORACLE = f"""
+WITH {DOC_CORPUS_CTE.strip()},
+{_span_ctes(SPAN_TOKENS).strip()},
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+  FROM inv a JOIN inv b ON a.span = b.span AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT idb AS doc_id, min(ida) AS rep FROM pairs
+  WHERE shared >= {SPAN_MIN_SHARED}
+  GROUP BY idb
+)
+SELECT c.doc_id,
+       CASE WHEN d.doc_id IS NULL THEN 'kept' ELSE 'rejected' END AS side,
+       CAST(d.rep AS VARCHAR) AS representative_id
+FROM corpus c LEFT JOIN dups d ON c.doc_id = d.doc_id
+ORDER BY c.doc_id
+"""
+
 COSINE_THRESHOLD = 0.45
 
 DOT_SQL = "list_reduce(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
@@ -345,6 +412,7 @@ QUERIES = {
     "simhash_dedup": simhash_dedup,
     "simhash_near_dedup": simhash_near_dedup,
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
+    "shared_span_dedup": shared_span_dedup,
     "embedding_cosine_dedup": embedding_cosine_dedup,
 }
 
@@ -353,5 +421,6 @@ ORACLE = {
     "simhash_dedup": SIMHASH_ORACLE,
     "simhash_near_dedup": SIMHASH_NEAR_ORACLE,
     "ngram_jaccard_dedup": JACCARD_ORACLE,
+    "shared_span_dedup": SHARED_SPAN_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE,
 }

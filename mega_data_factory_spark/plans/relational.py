@@ -356,12 +356,18 @@ ORDER BY c_custkey
 """
 
 
-# rollup_order_status is NOT registered as a driver row: its groupings are a
-# strict subset of cube_status_priority's (cube ⊇ rollup) and grouping_sets_
-# orders covers the general mechanism — three driver rows for one aggregate
-# family was the registry's near-duplication, consolidated to free the slot
-# for warc_extract (the 50-row driver window). The rollup API + its oracle
-# stay verified in tests/test_relational.py::test_rollup_matches_oracle.
+# Consolidated OUT of the 50-row driver window (each keeps the identical
+# oracle-differential bar in tests/test_relational.py):
+#   * rollup_order_status — groupings a strict subset of
+#     cube_status_priority's (cube ⊇ rollup); grouping_sets_orders covers
+#     the general mechanism (test_rollup_matches_oracle);
+#   * q14_promo_revenue — single-row conditional decimal aggregate, fully
+#     subsumed by q1's decimal-sum family + cube's CASE coverage
+#     (test_q14_matches_oracle);
+#   * customer_order_counts_outer — customer⋈orders LEFT JOIN family also
+#     exercised by customer_order_ranks/customers_without_orders
+#     (test_outer_counts_matches_oracle).
+# The freed slots carry shared_span_dedup and text_cleanup driver rows.
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_segment_revenue": q3_segment_revenue,
@@ -369,8 +375,6 @@ QUERIES = {
     "topk_orders": topk_orders,
     "cube_status_priority": cube_status_priority,
     "orders_above_customer_avg": orders_above_customer_avg,
-    "q14_promo_revenue": q14_promo_revenue,
-    "customer_order_counts_outer": customer_order_counts_outer,
 }
 
 ORACLE = {
@@ -380,6 +384,4 @@ ORACLE = {
     "topk_orders": TOPK_ORACLE,
     "cube_status_priority": CUBE_ORACLE,
     "orders_above_customer_avg": ABOVE_AVG_ORACLE,
-    "q14_promo_revenue": Q14_ORACLE,
-    "customer_order_counts_outer": OUTER_COUNTS_ORACLE,
 }

@@ -12,6 +12,7 @@ CURATION = [
     "orders_dedup_rejected",
     "docs_token_stats",
     "text_analysis",
+    "text_cleanup",
     "url_rule_filters",
     "curation_pipeline",
     "curation_rejection_summary",

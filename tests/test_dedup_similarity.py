@@ -9,6 +9,7 @@ NAMES = [
     "minhash_lsh_dedup",
     "simhash_dedup",
     "ngram_jaccard_dedup",
+    "shared_span_dedup",
     "simhash_near_dedup",
     "embedding_cosine_dedup",
     "topk_cosine",

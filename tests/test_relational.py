@@ -11,8 +11,6 @@ RELATIONAL = [
     "topk_orders",
     "cube_status_priority",
     "orders_above_customer_avg",
-    "q14_promo_revenue",
-    "customer_order_counts_outer",
 ]
 
 
@@ -30,4 +28,34 @@ def test_rollup_matches_oracle(spark):
 
     assert_df_matches_sql(
         rollup_order_status(spark, SF_DIR_ORACLE), ROLLUP_ORACLE, name="rollup_order_status"
+    )
+
+
+def test_q14_matches_oracle(spark):
+    """q14_promo_revenue is consolidated out of the driver window (its
+    single-row conditional decimal aggregate is subsumed by q1's decimal
+    family) but keeps the oracle-differential bar here."""
+    from tests.conftest import SF_DIR_ORACLE
+    from mega_data_factory_spark.plans.relational import Q14_ORACLE, q14_promo_revenue
+
+    assert_df_matches_sql(
+        q14_promo_revenue(spark, SF_DIR_ORACLE), Q14_ORACLE, name="q14_promo_revenue"
+    )
+
+
+def test_outer_counts_matches_oracle(spark):
+    """customer_order_counts_outer is consolidated out of the driver window
+    (the customer⋈orders LEFT JOIN family stays covered there by
+    customer_order_ranks / customers_without_orders) but keeps the
+    oracle-differential bar here."""
+    from tests.conftest import SF_DIR_ORACLE
+    from mega_data_factory_spark.plans.relational import (
+        OUTER_COUNTS_ORACLE,
+        customer_order_counts_outer,
+    )
+
+    assert_df_matches_sql(
+        customer_order_counts_outer(spark, SF_DIR_ORACLE),
+        OUTER_COUNTS_ORACLE,
+        name="customer_order_counts_outer",
     )
