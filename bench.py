@@ -119,6 +119,51 @@ def _text_pipeline_1m(spark) -> int:
     return out.count()
 
 
+def _streaming_pipeline(spark, sf_dir: str, tmp_dir: str, ckpt_name: str) -> tuple[int, float]:
+    """The curation pipeline (length filter -> word-score filter -> exact
+    dedup) run through Structured Streaming's foreachBatch runner over the
+    sf documents as a multi-file parquet stream — maxFilesPerTrigger slices
+    the corpus into micro-batches, so the measurement covers real
+    micro-batch scheduling, per-batch tagging plans, and both sink appends
+    (the reference's streaming-batch hybrid posture,
+    docs/ARCHITECTURE.md:163-188). Returns (input_rows, wall_sec)."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.streaming import StreamingPipeline
+
+    src = os.path.join(tmp_dir, "stream_src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_in = docs.count()
+    if not os.path.exists(src):  # build the multi-file source once
+        docs.repartition(8).write.mode("overwrite").parquet(src)
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "stream_curation",
+                "id_col": "doc_id",
+                "source": {"table": "unused"},
+                "stages": [
+                    {"name": "filter", "operators": [
+                        {"name": "TextLengthFilter",
+                         "params": {"min_length": 100, "max_length": 400, "length_col": "n_chars"}},
+                        {"name": "WordScoreFilter",
+                         "params": {"weights": {"slow": 0.4, "big": 0.1, "spark": 0.05}, "threshold": 0.5}},
+                    ]},
+                    {"name": "dedup", "operators": [
+                        {"name": "TextExactDeduplicator", "params": {"id_col": "doc_id"}},
+                    ]},
+                ],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=os.path.join(tmp_dir, ckpt_name, "out"))
+    cfg.rejected_sink = SinkConfig(path=os.path.join(tmp_dir, ckpt_name, "rej"))
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", "2").parquet(src)
+    t0 = time.perf_counter()
+    q = StreamingPipeline(cfg, checkpoint_dir=os.path.join(tmp_dir, ckpt_name, "ckpt")).start(stream)
+    q.awaitTermination()
+    return n_in, time.perf_counter() - t0
+
+
 def main() -> None:
     import argparse
     import re
@@ -251,6 +296,27 @@ def main() -> None:
     timings["image_pipeline_100k"] = round(dt, 4)
     total += dt
     print(f"# image_pipeline_100k: {dt:.3f}s ({n_out} rows kept, {n_img/dt:,.0f} rec/s)", file=sys.stderr)
+
+    # Streaming-path datapoint: the same curation workload through the
+    # foreachBatch streaming runner (micro-batch scheduling + checkpoint +
+    # two sink appends included). min-of-2 with a FRESH checkpoint per pass
+    # — a reused checkpoint would skip the already-processed files and
+    # measure nothing.
+    import shutil
+    import tempfile
+
+    stream_tmp = tempfile.mkdtemp(prefix="mdf_stream_bench_")
+    try:
+        dt = float("inf")
+        n_in = 0
+        for i in range(2):
+            n_in, w = _streaming_pipeline(spark, sf_dir, stream_tmp, f"pass{i}")
+            dt = min(dt, w)
+    finally:
+        shutil.rmtree(stream_tmp, ignore_errors=True)
+    timings["streaming_pipeline"] = round(dt, 4)
+    total += dt
+    print(f"# streaming_pipeline: {dt:.3f}s ({n_in} rows streamed, {n_in/dt:,.0f} rec/s)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

@@ -134,35 +134,89 @@ class RepetitionStatsRefiner(Refiner):
     (most frequent word bigram's share of all bigrams), both rounded to 6.
     Beyond the reference's surface — first-class per the build brief.
 
-    Pure Column expressions (array HOFs) so the DuckDB oracle mirrors them
-    exactly. The per-row top-bigram count is O(distinct x total) interpreted
-    — fine for web documents (hundreds of words); for book-length rows the
-    explode -> groupBy(doc, bigram) -> max aggregation is the linear-cost
-    form on the same columns."""
+    Default form: pure Column expressions (array HOFs) so the DuckDB oracle
+    mirrors them exactly. The per-row top-bigram count is
+    O(distinct x total) interpreted — fine for web documents (hundreds of
+    words), quadratic for book-length rows. ``long_docs=True`` switches
+    ``apply`` to the linear-cost aggregation form: explode bigrams ->
+    groupBy(id, bigram) count -> max/sum per id -> join back. Two shuffles
+    on compact (id, 8-byte bigram hash) keys with map-side combine; results
+    are identical (property-tested). Needs a unique ``id_col``."""
 
-    def __init__(self, *, text_col: str = "text", name: str | None = None):
+    def __init__(
+        self,
+        *,
+        text_col: str = "text",
+        long_docs: bool = False,
+        id_col: str = "doc_id",
+        name: str | None = None,
+    ):
         super().__init__(name)
         self.text_col = text_col
+        self.long_docs = long_docs
+        self.id_col = id_col
 
-    def columns(self, df: DataFrame) -> dict[str, Column]:
-        ws = F.split(normalize_text(self.text_col), " ")
+    def _words(self) -> Column:
+        return F.split(normalize_text(self.text_col), " ")
+
+    def _dup_ratio(self, ws: Column) -> Column:
         n = F.size(ws)
-        dup_ratio = F.when(
+        return F.when(
             n > 0, F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / n
         ).otherwise(F.lit(0.0))
-        bg = F.zip_with(
+
+    def _bigrams(self, ws: Column) -> Column:
+        n = F.size(ws)
+        return F.zip_with(
             F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
             F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        ws = self._words()
+        bg = self._bigrams(ws)
         top = F.array_max(
             F.transform(F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x)))
         )
         top_ratio = F.when(F.size(bg) > 0, top.cast("double") / F.size(bg)).otherwise(F.lit(0.0))
         return {
-            "dup_word_ratio": F.round(dup_ratio, 6),
+            "dup_word_ratio": F.round(self._dup_ratio(ws), 6),
             "top_bigram_ratio": F.round(top_ratio, 6),
         }
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if not self.long_docs:
+            return super().apply(df)
+        return self._apply_linear(df)
+
+    def _apply_linear(self, df: DataFrame) -> DataFrame:
+        """Linear-cost top-bigram for book-length rows. The exploded rows
+        carry only (id, xxhash64(bigram)) — 16 bytes, text never shuffles —
+        and both aggregations are map-side combinable, so per-row cost is
+        O(total words) instead of the HOF form's O(distinct x total).
+        dup_word_ratio stays a (linear) Column expression."""
+        id_col = self.id_col
+        ws = self._words()
+        bg = self._bigrams(ws)
+        ex = df.select(F.col(id_col), F.explode(bg).alias("__bg")).select(
+            id_col, F.xxhash64("__bg").alias("__bh")
+        )
+        stats = (
+            ex.groupBy(id_col, "__bh")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(id_col)
+            .agg(F.max("__c").alias("__top"), F.sum("__c").alias("__nbg"))
+        )
+        out = df.join(stats, on=id_col, how="left")
+        top_ratio = F.when(
+            F.col("__nbg") > 0, F.col("__top").cast("double") / F.col("__nbg")
+        ).otherwise(F.lit(0.0))
+        return (
+            out.withColumn("dup_word_ratio", F.round(self._dup_ratio(ws), 6))
+            .withColumn("top_bigram_ratio", F.round(F.coalesce(top_ratio, F.lit(0.0)), 6))
+            .drop("__top", "__nbg")
+        )
 
 
 # PII patterns: deliberately anchored, ASCII, backtracking-free so Java

@@ -157,3 +157,22 @@ def test_repetition_ratios_bounded_and_consistent(spark, texts):
         words = [w for w in t.split() if w]
         if len(set(words)) == 1 and len(words) >= 3:
             assert r.top_bigram_ratio == 1.0
+
+
+@settings(**_SETTINGS)
+@given(texts=_CORPUS)
+def test_repetition_linear_form_agrees_with_hof_form(spark, texts):
+    """long_docs=True (explode -> groupBy(id, bigram) -> max aggregation,
+    the linear-cost form for book-length rows) must produce the identical
+    (dup_word_ratio, top_bigram_ratio) as the default per-row HOF form on
+    any corpus — including empty texts, single words, and all-repeat rows
+    the small-vocabulary strategy generates."""
+    from mega_data_factory_spark.operators.refiners import RepetitionStatsRefiner
+
+    df = _df(spark, texts)
+    cols = ["doc_id", "dup_word_ratio", "top_bigram_ratio"]
+    hof = {r.doc_id: (r.dup_word_ratio, r.top_bigram_ratio)
+           for r in RepetitionStatsRefiner().apply(df).select(cols).collect()}
+    lin = {r.doc_id: (r.dup_word_ratio, r.top_bigram_ratio)
+           for r in RepetitionStatsRefiner(long_docs=True, id_col="doc_id").apply(df).select(cols).collect()}
+    assert lin == hof
