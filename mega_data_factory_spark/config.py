@@ -76,18 +76,32 @@ class SinkConfig:
     mode: str = "append"  # reference writers are append-only (parquet_writer.py:144-158)
     partition_by: list[str] = field(default_factory=list)
     options: dict[str, str] = field(default_factory=dict)
+    # Bucketed/sorted layout (the fact-fact join lever at 100 TB: two
+    # tables bucketed by the join key into the same bucket count join with
+    # ZERO exchanges — tests/test_storage_layout.py). Bucket metadata lives
+    # in the catalog, so bucketing requires ``table`` (saveAsTable); ``path``
+    # then controls the external location.
+    table: str | None = None
+    bucket_by: list[str] = field(default_factory=list)
+    buckets: int | None = None
+    sort_by: list[str] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> SinkConfig:
-        pb = d.get("partition_by") or []
-        if isinstance(pb, str):
-            pb = [pb]
+        def _cols(key: str) -> list[str]:
+            v = d.get(key) or []
+            return [v] if isinstance(v, str) else v
+
         return cls(
             format=d.get("format", d.get("type", "parquet")),
             path=d.get("path"),
             mode=d.get("mode", "append"),
-            partition_by=pb,
+            partition_by=_cols("partition_by"),
             options=d.get("options", {}) or {},
+            table=d.get("table"),
+            bucket_by=_cols("bucket_by"),
+            buckets=d.get("buckets"),
+            sort_by=_cols("sort_by"),
         )
 
 

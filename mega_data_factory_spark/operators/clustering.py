@@ -41,6 +41,9 @@ class KMeansIndex:
         seed: int = 42,
         max_iter: int = 20,
         fit_sample_rows: int | None = 1_000_000,
+        train_points_per_centroid: int | None = 256,
+        normalize: bool = False,
+        init_mode: str = "k-means||",
     ):
         # k=None -> auto-scale at fit time: ceil(n / cell_target_rows).
         # Every consumer of the index does per-cell work that is super-
@@ -55,30 +58,75 @@ class KMeansIndex:
         self.seed = seed
         self.max_iter = max_iter
         # Centroid training runs on a bounded sample (the FAISS/IVF training
-        # discipline): k centroids need ~O(k * 1e3) representative points,
-        # not the corpus — at 100 TB nobody runs 20 full-data Lloyd passes.
-        # Assignment (the part that must see every row) stays full-data.
-        # None = always fit on the full input.
+        # discipline): k centroids need ~train_points_per_centroid
+        # representative points EACH (FAISS defaults ~256/centroid, warns
+        # under ~39), not the corpus — at 100 TB nobody runs 20 full-data
+        # Lloyd passes. Without the per-centroid bound, auto-scaled k makes
+        # the fit itself the scale-killer: Lloyd cost is O(sample_n * k), so
+        # fitting the FULL corpus with k ~ n/cell_target is O(n^2) total
+        # (measured: ivf fit at 100x data went 2.5s -> 23s before this
+        # bound). Assignment (the part that must see every row) stays
+        # full-data. fit_sample_rows=None AND train_points_per_centroid=None
+        # = always fit on the full input.
         self.fit_sample_rows = fit_sample_rows
+        self.train_points_per_centroid = train_points_per_centroid
+        # normalize=True = spherical k-means: vectors are L2-normalized for
+        # TRAINING (inside fit, AFTER sampling — the interpreted normalize
+        # fold then touches only the bounded sample, never the full corpus)
+        # and for ml-path assignment. assign_multi normalizes in numpy.
+        self.normalize = normalize
+        # "random" init for bucketing uses: kmeans|| costs ~5 extra passes
+        # for an init-quality edge that bucketing (stable cells, not
+        # converged centroids) does not need (measured 4.6s -> 1.8s on a
+        # 12.5k x 49 fit).
+        self.init_mode = init_mode
         self._model = None
         self.k_fitted: int | None = k  # resolved at fit() when k=None
+
+    def _feature_expr(self):
+        from pyspark.ml.functions import array_to_vector
+
+        vec = F.col(self.vec_col)
+        if self.normalize:
+            from mega_data_factory_spark.functions.vectors import l2_normalize
+
+            vec = l2_normalize(vec)
+        return array_to_vector(vec.cast("array<double>")).alias("features")
 
     def fit(self, df: DataFrame) -> KMeansIndex:
         import math
 
         from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
 
-        feats = df.select(array_to_vector(F.col(self.vec_col).cast("array<double>")).alias("features"))
-        if self.k is None or self.fit_sample_rows is not None:
-            n = feats.count()
+        # Sample the RAW rows first, project features after: the per-row
+        # feature expression (normalize fold + ml-vector conversion) then
+        # evaluates on the bounded sample only. Sampling the projected frame
+        # instead measured 6.9s vs 2.1s at the 100x dir — Catalyst keeps a
+        # Project below Sample, so the projection would run corpus-wide.
+        src = df
+        cap = self.fit_sample_rows
+        if self.k is None or cap is not None or self.train_points_per_centroid is not None:
+            n = df.count()
             if self.k is None:
                 self.k_fitted = max(2, math.ceil(n / self.cell_target_rows))
-            if self.fit_sample_rows is not None and n > self.fit_sample_rows:
+            if self.train_points_per_centroid is not None:
+                # per-centroid training budget, floored so tiny k still sees
+                # a representative sample
+                per_k = max(4096, self.k_fitted * self.train_points_per_centroid)
+                cap = per_k if cap is None else min(cap, per_k)
+            if cap is not None and n > cap:
                 # slight over-sample then exact cap keeps the bound hard;
-                # seeded -> deterministic across runs
-                frac = min(1.0, 1.1 * self.fit_sample_rows / n)
-                feats = feats.sample(fraction=frac, seed=self.seed).limit(self.fit_sample_rows)
+                # seeded -> deterministic across runs. The GlobalLimit
+                # collapses the sample to ONE partition — repartition after
+                # it or every Lloyd/init job runs single-task.
+                frac = min(1.0, 1.1 * cap / n)
+                par = df.sparkSession.sparkContext.defaultParallelism
+                src = (
+                    df.sample(fraction=frac, seed=self.seed)
+                    .limit(cap)
+                    .repartition(min(par, max(1, cap // 256)))
+                )
+        feats = src.select(self._feature_expr())
         # KMeans re-evaluates its input every Lloyd iteration (plus the
         # kmeans|| init passes) and pyspark.ml does NOT cache it for you —
         # with any nontrivial upstream lineage (union + normalize here) that
@@ -87,7 +135,9 @@ class KMeansIndex:
         feats = feats.persist()
         try:
             feats.count()  # materialize before the iterative job storm
-            self._model = KMeans(k=self.k_fitted, seed=self.seed, maxIter=self.max_iter).fit(feats)
+            self._model = KMeans(
+                k=self.k_fitted, seed=self.seed, maxIter=self.max_iter, initMode=self.init_mode
+            ).fit(feats)
         finally:
             feats.unpersist()
         return self
@@ -95,11 +145,13 @@ class KMeansIndex:
     def assign(self, df: DataFrame, *, cluster_col: str = "cluster") -> DataFrame:
         """Adds the cluster-id column (the reference's bucket_id_getter)."""
         assert self._model is not None, "call fit() first"
-        feats = df.withColumn("features", array_to_vector_col(F.col(self.vec_col)))
+        feats = df.withColumn("features", self._feature_expr())
         out = self._model.transform(feats).withColumnRenamed("prediction", cluster_col)
         return out.drop("features")
 
-    def assign_multi(self, df: DataFrame, *, probes: int = 2, cluster_col: str = "cluster") -> DataFrame:
+    def assign_multi(
+        self, df: DataFrame, *, probes: int = 2, cluster_col: str = "cluster", input_col: str | None = None
+    ) -> DataFrame:
         """Multi-probe assignment: each row lands in its ``probes`` nearest
         cells by cosine (one output row per probe — the reference's
         cluster-bucket design, backend.py:89-93, widened the way IVF
@@ -110,7 +162,12 @@ class KMeansIndex:
         Scale shape: the (k x dim) centroid matrix is broadcast once; each
         Arrow batch ranks cells with ONE numpy matmul (no k x n expression
         join, no shuffle); the explode multiplies rows by ``probes`` before
-        the existing groupBy(cluster) shuffle."""
+        the existing groupBy(cluster) shuffle. Rows AND centroids are
+        unit-normalized inside the kernel, so ``input_col`` may carry RAW
+        vectors even when the index was fitted on normalized ones (cosine
+        ranking is normalization-invariant) — that skips the interpreted
+        per-row normalize fold on the full corpus, which dominated the
+        100x-scale wall before this path existed."""
         assert self._model is not None, "call fit() first"
         import numpy as np
         from pyspark.sql.functions import pandas_udf
@@ -132,7 +189,7 @@ class KMeansIndex:
             top = np.argsort(-sims, axis=1)[:, :p].astype("int32")
             return pd.Series(list(top))
 
-        return df.withColumn(cluster_col, F.explode(top_cells(F.col(self.vec_col))))
+        return df.withColumn(cluster_col, F.explode(top_cells(F.col(input_col or self.vec_col))))
 
     def centroids(self, spark) -> DataFrame:
         """(cluster, centroid array<double>) — always broadcast-sized."""
@@ -200,12 +257,6 @@ class KMeansIndex:
         return survivors, rejected
 
 
-def array_to_vector_col(c: F.Column):
-    from pyspark.ml.functions import array_to_vector
-
-    return array_to_vector(c.cast("array<double>"))
-
-
 class SemanticDeduplicator(Deduplicator):
     """Semantic dedup as a FIRST-CLASS pipeline operator — the reference
     designed this (cluster id as dedup bucket, backend.py:89-93,
@@ -264,22 +315,31 @@ class SemanticDeduplicator(Deduplicator):
         raise NotImplementedError("semantic dedup is not a single-key dedup")
 
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
-        import math
-
         import numpy as np
-
-        from mega_data_factory_spark.functions.vectors import l2_normalize
 
         # Cluster on UNIT vectors (spherical k-means): cosine-identical
         # vectors (e.g. a scaled copy) must land in the same cell, which
         # euclidean k-means on raw magnitudes does not guarantee.
-        normed = df.withColumn("__nvec", l2_normalize(F.col(self.vec_col)))
-        k = self.k if self.k is not None else max(2, math.ceil(df.count() / self.cell_target_rows))
-        idx = KMeansIndex(k=k, vec_col="__nvec", seed=self.seed, max_iter=self.max_iter).fit(normed)
-        if self.probes > 1:
-            assigned = idx.assign_multi(normed, probes=self.probes)
-        else:
-            assigned = idx.assign(normed)
+        # normalize=True applies the (interpreted) normalize fold inside
+        # fit() AFTER sampling — only the bounded training sample pays it;
+        # k=None also resolves inside fit() (one count, shared with the
+        # sample bound); random init because bucketing needs stable cells,
+        # not kmeans||-grade convergence.
+        idx = KMeansIndex(
+            k=self.k,
+            cell_target_rows=self.cell_target_rows,
+            vec_col=self.vec_col,
+            normalize=True,
+            init_mode="random",
+            seed=self.seed,
+            max_iter=self.max_iter,
+        ).fit(df)
+        # Assignment runs on the RAW vectors through the broadcast-matmul
+        # kernel (assign_multi normalizes rows AND centroids in numpy;
+        # cosine ranking is normalization-invariant) — one Arrow crossing,
+        # zero interpreted per-row folds on the full corpus, which were
+        # measured as this operator's dominant cost at the 100x scale dir.
+        assigned = idx.assign_multi(df, probes=max(1, self.probes), input_col=self.vec_col)
         assigned = assigned.select(self.id_col, self.vec_col, "cluster")
         t, id_col, vec = self.threshold, self.id_col, self.vec_col
 

@@ -141,7 +141,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cells stay ~cell_target_rows) — a FIXED k makes the nprobe candidate
     # scan linear in n (measured 4x wall at 100x data with k=8); this is the
     # scale configuration, benched as such.
-    idx = KMeansIndex(k=None, cell_target_rows=4096, max_iter=10).fit(emb)
+    idx = KMeansIndex(k=None, cell_target_rows=4096, max_iter=10, init_mode="random").fit(emb)
     out = idx.ivf_topk(emb.filter(F.col("vec_id") != QUERY_VEC_ID), _query_df(emb), k=10, nprobe=3)
     return out.select("vec_id", "cluster", "cosine")
 

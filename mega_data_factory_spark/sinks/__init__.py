@@ -52,6 +52,34 @@ def write_sink(df: DataFrame, cfg: SinkConfig) -> None:
             writer = writer.partitionedBy(*[F.col(c) for c in cfg.partition_by])
         writer.createOrReplace() if cfg.mode == "overwrite" else writer.append()
         return
+    if cfg.bucket_by:
+        # Bucketed/sorted layout: pre-shuffled-on-write by the join/agg key,
+        # so repeated fact-fact joins (the q5 shape) and keyed aggregations
+        # read co-located buckets with ZERO exchanges
+        # (tests/test_storage_layout.py asserts the plan). Bucket metadata
+        # lives in the catalog -> needs a table identifier; an explicit
+        # bucket count is required because it must MATCH across the tables
+        # that will join (a silent default would quietly break co-location).
+        if not cfg.table:
+            raise ValueError(
+                "bucketed sink needs `table` (bucket metadata lives in the "
+                "catalog; use `path` only to pin the external location)"
+            )
+        if not cfg.buckets:
+            raise ValueError(
+                "bucketed sink needs an explicit `buckets` count — it must "
+                "match across tables that join on the bucket key"
+            )
+        writer = df.write.format(fmt).mode(cfg.mode).options(**cfg.options)
+        if cfg.path:
+            writer = writer.option("path", cfg.path)
+        if cfg.partition_by:
+            writer = writer.partitionBy(*cfg.partition_by)
+        writer = writer.bucketBy(cfg.buckets, *cfg.bucket_by)
+        if cfg.sort_by:
+            writer = writer.sortBy(*cfg.sort_by)
+        writer.saveAsTable(cfg.table)
+        return
     if cfg.path is None:
         raise ValueError("sink needs a path")
     writer = df.write.format(fmt).mode(cfg.mode).options(**cfg.options)

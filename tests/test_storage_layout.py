@@ -70,6 +70,56 @@ def test_bucketed_join_has_no_shuffle(warehouse):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bucketed_sink_config_roundtrip(spark, tmp_path):
+    """The bucketed layout is reachable from the SINK CONFIG surface (YAML:
+    table/bucket_by/buckets/sort_by), not just the raw writer API: two
+    config-written tables joined on the bucket key produce zero exchanges
+    on the join, and misconfigurations fail loudly (missing table name,
+    missing bucket count — a silent default would break co-location)."""
+    import pytest as _pytest
+
+    from mega_data_factory_spark.config import SinkConfig
+    from mega_data_factory_spark.sinks import write_sink
+
+    sf = "/root/testdata/sf0.01"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    try:
+        write_sink(
+            orders,
+            SinkConfig.from_dict(
+                {"table": "cb_orders", "path": str(tmp_path / "cb_orders"), "mode": "overwrite",
+                 "bucket_by": "o_orderkey", "buckets": 8, "sort_by": "o_orderkey"}
+            ),
+        )
+        write_sink(
+            lineitem,
+            SinkConfig.from_dict(
+                {"table": "cb_lineitem", "path": str(tmp_path / "cb_lineitem"), "mode": "overwrite",
+                 "bucket_by": "l_orderkey", "buckets": 8, "sort_by": "l_orderkey"}
+            ),
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("cb_orders").join(
+                spark.table("cb_lineitem"), F.col("o_orderkey") == F.col("l_orderkey")
+            )
+            plan = _plan(joined)
+            assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+            assert joined.count() == lineitem.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        for t in ("cb_orders", "cb_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    with _pytest.raises(ValueError, match="table"):
+        write_sink(orders, SinkConfig.from_dict({"path": "/tmp/x", "bucket_by": "o_orderkey", "buckets": 8}))
+    with _pytest.raises(ValueError, match="buckets"):
+        write_sink(orders, SinkConfig.from_dict({"table": "t", "bucket_by": "o_orderkey"}))
+
+
 def test_partition_pruning_skips_directories(spark, tmp_path):
     """Hive-partitioned layout (the reference's partition_by sink contract,
     parquet_writer.py:57-93): a filter on the partition column must appear
