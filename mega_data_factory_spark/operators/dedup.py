@@ -533,6 +533,95 @@ class SharedSpanDeduplicator(Deduplicator):
         )
 
 
+class DecontaminationFilter(Deduplicator):
+    """Cross-corpus exact n-gram decontamination — the eval-leakage defense
+    every frontier-model data pipeline runs (GPT-3 appendix C: 13-gram
+    overlap removal; Lee et al. 2022 §6): drop training documents sharing
+    >= ``min_shared`` exact ``span_tokens``-word spans with a held-out
+    benchmark/eval corpus. Beyond the reference's surface — first-class per
+    the build brief's training-data-pipeline mandate.
+
+    Same inverted-index shape as ``SharedSpanDeduplicator``, but the
+    comparison side is a SECOND corpus instead of a self-join — and that
+    asymmetry is the scale win: the benchmark side is eval-set-sized, so
+    its distinct span hashes build a broadcast, and the 100 TB training
+    corpus is scrubbed by one narrow broadcast semi-join on 8-byte span
+    hashes. NO shuffle of training data at any corpus size; text never
+    leaves its scan partition.
+
+    ``benchmark`` is a DataFrame or a temp-view/table name (resolved
+    lazily, so the filter is YAML-constructible). Rejected rows carry the
+    shared-span count in ``representative_id`` and reason
+    ``"contaminated"``.
+    """
+
+    rejection_reason = "contaminated"
+
+    def __init__(
+        self,
+        benchmark,
+        *,
+        span_tokens: int = 13,
+        min_shared: int = 1,
+        text_col: str = "text",
+        benchmark_text_col: str | None = None,
+        id_col: str = "doc_id",
+        name: str | None = None,
+    ):
+        super().__init__(name, order_col=id_col, id_col=id_col)
+        self.benchmark = benchmark
+        self.span_tokens = span_tokens
+        self.min_shared = min_shared
+        self.text_col = text_col
+        self.benchmark_text_col = benchmark_text_col or text_col
+
+    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
+        raise NotImplementedError("decontamination is not a single-key dedup")
+
+    def _span_hashes(self, df: DataFrame, text_col: str) -> DataFrame:
+        """(row spans -> distinct 8-byte hashes), docs under span_tokens
+        words contribute nothing (the whole-text fallback is Jaccard-only)."""
+        sh = df.select(F.array_distinct(word_shingles(text_col, self.span_tokens)).alias("__sh"))
+        n_words = F.size(F.split(F.col("__sh").getItem(0), " "))
+        sh = sh.filter(F.size("__sh").isNotNull() & (n_words >= self.span_tokens))
+        return sh.select(F.explode("__sh").alias("__s")).select(F.xxhash64("__s").alias("__h")).distinct()
+
+    def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        bench_df = (
+            df.sparkSession.table(self.benchmark) if isinstance(self.benchmark, str) else self.benchmark
+        )
+        bench = self._span_hashes(bench_df, self.benchmark_text_col)
+        sh = df.select(
+            F.col(self.id_col).alias("__id"),
+            F.array_distinct(word_shingles(self.text_col, self.span_tokens)).alias("__sh"),
+        )
+        n_words = F.size(F.split(F.col("__sh").getItem(0), " "))
+        sh = sh.filter(F.size("__sh").isNotNull() & (n_words >= self.span_tokens))
+        inv = sh.select("__id", F.explode("__sh").alias("__s")).select(
+            "__id", F.xxhash64("__s").alias("__h")
+        )
+        hits = (
+            inv.join(F.broadcast(bench), on="__h")
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("__shared"))
+            .filter(F.col("__shared") >= self.min_shared)
+        )
+        return hits.select(F.col("__id").alias(self.id_col), F.col("__shared").alias("__rep"))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return anti_join_once(df, self._dup_pairs(df), self.id_col)
+
+    def rejected(self, df: DataFrame) -> DataFrame:
+        return (
+            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
+            .withColumn(
+                "_rejection_details",
+                rejection_details(self.rejection_reason, self.name, F.lit(None), F.col("__rep").cast("string")),
+            )
+            .drop("__rep")
+        )
+
+
 class EmbeddingCosineDeduplicator(Deduplicator):
     """Near-dedup by embedding cosine similarity >= threshold; earliest
     (min id) near-neighbor wins.

@@ -175,7 +175,14 @@ class Pipeline:
             _R,
             F.when(
                 self._alive() & F.col("__dup_id").isNotNull(),
-                rejection_details("duplicate", op.name, F.lit(None), F.col("__rep").cast("string")),
+                rejection_details(
+                    # join-rejectors that aren't dedups (DecontaminationFilter)
+                    # carry their own reason
+                    getattr(op, "rejection_reason", "duplicate"),
+                    op.name,
+                    F.lit(None),
+                    F.col("__rep").cast("string"),
+                ),
             ).otherwise(F.col(_R)),
         )
         return tagged.drop("__dup_id", "__rep")

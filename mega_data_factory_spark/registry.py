@@ -50,6 +50,7 @@ SINKS = Registry("sink")
 
 def _register_builtins() -> None:
     from mega_data_factory_spark.operators.dedup import (
+        DecontaminationFilter,
         EmbeddingCosineDeduplicator,
         KeyDeduplicator,
         MinHashLSHDeduplicator,
@@ -57,6 +58,10 @@ def _register_builtins() -> None:
         SharedSpanDeduplicator,
         SimHashDeduplicator,
         TextExactDeduplicator,
+    )
+    from mega_data_factory_spark.operators.sampling import (
+        DatasetSplitRefiner,
+        WeightedSourceSampler,
     )
     from mega_data_factory_spark.operators.filters import (
         DomainBlocklistFilter,
@@ -108,6 +113,9 @@ def _register_builtins() -> None:
         SimHashDeduplicator,
         NgramJaccardDeduplicator,
         SharedSpanDeduplicator,
+        DecontaminationFilter,
+        DatasetSplitRefiner,
+        WeightedSourceSampler,
         EmbeddingCosineDeduplicator,
         ImageMetadataRefiner,
         ImageTechnicalQualityRefiner,

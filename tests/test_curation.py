@@ -100,3 +100,54 @@ SELECT doc_id,
 FROM corpus ORDER BY doc_id
 """
     assert_df_matches_sql(out, sql, name="pii_redact")
+
+
+H64 = "CAST(('0x' || substr(md5({v}), 1, 15)) AS BIGINT)"
+
+
+def test_dataset_split_matches_oracle(spark):
+    """DatasetSplitRefiner: hash-bucket split assignment is reproducible in
+    ANSI SQL (the whole point — partition-independent, engine-independent
+    splits), verified value-for-value against DuckDB on real documents."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    from mega_data_factory_spark.operators.sampling import DatasetSplitRefiner
+
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    r = DatasetSplitRefiner({"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id")
+    out = r.apply(docs).select("doc_id", "split").orderBy("doc_id")
+    b = H64.format(v="CAST(doc_id AS VARCHAR)") + " % 10000"
+    sql = f"""
+SELECT doc_id,
+  CASE WHEN {b} < 8000 THEN 'train' WHEN {b} < 9000 THEN 'val' ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+    assert_df_matches_sql(out, sql, name="dataset_split")
+    # sanity: ratios are roughly honored on 500 docs
+    from pyspark.sql import functions as F
+
+    frac = {x["split"]: x["n"] for x in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert frac["train"] > 300 and frac["val"] > 10 and frac["test"] > 10
+
+
+def test_weighted_sampler_matches_oracle(spark):
+    """WeightedSourceSampler: per-source deterministic mixing ratios match
+    the SQL mirror exactly; weight 0.0 removes a source entirely and the
+    survivor set is identical run-to-run (no rand())."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    from mega_data_factory_spark.operators.sampling import WeightedSourceSampler
+
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    s = WeightedSourceSampler({"src1": 0.5, "src2": 0.0}, default_weight=1.0, id_col="doc_id")
+    out = s.apply(docs).select("doc_id", "source").orderBy("doc_id")
+    b = H64.format(v="CAST(doc_id AS VARCHAR)") + " % 10000"
+    sql = f"""
+SELECT doc_id, source FROM documents
+WHERE {b} < (CASE WHEN source = 'src2' THEN 0 WHEN source = 'src1' THEN 5000 ELSE 10000 END)
+ORDER BY doc_id
+"""
+    assert_df_matches_sql(out, sql, name="weighted_sampler")
+    rows = out.collect()
+    assert not any(r.source == "src2" for r in rows)
+    # deterministic: second run yields the identical survivor set
+    again = {r.doc_id for r in s.apply(docs).select("doc_id").collect()}
+    assert again == {r.doc_id for r in rows}

@@ -295,3 +295,96 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dups)
 ORDER BY doc_id
 """
     assert_df_matches_sql(out, sql, name="shared_span_dedup")
+
+
+def test_decontamination_matches_oracle(spark):
+    """Cross-corpus 13-gram decontamination: training docs sharing a span
+    with the benchmark corpus are dropped; the survivor set matches the SQL
+    mirror exactly. Benchmark = truncations of 5 real docs (guaranteed
+    verbatim span overlap); docs under span_tokens words are immune."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    from mega_data_factory_spark.operators.dedup import DecontaminationFilter
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet").select("doc_id", "text")
+    # benchmark: first 30 words of docs 0..4 — verbatim spans of the originals
+    w = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    bench = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(w, 1, 30), " ").alias("text"),
+    )
+    d = DecontaminationFilter(bench, span_tokens=13, id_col="doc_id")
+    out = d.apply(docs).select("doc_id").orderBy("doc_id")
+
+    norm = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+    n = 13
+
+    def spans(src: str) -> str:
+        return f"""
+(SELECT doc_id, unnest(list_distinct(
+   list_transform(range(1, len(ws) - {n - 2}), i -> array_to_string(ws[i:i+{n - 1}], ' ')))) AS s
+ FROM (SELECT doc_id, string_split({norm.format(c='text')}, ' ') AS ws FROM {src})
+ WHERE len(ws) >= {n})"""
+
+    sql = f"""
+WITH bench AS (
+  SELECT doc_id, array_to_string((string_split({norm.format(c='text')}, ' '))[1:30], ' ') AS text
+  FROM documents WHERE doc_id < 5
+),
+bspans AS (SELECT DISTINCT s FROM {spans('bench')} b),
+tspans AS (SELECT doc_id, s FROM {spans('documents')} t),
+hit AS (SELECT DISTINCT t.doc_id FROM tspans t JOIN bspans b ON t.s = b.s)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM hit) ORDER BY doc_id
+"""
+    assert_df_matches_sql(out, sql, name="decontamination")
+    surv = {r.doc_id for r in out.collect()}
+    # the 5 source docs themselves contain the benchmark spans -> dropped
+    # (unless shorter than 13 words, in which case they are span-free)
+    dropped = set(range(5)) - surv
+    assert dropped, "at least some benchmark-source docs must be flagged"
+    # rejected side carries the shared-span count and 'contaminated' reason
+    rej = {r.doc_id: (r["_rejection_details"]["reason"], int(r["_rejection_details"]["representative_id"]))
+           for r in d.rejected(docs).collect()}
+    for i in dropped:
+        assert rej[i][0] == "contaminated" and rej[i][1] >= 1
+
+
+def test_decontamination_in_pipeline(spark, tmp_path):
+    """DecontaminationFilter as a YAML stage, benchmark passed by table
+    name: contaminated rows land in the rejected sink tagged
+    'contaminated'; clean rows pass."""
+    from mega_data_factory_spark.config import PipelineConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    span = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    rows = [
+        (1, f"prefix words then the leaked span {span} and a suffix tail here"),
+        (2, "a completely clean document with enough distinct words to stay afloat easily today"),
+        (3, "short doc"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView("train_in")
+    spark.createDataFrame([(100, span)], "bench_id long, text string").createOrReplaceTempView("bench_tbl")
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "decon",
+                "id_col": "doc_id",
+                "source": {"table": "train_in"},
+                "stages": [
+                    {"name": "scrub", "operators": [
+                        {"name": "DecontaminationFilter",
+                         "params": {"benchmark": "bench_tbl", "span_tokens": 13, "id_col": "doc_id"}}]},
+                ],
+                "sink": {"format": "parquet", "path": str(tmp_path / "out"), "mode": "overwrite"},
+                "rejected_sink": {"format": "parquet", "path": str(tmp_path / "rej"), "mode": "overwrite"},
+            }
+        }
+    )
+    result = Pipeline(cfg).run(spark)
+    assert result.input_records == 3
+    kept = {r.doc_id for r in spark.read.parquet(f"{tmp_path}/out").collect()}
+    assert kept == {2, 3}
+    rej = spark.read.parquet(f"{tmp_path}/rej").collect()
+    assert len(rej) == 1 and rej[0].doc_id == 1
+    assert rej[0]["_rejection_details"]["reason"] == "contaminated"
