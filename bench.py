@@ -335,6 +335,12 @@ def main() -> None:
                 "warmup_excluded": True,
                 "timing": "min_of_2",
                 "image_timing": "steady_state_min_of_2",
+                # workload additions make TOTALS incomparable round-over-round;
+                # compare per-query. streaming_pipeline (round 6) measures the
+                # foreachBatch micro-batch runner incl. checkpoint + two sink
+                # appends — mostly fixed scheduling overhead at small sf (it
+                # amortizes: slope 2.75 at 100x data, BENCH_SCALE.json).
+                "new_in_round6": ["streaming_pipeline"],
                 # a run with failed queries reports a smaller total than a
                 # clean run; flag it so comparisons don't read it as a win
                 **({"errors": errors, "partial": True} if errors else {}),

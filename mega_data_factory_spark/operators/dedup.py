@@ -53,6 +53,95 @@ class TextExactDeduplicator(Deduplicator):
         )
 
 
+class IncrementalExactDeduplicator(TextExactDeduplicator):
+    """Exact-content dedup against BOTH the current batch and a persisted
+    seen-keys store — continuous-ingestion dedup across runs. The
+    reference's seen-set actors hold this state in memory forever
+    (framework/backend.py:21-47, one dict per shard, lost on restart);
+    here the state is just DATA: a parquet directory of (content_key,
+    representative id) rows that previous runs appended. Batch N+1 joins
+    against it, so dedup survives restarts, scales past memory, and stays
+    inspectable.
+
+    Semantics: a row is rejected if its key appears in the store (the
+    stored representative wins) OR an earlier same-key row exists in the
+    batch (min id wins — the batch path's usual rule). After the sinks
+    land, call ``update_store`` to append the batch's NEW keys.
+
+    Scale shape: the store is keys only (33-byte md5 + id, ~0.1% of a text
+    corpus); the membership check is one hash join on the key — the same
+    shuffle the in-batch dedup already pays, and AQE broadcasts the store
+    side while it is small. For a 100 TB corpus the store join is
+    shuffle-on-key; bucketing the store by ``content_key`` (SinkConfig
+    bucket_by) makes repeated runs co-located.
+    """
+
+    def __init__(self, store_path: str, **kwargs):
+        super().__init__(**kwargs)
+        self.store_path = store_path
+
+    def _store_keys(self, spark) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(self.store_path).select("content_key", "representative_id")
+        except AnalysisException:  # first run: empty store
+            return spark.createDataFrame([], "content_key string, representative_id string")
+
+    def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        """(id, __rep): rejected rows with their representative — the stored
+        one when the key is already known, else the batch's min-id row."""
+        keyed = df.select(F.col(self.id_col).alias("__id"), self.key(df).alias("__k"))
+        w = Window.partitionBy("__k").orderBy("__id")
+        ranked = keyed.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__first", F.min("__id").over(w)
+        )
+        # dropDuplicates guards against concurrent/replayed appends leaving
+        # the same key twice in the store — without it the left join would
+        # fan rejected rows out per store row
+        store = (
+            self._store_keys(df.sparkSession)
+            .withColumnRenamed("content_key", "__k")
+            .dropDuplicates(["__k"])
+        )
+        joined = ranked.join(store, on="__k", how="left")
+        seen = F.col("representative_id").isNotNull()
+        return (
+            joined.filter(seen | (F.col("__rn") > 1))
+            .select(
+                F.col("__id").alias(self.id_col),
+                F.when(seen, F.col("representative_id"))
+                .otherwise(F.col("__first").cast("string"))
+                .alias("__rep"),
+            )
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return anti_join_once(df, self._dup_pairs(df), self.id_col)
+
+    def rejected(self, df: DataFrame) -> DataFrame:
+        return (
+            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
+            .withColumn(
+                "_rejection_details",
+                rejection_details("duplicate", self.name, F.lit(None), F.col("__rep")),
+            )
+            .drop("__rep")
+        )
+
+    def update_store(self, df: DataFrame) -> None:
+        """Append the batch's NEW keys (survivors of ``apply``) to the
+        store. Call after the run's sinks landed (same at-least-once
+        posture as the batch resume manifest: re-appending an existing key
+        is harmless — the join takes any matching row's representative)."""
+        survivors = self.apply(df)
+        new_keys = survivors.select(
+            self.key(survivors).alias("content_key"),
+            F.col(self.id_col).cast("string").alias("representative_id"),
+        ).dropDuplicates(["content_key"])
+        new_keys.write.mode("append").parquet(self.store_path)
+
+
 class KeyDeduplicator(Deduplicator):
     """Dedup on an arbitrary existing column/expression (generic first-wins
     per key — e.g. one row per customer, one event per (user, type))."""

@@ -52,6 +52,7 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.dedup import (
         DecontaminationFilter,
         EmbeddingCosineDeduplicator,
+        IncrementalExactDeduplicator,
         KeyDeduplicator,
         MinHashLSHDeduplicator,
         NgramJaccardDeduplicator,
@@ -108,6 +109,7 @@ def _register_builtins() -> None:
         PiiRedactRefiner,
         FingerprintRefiner,
         TextExactDeduplicator,
+        IncrementalExactDeduplicator,
         KeyDeduplicator,
         MinHashLSHDeduplicator,
         SimHashDeduplicator,

@@ -90,3 +90,51 @@ def test_pipeline_resume_skips_processed_files(spark, split_docs, tmp_path):
     )
     r3 = Pipeline(cfg).run(spark)
     assert r3.input_records == 10
+
+
+def test_incremental_dedup_across_runs(spark, tmp_path):
+    """IncrementalExactDeduplicator: batch 2 rejects texts batch 1 already
+    admitted (the stored representative wins), while in-batch first-wins
+    still applies; the store is plain parquet keys, inspectable and
+    append-only."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.dedup import IncrementalExactDeduplicator
+
+    store = str(tmp_path / "seen_keys")
+    d = IncrementalExactDeduplicator(store, id_col="doc_id")
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "a totally different doc"), (3, "THE  QUICK  BROWN  FOX")],
+        "doc_id long, text string",
+    )
+    # first run: empty store -> pure in-batch dedup (3 normalizes to 1's key)
+    surv1 = {r.doc_id for r in d.apply(b1).collect()}
+    assert surv1 == {1, 2}
+    d.update_store(b1)
+
+    b2 = spark.createDataFrame(
+        [(10, "the quick brown fox"),       # seen in run 1 -> rejected, rep "1"
+         (11, "a brand new document"),      # new -> kept
+         (12, "a brand new document"),      # in-batch dup of 11 -> rejected, rep "11"
+         (13, "a totally different doc")],  # seen in run 1 -> rejected, rep "2"
+        "doc_id long, text string",
+    )
+    surv2 = {r.doc_id for r in d.apply(b2).collect()}
+    assert surv2 == {11}
+    reps = {r.doc_id: r["representative_id"] for r in d.rejected(b2).select(
+        "doc_id", "_rejection_details.representative_id").collect()}
+    assert reps == {10: "1", 12: "11", 13: "2"}
+    d.update_store(b2)
+
+    # store now covers both runs; a third batch of all-seen texts keeps nothing
+    b3 = spark.createDataFrame(
+        [(20, "a brand new document"), (21, "the quick brown fox")], "doc_id long, text string"
+    )
+    assert d.apply(b3).count() == 0
+    # update_store is at-least-once safe: re-appending b2 changes nothing
+    d.update_store(b2)
+    assert d.apply(b3).count() == 0
+    # the store itself is inspectable data
+    keys = spark.read.parquet(store)
+    assert {"content_key", "representative_id"} <= set(keys.columns)
