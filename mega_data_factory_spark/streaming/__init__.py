@@ -26,9 +26,19 @@ from mega_data_factory_spark.streaming.runner import (
     session_window_agg,
     stateful_user_totals,
     stream_dedup_with_reps,
+    stream_dedup_with_reps_ttl,
     stream_enrich,
     stream_exact_dedup,
     windowed_agg,
 )
 
-__all__ = ["StreamingPipeline", "windowed_agg", "session_window_agg", "stream_exact_dedup", "stateful_user_totals", "stream_enrich", "stream_dedup_with_reps"]
+__all__ = [
+    "StreamingPipeline",
+    "windowed_agg",
+    "session_window_agg",
+    "stream_exact_dedup",
+    "stateful_user_totals",
+    "stream_enrich",
+    "stream_dedup_with_reps",
+    "stream_dedup_with_reps_ttl",
+]

@@ -126,6 +126,80 @@ def stream_dedup_with_reps(
     )
 
 
+def stream_dedup_with_reps_ttl(
+    df: DataFrame,
+    *,
+    key_col: str,
+    id_col: str,
+    ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Bounded-state streaming dedup with representatives — the Spark 4
+    ``transformWithStateInPandas`` form of ``stream_dedup_with_reps``.
+
+    Per-key ``ValueState`` holds the first-seen id with a STATE TTL: keys
+    idle longer than ``ttl_ms`` are evicted by the state store itself, so
+    state stays bounded at 100 TB/day key cardinalities — the eviction
+    policy the reference's never-evicted seen-set actors
+    (framework/backend.py:13-226) cannot express, and that the
+    ``applyInPandasWithState`` form here only gestures at (NoTimeout).
+    The trade is explicit: a duplicate arriving after its key's TTL is
+    admitted again (the dedup horizon IS the TTL). Output contract matches
+    ``stream_dedup_with_reps``: every row tagged ``is_duplicate`` with the
+    key's ``representative_id``; within a micro-batch min(id) wins.
+
+    Requires ``protobuf`` (transformWithState's Python<->state-server
+    protocol) and the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``); import-gated with
+    a clear error when absent — ``stream_dedup_with_reps`` is the
+    dependency-free (unbounded-state) fallback."""
+    try:
+        from google.protobuf import descriptor as _  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "stream_dedup_with_reps_ttl needs the `protobuf` package "
+            "(pyspark's transformWithState driver worker imports "
+            "google.protobuf); `pip install protobuf`, or use "
+            "stream_dedup_with_reps (applyInPandasWithState, unbounded "
+            "state) instead"
+        ) from exc
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _TtlDedup(StatefulProcessor):
+        def init(self, handle):
+            self._rep = handle.getValueState("rep", "rep long", ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            frames = [pdf for pdf in rows if not pdf.empty]
+            if not frames:
+                return
+            batch = pd.concat(frames).sort_values(id_col)
+            stored = self._rep.get() if self._rep.exists() else None
+            rep = stored[0] if stored else None
+            if rep is None:
+                rep = int(batch[id_col].iloc[0])
+                self._rep.update((rep,))
+            out = batch[[id_col]].copy()
+            out[key_col] = key[0]
+            out["representative_id"] = rep
+            out["is_duplicate"] = out[id_col] != rep
+            yield out
+
+        def close(self):
+            pass
+
+    return (
+        df.select(key_col, id_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            _TtlDedup(),
+            outputStructType=f"{id_col} long, {key_col} string, representative_id long, is_duplicate boolean",
+            outputMode="append",
+            timeMode="ProcessingTime",  # TTL clock
+        )
+    )
+
+
 def stream_enrich(stream_df: DataFrame, static_df: DataFrame, on, *, how: str = "left") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     broadcast static dimension (user/account/domain metadata) without

@@ -276,3 +276,56 @@ def test_streaming_text_refiners_compose(spark, tmp_path):
     assert "<EMAIL>" in out[1].text_redacted and "<PHONE>" in out[1].text_redacted
     assert out[2].top_bigram_ratio == 1.0 and out[2].dup_word_ratio == 0.8
     assert out[3].pii_email_count == 0 and out[3].dup_word_ratio == 0.0
+
+
+def test_stream_dedup_ttl_semantics(spark, tmp_path):
+    """transformWithStateInPandas dedup (bounded-state form): same
+    representative semantics as the applyInPandasWithState version within
+    the TTL horizon — in-batch min(id) wins, cross-batch stored rep wins.
+    (TTL eviction itself needs wall-clock idle time; the bounded-state
+    contract here is the state-store TTL config, exercised with a horizon
+    long enough that no eviction occurs mid-test.) Skips when protobuf —
+    which transformWithState's Python protocol needs — is absent (this
+    container); the RuntimeError contract is asserted instead."""
+    import pytest
+
+    from mega_data_factory_spark.streaming import stream_dedup_with_reps_ttl
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(tmp_path))
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stream_dedup_with_reps_ttl(stream, key_col="event_type", id_col="event_id")
+        pytest.skip("protobuf absent: transformWithState driver worker cannot start here")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    src = tmp_path / "in"
+    a = [
+        {"event_id": 5, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "k1", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 10:00:01", "user_id": 1, "event_type": "k1", "value": 1.0},
+        {"event_id": 3, "ts": "2024-01-01 10:00:02", "user_id": 1, "event_type": "k2", "value": 1.0},
+    ]
+    b = [
+        {"event_id": 9, "ts": "2024-01-01 11:00:00", "user_id": 1, "event_type": "k1", "value": 1.0},
+        {"event_id": 1, "ts": "2024-01-01 11:00:01", "user_id": 1, "event_type": "k3", "value": 1.0},
+    ]
+    write_events(src, a, "a")
+    write_events(src, b, "b")
+    stream = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    out = stream_dedup_with_reps_ttl(stream, key_col="event_type", id_col="event_id", ttl_ms=3600_000)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_ttl")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r.event_id: (r.representative_id, r.is_duplicate) for r in spark.sql("select * from dedup_ttl").collect()}
+    assert rows[2] == (2, False)
+    assert rows[5] == (2, True)
+    assert rows[3] == (3, False)
+    assert rows[9] == (2, True)   # cross-batch dup within the TTL horizon
+    assert rows[1] == (1, False)
