@@ -1,6 +1,7 @@
 """CLI — the reference's ``mdf`` entry point (cli.py:41-101) for this engine.
 
     python -m mega_data_factory_spark run -c pipeline.yaml [--cpus N]
+    python -m mega_data_factory_spark validate -c pipeline.yaml [--explain]
     python -m mega_data_factory_spark list-operators
     python -m mega_data_factory_spark list-queries
 """
@@ -18,6 +19,15 @@ def main(argv: list[str] | None = None) -> int:
     runp = sub.add_parser("run", help="run a YAML pipeline")
     runp.add_argument("-c", "--config", required=True, help="YAML config path")
     runp.add_argument("--cpus", type=int, default=None)
+    valp = sub.add_parser(
+        "validate",
+        help="dry-run a YAML config: resolve operators, build the plan, run nothing",
+    )
+    valp.add_argument("-c", "--config", required=True, help="YAML config path")
+    valp.add_argument(
+        "--explain", action="store_true", help="also print the physical plan (needs a readable source)"
+    )
+    valp.add_argument("--cpus", type=int, default=4)
     sub.add_parser("list-operators", help="registered operator names")
     sub.add_parser("list-queries", help="oracle-checked query names")
     repp = sub.add_parser("report", help="HTML report from a metrics path")
@@ -39,6 +49,33 @@ def main(argv: list[str] | None = None) -> int:
         oracles = all_oracles()
         for name in sorted(all_queries()):
             print(f"{name}\t{'oracle' if name in oracles else 'rows-only'}")
+        return 0
+
+    if args.cmd == "validate":
+        # Fail-fast config review without touching data: unknown operator
+        # names, bad params, and malformed resources blocks all surface at
+        # Pipeline construction (eager registry resolution + profile build).
+        from mega_data_factory_spark.config import PipelineConfig
+        from mega_data_factory_spark.plans.pipeline import Pipeline
+
+        cfg = PipelineConfig.from_yaml(args.config)
+        pipe = Pipeline(cfg)
+        out = {
+            "pipeline": cfg.name,
+            "source": {"format": cfg.source.format, "path": cfg.source.path, "table": cfg.source.table},
+            "operators": [
+                {"stage": stage, "operator": type(op).__name__} for stage, op in pipe._ops
+            ],
+            "stage_resources": {k: True for k in pipe.stage_profiles},
+            "sink": cfg.sink.path if cfg.sink else None,
+            "rejected_sink": cfg.rejected_sink.path if cfg.rejected_sink else None,
+            "valid": True,
+        }
+        print(json.dumps(out))
+        if args.explain:
+            from mega_data_factory_spark.session import get_spark
+
+            print(pipe.explain(get_spark("mdf-spark-cli", cpus=args.cpus)), file=sys.stderr)
         return 0
 
     if args.cmd == "report":

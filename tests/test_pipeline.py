@@ -437,3 +437,27 @@ def test_stage_resource_profile_surface(spark):
         build_task_profile({"cpus": 0.5})
     with _pytest.raises(ValueError, match="whole number"):
         build_task_profile({"cpu": 0.25, "gpu": 0.25})
+
+
+def test_cli_validate_subcommand(capsys, tmp_path):
+    """`validate` dry-runs a config — resolves every operator and prints the
+    stage/operator layout WITHOUT a Spark session or data access; unknown
+    operators fail fast with the registry's known-names error."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from mega_data_factory_spark.__main__ import main
+
+    assert main(["validate", "-c", "configs/example_text_curation.yaml"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["valid"] and out["pipeline"] == "text_curation_example"
+    ops = [o["operator"] for o in out["operators"]]
+    assert "TextLengthFilter" in ops and "NgramJaccardDeduplicator" in ops
+    # disabled operators are excluded from the built pipeline
+    assert "DecontaminationFilter" not in ops
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("pipeline:\n  name: bad\n  source: {}\n  stages:\n    - name: s\n      operators: [{name: NoSuchOperator}]\n")
+    with _pytest.raises(KeyError, match="NoSuchOperator"):
+        main(["validate", "-c", str(bad)])
