@@ -553,8 +553,72 @@ ORDER BY url
 """
 
 
+MIX_WEIGHTS = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 0.75}
+SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SALT = "epoch1"
+_H64_SQL = "('0x' || substr(md5({v}), 1, 15))::BIGINT"
+
+
+def dataset_split_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset MIXING + train/val/test SPLIT — the two reproducible-selection
+    operators every training-data pipeline runs (operators/sampling.py),
+    composed and hash-verified in one driver row: per-source deterministic
+    downsampling (src0 removed, src1/2/3 kept at 25/50/75%, the rest in
+    full) followed by salted hash-bucket split assignment. The output is
+    per (source, split) counts plus min/max/sum of surviving doc ids, so
+    the row pins the exact survivor SET and assignment, not just ratios.
+    Both operators are pure codegen'd Column arithmetic over the engine's
+    md5-derived 60-bit hash — zero shuffle before the final aggregate, and
+    the selection is reproducible in ANSI SQL (the oracle mirrors it
+    value-for-value)."""
+    from mega_data_factory_spark.operators.sampling import DatasetSplitRefiner, WeightedSourceSampler
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    sampled = WeightedSourceSampler(MIX_WEIGHTS, default_weight=1.0, id_col="doc_id").apply(
+        t["documents"]
+    )
+    labeled = DatasetSplitRefiner(SPLIT_RATIOS, id_col="doc_id", salt=SPLIT_SALT).apply(sampled)
+    return (
+        labeled.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("doc_id").alias("sum_doc"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def _dataset_split_mix_oracle() -> str:
+    from mega_data_factory_spark.operators.sampling import BUCKETS, DatasetSplitRefiner, WeightedSourceSampler
+
+    sampler = WeightedSourceSampler(MIX_WEIGHTS, default_weight=1.0, id_col="doc_id")
+    splitter = DatasetSplitRefiner(SPLIT_RATIOS, id_col="doc_id", salt=SPLIT_SALT)
+    b_mix = _H64_SQL.format(v="CAST(doc_id AS VARCHAR)") + f" % {BUCKETS}"
+    b_split = _H64_SQL.format(v=f"CAST(doc_id AS VARCHAR) || '#{SPLIT_SALT}'") + f" % {BUCKETS}"
+    weight_cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(w * BUCKETS))}" for s, w in sampler.weights.items()
+    )
+    ths = splitter.thresholds()
+    split_cases = " ".join(f"WHEN {b_split} < {hi} THEN '{s}'" for s, hi in ths[:-1])
+    return f"""
+WITH sampled AS (
+  SELECT doc_id, source FROM documents
+  WHERE ({b_mix}) < (CASE source {weight_cases} ELSE {int(round(sampler.default_weight * BUCKETS))} END)
+),
+labeled AS (
+  SELECT source, doc_id, CASE {split_cases} ELSE '{ths[-1][0]}' END AS split FROM sampled
+)
+SELECT source, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+FROM labeled GROUP BY source, split ORDER BY source, split
+"""
+
+
 QUERIES = {
     "text_length_filter": text_length_filter,
+    "dataset_split_mix": dataset_split_mix,
     "warc_extract": warc_extract,
     "curation_funnel_by_source": curation_funnel_by_source,
     "text_exact_dedup": text_exact_dedup,
@@ -570,6 +634,7 @@ QUERIES = {
 
 ORACLE = {
     "text_length_filter": TEXT_LENGTH_ORACLE,
+    "dataset_split_mix": _dataset_split_mix_oracle(),
     "warc_extract": _warc_extract_oracle(),
     "curation_funnel_by_source": FUNNEL_ORACLE,
     "text_exact_dedup": TEXT_DEDUP_ORACLE,

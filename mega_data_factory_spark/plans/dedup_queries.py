@@ -375,6 +375,62 @@ FROM corpus c LEFT JOIN dups d ON c.doc_id = d.doc_id
 ORDER BY c.doc_id
 """
 
+DECON_SPAN_TOKENS, DECON_MIN_SHARED, DECON_BENCH_MAX_ID = 13, 1, 40
+
+
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus eval-decontamination (GPT-3 appendix C: exact 13-gram
+    overlap removal) over the planted corpus: the "benchmark" is the raw
+    text of docs 0..39, the "training set" is the full planted corpus, so
+    every observable case is exercised — originals 0..39 (share every
+    span), their ``+10000`` truncations and ``+20000`` normalization
+    variants (share spans without being byte-equal) are contaminated;
+    docs 40+ and short docs (< 13 words, no spans) are kept.
+    ``representative_id`` carries the shared-span COUNT, so the row
+    validates the overlap counting, not just the verdict."""
+    from mega_data_factory_spark.operators.dedup import DecontaminationFilter
+
+    corpus = _doc_corpus(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ("documents",))
+    bench = t["documents"].filter(F.col("doc_id") < DECON_BENCH_MAX_ID).select("text")
+    d = DecontaminationFilter(
+        bench, span_tokens=DECON_SPAN_TOKENS, min_shared=DECON_MIN_SHARED, id_col="doc_id"
+    )
+    return _tag_sides(corpus, d._dup_pairs(corpus), "doc_id").orderBy("doc_id")
+
+
+def _decon_span_list(n: int) -> str:
+    """Distinct word n-gram spans of one normalized text (DuckDB list)."""
+    return f"list_distinct(list_transform(range(1, len(ws) - {n - 2}), i -> array_to_string(ws[i:i+{n - 1}], ' ')))"
+
+
+DECONTAMINATION_ORACLE = f"""
+WITH {DOC_CORPUS_CTE.strip()},
+bnorm AS (SELECT {NORM_SQL} AS t FROM documents WHERE doc_id < {DECON_BENCH_MAX_ID}),
+bw AS (SELECT string_split(t, ' ') AS ws FROM bnorm),
+bspans AS (
+  SELECT DISTINCT unnest({_decon_span_list(DECON_SPAN_TOKENS)}) AS span
+  FROM bw WHERE len(ws) >= {DECON_SPAN_TOKENS}
+),
+norm AS (SELECT doc_id, {NORM_SQL} AS t FROM corpus),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+sp AS (
+  SELECT doc_id, {_decon_span_list(DECON_SPAN_TOKENS)} AS s
+  FROM w WHERE len(ws) >= {DECON_SPAN_TOKENS}
+),
+inv AS (SELECT doc_id, unnest(s) AS span FROM sp),
+hits AS (
+  SELECT doc_id, count(*) AS shared FROM inv JOIN bspans USING (span)
+  GROUP BY doc_id HAVING count(*) >= {DECON_MIN_SHARED}
+)
+SELECT c.doc_id,
+       CASE WHEN h.doc_id IS NULL THEN 'kept' ELSE 'rejected' END AS side,
+       CAST(h.shared AS VARCHAR) AS representative_id
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+ORDER BY c.doc_id
+"""
+
+
 COSINE_THRESHOLD = 0.45
 
 DOT_SQL = "list_reduce(list_transform(range(1, len({a}) + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
@@ -413,6 +469,7 @@ QUERIES = {
     "simhash_near_dedup": simhash_near_dedup,
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
     "shared_span_dedup": shared_span_dedup,
+    "decontamination": decontamination,
     "embedding_cosine_dedup": embedding_cosine_dedup,
 }
 
@@ -422,5 +479,6 @@ ORACLE = {
     "simhash_near_dedup": SIMHASH_NEAR_ORACLE,
     "ngram_jaccard_dedup": JACCARD_ORACLE,
     "shared_span_dedup": SHARED_SPAN_ORACLE,
+    "decontamination": DECONTAMINATION_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE,
 }

@@ -365,7 +365,7 @@ ORDER BY c_custkey
 #     subsumed by q1's decimal-sum family + cube's CASE coverage
 #     (test_q14_matches_oracle);
 #   * customer_order_counts_outer — customer⋈orders LEFT JOIN family also
-#     exercised by customer_order_ranks/customers_without_orders
+#     exercised by customer_order_ranks/customer_semi_anti_join
 #     (test_outer_counts_matches_oracle).
 # The freed slots carry shared_span_dedup and text_cleanup driver rows.
 QUERIES = {

@@ -27,85 +27,77 @@ from pyspark.sql import functions as F
 from mega_data_factory_spark.session import load_tables
 
 
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join: customers with no order since mid-1997 (lapsed
-    customers), with their segment. The date filter is pushed below the
-    join, so the anti side shrinks before the shuffle."""
+def customer_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi AND anti join in one driver row (consolidated from two r5 rows
+    to stay under the registry's 50-row cap), tagged by ``op``:
+
+      * ``anti_no_recent_order`` — left anti join: customers with no order
+        since mid-1997; the date filter is pushed below the join so the
+        anti side shrinks before the shuffle.
+      * ``semi_high_value`` — left semi join: customers with >= 1 order
+        over 400k (the reference's blocklist-membership shape,
+        url_filter.py:217-234, inverted).
+
+    Both branches project identical columns so the union validates the
+    full customer payload through each join type."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
     recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
-    return (
+    anti = (
         t["customer"]
         .join(recent, t["customer"].c_custkey == recent.o_custkey, "left_anti")
-        .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
+        .select(F.lit("anti_no_recent_order").alias("op"), *cols)
     )
-
-
-CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
-SELECT c_custkey, c_name, c_mktsegment
-FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')
-ORDER BY c_custkey
-"""
-
-
-def customers_with_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left semi join: customers with at least one order over 400k —
-    membership test without duplicating customer rows (the reference's
-    blocklist-membership shape, url_filter.py:217-234, inverted)."""
-    t = load_tables(spark, sf_dir, ("customer", "orders"))
     big = t["orders"].filter(F.col("o_totalprice") > 400000)
-    return (
+    semi = (
         t["customer"]
         .join(big, t["customer"].c_custkey == big.o_custkey, "left_semi")
-        .select("c_custkey", "c_acctbal")
-        .orderBy("c_custkey")
+        .select(F.lit("semi_high_value").alias("op"), *cols)
     )
+    return anti.unionByName(semi).orderBy("op", "c_custkey")
 
 
-CUSTOMERS_HIGH_VALUE_ORACLE = """
-SELECT c_custkey, c_acctbal
-FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
-ORDER BY c_custkey
+CUSTOMER_SEMI_ANTI_ORACLE = """
+SELECT * FROM (
+  SELECT 'anti_no_recent_order' AS op, c_custkey, c_mktsegment, c_acctbal
+  FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+  UNION ALL
+  SELECT 'semi_high_value' AS op, c_custkey, c_mktsegment, c_acctbal
+  FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+)
+ORDER BY op, c_custkey
 """
 
 
-def nations_customers_minus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct semantics — DataFrame.subtract): nations that have
-    customers but no high-balance (> 9000) supplier."""
+def nations_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT and INTERSECT in one driver row (consolidated from two r5
+    rows), tagged by ``op``:
+
+      * ``except_high_balance`` — ``DataFrame.subtract`` (distinct
+        semantics): nations that have customers but no high-balance
+        (> 9000) supplier; per-side counts are NULL.
+      * ``intersect`` — nations present on both sides, with per-side
+        counts off one aggregate each."""
     t = load_tables(spark, sf_dir, ("customer", "supplier", "nation"))
     cn = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
-    sn = (
-        t["supplier"]
-        .filter(F.col("s_acctbal") > 9000)
-        .select(F.col("s_nationkey").alias("nationkey"))
+    sn_all = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    sn_high = t["supplier"].filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_nationkey").alias("nationkey")
     )
-    diff = cn.subtract(sn)
-    return (
-        diff.join(t["nation"], diff.nationkey == t["nation"].n_nationkey)
-        .select("n_nationkey", "n_name")
-        .orderBy("n_nationkey")
+    nation = t["nation"].select(F.col("n_nationkey").alias("nationkey"), "n_name")
+    diff = (
+        cn.subtract(sn_high)
+        .join(nation, "nationkey")
+        .select(
+            F.lit("except_high_balance").alias("op"),
+            "nationkey",
+            "n_name",
+            F.lit(None).cast("long").alias("n_customers"),
+            F.lit(None).cast("long").alias("n_suppliers"),
+        )
     )
-
-
-NATIONS_EXCEPT_ORACLE = """
-SELECT n_nationkey, n_name FROM nation
-WHERE n_nationkey IN (
-  SELECT c_nationkey FROM customer
-  EXCEPT
-  SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
-)
-ORDER BY n_nationkey
-"""
-
-
-def nations_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT: nations present on both sides, counted per side."""
-    t = load_tables(spark, sf_dir, ("customer", "supplier"))
-    cn = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
-    sn = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
-    both = cn.intersect(sn)
     counts = (
         t["customer"]
         .groupBy(F.col("c_nationkey").alias("nationkey"))
@@ -115,18 +107,36 @@ def nations_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
             "nationkey",
         )
     )
-    return both.join(counts, "nationkey").orderBy("nationkey")
+    both = (
+        cn.intersect(sn_all)
+        .join(counts, "nationkey")
+        .join(nation, "nationkey")
+        .select(F.lit("intersect").alias("op"), "nationkey", "n_name", "n_customers", "n_suppliers")
+    )
+    return diff.unionByName(both).orderBy("op", "nationkey")
 
 
-NATIONS_INTERSECT_ORACLE = """
-SELECT nationkey, n_customers, n_suppliers FROM (
-  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1
-) c
-JOIN (
-  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1
-) s USING (nationkey)
-WHERE nationkey IN (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
-ORDER BY nationkey
+NATIONS_SETOPS_ORACLE = """
+SELECT * FROM (
+  SELECT 'except_high_balance' AS op, n_nationkey AS nationkey, n_name,
+         CAST(NULL AS BIGINT) AS n_customers, CAST(NULL AS BIGINT) AS n_suppliers
+  FROM nation
+  WHERE n_nationkey IN (
+    SELECT c_nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+  )
+  UNION ALL
+  SELECT 'intersect' AS op, nationkey, n_name, n_customers, n_suppliers FROM (
+    SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1
+  ) c
+  JOIN (
+    SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1
+  ) s USING (nationkey)
+  JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation) n USING (nationkey)
+  WHERE nationkey IN (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+)
+ORDER BY op, nationkey
 """
 
 
@@ -190,17 +200,13 @@ ORDER BY ranking, user_id
 
 
 QUERIES = {
-    "customers_without_orders": customers_without_orders,
-    "customers_with_high_value_orders": customers_with_high_value_orders,
-    "nations_customers_minus_suppliers": nations_customers_minus_suppliers,
-    "nations_customers_and_suppliers": nations_customers_and_suppliers,
+    "customer_semi_anti_join": customer_semi_anti_join,
+    "nations_setops": nations_setops,
     "events_salted_user_totals": events_salted_user_totals,
 }
 
 ORACLE = {
-    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_ORACLE,
-    "customers_with_high_value_orders": CUSTOMERS_HIGH_VALUE_ORACLE,
-    "nations_customers_minus_suppliers": NATIONS_EXCEPT_ORACLE,
-    "nations_customers_and_suppliers": NATIONS_INTERSECT_ORACLE,
+    "customer_semi_anti_join": CUSTOMER_SEMI_ANTI_ORACLE,
+    "nations_setops": NATIONS_SETOPS_ORACLE,
     "events_salted_user_totals": SALTED_TOTALS_ORACLE,
 }

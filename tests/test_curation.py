@@ -6,6 +6,7 @@ from tests.conftest import assert_query_matches_oracle
 
 CURATION = [
     "text_length_filter",
+    "dataset_split_mix",
     "curation_funnel_by_source",
     "text_exact_dedup",
     "orders_first_per_customer",

@@ -46,7 +46,7 @@ def test_q14_matches_oracle(spark):
 def test_outer_counts_matches_oracle(spark):
     """customer_order_counts_outer is consolidated out of the driver window
     (the customer⋈orders LEFT JOIN family stays covered there by
-    customer_order_ranks / customers_without_orders) but keeps the
+    customer_order_ranks / customer_semi_anti_join) but keeps the
     oracle-differential bar here."""
     from tests.conftest import SF_DIR_ORACLE
     from mega_data_factory_spark.plans.relational import (

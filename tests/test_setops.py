@@ -7,10 +7,8 @@ import pytest
 from tests.conftest import assert_query_matches_oracle
 
 SETOPS = [
-    "customers_without_orders",
-    "customers_with_high_value_orders",
-    "nations_customers_minus_suppliers",
-    "nations_customers_and_suppliers",
+    "customer_semi_anti_join",
+    "nations_setops",
     "events_salted_user_totals",
 ]
 
