@@ -242,6 +242,48 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Dataset-profiling datapoint: full column profile of the two widest
+    # tables (lineitem + orders) in sketch mode — HLL cardinalities +
+    # approx_percentile, the bounded-memory 100 TB configuration. Each
+    # table's profile is ONE aggregate job regardless of column count
+    # (operators/profiling.py), so this measures scan + partial-agg
+    # throughput, not per-column jobs. Input is rewritten to a multi-file
+    # layout first (untimed, the _streaming_pipeline precedent): the
+    # single-file test parquet packs into 1-3 input splits, which
+    # serializes the CPU-heavy sketch updates (measured 7.5 s vs 2.9 s —
+    # the scan-parallelism artifact, scripts/diag_scan_parallelism.out);
+    # a real corpus scan has thousands of splits.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from mega_data_factory_spark.operators.profiling import ColumnProfiler
+
+    prof_tmp = _tempfile.mkdtemp(prefix="mdf_profile_bench_")
+    try:
+        prof_dfs = {}
+        n_prof_rows = 0
+        for name, df in load_tables(spark, sf_dir, ("lineitem", "orders")).items():
+            n_prof_rows += df.count()
+            df.repartition(int(spark.sparkContext.defaultParallelism)).write.mode(
+                "overwrite"
+            ).parquet(f"{prof_tmp}/{name}")
+            prof_dfs[name] = spark.read.parquet(f"{prof_tmp}/{name}")
+        dt = float("inf")
+        n_out = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_out = sum(ColumnProfiler().profile(df).count() for df in prof_dfs.values())
+            dt = min(dt, time.perf_counter() - t0)
+    finally:
+        _shutil.rmtree(prof_tmp, ignore_errors=True)
+    timings["column_profile"] = round(dt, 4)
+    total += dt
+    print(
+        f"# column_profile: {dt:.3f}s ({n_out} stat rows over {n_prof_rows} input rows, "
+        f"{n_prof_rows/dt:,.0f} rec/s)",
+        file=sys.stderr,
+    )
+
     # Baseline-comparable pipeline throughput: the reference's headline
     # benchmark is 1M records through URLFilter -> TextLengthFilter in
     # 49.11 s on 8 CPUs = 20,362 rec/s (BASELINE.md / ARCHITECTURE.md:418-434).
@@ -340,7 +382,7 @@ def main() -> None:
                 # foreachBatch micro-batch runner incl. checkpoint + two sink
                 # appends — mostly fixed scheduling overhead at small sf (it
                 # amortizes: slope 2.75 at 100x data, BENCH_SCALE.json).
-                "new_in_round6": ["streaming_pipeline"],
+                "new_in_round6": ["streaming_pipeline", "column_profile"],
                 # a run with failed queries reports a smaller total than a
                 # clean run; flag it so comparisons don't read it as a win
                 **({"errors": errors, "partial": True} if errors else {}),

@@ -1,0 +1,188 @@
+"""Single-pass column profiler — dataset statistics for pipeline QA.
+
+The reference surfaces only operator-level telemetry (counts/pass rates,
+framework/metrics.py); it has no data-shape profiler, yet "what does this
+100 TB corpus look like" (null rates, cardinalities, length and value
+distributions) is the first question every curation run answers. This
+operator closes that gap Spark-first:
+
+  * ONE aggregate job for all requested columns and stats — every
+    per-column expression rides the same map-side partial aggregate, so
+    the full profile costs one scan + one tiny shuffle (a handful of
+    partial-agg rows), regardless of how many columns are profiled.
+  * The single result row is unpivoted IN-PLAN (explode over an array of
+    structs) into the long ``(column, stat, value, text)`` form — no
+    driver-side reshaping, and the output composes with normal DataFrame
+    sinks.
+  * Scale defaults: ``approx=True`` profiles cardinality with HLL
+    (``approx_count_distinct``) and quantiles with ``approx_percentile``
+    — both single-pass, bounded-memory sketches that hold at 100 TB.
+    ``approx=False`` switches to exact ``count_distinct`` / ``percentile``
+    (a per-column expand + sort — fine at test scale, and exactly
+    mirrorable in ANSI SQL, which is how the oracle-differential test
+    pins the arithmetic; tests/test_curation.py).
+
+Cross-engine hash stability follows the registry rules
+(plans/__init__.py): means are derived from exact DECIMAL(38,6) sums (an
+order-independent reduction — double sums would drift in low bits between
+engines/partitionings), and percentile outputs are rounded to 6 decimals
+on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+ROUND_TO = 6
+
+
+class ColumnProfiler:
+    """Profiles a DataFrame into long-form ``(column, stat, value, text)``.
+
+    Stats per column:
+      * all types: ``count`` (non-null), ``nulls``, ``distinct``
+      * numeric: ``min``/``max``/``mean`` (in ``value``), plus one
+        ``p<q>`` row per requested percentile
+      * string: ``min_len``/``max_len``/``avg_len`` (in ``value``) and
+        lexicographic ``min``/``max`` (in ``text``)
+      * other types (timestamp, date, ...): ``min``/``max`` stringified
+        into ``text``
+
+    ``columns=None`` profiles every non-complex column (arrays/maps/
+    structs/binary are skipped — their profile is a different shape:
+    size distributions, which ``F.size`` + a numeric profile covers).
+    """
+
+    def __init__(
+        self,
+        columns: list[str] | None = None,
+        *,
+        percentiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+        approx: bool = True,
+        distinct_rsd: float = 0.05,
+        approx_percentile_accuracy: int = 10_000,
+    ):
+        if not all(0.0 < p < 1.0 for p in percentiles):
+            raise ValueError(f"percentiles must be in (0, 1), got {percentiles}")
+        if not 0.0 < distinct_rsd <= 0.37:
+            # HLL++ rejects rsd above ~0.37 at aggregate-prepare time with
+            # an opaque FAILED_FUNCTION_CALL; fail at construction instead
+            raise ValueError(f"distinct_rsd must be in (0, 0.37], got {distinct_rsd}")
+        self.columns = list(columns) if columns else None
+        self.percentiles = tuple(percentiles)
+        self.approx = approx
+        self.distinct_rsd = distinct_rsd
+        self.approx_percentile_accuracy = approx_percentile_accuracy
+
+    # ------------------------------------------------------------ internals
+
+    def _distinct(self, c: Column) -> Column:
+        if self.approx:
+            return F.approx_count_distinct(c, rsd=self.distinct_rsd)
+        return F.count_distinct(c)
+
+    def _pcts(self, c: Column) -> Column:
+        """ALL requested percentiles from ONE sketch per column (array
+        form). The per-percentile form builds an independent
+        QuantileSummaries/sort per call — measured 10.6 s vs 0.9 s for the
+        full lineitem profile at sf0.1 (≈20x on the percentile portion);
+        the array form updates one summary per row per column."""
+        ps = F.array(*[F.lit(p) for p in self.percentiles])
+        if self.approx:
+            return F.approx_percentile(c.cast("double"), ps, F.lit(self.approx_percentile_accuracy))
+        return F.percentile(c.cast("double"), ps)
+
+    def _selected(self, df: DataFrame) -> list[tuple[str, T.DataType]]:
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        if self.columns is not None:
+            missing = [c for c in self.columns if c not in fields]
+            if missing:
+                raise ValueError(f"profile columns not in DataFrame: {missing}")
+            return [(c, fields[c]) for c in self.columns]
+        skip = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+        return [(c, t) for c, t in fields.items() if not isinstance(t, skip)]
+
+    def _agg_exprs(
+        self, cols: list[tuple[str, T.DataType]]
+    ) -> tuple[list[Column], list[tuple[str, str, bool, str, int | None]]]:
+        """Aggregate expressions plus the unpivot layout
+        ``(column, stat, is_text, agg_alias, array_index)`` —
+        ``array_index`` is set for stats unpacked from a shared array
+        aggregate (the percentile sketch)."""
+        exprs: list[Column] = []
+        layout: list[tuple[str, str, bool, str, int | None]] = []
+
+        def add(col: str, stat: str, e: Column, *, text: bool = False) -> None:
+            alias = f"{col}__{stat}"
+            exprs.append(e.alias(alias))
+            layout.append((col, stat, text, alias, None))
+
+        for name, dtype in cols:
+            c = F.col(name)
+            add(name, "count", F.count(c))
+            add(name, "nulls", F.count(F.lit(1)) - F.count(c))
+            add(name, "distinct", self._distinct(c))
+            if isinstance(dtype, NUMERIC_TYPES):
+                add(name, "min", F.min(c).cast("double"))
+                add(name, "max", F.max(c).cast("double"))
+                # exact decimal sum -> one double division: order-independent
+                mean = F.round(
+                    F.sum(c.cast("decimal(38,6)")).cast("double") / F.count(c), ROUND_TO
+                )
+                add(name, "mean", mean)
+                if self.percentiles:
+                    alias = f"{name}__pcts"
+                    exprs.append(self._pcts(c).alias(alias))
+                    for i, p in enumerate(self.percentiles):
+                        layout.append((name, f"p{int(p * 100)}", False, alias, i))
+            elif isinstance(dtype, T.StringType):
+                add(name, "min_len", F.min(F.length(c)).cast("double"))
+                add(name, "max_len", F.max(F.length(c)).cast("double"))
+                mean_len = F.round(
+                    F.sum(F.length(c).cast("decimal(38,6)")).cast("double") / F.count(c), ROUND_TO
+                )
+                add(name, "avg_len", mean_len)
+                add(name, "min", F.min(c), text=True)
+                add(name, "max", F.max(c), text=True)
+            else:
+                add(name, "min", F.min(c).cast("string"), text=True)
+                add(name, "max", F.max(c).cast("string"), text=True)
+        return exprs, layout
+
+    # -------------------------------------------------------------- surface
+
+    def profile(self, df: DataFrame) -> DataFrame:
+        """One aggregate job -> long-form profile DataFrame with columns
+        ``column`` (string), ``stat`` (string), ``value`` (double — NULL
+        for text stats), ``text`` (string — NULL for numeric stats)."""
+        cols = self._selected(df)
+        if not cols:
+            raise ValueError("no profilable columns selected")
+        exprs, layout = self._agg_exprs(cols)
+        row = df.agg(*exprs)
+        entries = []
+        for col, stat, is_text, alias, idx in layout:
+            v = F.col(f"`{alias}`")
+            if idx is not None:  # percentile unpacked from the shared array
+                v = F.round(v.getItem(idx), ROUND_TO)
+            entries.append(
+                F.struct(
+                    F.lit(col).alias("column"),
+                    F.lit(stat).alias("stat"),
+                    (F.lit(None).cast("double") if is_text else v.cast("double")).alias("value"),
+                    (v.cast("string") if is_text else F.lit(None).cast("string")).alias("text"),
+                )
+            )
+        return row.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
