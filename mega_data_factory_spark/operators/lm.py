@@ -1,0 +1,138 @@
+"""N-gram language-model perplexity scoring — CCNet-style quality signal.
+
+The CCNet pipeline (Wenzek et al. 2020) buckets CommonCrawl documents by
+KenLM perplexity against a trusted corpus; it is the LM-based quality
+filter every frontier-scale text pipeline runs alongside the structural
+Gopher rules (operators/refiners.py). The reference repo has no LM filter
+— this is beyond-reference per the build brief's training-data-pipeline
+mandate. KenLM itself is a native library; what matters at engine level
+(and what this module makes distributed) is the fit/score shape:
+
+  * ``fit``: bigram + context counts over the reference corpus are two
+    ``explode -> groupBy(gram)`` aggregates — map-side partial counts, one
+    shuffle each on compact gram strings; the fitted model IS a DataFrame
+    (``(w1, w2, c12)`` + ``(w1, c1)``), so a 100 TB fit never leaves the
+    cluster.
+  * ``score``: each document's bigrams left-join the model. The model
+    tables are vocabulary-sized (Heaps' law: sublinear in corpus size —
+    a few GB at web scale with the min_count cut), so Spark broadcasts
+    them under the adaptive threshold; past that it is a shuffle join on
+    the gram key. Per-document mean log-prob then reduces back on doc_id
+    (one more compact shuffle) and joins onto the input.
+
+Probabilities are add-k smoothed bigrams:
+    p(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k * V)
+with V = training vocabulary size + 1 (the UNK slot), so unseen bigrams
+and unseen contexts get a well-defined nonzero probability. Perplexity is
+``exp(-mean ln p)`` over the doc's bigrams. All of it is deterministic
+closed-form arithmetic on counts -> reproducible in ANSI SQL, and the
+test suite holds the scorer to an exact DuckDB mirror
+(tests/test_lm.py), the engine's standard correctness bar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.functions.text import normalize_text
+from mega_data_factory_spark.operators.base import Refiner
+
+ROUND_TO = 6
+
+
+def _words(text_col: str) -> Column:
+    return F.split(normalize_text(text_col), " ")
+
+
+class NgramPerplexityScorer(Refiner):
+    """Fit bigram counts on a reference corpus, then refine any corpus
+    with ``doc_logprob`` (mean ln p per bigram) and ``perplexity``
+    columns. Documents with fewer than 2 tokens get NULLs (no bigrams —
+    score them with the structural rules instead).
+
+    ``min_count`` drops hapax grams from the model (the KenLM pruning
+    discipline): web-scale bigram tables are Zipf-tailed, and the cut
+    bounds the model size that the score-side join broadcasts.
+    """
+
+    def __init__(
+        self,
+        *,
+        add_k: float = 0.1,
+        min_count: int = 1,
+        text_col: str = "text",
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        if add_k <= 0:
+            raise ValueError(f"add_k must be > 0, got {add_k}")
+        if min_count < 1:
+            raise ValueError(f"min_count must be >= 1, got {min_count}")
+        self.add_k = add_k
+        self.min_count = min_count
+        self.text_col = text_col
+        self._bigrams: DataFrame | None = None
+        self._contexts: DataFrame | None = None
+        self._vocab: int | None = None
+
+    # ------------------------------------------------------------------ fit
+
+    def _doc_bigrams(self, df: DataFrame) -> DataFrame:
+        """(w1, w2) per position per document (duplicates preserved —
+        counts are positional, not per-set)."""
+        w = _words(self.text_col)
+        pairs = F.zip_with(w, F.slice(w, 2, F.size(w)), lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        pairs = F.slice(pairs, 1, F.size(w) - F.lit(1))
+        return df.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+
+    def fit(self, df: DataFrame) -> "NgramPerplexityScorer":
+        grams = self._doc_bigrams(df)
+        self._bigrams = (
+            grams.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .filter(F.col("c12") >= self.min_count)
+            .persist()
+        )
+        # context counts from the SAME positional stream (c1 = sum of c12
+        # before the min_count cut would undercount contexts; count the
+        # raw stream so p(.|w1) stays a proper distribution)
+        self._contexts = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1")).persist()
+        self._vocab = (
+            df.select(F.explode(_words(self.text_col)).alias("w")).filter(F.col("w") != "").distinct().count()
+            + 1  # UNK slot
+        )
+        return self
+
+    # ---------------------------------------------------------------- score
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:  # pragma: no cover
+        raise NotImplementedError("NgramPerplexityScorer joins a fitted model; use apply()")
+
+    def apply(self, df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+        if self._bigrams is None or self._contexts is None or self._vocab is None:
+            raise ValueError("call fit(reference_corpus) before apply()")
+        k, v = float(self.add_k), int(self._vocab)
+        w = _words(self.text_col)
+        pairs = F.zip_with(w, F.slice(w, 2, F.size(w)), lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        pairs = F.slice(pairs, 1, F.size(w) - F.lit(1))
+        doc_grams = df.select(F.col(id_col).alias("__id"), F.explode(pairs).alias("p")).select(
+            "__id", "p.w1", "p.w2"
+        )
+        scored = (
+            doc_grams.join(self._bigrams, ["w1", "w2"], "left")
+            .join(self._contexts, ["w1"], "left")
+            .select(
+                "__id",
+                F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(k))
+                    / (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(k * v))
+                ).alias("__lp"),
+            )
+        )
+        per_doc = scored.groupBy("__id").agg(
+            F.round(F.avg("__lp"), ROUND_TO).alias("doc_logprob"),
+            F.round(F.exp(-F.avg("__lp")), ROUND_TO).alias("perplexity"),
+        )
+        out = df.join(per_doc, df[id_col] == F.col("__id"), "left").drop("__id")
+        return out
