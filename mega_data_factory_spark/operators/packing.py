@@ -1,0 +1,129 @@
+"""Sequence packing: documents -> fixed-token-budget training sequences.
+
+The last step of every LLM training-data pipeline turns curated documents
+into ``seq_len``-token training sequences. The GPT-style recipe is
+concat-then-chunk: lay documents end to end in a deterministic order and
+cut every ``seq_len`` tokens. The engine-level question at 100 TB is HOW
+to lay them end to end — a single global running total is a one-partition
+window sort (a non-starter), so this operator packs within deterministic
+HASH BUCKETS:
+
+  * each document gets a stable md5-derived bucket
+    (``operators/sampling.stable_bucket`` — reproducible across runs,
+    engines, and partitionings);
+  * within a bucket, documents are ordered by id and assigned their
+    starting sequence via a windowed running token total — ONE shuffle on
+    the bucket key, every bucket packed in parallel;
+  * packing loss is bounded: at most one partial sequence per bucket, so
+    ``buckets`` trades parallelism against tail waste (buckets ~
+    corpus_tokens / (1000 * seq_len) keeps waste under 0.1%).
+
+Assignment is closed-form integer arithmetic over exact token counts
+(``functions.text.token_count``), so the whole operator is mirrorable in
+ANSI SQL and differential-tested against DuckDB (tests/test_packing.py).
+A document longer than ``seq_len`` spans several chunks and is assigned
+to the chunk where it starts (``seq_offset`` gives the position; the
+downstream tokenizer does the byte-level split — token counts here are
+whitespace tokens unless a precomputed ``token_col`` is supplied).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.functions.text import token_count
+from mega_data_factory_spark.operators.base import Refiner
+from mega_data_factory_spark.operators.sampling import stable_bucket
+
+
+class SequencePacker(Refiner):
+    """Adds deterministic packing coordinates to every document:
+
+      * ``pack_bucket`` — the parallel packing unit (stable id hash)
+      * ``seq_id`` — sequence index within the bucket (concat-then-chunk)
+      * ``seq_offset`` — the document's starting token offset inside that
+        sequence
+
+    ``(pack_bucket, seq_id)`` is the training-sequence key; a writer that
+    ``repartition(pack_bucket).sortWithinPartitions(pack_bucket, seq_id,
+    seq_offset)`` streams out ready-to-tokenize shards.
+    """
+
+    def __init__(
+        self,
+        seq_len: int = 2048,
+        *,
+        buckets: int = 64,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        token_col: str | None = None,
+        drop_empty: bool = True,
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        if seq_len < 1:
+            raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+        if buckets < 1:
+            raise ValueError(f"buckets must be >= 1, got {buckets}")
+        self.seq_len = seq_len
+        self.buckets = buckets
+        self.id_col = id_col
+        self.text_col = text_col
+        self.token_col = token_col
+        self.drop_empty = drop_empty
+
+    def _tokens(self) -> Column:
+        if self.token_col is not None:
+            return F.col(self.token_col).cast("long")
+        return token_count(self.text_col)
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:  # pragma: no cover
+        raise NotImplementedError("SequencePacker needs a window over the bucket; use apply()")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        tok = self._tokens()
+        out = df.withColumn("__tok", tok).withColumn(
+            "pack_bucket", stable_bucket(self.id_col, buckets=self.buckets).cast("int")
+        )
+        if self.drop_empty:
+            out = out.filter(F.col("__tok") > 0)
+        w = (
+            Window.partitionBy("pack_bucket")
+            .orderBy(F.col(self.id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        start = (F.sum("__tok").over(w) - F.col("__tok")).alias("__start")
+        out = out.withColumn("__start", start)
+        return (
+            # floor, not cast: `/` widens to double and a straight BIGINT
+            # cast truncates here but ROUNDS in other engines (DuckDB)
+            out.withColumn("seq_id", F.floor(F.col("__start") / F.lit(self.seq_len)).cast("long"))
+            .withColumn("seq_offset", (F.col("__start") % F.lit(self.seq_len)).cast("long"))
+            .drop("__tok", "__start")
+        )
+
+    def sequences(self, df: DataFrame) -> DataFrame:
+        """Aggregate packed view: one row per training sequence with its
+        member doc ids (in order) and total token count — what a shard
+        writer materializes."""
+        packed = self.apply(df)
+        tok = self._tokens()
+        return (
+            packed.withColumn("__tok", tok)
+            .groupBy("pack_bucket", "seq_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("seq_offset"), F.col(self.id_col).alias("id")))
+                ).alias("__m"),
+                F.sum("__tok").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .select(
+                "pack_bucket",
+                "seq_id",
+                F.col("__m.id").alias("doc_ids"),
+                "n_tokens",
+                "n_docs",
+            )
+        )

@@ -1,0 +1,116 @@
+"""SequencePacker: DuckDB-differential assignment + packing invariants."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+
+H64 = "CAST(('0x' || substr(md5({v}), 1, 15)) AS BIGINT)"
+NORM_NOLOWER = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+TOKENS = (
+    f"(CASE WHEN {NORM_NOLOWER} IS NULL OR length({NORM_NOLOWER}) = 0 THEN 0 "
+    f"ELSE length({NORM_NOLOWER}) - length(replace({NORM_NOLOWER}, ' ', '')) + 1 END)"
+)
+
+
+def test_packing_matches_oracle(spark):
+    """Bucketed concat-then-chunk coordinates over the real documents
+    corpus match the windowed-SQL formulation value-for-value."""
+    from mega_data_factory_spark.operators.packing import SequencePacker
+    from mega_data_factory_spark.session import load_tables
+
+    seq_len, buckets = 128, 8
+    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"]
+    p = SequencePacker(seq_len, buckets=buckets)
+    out = p.apply(docs).select("doc_id", "pack_bucket", "seq_id", "seq_offset").orderBy("doc_id")
+    b = H64.format(v="CAST(doc_id AS VARCHAR)") + f" % {buckets}"
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, CAST({b} AS INT) AS pack_bucket, CAST({TOKENS} AS BIGINT) AS tok
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, pack_bucket,
+         SUM(tok) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS strt
+  FROM toks WHERE tok > 0
+)
+SELECT doc_id, pack_bucket,
+       CAST(FLOOR(strt / {seq_len}) AS BIGINT) AS seq_id,
+       CAST(strt % {seq_len} AS BIGINT) AS seq_offset
+FROM packed ORDER BY doc_id
+"""
+    assert_df_matches_sql(out, sql, name="sequence_packing")
+
+
+def test_packing_invariants(spark):
+    """Every sequence except possibly the last per bucket is full
+    (concat-then-chunk has no intra-bucket waste); offsets stay inside
+    seq_len; assignment is deterministic across runs AND partitionings."""
+    from mega_data_factory_spark.operators.packing import SequencePacker
+    from mega_data_factory_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"]
+    p = SequencePacker(256, buckets=4)
+    a = p.apply(docs).select("doc_id", "pack_bucket", "seq_id", "seq_offset")
+    rows = a.collect()
+    assert all(0 <= r.seq_offset < 256 for r in rows)
+    # per bucket: total tokens == max chunk start + last residue -> chunks
+    # are contiguous (no gaps): check max seq_id == floor((total-1)/256)
+    from mega_data_factory_spark.functions.text import token_count
+
+    stats = {
+        r.pack_bucket: (r.total, r.last_tok)
+        for r in p.apply(docs)
+        .withColumn("__t", token_count("text"))
+        .groupBy("pack_bucket")
+        .agg(
+            F.sum("__t").alias("total"),
+            # token count of the max-id doc = the last-packed doc
+            F.max_by("__t", F.col("doc_id")).alias("last_tok"),
+        )
+        .collect()
+    }
+    max_seq = {
+        r.pack_bucket: r.m
+        for r in a.groupBy("pack_bucket").agg(F.max("seq_id").alias("m")).collect()
+    }
+    for b, (total, last_tok) in stats.items():
+        # the last doc STARTS at total - last_tok; cumsum has no gaps, so
+        # the highest assigned chunk is exactly that start's chunk
+        assert max_seq[b] == (total - last_tok) // 256
+    # partition-independence: a repartitioned input packs identically
+    b2 = {
+        (r.doc_id): (r.pack_bucket, r.seq_id, r.seq_offset)
+        for r in p.apply(docs.repartition(13)).collect()
+    }
+    assert b2 == {r.doc_id: (r.pack_bucket, r.seq_id, r.seq_offset) for r in rows}
+
+
+def test_sequences_view(spark):
+    """The aggregate shard view: member ids are offset-ordered, token
+    totals add up, singleton long docs span multiple seq_ids' worth of
+    tokens but appear once."""
+    from mega_data_factory_spark.operators.packing import SequencePacker
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in [(1, 10), (2, 10), (3, 25), (4, 3), (5, 0)]],
+        "doc_id long, text string",
+    )
+    p = SequencePacker(16, buckets=1, id_col="doc_id")
+    seqs = {r.seq_id: r for r in p.sequences(docs).collect()}
+    all_ids = [i for r in sorted(seqs.values(), key=lambda r: r.seq_id) for i in r.doc_ids]
+    assert sorted(all_ids) == [1, 2, 3, 4]  # empty doc 5 dropped
+    assert sum(r.n_tokens for r in seqs.values()) == 48
+    # doc 1 starts at 0 (seq 0); doc 2 at 10 (seq 0); doc 3 at 20 (seq 1); doc 4 at 45 (seq 2)
+    assert seqs[0].doc_ids == [1, 2] and seqs[1].doc_ids == [3] and seqs[2].doc_ids == [4]
+
+
+def test_bad_params(spark):
+    from mega_data_factory_spark.operators.packing import SequencePacker
+
+    with pytest.raises(ValueError, match="seq_len"):
+        SequencePacker(0)
+    with pytest.raises(ValueError, match="buckets"):
+        SequencePacker(16, buckets=0)
