@@ -33,11 +33,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mega_data_factory_spark.functions.text import token_count
-from mega_data_factory_spark.operators.base import Refiner
+from mega_data_factory_spark.operators.base import REJECTION_DETAILS_COL, Operator
 from mega_data_factory_spark.operators.sampling import stable_bucket
 
 
-class SequencePacker(Refiner):
+class SequencePacker(Operator):
     """Adds deterministic packing coordinates to every document:
 
       * ``pack_bucket`` — the parallel packing unit (stable id hash)
@@ -78,22 +78,39 @@ class SequencePacker(Refiner):
             return F.col(self.token_col).cast("long")
         return token_count(self.text_col)
 
-    def columns(self, df: DataFrame) -> dict[str, Column]:  # pragma: no cover
-        raise NotImplementedError("SequencePacker needs a window over the bucket; use apply()")
-
     def apply(self, df: DataFrame) -> DataFrame:
-        tok = self._tokens()
+        """Standalone: empty docs are dropped (``drop_empty``) since a
+        0-token doc occupies no sequence space. Inside a tagged pipeline
+        (the ``_rejection_details`` column is present) NO rows are
+        dropped: rejected/empty rows get NULL packing coordinates and
+        consume no token budget — row accounting stays intact."""
+        tagged = REJECTION_DETAILS_COL in df.columns
+        alive = F.col(REJECTION_DETAILS_COL).isNull() if tagged else F.lit(True)
+        tok = F.when(alive, self._tokens()).otherwise(F.lit(None))
         out = df.withColumn("__tok", tok).withColumn(
-            "pack_bucket", stable_bucket(self.id_col, buckets=self.buckets).cast("int")
+            "pack_bucket",
+            F.when(
+                alive & (F.col("__tok") > 0),
+                stable_bucket(self.id_col, buckets=self.buckets),
+            ).cast("int"),
         )
-        if self.drop_empty:
+        if self.drop_empty and not tagged:
             out = out.filter(F.col("__tok") > 0)
+        # unpackable rows (rejected/empty) must not pile into one NULL
+        # window partition — spread them over negative pseudo-buckets;
+        # their running totals are computed but never surfaced (start is
+        # NULL-gated below)
+        wkey = F.coalesce(
+            F.col("pack_bucket"),
+            (-(F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(self.buckets)) + F.lit(1))).cast("int"),
+        )
         w = (
-            Window.partitionBy("pack_bucket")
+            Window.partitionBy(wkey)
             .orderBy(F.col(self.id_col).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        start = (F.sum("__tok").over(w) - F.col("__tok")).alias("__start")
+        packable = F.col("pack_bucket").isNotNull()
+        start = F.when(packable, F.sum("__tok").over(w) - F.col("__tok"))
         out = out.withColumn("__start", start)
         return (
             # floor, not cast: `/` widens to double and a straight BIGINT
@@ -107,7 +124,7 @@ class SequencePacker(Refiner):
         """Aggregate packed view: one row per training sequence with its
         member doc ids (in order) and total token count — what a shard
         writer materializes."""
-        packed = self.apply(df)
+        packed = self.apply(df).filter(F.col("pack_bucket").isNotNull())
         tok = self._tokens()
         return (
             packed.withColumn("__tok", tok)

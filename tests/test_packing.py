@@ -107,6 +107,64 @@ def test_sequences_view(spark):
     assert seqs[0].doc_ids == [1, 2] and seqs[1].doc_ids == [3] and seqs[2].doc_ids == [4]
 
 
+def test_packer_is_yaml_constructible(spark):
+    """Registry + config path: a pipeline stage can declare the packer
+    like any other operator and the packed columns appear on the output."""
+    from mega_data_factory_spark.config import PipelineConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "pack",
+                "source": {"path": "unused"},
+                "operators": [
+                    {"name": "SequencePacker", "params": {"seq_len": 64, "buckets": 2}}
+                ],
+            }
+        }
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(20)], "doc_id long, text string"
+    )
+    from mega_data_factory_spark.operators.base import REJECTION_DETAILS_COL
+
+    docs = docs.withColumn(
+        REJECTION_DETAILS_COL,
+        F.lit(None).cast("struct<reason:string,operator:string,dedup_key:string,representative_id:string>"),
+    )
+    for _, op in Pipeline(cfg)._ops:
+        out = op.apply(docs)
+    assert {"pack_bucket", "seq_id", "seq_offset"} <= set(out.columns)
+    assert out.count() == 20
+
+
+def test_packer_preserves_tagged_rows(spark):
+    """Inside a tagged pipeline the packer must drop NOTHING: rejected and
+    empty rows get NULL coordinates and consume no token budget, alive
+    rows pack contiguously as if the dead rows were absent."""
+    from mega_data_factory_spark.operators.base import REJECTION_DETAILS_COL, rejection_details
+    from mega_data_factory_spark.operators.packing import SequencePacker
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(6)] + [(6, "")],
+        "doc_id long, text string",
+    )
+    tagged = docs.withColumn(
+        REJECTION_DETAILS_COL,
+        F.when(F.col("doc_id") % 2 == 1, rejection_details("filtered", "f")),
+    )
+    out = SequencePacker(16, buckets=1).apply(tagged)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 7  # nothing dropped
+    for i in (1, 3, 5, 6):  # rejected + empty -> unpacked
+        assert rows[i].pack_bucket is None and rows[i].seq_id is None
+    # alive docs 0,2,4 (10 tokens each) pack as starts 0,10,20 in seq_len=16
+    assert (rows[0].seq_id, rows[0].seq_offset) == (0, 0)
+    assert (rows[2].seq_id, rows[2].seq_offset) == (0, 10)
+    assert (rows[4].seq_id, rows[4].seq_offset) == (1, 4)
+
+
 def test_bad_params(spark):
     from mega_data_factory_spark.operators.packing import SequencePacker
 
