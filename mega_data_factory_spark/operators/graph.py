@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mega_data_factory_spark.operators.base import Deduplicator, anti_join_once, rejection_details
+
 
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Canonical undirected edge list (u, v): self-loops dropped, one row
@@ -167,3 +169,96 @@ def keep_best_per_component(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__component")
     )
+
+
+class ClusterDeduplicator(Deduplicator):
+    """Keep-best-per-cluster dedup as a pipeline operator: wraps ANY
+    pair-emitting deduplicator from the registry (MinHash LSH, SimHash,
+    n-gram Jaccard, shared-span, embedding cosine, ...), resolves its
+    pairs to connected components, and keeps the member with the best
+    ``quality_col`` per cluster (ties -> min id). YAML-constructible:
+
+    .. code-block:: yaml
+
+        - name: ClusterDeduplicator
+          params:
+            base: MinHashLSHDeduplicator
+            base_params: {num_hashes: 16, bands: 4}
+            quality_col: quality_score
+
+    Cost over the base operator: the component resolution (2-4 bounded
+    rounds of compact-pair shuffles) plus one per-component window over
+    cluster MEMBERS only (non-duplicated rows never enter the closure).
+    ``representative_id`` on rejected rows is the best member's id, so
+    downstream "which doc replaced mine" audits keep working.
+    """
+
+    rejection_reason = "duplicate"
+
+    def __init__(
+        self,
+        base,
+        quality_col: str,
+        *,
+        base_params: dict | None = None,
+        descending: bool = True,
+        id_col: str = "doc_id",
+        max_iter: int = 25,
+        name: str | None = None,
+    ):
+        super().__init__(name, order_col=id_col, id_col=id_col)
+        if isinstance(base, str):
+            from mega_data_factory_spark.registry import OPERATORS, _register_builtins
+
+            _register_builtins()
+            params = dict(base_params or {})
+            params.setdefault("id_col", id_col)
+            base = OPERATORS.create(base, params)
+        if not hasattr(base, "_dup_pairs"):
+            raise ValueError(
+                f"ClusterDeduplicator needs a pair-emitting deduplicator, got {type(base).__name__}"
+            )
+        self.base = base
+        self.quality_col = quality_col
+        self.descending = descending
+        self.max_iter = max_iter
+
+    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
+        raise NotImplementedError("cluster dedup is not a single-key dedup")
+
+    def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        edges = self.base._dup_pairs(df).select(
+            F.col(self.id_col).alias("src"), F.col("__rep").alias("dst")
+        )
+        cc = connected_components(edges, max_iter=self.max_iter).select(
+            F.col("id").alias("__cc_id"), F.col("component").alias("__component")
+        )
+        members = df.join(cc, df[self.id_col] == F.col("__cc_id")).select(
+            F.col(self.id_col).alias("__id"), F.col("__component"), F.col(self.quality_col).alias("__q")
+        )
+        order = [
+            F.col("__q").desc() if self.descending else F.col("__q").asc(),
+            F.col("__id").asc(),
+        ]
+        w = Window.partitionBy("__component").orderBy(*order)
+        ranked = members.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__best", F.first("__id").over(w)
+        )
+        return ranked.filter(F.col("__rn") > 1).select(
+            F.col("__id").alias(self.id_col), F.col("__best").alias("__rep")
+        )
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return anti_join_once(df, self._dup_pairs(df), self.id_col)
+
+    def rejected(self, df: DataFrame) -> DataFrame:
+        return (
+            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
+            .withColumn(
+                "_rejection_details",
+                rejection_details(
+                    self.rejection_reason, self.name, F.lit(None), F.col("__rep").cast("string")
+                ),
+            )
+            .drop("__rep")
+        )

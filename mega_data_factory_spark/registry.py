@@ -87,6 +87,7 @@ def _register_builtins() -> None:
         VisualDegradationsRefiner,
     )
     from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
+    from mega_data_factory_spark.operators.graph import ClusterDeduplicator
     from mega_data_factory_spark.operators.packing import SequencePacker
     from mega_data_factory_spark.operators.refiners import (
         FingerprintRefiner,
@@ -131,6 +132,7 @@ def _register_builtins() -> None:
         AudioMetadataRefiner,
         SemanticDeduplicator,
         SequencePacker,
+        ClusterDeduplicator,
     ):
         OPERATORS.register(cls)
     # reference acronym-quirk aliases (framework/config.py:21-28)

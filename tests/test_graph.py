@@ -92,6 +92,80 @@ def test_keep_best_per_component(spark):
     assert surv_asc == {1, 10, 20}
 
 
+class _PairStub:
+    """Minimal pair-emitting base: fixed (doc_id, __rep) pairs."""
+
+    def __init__(self, pairs):
+        self._pairs = pairs
+
+    def _dup_pairs(self, df):
+        return self._pairs
+
+
+def test_cluster_deduplicator_keeps_best(spark):
+    """Transitive chain 1~2~3 + pair 10~11: survivors are the best-quality
+    member per cluster, rejected rows carry the best member as
+    representative."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.graph import ClusterDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.7), (11, 0.8), (20, 0.1)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame([(2, 1), (3, 2), (11, 10)], "doc_id long, __rep long")
+    d = ClusterDeduplicator(_PairStub(pairs), "quality")
+    assert {r.doc_id for r in d.apply(df).collect()} == {2, 11, 20}
+    rej = {
+        r.doc_id: r.rep
+        for r in d.rejected(df)
+        .select("doc_id", F.col("_rejection_details.representative_id").alias("rep"))
+        .collect()
+    }
+    assert rej == {1: "2", 3: "2", 10: "11"}
+
+
+def test_cluster_deduplicator_from_registry_name(spark):
+    """YAML path: base resolved by registry name with nested params; on
+    the planted corpus every MinHash cluster keeps exactly one member and
+    survivors+rejected partition the corpus."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR_ORACLE
+    from mega_data_factory_spark.operators.graph import ClusterDeduplicator, assign_components
+    from mega_data_factory_spark.plans.dedup_queries import _doc_corpus
+
+    corpus = _doc_corpus(spark, SF_DIR_ORACLE).withColumn(
+        "quality", (F.xxhash64("text") % 1000).cast("double")
+    )
+    d = ClusterDeduplicator(
+        "MinHashLSHDeduplicator",
+        "quality",
+        base_params={"num_hashes": 16, "bands": 4},
+        id_col="doc_id",
+    )
+    surv = d.apply(corpus)
+    n_total = corpus.count()
+    assert surv.count() + d.rejected(corpus).count() == n_total
+    # exactly one survivor per component
+    pairs = d.base._dup_pairs(corpus).select(
+        F.col("doc_id").alias("src"), F.col("__rep").alias("dst")
+    )
+    tagged = assign_components(surv, pairs, id_col="doc_id")
+    per_comp = tagged.groupBy("component").count().collect()
+    assert all(r["count"] == 1 for r in per_comp)
+
+
+def test_cluster_deduplicator_rejects_key_dedup_base(spark):
+    import pytest as _pytest
+
+    from mega_data_factory_spark.operators.graph import ClusterDeduplicator
+
+    with _pytest.raises(ValueError, match="pair-emitting"):
+        ClusterDeduplicator("TextExactDeduplicator", "quality")
+
+
 def test_components_from_real_dedup_pairs(spark):
     """End-to-end with a real operator: MinHash LSH pairs over the planted
     corpus resolve to clusters whose members all share their component's
