@@ -113,6 +113,9 @@ class PipelineConfig:
     sink: SinkConfig | None = None
     rejected_sink: SinkConfig | None = None  # reference executor.py:100-124
     metrics_path: str | None = None
+    # optional data-shape profile of the PASSED output (operators/profiling
+    # sketch mode), written as long-form parquet next to the run's sinks
+    profile_path: str | None = None
     max_samples: int | None = None  # global input cap (executor.py:253-259)
     id_col: str = "doc_id"
     extras: dict[str, Any] = field(default_factory=dict)
@@ -125,7 +128,7 @@ class PipelineConfig:
             # legacy flat operator list -> one stage (reference config.py:163-182)
             stages_raw = [{"name": "stage_0", "operators": pipe["operators"]}]
         stages = [StageConfig.from_dict(s, i) for i, s in enumerate(stages_raw or [])]
-        known = {"name", "source", "stages", "operators", "sink", "rejected_sink", "metrics_path", "max_samples", "id_col"}
+        known = {"name", "source", "stages", "operators", "sink", "rejected_sink", "metrics_path", "profile_path", "max_samples", "id_col"}
         return cls(
             name=pipe.get("name", "pipeline"),
             source=SourceConfig.from_dict(pipe.get("source", {})),
@@ -133,6 +136,7 @@ class PipelineConfig:
             sink=SinkConfig.from_dict(pipe["sink"]) if pipe.get("sink") else None,
             rejected_sink=SinkConfig.from_dict(pipe["rejected_sink"]) if pipe.get("rejected_sink") else None,
             metrics_path=pipe.get("metrics_path"),
+            profile_path=pipe.get("profile_path"),
             max_samples=pipe.get("max_samples"),
             id_col=pipe.get("id_col", "doc_id"),
             extras={k: v for k, v in pipe.items() if k not in known},

@@ -266,6 +266,15 @@ class Pipeline:
                 from mega_data_factory_spark.metrics import write_metrics
 
                 write_metrics(spark, result, self.config.metrics_path)
+            if self.config.profile_path:
+                # data-shape profile of the shipped output: ONE sketch-mode
+                # aggregate over the already-cached tagged frame
+                # (operators/profiling.py), long-form parquet
+                from mega_data_factory_spark.operators.profiling import ColumnProfiler
+
+                ColumnProfiler().profile(passed).write.mode("overwrite").parquet(
+                    self.config.profile_path
+                )
             if pending is not None:  # sinks + metrics landed: checkpoint the files
                 from mega_data_factory_spark.sources.manifest import mark_processed
 

@@ -461,3 +461,21 @@ def test_cli_validate_subcommand(capsys, tmp_path):
     bad.write_text("pipeline:\n  name: bad\n  source: {}\n  stages:\n    - name: s\n      operators: [{name: NoSuchOperator}]\n")
     with _pytest.raises(KeyError, match="NoSuchOperator"):
         main(["validate", "-c", str(bad)])
+
+
+def test_pipeline_writes_profile(spark, tmp_path):
+    """profile_path: the run ships a sketch-mode data-shape profile of the
+    PASSED output whose counts reconcile with the run metrics."""
+    cfg = PipelineConfig.from_yaml(YAML)
+    from mega_data_factory_spark.config import SinkConfig
+
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"), mode="overwrite")
+    cfg.profile_path = str(tmp_path / "profile")
+    res = Pipeline(cfg).run(spark)
+    prof = spark.read.parquet(cfg.profile_path)
+    assert set(prof.columns) == {"column", "stat", "value", "text"}
+    vals = {(r.column, r.stat): r.value for r in prof.collect()}
+    assert vals[("doc_id", "count")] == float(res.output_records)
+    assert vals[("doc_id", "nulls")] == 0.0
+    # string columns get the length-stat family
+    assert ("text", "avg_len") in vals
