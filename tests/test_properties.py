@@ -176,3 +176,49 @@ def test_repetition_linear_form_agrees_with_hof_form(spark, texts):
     lin = {r.doc_id: (r.dup_word_ratio, r.top_bigram_ratio)
            for r in RepetitionStatsRefiner(long_docs=True, id_col="doc_id").apply(df).select(cols).collect()}
     assert lin == hof
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=0, max_size=40
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Hypothesis-generated graphs (self-loops, duplicates, multi-edges):
+    the distributed large-star/small-star closure agrees exactly with a
+    driver-side union-find on every input."""
+    from tests.test_graph import _union_find
+    from mega_data_factory_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    expected = _union_find([e for e in edges if e[0] != e[1]])
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    seq_len=st.integers(1, 64),
+    buckets=st.integers(1, 4),
+)
+def test_sequence_packing_invariants(spark, toks, seq_len, buckets):
+    """For arbitrary token lengths / seq_len / bucket counts: offsets live
+    in [0, seq_len), per-bucket starts are the gapless running sum in id
+    order, and empty docs never pack."""
+    from mega_data_factory_spark.operators.packing import SequencePacker
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = SequencePacker(seq_len, buckets=buckets).apply(df)
+    got = sorted(
+        (r.pack_bucket, r.doc_id, r.seq_id, r.seq_offset) for r in out.collect()
+    )
+    assert len(got) == sum(1 for n in toks if n > 0)  # empty docs dropped
+    by_bucket: dict[int, int] = {}
+    for b, doc_id, seq_id, off in got:  # sorted -> id order within bucket
+        assert 0 <= off < seq_len
+        start = by_bucket.get(b, 0)
+        assert (seq_id, off) == (start // seq_len, start % seq_len)
+        by_bucket[b] = start + toks[doc_id]
