@@ -91,7 +91,9 @@ def test_approx_profile_bounds(spark):
 
     orders = load_tables(spark, SF_DIR_ORACLE, ("orders",))["orders"]
     exact = ColumnProfiler(["o_totalprice"], approx=False).profile(orders)
-    approx = ColumnProfiler(["o_totalprice"], approx=True).profile(orders)
+    # percentile_sample_mod=1: isolate the SKETCH accuracy; the 1-in-K row
+    # sampling's own (sqrt(K/n)) error is checked at realistic n below
+    approx = ColumnProfiler(["o_totalprice"], approx=True, percentile_sample_mod=1).profile(orders)
     assert exact.schema == approx.schema
     ev = {(r.column, r.stat): r.value for r in exact.collect()}
     av = {(r.column, r.stat): r.value for r in approx.collect()}
@@ -104,6 +106,30 @@ def test_approx_profile_bounds(spark):
             assert abs(av[k] - ev[k]) <= 0.05 * max(abs(ev[k]), 1.0), (k, ev[k], av[k])
         else:  # count/nulls/min/max/mean are exact in both modes
             assert av[k] == ev[k], (k, ev[k], av[k])
+
+
+def test_sampled_percentiles_at_scale_n(spark):
+    """The sketch-mode default (percentile sketch fed a 1-in-16 row
+    sample — the measured 99%-of-cost hotspot) stays within 2% of exact
+    at a realistic row count: rank error ~ sqrt(K/n)."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.profiling import ColumnProfiler
+
+    df = spark.range(200_000).select(
+        "id", (F.xxhash64("id") % 10_000).cast("double").alias("v")
+    )
+    exact = {
+        (r.column, r.stat): r.value
+        for r in ColumnProfiler(["v"], approx=False).profile(df).collect()
+    }
+    sampled = {
+        (r.column, r.stat): r.value
+        for r in ColumnProfiler(["v"], approx=True).profile(df).collect()
+    }
+    spread = exact[("v", "max")] - exact[("v", "min")]
+    for stat in ("p25", "p50", "p75"):
+        assert abs(sampled[("v", stat)] - exact[("v", stat)]) <= 0.02 * spread, stat
 
 
 def test_profile_default_columns_and_errors(spark):
