@@ -86,7 +86,15 @@ class NgramPerplexityScorer(Refiner):
         pairs = F.slice(pairs, 1, F.size(w) - F.lit(1))
         return df.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
 
+    def unpersist(self) -> None:
+        """Release the cached model frames (also called on re-fit)."""
+        for cached in (self._bigrams, self._contexts):
+            if cached is not None:
+                cached.unpersist()
+        self._bigrams = self._contexts = self._vocab = None
+
     def fit(self, df: DataFrame) -> "NgramPerplexityScorer":
+        self.unpersist()
         grams = self._doc_bigrams(df)
         self._bigrams = (
             grams.groupBy("w1", "w2")
