@@ -190,3 +190,56 @@ def test_components_from_real_dedup_pairs(spark):
     for doc in rejected:
         assert comp_of[doc] in multi
         assert comp_of[doc] <= doc
+
+
+def test_cluster_deduplicator_through_pipeline(spark):
+    """The YAML path end-to-end: a Pipeline stage running
+    ClusterDeduplicator must tag cluster losers as duplicates with the
+    best member as representative, and rejection accounting must
+    reconcile (nothing dropped, nothing double-counted)."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.config import PipelineConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "cluster_dedup",
+                "id_col": "doc_id",
+                "source": {"table": "cluster_dedup_src"},
+                "operators": [
+                    {
+                        "name": "ClusterDeduplicator",
+                        "params": {
+                            "base": "SharedSpanDeduplicator",
+                            "base_params": {"span_tokens": 5},
+                            "quality_col": "quality",
+                            "id_col": "doc_id",
+                        },
+                    }
+                ],
+            }
+        }
+    )
+    span = " ".join(f"tok{i}" for i in range(5))
+    rows = [
+        (1, f"first doc carries the shared span {span} in the middle", 0.3),
+        (2, f"second doc different framing but same {span} verbatim body", 0.9),
+        (3, f"third doc again embeds {span} with extra trailing words", 0.5),
+        (4, "an unrelated document with plenty of its own words here", 0.1),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, quality double").createOrReplaceTempView(
+        "cluster_dedup_src"
+    )
+    pipe = Pipeline(cfg)
+    tagged = pipe.build(spark)
+    out = tagged.select(
+        "doc_id",
+        F.col("_rejection_details.reason").alias("reason"),
+        F.col("_rejection_details.representative_id").alias("rep"),
+    ).collect()
+    got = {r.doc_id: (r.reason, r.rep) for r in out}
+    assert len(got) == 4  # accounting intact
+    assert got[2] == (None, None) and got[4] == (None, None)  # best + unrelated survive
+    assert got[1] == ("duplicate", "2") and got[3] == ("duplicate", "2")
