@@ -202,23 +202,42 @@ FROM documents ORDER BY doc_id
 
 
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full text-analysis refiner chain in one per-doc view: language
-    ID (marker-word argmax), structural quality scoring, and the md5
-    content fingerprint + bucket prefix. Three Refiners, one narrow plan —
-    refiner chains compose as column extensions, no extra scans."""
+    """The full text-analysis refiner chain in one per-doc view: token
+    stats + subword budgeting (consolidated from the r5 docs_token_stats
+    row — same table, same row-per-doc shape, half the registry slots),
+    language ID (marker-word argmax), structural quality scoring, and the
+    md5 content fingerprint + bucket prefix. Four Refiners, one narrow
+    plan — refiner chains compose as column extensions, no extra scans."""
+    from mega_data_factory_spark.functions.text import subword_token_count
+
     t = load_tables(spark, sf_dir, ("documents",))
     df = t["documents"]
-    for r in (LanguageIdRefiner(), QualityScoreRefiner(), FingerprintRefiner()):
+    for r in (TextStatsRefiner(length_col="n_chars"), LanguageIdRefiner(), QualityScoreRefiner(), FingerprintRefiner()):
         df = r.apply(df)
-    return df.select(
-        "doc_id",
-        "lang_pred",
-        "lang_score",
-        "stopword_ratio",
-        "quality_score",
-        "fingerprint",
-        "fingerprint_prefix",
-    ).orderBy("doc_id")
+    ws = F.col("token_count")
+    sw = subword_token_count("text")
+    return (
+        df.withColumn("subword_tokens", sw)
+        .withColumn(
+            "tokens_per_word",
+            F.when(ws > 0, F.round(sw.cast("double") / ws, 6)).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "doc_id",
+            "text_length",
+            "token_count",
+            "avg_token_len",
+            "subword_tokens",
+            "tokens_per_word",
+            "lang_pred",
+            "lang_score",
+            "stopword_ratio",
+            "quality_score",
+            "fingerprint",
+            "fingerprint_prefix",
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _text_analysis_oracle() -> str:
@@ -238,10 +257,22 @@ def _text_analysis_oracle() -> str:
         f"+ 0.3 * least({ratio} * 5.0, 1.0) "
         f"+ 0.3 * (CASE WHEN {avg_len} >= 3.0 AND {avg_len} <= 10.0 THEN 1.0 ELSE 0.0 END)"
     )
+    from mega_data_factory_spark.functions.text import SUBWORD_PATTERN
+
+    pat = SUBWORD_PATTERN.replace("'", "''")
+    sw = f"len(regexp_extract_all({_norm}, '{pat}'))"
+    tc = _token_count("text")
     return f"""
 WITH scored AS (SELECT doc_id, {sel} FROM documents),
 ranked AS (SELECT doc_id, {best} AS best, {', '.join(f's_{lang}' for lang in scores)} FROM scored)
 SELECT d.doc_id,
+  {_text_length('text', 'n_chars')} AS text_length,
+  CAST({tc} AS BIGINT) AS token_count,
+  CASE WHEN {tc} > 0
+       THEN round(CAST(length({_norm}) - ({tc} - 1) AS DOUBLE) / {tc}, 6)
+       ELSE 0.0 END AS avg_token_len,
+  CAST({sw} AS BIGINT) AS subword_tokens,
+  CASE WHEN {tc} > 0 THEN round(CAST({sw} AS DOUBLE) / {tc}, 6) ELSE 0.0 END AS tokens_per_word,
   CASE WHEN r.best > 0 THEN ({case.replace('s_', 'r.s_')}) ELSE 'und' END AS lang_pred,
   CAST(r.best AS BIGINT) AS lang_score,
   round({ratio}, 6) AS stopword_ratio,
@@ -553,6 +584,98 @@ ORDER BY url
 """
 
 
+LM_ADD_K, LM_MIN_COUNT = 0.1, 1
+
+
+def ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (operators/lm.py) as a driver row:
+    fit add-k bigram counts on the documents corpus, score the same
+    corpus — every per-doc mean log-prob and perplexity cross-checked
+    against the closed-form count arithmetic in ANSI SQL. The fit's two
+    gram aggregates and the vocab count run in-plan; nothing about the
+    model is driver-side."""
+    from mega_data_factory_spark.operators.lm import NgramPerplexityScorer
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    s = NgramPerplexityScorer(add_k=LM_ADD_K, min_count=LM_MIN_COUNT).fit(docs)
+    return s.apply(docs).select("doc_id", "doc_logprob", "perplexity").orderBy("doc_id")
+
+
+def _ngram_perplexity_oracle() -> str:
+    norm_lower = NORM.format(c="text")
+    return f"""
+WITH w AS (SELECT doc_id, string_split({norm_lower}, ' ') AS ws FROM documents),
+grams AS (
+  SELECT doc_id, ws[i.i] AS w1, ws[i.i + 1] AS w2
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) i
+),
+big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY 1, 2 HAVING COUNT(*) >= {LM_MIN_COUNT}
+),
+ctx AS (SELECT w1, COUNT(*) AS c1 FROM grams GROUP BY 1),
+vocab AS (
+  SELECT COUNT(DISTINCT wrd) + 1 AS v
+  FROM (SELECT unnest(ws) AS wrd FROM w) u WHERE wrd != ''
+),
+lp AS (
+  SELECT g.doc_id,
+         ln((COALESCE(b.c12, 0) + {LM_ADD_K}) / (COALESCE(c.c1, 0) + {LM_ADD_K} * vocab.v)) AS l
+  FROM grams g
+  LEFT JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
+  LEFT JOIN ctx c ON g.w1 = c.w1
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, ROUND(AVG(l), 6) AS doc_logprob, ROUND(EXP(-AVG(l)), 6) AS perplexity
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id, p.doc_logprob, p.perplexity
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
+PACK_SEQ_LEN, PACK_BUCKETS = 128, 8
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-sequence packing coordinates
+    (operators/packing.py) as a driver row: bucketed concat-then-chunk
+    assignment over the documents corpus, every (bucket, seq, offset)
+    triple cross-checked against the windowed-SQL formulation."""
+    from mega_data_factory_spark.operators.packing import SequencePacker
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    p = SequencePacker(PACK_SEQ_LEN, buckets=PACK_BUCKETS)
+    return (
+        p.apply(t["documents"])
+        .select("doc_id", "pack_bucket", "seq_id", "seq_offset")
+        .orderBy("doc_id")
+    )
+
+
+def _sequence_packing_oracle() -> str:
+    b = _H64_SQL.format(v="CAST(doc_id AS VARCHAR)") + f" % {PACK_BUCKETS}"
+    tc = _token_count("text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST({b} AS INT) AS pack_bucket, CAST({tc} AS BIGINT) AS tok
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, pack_bucket,
+         SUM(tok) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS strt
+  FROM toks WHERE tok > 0
+)
+SELECT doc_id, pack_bucket,
+       CAST(FLOOR(strt / {PACK_SEQ_LEN}) AS BIGINT) AS seq_id,
+       CAST(strt % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+FROM packed ORDER BY doc_id
+"""
+
+
 MIX_WEIGHTS = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 0.75}
 SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SALT = "epoch1"
@@ -616,16 +739,22 @@ FROM labeled GROUP BY source, split ORDER BY source, split
 """
 
 
+# text_length_filter and docs_token_stats are consolidated OUT of the
+# driver window (TextLengthFilter stays driver-covered through
+# curation_pipeline/curation_funnel_by_source/text_cleanup; the token
+# stats now ride inside text_analysis) but keep their oracle-differential
+# bar in tests/test_curation.py. The freed slots carry the round-6
+# ngram_perplexity and sequence_packing rows.
 QUERIES = {
-    "text_length_filter": text_length_filter,
     "dataset_split_mix": dataset_split_mix,
     "warc_extract": warc_extract,
     "curation_funnel_by_source": curation_funnel_by_source,
     "text_exact_dedup": text_exact_dedup,
     "orders_first_per_customer": orders_first_per_customer,
     "orders_dedup_rejected": orders_dedup_rejected,
-    "docs_token_stats": docs_token_stats,
     "text_analysis": text_analysis,
+    "ngram_perplexity": ngram_perplexity,
+    "sequence_packing": sequence_packing,
     "text_cleanup": text_cleanup,
     "url_rule_filters": url_rule_filters,
     "curation_pipeline": curation_pipeline,
@@ -633,15 +762,15 @@ QUERIES = {
 }
 
 ORACLE = {
-    "text_length_filter": TEXT_LENGTH_ORACLE,
     "dataset_split_mix": _dataset_split_mix_oracle(),
     "warc_extract": _warc_extract_oracle(),
     "curation_funnel_by_source": FUNNEL_ORACLE,
     "text_exact_dedup": TEXT_DEDUP_ORACLE,
     "orders_first_per_customer": ORDERS_DEDUP_ORACLE,
     "orders_dedup_rejected": ORDERS_DEDUP_REJECTED_ORACLE,
-    "docs_token_stats": _token_stats_oracle(),
     "text_analysis": _text_analysis_oracle(),
+    "ngram_perplexity": _ngram_perplexity_oracle(),
+    "sequence_packing": _sequence_packing_oracle(),
     "text_cleanup": _text_cleanup_oracle(),
     "url_rule_filters": URL_RULES_ORACLE,
     "curation_pipeline": CURATION_PIPELINE_ORACLE,

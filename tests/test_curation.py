@@ -5,14 +5,14 @@ import pytest
 from tests.conftest import assert_query_matches_oracle
 
 CURATION = [
-    "text_length_filter",
     "dataset_split_mix",
     "curation_funnel_by_source",
     "text_exact_dedup",
     "orders_first_per_customer",
     "orders_dedup_rejected",
-    "docs_token_stats",
     "text_analysis",
+    "ngram_perplexity",
+    "sequence_packing",
     "text_cleanup",
     "url_rule_filters",
     "curation_pipeline",
@@ -23,6 +23,23 @@ CURATION = [
 @pytest.mark.parametrize("name", CURATION)
 def test_curation_matches_oracle(spark, name):
     assert_query_matches_oracle(spark, name)
+
+
+@pytest.mark.parametrize("fn_name,oracle_name", [
+    ("text_length_filter", "TEXT_LENGTH_ORACLE"),
+    ("docs_token_stats", "_token_stats_oracle"),
+])
+def test_consolidated_rows_keep_oracle_bar(spark, fn_name, oracle_name):
+    """text_length_filter / docs_token_stats are consolidated out of the
+    driver window (covered there via curation_pipeline/text_analysis) but
+    keep the identical differential bar here."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    import mega_data_factory_spark.plans.curation as cur
+
+    fn = getattr(cur, fn_name)
+    oracle = getattr(cur, oracle_name)
+    sql = oracle() if callable(oracle) else oracle
+    assert_df_matches_sql(fn(spark, SF_DIR_ORACLE), sql, name=fn_name)
 
 
 def test_repetition_stats_matches_oracle(spark):
