@@ -47,6 +47,7 @@ def _modules():
         events,
         image_queries,
         join_queries,
+        profile_queries,
         relational,
         setops,
         similarity_queries,
@@ -65,5 +66,6 @@ def _modules():
         window_queries,
         join_queries,
         setops,
+        profile_queries,
         image_queries,
     ]

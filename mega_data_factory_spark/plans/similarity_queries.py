@@ -166,9 +166,13 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.apply(corpus).select("vec_id").orderBy("vec_id")
 
 
+# embedding_norms is consolidated out of the driver window: its L2-fold
+# arithmetic is already hash-verified through topk_cosine and
+# embedding_cosine_dedup (same DOT_SQL folds); tests/test_dedup_similarity
+# keeps its oracle-differential bar. The freed slot carries the exact-mode
+# column_profile row (plans/profile_queries.py).
 QUERIES = {
     "topk_cosine": topk_cosine,
-    "embedding_norms": embedding_norms,
     "ivf_ann_topk": ivf_ann_topk,
     "semantic_dedup_kmeans": semantic_dedup_kmeans,
 }
@@ -179,5 +183,4 @@ QUERIES = {
 # real bar (recall vs exact brute force, survivor-set invariants).
 ORACLE = {
     "topk_cosine": TOPK_COSINE_ORACLE,
-    "embedding_norms": NORMS_ORACLE,
 }

@@ -14,8 +14,17 @@ NAMES = [
     "simhash_near_dedup",
     "embedding_cosine_dedup",
     "topk_cosine",
-    "embedding_norms",
 ]
+
+
+def test_embedding_norms_keeps_oracle_bar(spark):
+    """embedding_norms is consolidated out of the driver window (its
+    vector folds are hash-verified via topk_cosine / embedding_cosine
+    dedup) but keeps the differential bar here."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    from mega_data_factory_spark.plans.similarity_queries import NORMS_ORACLE, embedding_norms
+
+    assert_df_matches_sql(embedding_norms(spark, SF_DIR_ORACLE), NORMS_ORACLE, name="embedding_norms")
 
 
 @pytest.mark.parametrize("name", NAMES)

@@ -65,6 +65,14 @@ def test_exact_profile_matches_oracle(spark):
     assert_df_matches_sql(out, sql, name="column_profile_exact")
 
 
+def test_column_profile_driver_row(spark):
+    """The registered exact-mode driver row passes the driver-style
+    compare end-to-end."""
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, "column_profile")
+
+
 def test_profile_is_one_job_single_aggregate(spark):
     """The whole profile must be ONE aggregate over one scan — no
     per-column jobs (the scale contract from the module docstring)."""
