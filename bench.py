@@ -27,9 +27,9 @@ HEADLINE = [
     "customer_spend_distribution",
     "orders_above_customer_avg",
     # curation pipeline surface (reference-shaped workload)
-    "text_length_filter",
     "text_exact_dedup",
-    "docs_token_stats",
+    "text_analysis",
+    "sequence_packing",
     "curation_pipeline",
     # near-dedup + similarity
     "minhash_lsh_dedup",
@@ -242,6 +242,40 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # LM-quality datapoint: fit the bigram perplexity model on the sf
+    # documents corpus, score a 1M-row synthetic corpus (the same text
+    # generator as text_pipeline_1m) — measures the model-join + per-doc
+    # aggregate shape at training-pipeline volume (operators/lm.py).
+    from pyspark.sql import functions as F2
+
+    from mega_data_factory_spark.operators.lm import NgramPerplexityScorer
+
+    docs_lm = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scorer = NgramPerplexityScorer().fit(docs_lm)
+    words_lm = ["analysis", "report", "casino", "pipeline", "poker", "data", "spark", "stream", "model", "web"]
+    corpus_1m = spark.range(1_000_000).select(
+        F2.col("id").alias("doc_id"),
+        F2.concat_ws(
+            " ",
+            *[
+                F2.element_at(
+                    F2.array(*[F2.lit(w) for w in words_lm]), ((F2.col("id") * (i + 3)) % 10 + 1).cast("int")
+                )
+                for i in range(30)
+            ],
+        ).alias("text"),
+    )
+    dt = float("inf")
+    n_out = 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_out = scorer.apply(corpus_1m).filter(F2.col("perplexity").isNotNull()).count()
+        dt = min(dt, time.perf_counter() - t0)
+    scorer.unpersist()
+    timings["perplexity_1m"] = round(dt, 4)
+    total += dt
+    print(f"# perplexity_1m: {dt:.3f}s ({n_out} docs scored, {n_out/dt:,.0f} rec/s)", file=sys.stderr)
+
     # Dataset-profiling datapoint: full column profile of the two widest
     # tables (lineitem + orders) in sketch mode — HLL cardinalities +
     # approx_percentile, the bounded-memory 100 TB configuration. Each
@@ -382,7 +416,7 @@ def main() -> None:
                 # foreachBatch micro-batch runner incl. checkpoint + two sink
                 # appends — mostly fixed scheduling overhead at small sf (it
                 # amortizes: slope 2.75 at 100x data, BENCH_SCALE.json).
-                "new_in_round6": ["streaming_pipeline", "column_profile"],
+                "new_in_round6": ["streaming_pipeline", "column_profile", "perplexity_1m"],
                 # a run with failed queries reports a smaller total than a
                 # clean run; flag it so comparisons don't read it as a win
                 **({"errors": errors, "partial": True} if errors else {}),
