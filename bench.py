@@ -119,28 +119,51 @@ def _text_pipeline_1m(spark) -> int:
     return out.count()
 
 
-def _streaming_pipeline(spark, sf_dir: str, tmp_dir: str, ckpt_name: str) -> tuple[int, float]:
-    """The curation pipeline (length filter -> word-score filter -> exact
-    dedup) run through Structured Streaming's foreachBatch runner over the
-    sf documents as a multi-file parquet stream — maxFilesPerTrigger slices
-    the corpus into micro-batches, so the measurement covers real
-    micro-batch scheduling, per-batch tagging plans, and both sink appends
-    (the reference's streaming-batch hybrid posture,
-    docs/ARCHITECTURE.md:163-188). Returns (input_rows, wall_sec)."""
-    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
-    from mega_data_factory_spark.streaming import StreamingPipeline
+STREAM_ROWS_TARGET = 300_000
+
+
+def _stream_src(spark, sf_dir: str, tmp_dir: str) -> tuple[str, int]:
+    """Build (untimed, once) the streaming bench corpus: the sf documents
+    replicated up to ~STREAM_ROWS_TARGET rows with unique doc_ids and
+    per-replica text salt (replicas are NOT exact dups of each other, so
+    the dedup stage does realistic work — only the corpus's own planted
+    duplicate block collides), written as an 8-file parquet layout that
+    maxFilesPerTrigger slices into micro-batches."""
+    from pyspark.sql import functions as F
 
     src = os.path.join(tmp_dir, "stream_src")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_in = docs.count()
-    if not os.path.exists(src):  # build the multi-file source once
-        docs.repartition(8).write.mode("overwrite").parquet(src)
+    n_docs = docs.count()
+    n_rep = max(1, STREAM_ROWS_TARGET // max(n_docs, 1))
+    if not os.path.exists(src):
+        reps = spark.range(n_rep).withColumnRenamed("id", "rep")
+        big = (
+            docs.crossJoin(F.broadcast(reps))
+            .withColumn("doc_id", F.col("doc_id") * n_rep + F.col("rep"))
+            .withColumn(
+                "text",
+                F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" #"), F.col("rep").cast("string"))
+                ),
+            )
+            .drop("rep")
+        )
+        big.repartition(8).write.mode("overwrite").parquet(src)
+    return src, n_docs * n_rep
+
+
+def _stream_cfg(src: str, tmp_dir: str, run_name: str):
+    """The curation workload (length filter -> word-score filter -> exact
+    dedup) with both sinks under ``run_name`` — shared verbatim by the
+    streaming and batch measurement so the ratio compares identical work."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+
     cfg = PipelineConfig.from_dict(
         {
             "pipeline": {
                 "name": "stream_curation",
                 "id_col": "doc_id",
-                "source": {"table": "unused"},
+                "source": {"path": src},
                 "stages": [
                     {"name": "filter", "operators": [
                         {"name": "TextLengthFilter",
@@ -155,13 +178,48 @@ def _streaming_pipeline(spark, sf_dir: str, tmp_dir: str, ckpt_name: str) -> tup
             }
         }
     )
-    cfg.sink = SinkConfig(path=os.path.join(tmp_dir, ckpt_name, "out"))
-    cfg.rejected_sink = SinkConfig(path=os.path.join(tmp_dir, ckpt_name, "rej"))
-    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", "2").parquet(src)
+    cfg.sink = SinkConfig(path=os.path.join(tmp_dir, run_name, "out"))
+    cfg.rejected_sink = SinkConfig(path=os.path.join(tmp_dir, run_name, "rej"))
+    return cfg
+
+
+def _streaming_pipeline(spark, src: str, tmp_dir: str, ckpt_name: str) -> float:
+    """The curation pipeline run through Structured Streaming's foreachBatch
+    runner over the multi-file parquet stream — maxFilesPerTrigger=2 over 8
+    files gives 4 micro-batches, so the measurement covers real micro-batch
+    scheduling, per-batch tagging plans, checkpoint commits, and both sink
+    appends (the reference's streaming-batch hybrid posture,
+    docs/ARCHITECTURE.md:163-188). Returns wall_sec."""
+    from mega_data_factory_spark.streaming import StreamingPipeline
+
+    cfg = _stream_cfg(src, tmp_dir, ckpt_name)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(src)
     t0 = time.perf_counter()
-    q = StreamingPipeline(cfg, checkpoint_dir=os.path.join(tmp_dir, ckpt_name, "ckpt")).start(stream)
+    q = StreamingPipeline(
+        cfg,
+        checkpoint_dir=os.path.join(tmp_dir, ckpt_name, "ckpt"),
+        # micro-batch-sized knobs (see runner docstring): ~50k-row batches
+        # want single-digit shuffle tasks and a few output files, not the
+        # session's full-table settings
+        output_files=4,
+        shuffle_partitions=8,
+        parallel_sinks=True,
+    ).start(stream)
     q.awaitTermination()
-    return n_in, time.perf_counter() - t0
+    return time.perf_counter() - t0
+
+
+def _batch_pipeline_same(spark, src: str, tmp_dir: str, run_name: str) -> float:
+    """The IDENTICAL workload as one batch Pipeline.run — the denominator of
+    the streaming-vs-batch ratio (VERDICT r5 #6: streaming within ~2x of
+    the batch path at the same volume)."""
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    cfg = _stream_cfg(src, tmp_dir, run_name)
+    t0 = time.perf_counter()
+    Pipeline(cfg).run(spark)
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -373,26 +431,43 @@ def main() -> None:
     total += dt
     print(f"# image_pipeline_100k: {dt:.3f}s ({n_out} rows kept, {n_img/dt:,.0f} rec/s)", file=sys.stderr)
 
-    # Streaming-path datapoint: the same curation workload through the
+    # Streaming-path datapoint: the curation workload through the
     # foreachBatch streaming runner (micro-batch scheduling + checkpoint +
-    # two sink appends included). min-of-2 with a FRESH checkpoint per pass
-    # — a reused checkpoint would skip the already-processed files and
-    # measure nothing.
+    # two sink appends included) at ~200k-row volume so per-batch fixed
+    # costs amortize (the r5 5k-row corpus measured checkpoint overhead,
+    # not throughput). min-of-2 with a FRESH checkpoint per pass — a reused
+    # checkpoint would skip the already-processed files and measure
+    # nothing. The IDENTICAL workload is also run as one batch
+    # Pipeline.run; the JSON reports the streaming/batch wall ratio
+    # (VERDICT r5 #6's "within ~2x of the batch path" bar).
     import shutil
     import tempfile
 
     stream_tmp = tempfile.mkdtemp(prefix="mdf_stream_bench_")
     try:
+        src, n_in = _stream_src(spark, sf_dir, stream_tmp)
         dt = float("inf")
-        n_in = 0
         for i in range(2):
-            n_in, w = _streaming_pipeline(spark, sf_dir, stream_tmp, f"pass{i}")
-            dt = min(dt, w)
+            dt = min(dt, _streaming_pipeline(spark, src, stream_tmp, f"stream{i}"))
+        batch_dt = float("inf")
+        for i in range(2):
+            batch_dt = min(batch_dt, _batch_pipeline_same(spark, src, stream_tmp, f"batch{i}"))
     finally:
         shutil.rmtree(stream_tmp, ignore_errors=True)
     timings["streaming_pipeline"] = round(dt, 4)
     total += dt
-    print(f"# streaming_pipeline: {dt:.3f}s ({n_in} rows streamed, {n_in/dt:,.0f} rec/s)", file=sys.stderr)
+    stream_detail = {
+        "rows": n_in,
+        "rec_per_s": round(n_in / dt),
+        "micro_batches": 4,
+        "batch_path_sec": round(batch_dt, 4),
+        "streaming_vs_batch_ratio": round(dt / batch_dt, 2),
+    }
+    print(
+        f"# streaming_pipeline: {dt:.3f}s ({n_in} rows streamed, {n_in/dt:,.0f} rec/s; "
+        f"same workload as one batch: {batch_dt:.3f}s, ratio {dt/batch_dt:.2f}x)",
+        file=sys.stderr,
+    )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -414,9 +489,10 @@ def main() -> None:
                 # workload additions make TOTALS incomparable round-over-round;
                 # compare per-query. streaming_pipeline (round 6) measures the
                 # foreachBatch micro-batch runner incl. checkpoint + two sink
-                # appends — mostly fixed scheduling overhead at small sf (it
-                # amortizes: slope 2.75 at 100x data, BENCH_SCALE.json).
+                # appends over a ~200k-row 4-micro-batch stream, with the
+                # identical workload's one-shot batch wall as the denominator.
                 "new_in_round6": ["streaming_pipeline", "column_profile", "perplexity_1m"],
+                "streaming": stream_detail,
                 # a run with failed queries reports a smaller total than a
                 # clean run; flag it so comparisons don't read it as a win
                 **({"errors": errors, "partial": True} if errors else {}),

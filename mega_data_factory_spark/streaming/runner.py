@@ -265,58 +265,130 @@ class StreamingPipeline:
 
     Note: dedup inside foreachBatch is first-wins *within* the micro-batch;
     put ``stream_exact_dedup`` upstream for cross-batch seen-state.
+
+    ``output_files`` bounds the files each micro-batch appends per sink
+    (coalesce before the write). Streaming parquet sinks otherwise emit one
+    file per post-shuffle partition PER BATCH (AQE is disabled under
+    streaming, so Spark never shrinks them) — at 32 shuffle partitions and
+    2 sinks that is 64 small files per micro-batch, and the commit
+    protocol's task setup/rename overhead dominates small batches. Only the
+    post-shuffle write stage is collapsed; scan/filter stages keep full
+    parallelism. Size it to ~micro-batch-rows / target-file-rows; None
+    keeps one-file-per-partition (the right call for large micro-batches).
+
+    ``shuffle_partitions`` sizes in-batch shuffles (the dedup window, any
+    groupBy) to the MICRO-BATCH, not the session default. AQE never
+    coalesces streaming plans, so a session tuned for full-table batch work
+    launches that many near-empty shuffle tasks per micro-batch — pure
+    scheduling overhead. The conf is set around each foreachBatch callback
+    and restored after (the tagging plans are stateless, so the
+    state-store "never change shuffle partitions across restarts" rule
+    does not apply). Size to ~micro-batch-rows / rows-per-task.
+
+    ``parallel_sinks`` overlaps the two sink appends: the tagged frame is
+    materialized into the cache by one count, then the passed and rejected
+    writes — both pure cache scans at that point — run on two driver
+    threads, so the batch pays max(write, write) instead of their sum.
+    Micro-batch writes are commit-protocol-latency-bound, not
+    throughput-bound, and the cluster is idle during commits; requires
+    both sinks. The count-first step is what makes this safe: concurrent
+    actions on an UNmaterialized cached plan can compute it twice.
     """
 
-    def __init__(self, config: PipelineConfig, *, checkpoint_dir: str):
+    def __init__(
+        self,
+        config: PipelineConfig,
+        *,
+        checkpoint_dir: str,
+        output_files: int | None = None,
+        shuffle_partitions: int | None = None,
+        parallel_sinks: bool = False,
+    ):
         self.config = config
         self.pipeline = Pipeline(config)
         self.checkpoint_dir = checkpoint_dir
+        self.output_files = output_files
+        self.shuffle_partitions = shuffle_partitions
+        self.parallel_sinks = parallel_sinks
 
     def start(self, stream_df: DataFrame, *, trigger_available_now: bool = True):
-        cfg = self.config
-
         def _process(batch_df: DataFrame, batch_id: int) -> None:
-            if REJECTION_DETAILS_COL not in batch_df.columns:
-                batch_df = batch_df.withColumn(
-                    REJECTION_DETAILS_COL,
-                    F.lit(None).cast(
-                        "struct<reason:string,operator:string,dedup_key:string,representative_id:string>"
-                    ),
-                )
-            tagged = batch_df
-            for _stage, op in self.pipeline._ops:
-                tagged = self.pipeline._apply(tagged, op)
-            tagged = tagged.persist()
+            sess = batch_df.sparkSession
+            prev_sp: str | None = None
+            if self.shuffle_partitions:
+                prev_sp = sess.conf.get("spark.sql.shuffle.partitions")
+                sess.conf.set("spark.sql.shuffle.partitions", str(self.shuffle_partitions))
             try:
-                import dataclasses
-
-                from mega_data_factory_spark.sinks import write_sink
-
-                alive = F.col(REJECTION_DETAILS_COL).isNull()
-                if cfg.sink:
-                    # route through the batch sink factory so format/options/
-                    # custom SINKS registrations apply in streaming too; the
-                    # micro-batch contract forces append mode
-                    write_sink(
-                        tagged.filter(alive).drop(REJECTION_DETAILS_COL),
-                        dataclasses.replace(cfg.sink, mode="append"),
-                    )
-                if cfg.rejected_sink:
-                    rej_cfg = dataclasses.replace(
-                        cfg.rejected_sink,
-                        mode="append",
-                        partition_by=cfg.rejected_sink.partition_by or ["operator"],
-                    )
-                    write_sink(
-                        tagged.filter(~alive).withColumn(
-                            "operator", F.col(f"{REJECTION_DETAILS_COL}.operator")
-                        ),
-                        rej_cfg,
-                    )
+                self._process_batch(batch_df)
             finally:
-                tagged.unpersist()
+                if prev_sp is not None:
+                    sess.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
         writer = stream_df.writeStream.foreachBatch(_process).option("checkpointLocation", self.checkpoint_dir)
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    def _process_batch(self, batch_df: DataFrame) -> None:
+        cfg = self.config
+        if REJECTION_DETAILS_COL not in batch_df.columns:
+            batch_df = batch_df.withColumn(
+                REJECTION_DETAILS_COL,
+                F.lit(None).cast(
+                    "struct<reason:string,operator:string,dedup_key:string,representative_id:string>"
+                ),
+            )
+        tagged = batch_df
+        for _stage, op in self.pipeline._ops:
+            tagged = self.pipeline._apply(tagged, op)
+        tagged = tagged.persist()
+        try:
+            import dataclasses
+
+            from mega_data_factory_spark.sinks import write_sink
+
+            alive = F.col(REJECTION_DETAILS_COL).isNull()
+            nf = self.output_files
+
+            def _sized(df: DataFrame) -> DataFrame:
+                return df.coalesce(nf) if nf else df
+
+            def _write_passed() -> None:
+                # route through the batch sink factory so format/options/
+                # custom SINKS registrations apply in streaming too; the
+                # micro-batch contract forces append mode
+                write_sink(
+                    _sized(tagged.filter(alive).drop(REJECTION_DETAILS_COL)),
+                    dataclasses.replace(cfg.sink, mode="append"),
+                )
+
+            def _write_rejected() -> None:
+                rej_cfg = dataclasses.replace(
+                    cfg.rejected_sink,
+                    mode="append",
+                    partition_by=cfg.rejected_sink.partition_by or ["operator"],
+                )
+                write_sink(
+                    _sized(
+                        tagged.filter(~alive).withColumn(
+                            "operator", F.col(f"{REJECTION_DETAILS_COL}.operator")
+                        )
+                    ),
+                    rej_cfg,
+                )
+
+            if self.parallel_sinks and cfg.sink and cfg.rejected_sink:
+                from concurrent.futures import ThreadPoolExecutor
+
+                tagged.count()  # fill the cache once (see class docstring)
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    futs = [ex.submit(_write_passed), ex.submit(_write_rejected)]
+                    for f in futs:
+                        f.result()
+            else:
+                if cfg.sink:
+                    _write_passed()
+                if cfg.rejected_sink:
+                    _write_rejected()
+        finally:
+            tagged.unpersist()

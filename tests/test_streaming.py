@@ -329,3 +329,53 @@ def test_stream_dedup_ttl_semantics(spark, tmp_path):
     assert rows[3] == (3, False)
     assert rows[9] == (2, True)   # cross-batch dup within the TTL horizon
     assert rows[1] == (1, False)
+
+
+def test_streaming_pipeline_microbatch_knobs(spark, tmp_path):
+    """The micro-batch sizing knobs must not change results, only layout:
+    output_files bounds files-per-batch-per-sink, shuffle_partitions is
+    applied inside the callback and RESTORED after, parallel_sinks writes
+    both sinks from the materialized cache on two threads."""
+    import glob
+
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.streaming import StreamingPipeline
+
+    src = tmp_path / "in"
+    write_events(src, EVENTS_A, "a")
+    write_events(src, EVENTS_B, "b")
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "stream_knobs",
+                "id_col": "event_id",
+                "source": {"table": "unused"},
+                "stages": [
+                    {"name": "s", "operators": [
+                        {"name": "NumericRangeFilter", "params": {"column": "value", "lo": 2.0}},
+                    ]},
+                ],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"))
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rej"))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    sp = StreamingPipeline(
+        cfg,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_files=1,
+        shuffle_partitions=2,
+        parallel_sinks=True,
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    q = sp.start(stream)
+    q.awaitTermination(120)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before  # restored
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.event_id for r in out.collect()) == [2, 3, 4, 5, 6]
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    assert {r.event_id for r in rej.collect()} == {1}
+    # 2 micro-batches x output_files=1 -> at most 2 parquet files in the
+    # passed sink (batch 2 of EVENTS_B has no rejected rows -> rej has 1)
+    assert len(glob.glob(str(tmp_path / "out" / "*.parquet"))) <= 2
