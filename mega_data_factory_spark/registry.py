@@ -86,6 +86,7 @@ def _register_builtins() -> None:
         VideoFrameSampleRefiner,
         VisualDegradationsRefiner,
     )
+    from mega_data_factory_spark.operators.classifier import QualityClassifier
     from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
     from mega_data_factory_spark.operators.graph import ClusterDeduplicator
     from mega_data_factory_spark.operators.packing import SequencePacker
@@ -133,6 +134,7 @@ def _register_builtins() -> None:
         SemanticDeduplicator,
         SequencePacker,
         ClusterDeduplicator,
+        QualityClassifier,
     ):
         OPERATORS.register(cls)
     # reference acronym-quirk aliases (framework/config.py:21-28)

@@ -1,0 +1,140 @@
+"""QualityClassifier: fastText-style hashed-ngram logistic quality filter.
+
+Iterative L-BFGS training is not ANSI-SQL-expressible, so (like the
+k-means family) the bar here is behavioural: holdout separation on a
+planted good/spam corpus, weak-label balancing, persistence round-trip,
+and pipeline/YAML integration.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+GOOD_WORDS = (
+    "the quick analysis shows that data pipelines scale when partitions "
+    "stay balanced and joins broadcast small dimensions across executors "
+    "modern engines optimize declarative plans with pushdown and pruning"
+).split()
+SPAM_WORDS = (
+    "casino bonus winner jackpot free viagra pills cheap loans xxx "
+    "click subscribe prize lottery crypto pump guaranteed returns"
+).split()
+
+
+def _docs(words, n, seed, doc_len=30):
+    rng = random.Random(seed)
+    return [" ".join(rng.choice(words) for _ in range(doc_len)) for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    good = _docs(GOOD_WORDS, 300, seed=1)
+    spam = _docs(SPAM_WORDS, 300, seed=2)
+    mk = lambda texts, start: spark.createDataFrame(
+        [(start + i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return mk(good[:200], 0), mk(spam[:200], 1000), mk(good[200:], 2000), mk(spam[200:], 3000)
+
+
+def test_fit_weak_separates_holdout(spark, corpora):
+    from mega_data_factory_spark.operators.classifier import QualityClassifier
+
+    good_train, spam_train, good_hold, spam_hold = corpora
+    clf = QualityClassifier(num_features=1 << 14, max_iter=20).fit_weak(good_train, spam_train)
+    g = clf.apply(good_hold).select("quality_score").toPandas()["quality_score"]
+    s = clf.apply(spam_hold).select("quality_score").toPandas()["quality_score"]
+    # scores are probabilities
+    assert (0 <= g).all() and (g <= 1).all() and (0 <= s).all() and (s <= 1).all()
+    # holdout accuracy at the 0.5 cut: planted corpora are separable,
+    # anything under 95% means the features/training are broken
+    acc = ((g > 0.5).mean() + (s <= 0.5).mean()) / 2
+    assert acc >= 0.95, f"holdout accuracy {acc}"
+    # scoring is a Refiner contract: no rows dropped, input columns intact
+    out = clf.apply(good_hold)
+    assert out.count() == good_hold.count()
+    assert set(good_hold.columns) <= set(out.columns)
+    assert "probability" not in out.columns  # ml temp columns cleaned up
+
+
+def test_fit_weak_balances_and_validates(spark, corpora):
+    from mega_data_factory_spark.operators.classifier import QualityClassifier
+
+    good_train, spam_train, good_hold, spam_hold = corpora
+    # 10x imbalance: the balancing downsample must keep the decision
+    # boundary near 0.5 rather than encoding the size ratio
+    clf = QualityClassifier(num_features=1 << 14, max_iter=20).fit_weak(
+        good_train, spam_train.limit(20)
+    )
+    s = clf.apply(spam_hold).select("quality_score").toPandas()["quality_score"]
+    assert (s <= 0.5).mean() >= 0.9
+    with pytest.raises(ValueError, match="non-empty"):
+        QualityClassifier().fit_weak(good_train, spam_train.limit(0))
+    with pytest.raises(ValueError, match="sample_fraction"):
+        QualityClassifier().fit_weak(good_train, spam_train, sample_fraction=1.5)
+    with pytest.raises(ValueError, match="fit"):
+        QualityClassifier().apply(good_hold)
+
+
+def test_save_load_roundtrip_and_yaml_path(spark, corpora, tmp_path):
+    """Offline-train / config-apply decoupling: persisted model scores
+    identically when loaded via model_path (the YAML pipeline shape,
+    mirroring the reference's checkpoint-loading refiners)."""
+    from mega_data_factory_spark.operators.classifier import QualityClassifier
+    from mega_data_factory_spark.registry import OPERATORS
+
+    good_train, spam_train, good_hold, _ = corpora
+    clf = QualityClassifier(num_features=1 << 14, max_iter=20).fit_weak(good_train, spam_train)
+    path = str(tmp_path / "qc_model")
+    clf.save(path)
+
+    loaded = OPERATORS.create("QualityClassifier", {"model_path": path})
+    a = clf.apply(good_hold).select("doc_id", "quality_score").toPandas().set_index("doc_id")
+    b = loaded.apply(good_hold).select("doc_id", "quality_score").toPandas().set_index("doc_id")
+    assert (a["quality_score"] == b["quality_score"]).all()
+
+
+def test_classifier_threshold_composes_with_pipeline(spark, corpora, tmp_path):
+    """The production filter shape: QualityClassifier stage adds the score,
+    NumericRangeFilter thresholds it, rejected rows carry the standard
+    rejection details through the Pipeline runner."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.operators.classifier import QualityClassifier
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    good_train, spam_train, good_hold, spam_hold = corpora
+    path = str(tmp_path / "qc_model")
+    QualityClassifier(num_features=1 << 14, max_iter=20).fit_weak(good_train, spam_train).save(path)
+
+    mixed = good_hold.unionByName(spam_hold)
+    mixed.createOrReplaceTempView("qc_mixed")
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "qc_curation",
+                "id_col": "doc_id",
+                "source": {"table": "qc_mixed"},
+                "stages": [
+                    {"name": "score", "operators": [
+                        {"name": "QualityClassifier", "params": {"model_path": path}},
+                    ]},
+                    {"name": "filter", "operators": [
+                        {"name": "NumericRangeFilter",
+                         "params": {"column": "quality_score", "lo": 0.5}},
+                    ]},
+                ],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"))
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rej"))
+    res = Pipeline(cfg).run(spark)
+    assert res.input_records == mixed.count()
+    kept = spark.read.parquet(str(tmp_path / "out"))
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    # near-perfect split of the planted corpora
+    assert kept.filter(F.col("doc_id") >= 3000).count() <= 5
+    assert rej.filter(F.col("doc_id") < 3000).count() <= 5
+    assert rej.select("operator").distinct().first()[0] == "NumericRangeFilter"
