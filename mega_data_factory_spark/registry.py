@@ -90,6 +90,7 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
     from mega_data_factory_spark.operators.graph import ClusterDeduplicator
     from mega_data_factory_spark.operators.packing import SequencePacker
+    from mega_data_factory_spark.operators.selection import TokenBudgetSelector
     from mega_data_factory_spark.operators.refiners import (
         FingerprintRefiner,
         LanguageIdRefiner,
@@ -135,6 +136,7 @@ def _register_builtins() -> None:
         SequencePacker,
         ClusterDeduplicator,
         QualityClassifier,
+        TokenBudgetSelector,
     ):
         OPERATORS.register(cls)
     # reference acronym-quirk aliases (framework/config.py:21-28)
