@@ -135,13 +135,21 @@ class RepetitionStatsRefiner(Refiner):
     Beyond the reference's surface — first-class per the build brief.
 
     Default form: pure Column expressions (array HOFs) so the DuckDB oracle
-    mirrors them exactly. The per-row top-bigram count is
-    O(distinct x total) interpreted — fine for web documents (hundreds of
-    words), quadratic for book-length rows. ``long_docs=True`` switches
-    ``apply`` to the linear-cost aggregation form: explode bigrams ->
-    groupBy(id, bigram) count -> max/sum per id -> join back. Two shuffles
-    on compact (id, 8-byte bigram hash) keys with map-side combine; results
-    are identical (property-tested). Needs a unique ``id_col``."""
+    mirrors them exactly. The per-row top-bigram count is a SINGLE pass
+    over the sorted bigram array (``array_sort`` + an ``aggregate``
+    longest-equal-run scan — O(n log n) per row). An earlier formulation
+    nested ``filter(bg, ...)`` inside a per-distinct-bigram lambda; Spark
+    re-evaluates a lambda-captured expression TREE on every element, so
+    the normalize-regex + split + zip_with pipeline ran distinct-bigram
+    times per row — measured ~116 ms/row interpreted (the expression is
+    past the codegen fallback) vs ~0.1 ms for the sorted-run form. Lesson
+    encoded here: never reference a non-trivial expression inside a HOF
+    lambda; sort + single-pass instead, or bind it to a real column first.
+    ``long_docs=True`` switches ``apply`` to the linear-cost aggregation
+    form: explode bigrams -> groupBy(id, bigram) count -> max/sum per id
+    -> join back. Two shuffles on compact (id, 8-byte bigram hash) keys
+    with map-side combine; results are identical (property-tested). Needs
+    a unique ``id_col``."""
 
     def __init__(
         self,
@@ -176,8 +184,24 @@ class RepetitionStatsRefiner(Refiner):
     def columns(self, df: DataFrame) -> dict[str, Column]:
         ws = self._words()
         bg = self._bigrams(ws)
-        top = F.array_max(
-            F.transform(F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x)))
+        # longest run of equal consecutive elements in the SORTED bigram
+        # array == max bigram frequency; the aggregate's input array is
+        # evaluated once per row and the lambda touches only its own
+        # accumulator + element (no captured expression trees)
+        top = F.aggregate(
+            F.array_sort(bg),
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, y: F.struct(
+                y.alias("prev"),
+                F.when(y == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(y == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
         )
         top_ratio = F.when(F.size(bg) > 0, top.cast("double") / F.size(bg)).otherwise(F.lit(0.0))
         return {

@@ -347,21 +347,30 @@ bi AS (
   SELECT doc_id, text, ws,
     list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bg
   FROM arr
+),
+-- linear top-bigram: explode -> per-(doc,bigram) counts -> max per doc
+-- (mirrors the engine's single-pass sorted-run scan; the earlier nested
+-- list_filter-per-distinct-bigram form was quadratic on both engines)
+top AS (
+  SELECT doc_id, max(c) AS top_c FROM (
+    SELECT doc_id, bge, count(*) AS c
+    FROM bi, UNNEST(bg) AS u(bge)
+    GROUP BY doc_id, bge
+  ) GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT bi.doc_id,
   CASE WHEN len(ws) > 0
        THEN round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
        ELSE 0.0 END AS dup_word_ratio,
   CASE WHEN len(bg) > 0
-       THEN round(CAST(list_max(list_transform(list_distinct(bg),
-                    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
+       THEN round(CAST(top.top_c AS DOUBLE) / len(bg), 6)
        ELSE 0.0 END AS top_bigram_ratio,
   CAST(len(regexp_extract_all(text, '{email}')) AS INTEGER) AS pii_email_count,
   CAST(len(regexp_extract_all(text, '{phone}')) AS INTEGER) AS pii_phone_count,
   CAST(len(regexp_extract_all(text, '{ip}')) AS INTEGER) AS pii_ip_count,
   {redacted} AS text_redacted
-FROM bi
-ORDER BY doc_id
+FROM bi LEFT JOIN top ON bi.doc_id = top.doc_id
+ORDER BY bi.doc_id
 """
 
 
