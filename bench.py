@@ -334,6 +334,39 @@ def main() -> None:
     total += dt
     print(f"# perplexity_1m: {dt:.3f}s ({n_out} docs scored, {n_out/dt:,.0f} rec/s)", file=sys.stderr)
 
+    # Learned-quality-filter datapoint: score the SAME 1M-row corpus with
+    # the fastText-style hashed-ngram logistic classifier
+    # (operators/classifier.py). The fit is untimed — the reference's
+    # model refiners load pretrained checkpoints, so apply throughput is
+    # the comparable number — and weak labels are the sf documents
+    # (positive) vs a synthetic spam corpus (negative).
+    from mega_data_factory_spark.operators.classifier import QualityClassifier
+
+    spam_words = ["casino", "jackpot", "winner", "bonus", "prize", "lottery", "spam", "free", "click", "pills"]
+    spam_df = spark.range(5000).select(
+        F2.concat_ws(
+            " ",
+            *[
+                F2.element_at(
+                    F2.array(*[F2.lit(w) for w in spam_words]), ((F2.col("id") * (i + 5)) % 10 + 1).cast("int")
+                )
+                for i in range(30)
+            ],
+        ).alias("text")
+    )
+    clf = QualityClassifier(max_iter=20).fit_weak(docs_lm, spam_df)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_out = clf.apply(corpus_1m).filter(F2.col("quality_score") >= 0.0).count()
+        dt = min(dt, time.perf_counter() - t0)
+    timings["quality_classifier_1m"] = round(dt, 4)
+    total += dt
+    print(
+        f"# quality_classifier_1m: {dt:.3f}s ({n_out} docs scored, {n_out/dt:,.0f} rec/s)",
+        file=sys.stderr,
+    )
+
     # Dataset-profiling datapoint: full column profile of the two widest
     # tables (lineitem + orders) in sketch mode — HLL cardinalities +
     # approx_percentile, the bounded-memory 100 TB configuration. Each
@@ -491,7 +524,12 @@ def main() -> None:
                 # foreachBatch micro-batch runner incl. checkpoint + two sink
                 # appends over a ~200k-row 4-micro-batch stream, with the
                 # identical workload's one-shot batch wall as the denominator.
-                "new_in_round6": ["streaming_pipeline", "column_profile", "perplexity_1m"],
+                "new_in_round6": [
+                    "streaming_pipeline",
+                    "column_profile",
+                    "perplexity_1m",
+                    "quality_classifier_1m",
+                ],
                 "streaming": stream_detail,
                 # a run with failed queries reports a smaller total than a
                 # clean run; flag it so comparisons don't read it as a win

@@ -57,6 +57,10 @@ def test_fit_weak_separates_holdout(spark, corpora):
     assert out.count() == good_hold.count()
     assert set(good_hold.columns) <= set(out.columns)
     assert "probability" not in out.columns  # ml temp columns cleaned up
+    # the scoring plan must stay JVM-side: HashingTF + the LR vector ops
+    # are ScalaUDFs, never Python workers (the 100 TB hot path)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
 def test_fit_weak_balances_and_validates(spark, corpora):
