@@ -62,6 +62,7 @@ class TokenBudgetSelector(Operator):
         token_col: str = "n_tokens",
         id_col: str = "doc_id",
         buckets: int = 8192,
+        score_bounds: tuple[float, float] | None = None,
         name: str | None = None,
     ):
         super().__init__(name)
@@ -69,25 +70,39 @@ class TokenBudgetSelector(Operator):
             raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
         if buckets < 1:
             raise ValueError(f"buckets must be >= 1, got {buckets}")
+        if score_bounds is not None and not (score_bounds[0] <= score_bounds[1]):
+            raise ValueError(f"score_bounds must be (lo, hi) with lo <= hi, got {score_bounds}")
         self.budget_tokens = int(budget_tokens)
         self.score_col = score_col
         self.token_col = token_col
         self.id_col = id_col
         self.buckets = int(buckets)
+        # known score range (e.g. a classifier probability is [0, 1]):
+        # skips the min/max scan, leaving exactly two passes over the
+        # corpus (bucket sums + final filter). Scores outside the declared
+        # bounds clamp into the edge buckets — order within a clamped edge
+        # bucket is still exact (the boundary window sorts by true score).
+        self.score_bounds = score_bounds
 
     def apply(self, df: DataFrame) -> DataFrame:
         score = F.col(self.score_col).cast("double")
         toks = F.col(self.token_col).cast("long")
-        lo, hi = df.select(F.min(score), F.max(score)).first()
-        if lo is None:  # empty input
-            return df
+        if self.score_bounds is not None:
+            lo, hi = float(self.score_bounds[0]), float(self.score_bounds[1])
+        else:
+            lo, hi = df.select(F.min(score), F.max(score)).first()
+            if lo is None:  # empty input
+                return df
         # monotonic fixed-width quantization; degenerate range -> 1 bucket
         if hi == lo:
             bucket = F.lit(0)
         else:
-            bucket = F.least(
-                F.floor((score - F.lit(lo)) / F.lit((hi - lo) / self.buckets)).cast("int"),
-                F.lit(self.buckets - 1),
+            bucket = F.greatest(
+                F.least(
+                    F.floor((score - F.lit(lo)) / F.lit((hi - lo) / self.buckets)).cast("int"),
+                    F.lit(self.buckets - 1),
+                ),
+                F.lit(0),
             )
         tagged = df.withColumn(_B, bucket)
         per_bucket = {

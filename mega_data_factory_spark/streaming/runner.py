@@ -283,7 +283,11 @@ class StreamingPipeline:
     scheduling overhead. The conf is set around each foreachBatch callback
     and restored after (the tagging plans are stateless, so the
     state-store "never change shuffle partitions across restarts" rule
-    does not apply). Size to ~micro-batch-rows / rows-per-task.
+    does not apply). Size to ~micro-batch-rows / rows-per-task. Caveat:
+    the conf is session-global during the callback — when several
+    streaming queries share one session, set the SAME value on all of
+    them (or none): interleaved callbacks from another query would plan
+    under whichever value is live.
 
     ``parallel_sinks`` overlaps the two sink appends: the tagged frame is
     materialized into the cache by one count, then the passed and rejected

@@ -71,6 +71,24 @@ def test_edge_cases(spark):
         TokenBudgetSelector(10, buckets=0)
 
 
+def test_score_bounds_skips_scan_and_clamps(spark):
+    """Declared bounds (classifier probabilities are [0,1]) must give the
+    same selection — including rows OUTSIDE the declared bounds, which
+    clamp into edge buckets but keep their true-score order within the
+    boundary window."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, round(rng.uniform(-0.2, 1.2), 3), rng.randint(50, 500)) for i in range(1000)]
+    for budget in (5_000, 50_000):
+        got = _spark_ids(spark, rows, budget, buckets=64, score_bounds=(0.0, 1.0))
+        assert got == _oracle_ids(rows, budget), f"mismatch at budget={budget}"
+    from mega_data_factory_spark.operators.selection import TokenBudgetSelector
+
+    with pytest.raises(ValueError, match="score_bounds"):
+        TokenBudgetSelector(10, score_bounds=(1.0, 0.0))
+
+
 def test_yaml_constructible(spark):
     from mega_data_factory_spark.registry import OPERATORS
 
