@@ -19,6 +19,12 @@ def main(argv: list[str] | None = None) -> int:
     runp = sub.add_parser("run", help="run a YAML pipeline")
     runp.add_argument("-c", "--config", required=True, help="YAML config path")
     runp.add_argument("--cpus", type=int, default=None)
+    runp.add_argument(
+        "--max-samples",
+        type=int,
+        default=None,
+        help="override the config's max_samples cap (reference cli.py:181-186)",
+    )
     valp = sub.add_parser(
         "validate",
         help="dry-run a YAML config: resolve operators, build the plan, run nothing",
@@ -92,11 +98,15 @@ def main(argv: list[str] | None = None) -> int:
         print(path)
         return 0
 
-    from mega_data_factory_spark.plans.pipeline import run_yaml
+    from mega_data_factory_spark.config import PipelineConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
     from mega_data_factory_spark.session import get_spark
 
     spark = get_spark("mdf-spark-cli", cpus=args.cpus)
-    result = run_yaml(spark, args.config)
+    cfg = PipelineConfig.from_yaml(args.config)
+    if args.max_samples is not None:
+        cfg.max_samples = args.max_samples
+    result = Pipeline(cfg).run(spark)
     print(
         json.dumps(
             {

@@ -479,3 +479,32 @@ def test_pipeline_writes_profile(spark, tmp_path):
     assert vals[("doc_id", "nulls")] == 0.0
     # string columns get the length-stat family
     assert ("text", "avg_len") in vals
+
+
+def test_cli_run_max_samples_override(spark, capsys, tmp_path):
+    """`run --max-samples N` caps the source like the reference CLI
+    (cli.py:181-186): input_records reflects the override, not the full
+    table."""
+    import json as _json
+
+    from mega_data_factory_spark.__main__ import main
+
+    spark.range(100).selectExpr("id AS event_id", "CAST(id AS DOUBLE) AS value").createOrReplaceTempView(
+        "cli_run_src"
+    )
+    cfgp = tmp_path / "run.yaml"
+    cfgp.write_text(
+        "pipeline:\n"
+        "  name: cli_run_cap\n"
+        "  id_col: event_id\n"
+        "  source: {table: cli_run_src}\n"
+        "  stages:\n"
+        "    - name: s\n"
+        "      operators:\n"
+        "        - name: NumericRangeFilter\n"
+        "          params: {column: value, lo: 0.0}\n"
+    )
+    assert main(["run", "-c", str(cfgp), "--max-samples", "7"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["input_records"] == 7
+    assert out["output_records"] == 7
