@@ -55,14 +55,17 @@ _LABEL = "__qc_label"
 
 def _gram_array(text_col: str) -> Column:
     """Unigrams + space-joined bigrams as ONE array column (fastText's
-    wordNgrams=2 recipe) — pure Column HOFs, codegen'd, no Python."""
+    wordNgrams=2 recipe) — pure Column HOFs, codegen'd, no Python.
+    NULL text yields an EMPTY array, not NULL: ``HashingTF`` throws on a
+    null input array, and one bad record must not abort a corpus-scale
+    scoring job (``apply`` still reports a NULL score for such rows)."""
     w = F.filter(F.split(normalize_text(text_col), " "), lambda x: x != "")
     bigrams = F.slice(
         F.zip_with(w, F.slice(w, 2, F.size(w)), lambda a, b: F.concat_ws(" ", a, b)),
         1,
         F.greatest(F.size(w) - F.lit(1), F.lit(0)),
     )
-    return F.concat(w, bigrams)
+    return F.coalesce(F.concat(w, bigrams), F.array().cast("array<string>"))
 
 
 class QualityClassifier(Operator):
@@ -187,5 +190,9 @@ class QualityClassifier(Operator):
         scored = model.transform(df.withColumn(_GRAMS, _gram_array(self.text_col)))
         return scored.withColumn(
             self.score_col,
-            F.round(vector_to_array(F.col("probability"))[1], ROUND_TO),
+            # engine convention: NULL text -> NULL score (the intercept-only
+            # probability a null row would otherwise get carries no signal)
+            F.when(
+                F.col(self.text_col).isNull(), F.lit(None).cast("double")
+            ).otherwise(F.round(vector_to_array(F.col("probability"))[1], ROUND_TO)),
         ).drop(_GRAMS, "__qc_features", "rawPrediction", "probability", "prediction")

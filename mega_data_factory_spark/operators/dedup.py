@@ -129,14 +129,17 @@ class IncrementalExactDeduplicator(TextExactDeduplicator):
             .drop("__rep")
         )
 
-    def update_store(self, df: DataFrame) -> None:
+    def update_store(self, df: DataFrame, *, survivors: bool = False) -> None:
         """Append the batch's NEW keys (survivors of ``apply``) to the
         store. Call after the run's sinks landed (same at-least-once
         posture as the batch resume manifest: re-appending an existing key
-        is harmless — the join takes any matching row's representative)."""
-        survivors = self.apply(df)
-        new_keys = survivors.select(
-            self.key(survivors).alias("content_key"),
+        is harmless — the join takes any matching row's representative).
+        ``survivors=True`` declares ``df`` is ALREADY the deduped output
+        (``Pipeline.run`` passes its passed-side frame), skipping the
+        redundant re-apply."""
+        out = df if survivors else self.apply(df)
+        new_keys = out.select(
+            self.key(out).alias("content_key"),
             F.col(self.id_col).cast("string").alias("representative_id"),
         ).dropDuplicates(["content_key"])
         new_keys.write.mode("append").parquet(self.store_path)
@@ -667,28 +670,26 @@ class DecontaminationFilter(Deduplicator):
     def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
         raise NotImplementedError("decontamination is not a single-key dedup")
 
-    def _span_hashes(self, df: DataFrame, text_col: str) -> DataFrame:
-        """(row spans -> distinct 8-byte hashes), docs under span_tokens
-        words contribute nothing (the whole-text fallback is Jaccard-only)."""
-        sh = df.select(F.array_distinct(word_shingles(text_col, self.span_tokens)).alias("__sh"))
+    def _span_index(self, df: DataFrame, text_col: str, id_col: str | None = None) -> DataFrame:
+        """Exploded 8-byte span hashes, optionally id-keyed; docs under
+        span_tokens words contribute nothing (the whole-text fallback is
+        Jaccard-only). ONE definition for both corpus sides so the
+        under-length convention can never desynchronize between them."""
+        ids = [F.col(id_col).alias("__id")] if id_col else []
+        sh = df.select(*ids, F.array_distinct(word_shingles(text_col, self.span_tokens)).alias("__sh"))
         n_words = F.size(F.split(F.col("__sh").getItem(0), " "))
         sh = sh.filter(F.size("__sh").isNotNull() & (n_words >= self.span_tokens))
-        return sh.select(F.explode("__sh").alias("__s")).select(F.xxhash64("__s").alias("__h")).distinct()
+        keep = ["__id"] if id_col else []
+        return sh.select(*keep, F.explode("__sh").alias("__s")).select(
+            *keep, F.xxhash64("__s").alias("__h")
+        )
 
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         bench_df = (
             df.sparkSession.table(self.benchmark) if isinstance(self.benchmark, str) else self.benchmark
         )
-        bench = self._span_hashes(bench_df, self.benchmark_text_col)
-        sh = df.select(
-            F.col(self.id_col).alias("__id"),
-            F.array_distinct(word_shingles(self.text_col, self.span_tokens)).alias("__sh"),
-        )
-        n_words = F.size(F.split(F.col("__sh").getItem(0), " "))
-        sh = sh.filter(F.size("__sh").isNotNull() & (n_words >= self.span_tokens))
-        inv = sh.select("__id", F.explode("__sh").alias("__s")).select(
-            "__id", F.xxhash64("__s").alias("__h")
-        )
+        bench = self._span_index(bench_df, self.benchmark_text_col).distinct()
+        inv = self._span_index(df, self.text_col, id_col=self.id_col)
         hits = (
             inv.join(F.broadcast(bench), on="__h")
             .groupBy("__id")

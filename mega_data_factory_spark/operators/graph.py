@@ -218,6 +218,16 @@ class ClusterDeduplicator(Deduplicator):
             raise ValueError(
                 f"ClusterDeduplicator needs a pair-emitting deduplicator, got {type(base).__name__}"
             )
+        # the closure treats __rep as a DOCUMENT ID edge endpoint; bases
+        # with a different _dup_pairs contract (DecontaminationFilter's
+        # __rep is a shared-span COUNT) would silently merge id nodes with
+        # count values into garbage components
+        if getattr(base, "rejection_reason", "duplicate") != "duplicate":
+            raise ValueError(
+                f"ClusterDeduplicator needs a duplicate-pair base whose __rep is a "
+                f"representative id; {type(base).__name__} emits "
+                f"rejection_reason={getattr(base, 'rejection_reason', None)!r}"
+            )
         self.base = base
         self.quality_col = quality_col
         self.descending = descending

@@ -52,7 +52,23 @@ class TokenBudgetSelector(Operator):
     ascending ``id_col`` (deterministic, the engine-wide discipline). A
     document is kept iff the cumulative tokens of all strictly-better
     documents plus its own fit the budget (the prefix rule — the first
-    document always fits if it alone is under budget)."""
+    document always fits if it alone is under budget).
+
+    NULL scores rank LAST (the SQL ``ORDER BY score DESC NULLS LAST``
+    order on both engines): unscored documents only enter after every
+    scored one, via a dedicated below-all bucket. NULL token counts add
+    nothing to the running sum (SUM semantics on both engines). A corpus
+    whose scores are ALL null has no quality signal to bucket on and
+    degenerates to the single-window form.
+
+    Inside a tagged ``Pipeline`` (the ``_rejection_details`` column is
+    present) the operator follows the engine's row-accounting contract
+    instead of physically dropping rows: already-rejected rows are
+    excluded from the budget AND left untouched, and over-budget
+    documents are TAGGED (reason ``budget_exceeded``) so they flow to the
+    rejected sink and the funnel metrics. Standalone (no tag column),
+    cut rows are dropped. The tagged form costs one extra scan (the
+    boundary bucket is resolved in a unioned branch)."""
 
     def __init__(
         self,
@@ -85,32 +101,45 @@ class TokenBudgetSelector(Operator):
         self.score_bounds = score_bounds
 
     def apply(self, df: DataFrame) -> DataFrame:
+        from mega_data_factory_spark.operators.base import (
+            REJECTION_DETAILS_COL,
+            rejection_details,
+        )
+
+        tagged_mode = REJECTION_DETAILS_COL in df.columns
+        alive = F.col(REJECTION_DETAILS_COL).isNull() if tagged_mode else F.lit(True)
         score = F.col(self.score_col).cast("double")
         toks = F.col(self.token_col).cast("long")
         if self.score_bounds is not None:
             lo, hi = float(self.score_bounds[0]), float(self.score_bounds[1])
         else:
-            lo, hi = df.select(F.min(score), F.max(score)).first()
-            if lo is None:  # empty input
-                return df
-        # monotonic fixed-width quantization; degenerate range -> 1 bucket
-        if hi == lo:
-            bucket = F.lit(0)
+            # min/max skip NULL scores; dead rows never shape the buckets
+            lo, hi = df.filter(alive).select(F.min(score), F.max(score)).first()
+        # monotonic fixed-width quantization; NULL scores -> bucket -1
+        # (below every scored bucket = NULLS LAST); degenerate range -> 1
+        # bucket; dead rows get a NULL bucket and are left untouched
+        if lo is None:  # no alive scored rows at all
+            scored_bucket = F.lit(-1)
+        elif hi == lo:
+            scored_bucket = F.lit(0)
         else:
-            bucket = F.greatest(
+            scored_bucket = F.greatest(
                 F.least(
                     F.floor((score - F.lit(lo)) / F.lit((hi - lo) / self.buckets)).cast("int"),
                     F.lit(self.buckets - 1),
                 ),
                 F.lit(0),
             )
-        tagged = df.withColumn(_B, bucket)
+        bucket = F.when(alive & score.isNotNull(), scored_bucket).otherwise(
+            F.when(alive, F.lit(-1))
+        )
+        work = df.withColumn(_B, bucket)
         per_bucket = {
-            int(r[_B]): int(r["t"])
-            for r in tagged.groupBy(_B).agg(F.sum(toks).alias("t")).collect()
+            int(r[_B]): int(r["t"] or 0)
+            for r in work.filter(alive).groupBy(_B).agg(F.sum(toks).alias("t")).collect()
         }
         # driver cumsum best-bucket-first: find the boundary bucket where
-        # the budget runs out (<= `buckets` iterations)
+        # the budget runs out (<= `buckets` + 1 iterations)
         cum = 0
         boundary, before_boundary = None, 0
         for b in sorted(per_bucket, reverse=True):
@@ -118,19 +147,33 @@ class TokenBudgetSelector(Operator):
                 boundary, before_boundary = b, cum
                 break
             cum += per_bucket[b]
-        if boundary is None:  # whole corpus fits
-            return tagged.drop(_B)
-        keep_whole = tagged.filter(F.col(_B) > boundary).drop(_B)
+        if boundary is None:  # everything alive fits
+            return work.drop(_B)
         # resolve ONLY the boundary bucket: cumulative window over its rows
         w = (
             Window.partitionBy(_B)
-            .orderBy(score.desc(), F.col(self.id_col).asc())
+            .orderBy(score.desc_nulls_last(), F.col(self.id_col).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        boundary_keep = (
-            tagged.filter(F.col(_B) == boundary)
+        rem = F.lit(self.budget_tokens - before_boundary)
+        on_boundary = alive & (F.col(_B) == boundary)
+        boundary_rows = (
+            work.filter(on_boundary)
             .withColumn(_CUM, F.sum(toks).over(w))
-            .filter(F.col(_CUM) <= F.lit(self.budget_tokens - before_boundary))
-            .drop(_B, _CUM)
+            .withColumn("__tb_keep", F.coalesce(F.col(_CUM), rem) <= rem)
+            .drop(_CUM)
         )
-        return keep_whole.unionByName(boundary_keep)
+        other_rows = work.filter(~on_boundary | F.col(_B).isNull()).withColumn(
+            "__tb_keep", F.col(_B) > boundary
+        )
+        merged = other_rows.unionByName(boundary_rows)
+        if not tagged_mode:
+            return merged.filter(F.col("__tb_keep")).drop(_B, "__tb_keep")
+        # pipeline contract: tag over-budget rows instead of dropping them
+        return merged.withColumn(
+            REJECTION_DETAILS_COL,
+            F.when(
+                F.col(REJECTION_DETAILS_COL).isNull() & ~F.col("__tb_keep"),
+                rejection_details("budget_exceeded", self.name),
+            ).otherwise(F.col(REJECTION_DETAILS_COL)),
+        ).drop(_B, "__tb_keep")

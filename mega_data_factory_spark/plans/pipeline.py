@@ -275,6 +275,15 @@ class Pipeline:
                 ColumnProfiler().profile(passed).write.mode("overwrite").parquet(
                     self.config.profile_path
                 )
+            # incremental dedup stores persist AFTER the sinks land (same
+            # at-least-once posture as the resume manifest) — without this
+            # a config-driven IncrementalExactDeduplicator would dedup
+            # within the run but never remember it across runs
+            for _stage, op in self._ops:
+                if hasattr(op, "update_store"):
+                    # from the cached tagged frame, not the observed plan
+                    # (a second action must not refire the Observation)
+                    op.update_store(tagged.filter(self._alive()).drop(_R), survivors=True)
             if pending is not None:  # sinks + metrics landed: checkpoint the files
                 from mega_data_factory_spark.sources.manifest import mark_processed
 

@@ -178,7 +178,12 @@ def stream_dedup_with_reps_ttl(
             rep = stored[0] if stored else None
             if rep is None:
                 rep = int(batch[id_col].iloc[0])
-                self._rep.update((rep,))
+            # update on EVERY batch, not just first-seen: Spark's state TTL
+            # resets on write, so re-writing the unchanged representative is
+            # what makes the horizon idle-based (a continuously-hot key
+            # would otherwise expire ttl_ms after first-seen and be
+            # re-admitted mid-stream)
+            self._rep.update((rep,))
             out = batch[[id_col]].copy()
             out[key_col] = key[0]
             out["representative_id"] = rep

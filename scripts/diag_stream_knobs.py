@@ -20,6 +20,8 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# capture the optional sf_dir BEFORE resetting argv for bench's import-time parser
+_SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 sys.argv = [sys.argv[0]]
 
 import bench  # noqa: E402  (repo root on path)
@@ -37,7 +39,7 @@ CONFIGS = [
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf_dir = _SF_DIR
     spark = get_spark("diag-stream-knobs", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.range(1).count()
     tmp = tempfile.mkdtemp(prefix="mdf_diag_knobs_")

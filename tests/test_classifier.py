@@ -61,6 +61,13 @@ def test_fit_weak_separates_holdout(spark, corpora):
     # are ScalaUDFs, never Python workers (the 100 TB hot path)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # one bad record must not abort the scoring job: NULL text scores
+    # NULL (engine convention) instead of NPE-ing inside HashingTF
+    with_null = spark.createDataFrame(
+        [(1, "clean analysis pipeline"), (2, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.quality_score for r in clf.apply(with_null).collect()}
+    assert got[2] is None and got[1] is not None
 
 
 def test_fit_weak_balances_and_validates(spark, corpora):

@@ -243,3 +243,19 @@ def test_cluster_deduplicator_through_pipeline(spark):
     assert len(got) == 4  # accounting intact
     assert got[2] == (None, None) and got[4] == (None, None)  # best + unrelated survive
     assert got[1] == ("duplicate", "2") and got[3] == ("duplicate", "2")
+
+
+def test_cluster_dedup_rejects_non_duplicate_base(spark):
+    """Bases whose _dup_pairs __rep is not a representative id (the
+    decontamination filter emits a shared-span COUNT) must fail at
+    construction, not silently merge ids with counts into components."""
+    import pytest as _pytest
+
+    from mega_data_factory_spark.operators.graph import ClusterDeduplicator
+
+    with _pytest.raises(ValueError, match="rejection_reason='contaminated'"):
+        ClusterDeduplicator(
+            "DecontaminationFilter",
+            "quality",
+            base_params={"benchmark": "some_view"},
+        )

@@ -138,3 +138,47 @@ def test_incremental_dedup_across_runs(spark, tmp_path):
     # the store itself is inspectable data
     keys = spark.read.parquet(store)
     assert {"content_key", "representative_id"} <= set(keys.columns)
+
+
+def test_incremental_dedup_store_persists_via_pipeline_run(spark, tmp_path):
+    """Config-driven runs must persist the store WITHOUT the caller knowing
+    about update_store: run 1 emits its docs and records their keys; run 2
+    on overlapping content rejects the already-emitted texts."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    store = str(tmp_path / "seen_keys")
+
+    def cfg_for(view: str, out: str) -> PipelineConfig:
+        cfg = PipelineConfig.from_dict(
+            {
+                "pipeline": {
+                    "name": "incr",
+                    "id_col": "doc_id",
+                    "source": {"table": view},
+                    "stages": [
+                        {"name": "dedup", "operators": [
+                            {"name": "IncrementalExactDeduplicator",
+                             "params": {"store_path": store, "id_col": "doc_id"}},
+                        ]},
+                    ],
+                }
+            }
+        )
+        cfg.sink = SinkConfig(path=str(tmp_path / out))
+        return cfg
+
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    ).createOrReplaceTempView("incr_run1")
+    Pipeline(cfg_for("incr_run1", "out1")).run(spark)
+    assert spark.read.parquet(store).count() == 2  # keys persisted by run()
+
+    spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta")], "doc_id long, text string"
+    ).createOrReplaceTempView("incr_run2")
+    res2 = Pipeline(cfg_for("incr_run2", "out2")).run(spark)
+    out2 = spark.read.parquet(str(tmp_path / "out2"))
+    # run-1 content rejected across runs; only the new text survives
+    assert {r.doc_id for r in out2.collect()} == {11}
+    assert res2.output_records == 1

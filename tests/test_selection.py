@@ -19,7 +19,7 @@ def _oracle_ids(rows, budget):
             """
             SELECT doc_id FROM (
               SELECT doc_id,
-                     sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                     sum(n_tokens) OVER (ORDER BY score DESC NULLS LAST, doc_id
                                          ROWS UNBOUNDED PRECEDING) AS cum
               FROM t
             ) WHERE cum <= ?
@@ -53,6 +53,75 @@ def test_matches_global_cumsum(spark, buckets):
         assert _spark_ids(spark, rows, budget, buckets=buckets) == _oracle_ids(rows, budget), (
             f"mismatch at budget={budget} buckets={buckets}"
         )
+
+
+def test_null_scores_rank_last(spark):
+    """NULL scores = NULLS LAST on both engines: unscored docs are only
+    admitted after every scored doc (the classifier/perplexity scorers
+    legitimately emit NULL for degenerate docs)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, None if i % 5 == 0 else round(rng.random(), 2), rng.randint(50, 500))
+        for i in range(1000)
+    ]
+    for budget in (10_000, 120_000, 10**9):
+        for kw in ({"buckets": 64}, {"buckets": 64, "score_bounds": (0.0, 1.0)}):
+            assert _spark_ids(spark, rows, budget, **kw) == _oracle_ids(rows, budget), (
+                f"mismatch at budget={budget} kw={kw}"
+            )
+    # all-null scores: pure id-order prefix, never the whole corpus
+    all_null = [(i, None, 100) for i in range(10)]
+    assert _spark_ids(spark, all_null, 350) == {0, 1, 2}
+
+
+def test_tagged_pipeline_accounting(spark, tmp_path):
+    """Inside a tagged Pipeline the selector must (a) exclude already-
+    rejected rows from the budget and (b) TAG over-budget rows so they
+    reach the rejected sink — never silently drop them."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    # 10 docs, 100 tokens each; filter rejects scores < 0.5 (docs 0-4);
+    # budget 250 then keeps the 2.5 best SURVIVORS (docs 9, 8), cutting
+    # 7, 6, 5 — if rejected rows consumed budget nothing would survive
+    rows = [(i, float(i) / 10, 100) for i in range(10)]
+    spark.createDataFrame(rows, "doc_id long, score double, n_tokens long").createOrReplaceTempView(
+        "tb_src"
+    )
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "tb_budget",
+                "id_col": "doc_id",
+                "source": {"table": "tb_src"},
+                "stages": [
+                    {"name": "f", "operators": [
+                        {"name": "NumericRangeFilter", "params": {"column": "score", "lo": 0.5}},
+                    ]},
+                    {"name": "cut", "operators": [
+                        {"name": "TokenBudgetSelector",
+                         "params": {"budget_tokens": 250, "score_col": "score",
+                                    "token_col": "n_tokens"}},
+                    ]},
+                ],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"))
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rej"))
+    res = Pipeline(cfg).run(spark)
+    kept = spark.read.parquet(str(tmp_path / "out"))
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    assert {r.doc_id for r in kept.collect()} == {8, 9}
+    # every input row is accounted for: kept + rejected == input
+    assert kept.count() + rej.count() == 10 == res.input_records
+    reasons = {
+        r.doc_id: r["_rejection_details"]["reason"] for r in rej.collect()
+    }
+    assert reasons[7] == "budget_exceeded" and reasons[5] == "budget_exceeded"
+    assert reasons[0] == "filtered"  # the filter's tag survives untouched
 
 
 def test_edge_cases(spark):
