@@ -44,7 +44,12 @@ def content_key(
     """
     norm = normalize_text(text_col, lowercase=lowercase, collapse_whitespace=collapse_whitespace)
     if url_col is not None:
-        norm = F.concat_ws("|", F.coalesce(_c(url_col), F.lit("")), norm)
+        # F.concat (NOT concat_ws): NULL text must propagate so the id
+        # fallback below still fires in url mode — concat_ws silently
+        # drops NULL args, giving two NULL-text rows with equal urls a
+        # shared non-NULL key and wrongly deduping them. Identical output
+        # for non-NULL text.
+        norm = F.concat(F.coalesce(_c(url_col), F.lit("")), F.lit("|"), norm)
     return F.when(norm.isNull(), F.concat(F.lit("id:"), _c(id_col).cast("string"))).otherwise(F.md5(norm))
 
 

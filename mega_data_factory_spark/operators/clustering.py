@@ -81,6 +81,7 @@ class KMeansIndex:
         # 12.5k x 49 fit).
         self.init_mode = init_mode
         self._model = None
+        self._single_center: list[float] | None = None  # trivial 1-cell mode
         self.k_fitted: int | None = k  # resolved at fit() when k=None
 
     def _feature_expr(self):
@@ -135,16 +136,56 @@ class KMeansIndex:
         feats = feats.persist()
         try:
             feats.count()  # materialize before the iterative job storm
-            self._model = KMeans(
-                k=self.k_fitted, seed=self.seed, maxIter=self.max_iter, initMode=self.init_mode
-            ).fit(feats)
+
+            def _fit(k):
+                return KMeans(
+                    k=k, seed=self.seed, maxIter=self.max_iter, initMode=self.init_mode
+                ).fit(feats)
+
+            try:
+                self._model = _fit(self.k_fitted)
+            except Exception as exc:  # noqa: BLE001 - py4j wraps the JVM error
+                # Spark ml KMeans random-init throws AIOOBE when k exceeds
+                # the number of DISTINCT training points (e.g. a small
+                # cluster of identical vectors). Clamp-and-retry only on
+                # that signature — the distinct count is an extra job, so
+                # the happy path never pays it.
+                if "ArrayIndexOutOfBounds" not in str(exc):
+                    raise
+                n_distinct = feats.distinct().count()
+                k_eff = min(self.k_fitted, n_distinct)
+                if k_eff == self.k_fitted:
+                    raise
+                import warnings
+
+                warnings.warn(
+                    f"KMeansIndex: k={self.k_fitted} exceeds {n_distinct} distinct "
+                    f"training points; clamped to k={max(k_eff, 1)}",
+                    stacklevel=2,
+                )
+                if k_eff < 2:
+                    # ONE distinct point: ml KMeans cannot represent k=1 —
+                    # trivial single-cell index (every row -> cluster 0)
+                    self.k_fitted = 1
+                    self._single_center = [float(x) for x in feats.first()["features"]]
+                else:
+                    self.k_fitted = k_eff
+                    self._model = _fit(k_eff)
         finally:
             feats.unpersist()
         return self
 
+    def _centers(self) -> list[list[float]]:
+        assert self._model is not None or self._single_center is not None, "call fit() first"
+        if self._single_center is not None:
+            return [self._single_center]
+        return [[float(x) for x in c] for c in self._model.clusterCenters()]
+
     def assign(self, df: DataFrame, *, cluster_col: str = "cluster") -> DataFrame:
         """Adds the cluster-id column (the reference's bucket_id_getter)."""
-        assert self._model is not None, "call fit() first"
+        assert self._model is not None or self._single_center is not None, "call fit() first"
+        if self._single_center is not None:  # trivial 1-cell index
+            return df.withColumn(cluster_col, F.lit(0))
         feats = df.withColumn("features", self._feature_expr())
         out = self._model.transform(feats).withColumnRenamed("prediction", cluster_col)
         return out.drop("features")
@@ -168,11 +209,10 @@ class KMeansIndex:
         ranking is normalization-invariant) — that skips the interpreted
         per-row normalize fold on the full corpus, which dominated the
         100x-scale wall before this path existed."""
-        assert self._model is not None, "call fit() first"
         import numpy as np
         from pyspark.sql.functions import pandas_udf
 
-        cents = np.array([list(c) for c in self._model.clusterCenters()], dtype=np.float64)
+        cents = np.array(self._centers(), dtype=np.float64)
         norms = np.linalg.norm(cents, axis=1)
         norms[norms == 0] = 1.0
         cents = cents / norms[:, None]
@@ -193,8 +233,7 @@ class KMeansIndex:
 
     def centroids(self, spark) -> DataFrame:
         """(cluster, centroid array<double>) — always broadcast-sized."""
-        assert self._model is not None, "call fit() first"
-        rows = [(i, [float(x) for x in c]) for i, c in enumerate(self._model.clusterCenters())]
+        rows = [(i, c) for i, c in enumerate(self._centers())]
         return spark.createDataFrame(rows, "cluster int, centroid array<double>")
 
     def ivf_topk(self, df: DataFrame, query: DataFrame, *, k: int = 10, nprobe: int = 3) -> DataFrame:
@@ -317,6 +356,16 @@ class SemanticDeduplicator(Deduplicator):
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         import numpy as np
 
+        from mega_data_factory_spark.functions.vectors import l2_norm
+
+        # NULL / zero-norm vectors carry no cosine signal and crash the
+        # ml fit (JVM NPE) or the numpy assignment (None in np.array) —
+        # exclude them up front; such rows simply survive, the same
+        # contract as EmbeddingCosineDeduplicator's filter.
+        df = df.filter(F.col(self.vec_col).isNotNull() & (l2_norm(self.vec_col) > 0))
+        if not df.take(1):  # nothing comparable: no pairs, no k-means fit
+            id_dt = df.schema[self.id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame([], f"{self.id_col} {id_dt}, __rep {id_dt}")
         # Cluster on UNIT vectors (spherical k-means): cosine-identical
         # vectors (e.g. a scaled copy) must land in the same cell, which
         # euclidean k-means on raw magnitudes does not guarantee.
@@ -354,8 +403,9 @@ class SemanticDeduplicator(Deduplicator):
             ok = norms > 0
             iids, m = ids[ok], m[ok] / norms[ok][:, None]
             n = len(iids)
+            empty = pd.DataFrame({id_col: pdf[id_col].iloc[0:0], "__rep": pdf[id_col].iloc[0:0]})
             if n < 2:
-                return pd.DataFrame({id_col: np.array([], dtype=np.int64), "__rep": np.array([], dtype=np.int64)})
+                return empty
             # blocked rows-vs-all matmul (same bound as EmbeddingCosine's
             # bucketed path): peak ~64 MB per task regardless of cell size —
             # a full n x n cosine matrix on a 25k-row cell would be 5 GB
@@ -373,10 +423,15 @@ class SemanticDeduplicator(Deduplicator):
                 out_ids.append(iids[s:e][any_hit])
                 out_reps.append(iids[first[any_hit]])
             if not out_ids:
-                return pd.DataFrame({id_col: np.array([], dtype=np.int64), "__rep": np.array([], dtype=np.int64)})
+                return empty
             return pd.DataFrame({id_col: np.concatenate(out_ids), "__rep": np.concatenate(out_reps)})
 
-        pairs = assigned.groupBy("cluster").applyInPandas(dedup_cluster, schema=f"{id_col} long, __rep long")
+        # pairs carry the INPUT's id type (string doc ids work: numpy
+        # compares/argsorts unicode arrays just as it does int64)
+        id_dt = df.schema[self.id_col].dataType.simpleString()
+        pairs = assigned.groupBy("cluster").applyInPandas(
+            dedup_cluster, schema=f"{id_col} {id_dt}, __rep {id_dt}"
+        )
         if self.probes > 1:
             # a doc probing p cells can be rejected in several of them (with
             # different reps) — collapse to one row per doc, earliest rep

@@ -151,10 +151,20 @@ class KeyDeduplicator(Deduplicator):
 
     def __init__(self, key_cols: list[str], *, order_col: str, id_col: str | None = None, name: str | None = None):
         super().__init__(name, order_col=order_col, id_col=id_col)
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
         self.key_cols = key_cols
 
     def key(self, df: DataFrame) -> Column:
-        return F.concat_ws("", *[F.col(c).cast("string") for c in self.key_cols])
+        # null-safe = SQL PARTITION BY semantics: concat_ws SKIPS null
+        # args, so ("a", NULL) and (NULL, "a") both collapsed to "a" and
+        # unrelated rows were dropped as duplicates; the NUL sentinel
+        # keeps NULL distinct from "" and position-stable. Single column
+        # stays the plain cast (NULLs one group, as SQL partitioning).
+        cols = [F.col(c).cast("string") for c in self.key_cols]
+        if len(cols) == 1:
+            return cols[0]
+        return F.concat_ws("\x1f", *[F.coalesce(c, F.lit("\x00")) for c in cols])
 
 
 # Universal-hash minhash family over the Mersenne prime 2^31-1: one base
@@ -239,6 +249,12 @@ class MinHashLSHDeduplicator(Deduplicator):
     ):
         super().__init__(name, order_col=id_col, id_col=id_col)
         assert num_hashes % bands == 0, "bands must divide num_hashes"
+        if num_hashes > len(MINHASH_A):
+            raise ValueError(
+                f"num_hashes={num_hashes} exceeds the fixed universal-hash family "
+                f"size ({len(MINHASH_A)}); extend MINHASH_A/MINHASH_B (any odd "
+                "constants < 2^31-1) to go wider"
+            )
         self.text_col = text_col
         self.num_hashes = num_hashes
         self.bands = bands
@@ -345,7 +361,12 @@ class SimHashDeduplicator(Deduplicator):
         self.shingle_n = shingle_n
 
     def key(self, df: DataFrame) -> Column:
-        return simhash64(self.text_col, shingle_n=self.shingle_n).cast("string")
+        # NULL-text rows produce a NULL signature, and the dedup window
+        # groups NULL keys TOGETHER — collapsing all failed-extraction
+        # rows to one survivor. Same id-fallback contract as
+        # TextExactDeduplicator: unscorable rows never collide.
+        sig = simhash64(self.text_col, shingle_n=self.shingle_n).cast("string")
+        return F.coalesce(sig, F.concat(F.lit("id:"), F.col(self.id_col).cast("string")))
 
 
 class SimHashNearDeduplicator(Deduplicator):
@@ -761,15 +782,24 @@ class EmbeddingCosineDeduplicator(Deduplicator):
     def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
         raise NotImplementedError("cosine dedup is not a single-key dedup")
 
+    def _id_type(self, df: DataFrame) -> str:
+        """DDL type of the id column — the pairs frames carry ids of the
+        INPUT's type (string doc ids are as legal as longs; numpy compares
+        and argsorts either)."""
+        return df.schema[self.id_col].dataType.simpleString()
+
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         import numpy as np
 
+        id_dt = self._id_type(df)
         base = df.select(F.col(self.id_col).alias("__id"), F.col(self.vec_col).alias("__v")).filter(
             F.col("__v").isNotNull() & (l2_norm("__v") > 0)
         )
         # Count before collecting: past the cap, no (id, vector) row ever
         # reaches the driver — we either shuffle-bucket or fail fast.
         n = base.count()
+        if n == 0:  # empty (or all-NULL/zero-norm) input: no pairs, no matmul
+            return df.sparkSession.createDataFrame([], f"{self.id_col} {id_dt}, __rep {id_dt}")
         if n > self.max_broadcast_rows:
             if self.auto_bucket:
                 import warnings
@@ -785,13 +815,13 @@ class EmbeddingCosineDeduplicator(Deduplicator):
                     "auto_bucket=False for strict exact-or-fail.",
                     stacklevel=2,
                 )
-                return self._bucketed_dup_pairs(base)
+                return self._bucketed_dup_pairs(base, id_dt)
             raise ValueError(
                 f"{n} vectors exceed max_broadcast_rows={self.max_broadcast_rows}; "
                 "bucket first (LSH / k-means) and dedup per bucket, or pass auto_bucket=True"
             )
         rows = base.collect()
-        ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+        ids = np.array([r["__id"] for r in rows])  # int64 or unicode — both compare/argsort
         mat = np.array([r["__v"] for r in rows], dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         order = np.argsort(ids)
@@ -821,9 +851,9 @@ class EmbeddingCosineDeduplicator(Deduplicator):
                 )
                 yield out
 
-        return base.mapInPandas(block, schema=f"{id_col} long, __rep long")
+        return base.mapInPandas(block, schema=f"{id_col} {id_dt}, __rep {id_dt}")
 
-    def _bucketed_dup_pairs(self, base: DataFrame) -> DataFrame:
+    def _bucketed_dup_pairs(self, base: DataFrame, id_dt: str) -> DataFrame:
         """Scale path past the broadcast cap: sign-LSH bucket assignment
         (codegen'd JVM expression), ONE shuffle on the compact bucket id,
         then the exact block matmul within each bucket via ``applyInPandas``.
@@ -871,10 +901,11 @@ class EmbeddingCosineDeduplicator(Deduplicator):
             import pandas as pd
 
             pdf = pdf.sort_values("__id")
-            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            ids = pdf["__id"].to_numpy()  # input's id dtype (int or str)
+            empty = pd.DataFrame({id_col: pdf["__id"].iloc[0:0], "__rep": pdf["__id"].iloc[0:0]})
             m = len(ids)
             if m < 2:
-                return pd.DataFrame({id_col: pd.Series([], dtype="int64"), "__rep": pd.Series([], dtype="int64")})
+                return empty
             mat = np.array(list(pdf["__v"]), dtype=np.float64)
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             # block rows so block_rows * m stays ~8M float64 cells (64 MB)
@@ -892,10 +923,12 @@ class EmbeddingCosineDeduplicator(Deduplicator):
                 out_ids.append(ids[s:e][any_hit])
                 out_reps.append(ids[first[any_hit]])
             if not out_ids:
-                return pd.DataFrame({id_col: pd.Series([], dtype="int64"), "__rep": pd.Series([], dtype="int64")})
+                return empty
             return pd.DataFrame({id_col: np.concatenate(out_ids), "__rep": np.concatenate(out_reps)})
 
-        return bucketed.groupBy("__bucket").applyInPandas(per_bucket, schema=f"{id_col} long, __rep long")
+        return bucketed.groupBy("__bucket").applyInPandas(
+            per_bucket, schema=f"{id_col} {id_dt}, __rep {id_dt}"
+        )
 
     def apply(self, df: DataFrame) -> DataFrame:
         return anti_join_once(df, self._dup_pairs(df), self.id_col)

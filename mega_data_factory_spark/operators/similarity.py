@@ -111,8 +111,37 @@ class RandomProjectionLSH:
         self.k = k
         self.round_to = round_to
 
+    def _clamped(self, df: DataFrame) -> tuple[int, int]:
+        """bits/stride fitted to the ACTUAL vector dimension. sign_bucket
+        reads element_at(v, bits + stride): on shorter vectors Spark 4's
+        default ANSI mode throws INVALID_ARRAY_INDEX on every row, and
+        non-ANSI silently zeroes the high bits — collapsing 2^bits buckets
+        to a few and reinstating the near-full scan the LSH exists to
+        avoid. Same guard contract as EmbeddingCosineDeduplicator's
+        auto-bucket path (operators/dedup.py)."""
+        dim = df.select(F.size(self.vec_col).alias("__d")).first()
+        dim = dim["__d"] if dim is not None else None
+        if dim is None or dim < 2:
+            raise ValueError(
+                f"cannot sign-bucket {dim}-dim vectors: need >= 2 dims for "
+                "coordinate-difference hyperplanes"
+            )
+        bits = min(self.bits, dim - 1)
+        stride = min(self.stride, dim - bits)
+        if (bits, stride) != (self.bits, self.stride):
+            import warnings
+
+            warnings.warn(
+                f"RandomProjectionLSH: clamped to bits={bits}, stride={stride} for "
+                f"dim={dim} vectors (requested bits={self.bits}, stride={self.stride} "
+                "would index past the array end)",
+                stacklevel=3,
+            )
+        return bits, stride
+
     def with_bucket(self, df: DataFrame) -> DataFrame:
-        return df.withColumn("bucket", sign_bucket(self.vec_col, bits=self.bits, stride=self.stride))
+        bits, stride = self._clamped(df)
+        return df.withColumn("bucket", sign_bucket(self.vec_col, bits=bits, stride=stride))
 
     def topk(self, df: DataFrame, query: DataFrame, *, nprobe: int = 1) -> DataFrame:
         """Top-k within the query's bucket(s). ``query``: one row, ``qv``
@@ -125,19 +154,20 @@ class RandomProjectionLSH:
         the table's bucket count). Candidate volume grows ~linearly with
         nprobe while a full scan grows with 2^bits.
         """
+        bits, stride = self._clamped(df)  # query and table MUST share the clamp
         q = query.select(
-            F.col("qv"), sign_bucket("qv", bits=self.bits, stride=self.stride).alias("qbucket")
+            F.col("qv"), sign_bucket("qv", bits=bits, stride=stride).alias("qbucket")
         )
         if nprobe > 1:
             flips = [F.col("qbucket")] + [
-                F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(min(nprobe - 1, self.bits))
+                F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(min(nprobe - 1, bits))
             ]
             q = q.withColumn("probe", F.explode(F.array(*flips)))
             match = F.col("bucket") == F.col("probe")
         else:
             match = F.col("bucket") == F.col("qbucket")
         scored = (
-            self.with_bucket(df)
+            df.withColumn("bucket", sign_bucket(self.vec_col, bits=bits, stride=stride))
             .crossJoin(F.broadcast(q))
             .filter(match)
             .withColumn("cosine", F.round(cosine_similarity(self.vec_col, "qv"), self.round_to))
@@ -153,11 +183,8 @@ class RandomProjectionLSH:
 def normalized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Pre-normalize vectors so cosine becomes a dot product — do this once
     before repeated similarity queries (column lineage reuse, the reference's
-    embedding-precompute pattern)."""
-    n = l2_norm(vec_col)
-    return df.withColumn(
-        vec_col,
-        F.when(n > 0, F.transform(F.col(vec_col), lambda x: (x.cast("double") / n).cast("float"))).otherwise(
-            F.col(vec_col)
-        ),
-    )
+    embedding-precompute pattern). Zero-vector convention lives in ONE place:
+    ``functions.vectors.l2_normalize``."""
+    from mega_data_factory_spark.functions.vectors import l2_normalize
+
+    return df.withColumn(vec_col, l2_normalize(vec_col))

@@ -1,0 +1,118 @@
+"""Edge-input hardening for the dedup/similarity family: NULL keys, NULL
+text, NULL/zero embeddings, empty inputs, short vectors, string ids —
+the silent-data-loss and crash-on-valid-input cases a 100 TB corpus WILL
+contain (review findings, round 6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_key_dedup_null_placement_no_collision(spark):
+    """("a", NULL) vs (NULL, "a") vs ("a", "") are three DISTINCT keys
+    (SQL PARTITION BY semantics); concat_ws's null-skip used to collapse
+    them and drop unrelated rows as duplicates."""
+    from mega_data_factory_spark.operators.dedup import KeyDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, "a"), (3, "a", ""), (4, "a", None)],
+        "id long, k1 string, k2 string",
+    )
+    out = KeyDeduplicator(["k1", "k2"], order_col="id", id_col="id").apply(df)
+    # only the true duplicate pair (1, 4) collapses
+    assert {r.id for r in out.collect()} == {1, 2, 3}
+    with pytest.raises(ValueError, match="non-empty"):
+        KeyDeduplicator([], order_col="id")
+
+
+def test_simhash_null_text_rows_never_collide(spark):
+    """All-NULL-text rows (failed extractions) must each survive exact
+    simhash dedup — NULL signatures used to form ONE window group."""
+    from mega_data_factory_spark.operators.dedup import SimHashDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "real text here"), (5, "real text here")],
+        "doc_id long, text string",
+    )
+    out = SimHashDeduplicator(id_col="doc_id").apply(df)
+    assert {r.doc_id for r in out.collect()} == {1, 2, 3, 4}  # only the real dup drops
+
+
+def test_embedding_cosine_empty_and_string_ids(spark):
+    from mega_data_factory_spark.operators.dedup import EmbeddingCosineDeduplicator
+
+    d = EmbeddingCosineDeduplicator(threshold=0.99, id_col="doc_id", vec_col="v")
+    # empty input: no AxisError, empty output
+    empty = spark.createDataFrame([], "doc_id long, v array<float>")
+    assert d.apply(empty).count() == 0
+    # all-NULL vectors: nothing comparable, everything survives
+    nulls = spark.createDataFrame([(1, None), (2, None)], "doc_id long, v array<float>")
+    assert d.apply(nulls).count() == 2
+    # string ids through the numpy broadcast path (min-id rule = lexicographic)
+    rows = [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.0, 1.0])]
+    sdf = spark.createDataFrame(rows, "doc_id string, v array<float>")
+    out = d.apply(sdf)
+    assert {r.doc_id for r in out.collect()} == {"a", "c"}
+    rej = d.rejected(sdf)
+    assert [(r.doc_id, r["_rejection_details"]["representative_id"]) for r in rej.collect()] == [("b", "a")]
+
+
+def test_semantic_dedup_null_embeddings_survive(spark):
+    from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
+
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, None), (4, [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    d = SemanticDeduplicator(threshold=0.99, k=2, id_col="doc_id")
+    out = d.apply(df)
+    # the exact dup (2) drops; NULL and zero-norm rows pass through
+    assert {r.doc_id for r in out.collect()} == {1, 3, 4}
+    # fully empty-after-filter input: no k-means fit, no crash
+    only_bad = spark.createDataFrame([(7, None)], "doc_id long, embedding array<float>")
+    assert d.apply(only_bad).count() == 1
+
+
+def test_rplsh_short_vectors_clamped(spark):
+    """Default bits=8/stride=32 on 16-dim vectors used to read past the
+    array end (ANSI throw / silent bucket collapse); the clamp keeps every
+    bucket expression in range and query/table agree on the clamp."""
+    from mega_data_factory_spark.operators.similarity import RandomProjectionLSH
+
+    rows = [(i, [float((i >> b) & 1) for b in range(16)]) for i in range(32)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lsh = RandomProjectionLSH(k=3)
+    with pytest.warns(UserWarning, match="clamped"):
+        bucketed = lsh.with_bucket(df)
+    n_buckets = bucketed.select("bucket").distinct().count()
+    assert n_buckets > 1  # not collapsed
+    q = df.filter(F.col("vec_id") == 5).select(F.col("embedding").alias("qv"))
+    with pytest.warns(UserWarning, match="clamped"):
+        top = lsh.topk(df, q).collect()
+    assert top and top[0].vec_id == 5  # the vector itself is its bucket's best match
+    with pytest.raises(ValueError, match="sign-bucket"):
+        lsh.with_bucket(spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>"))
+
+
+def test_minhash_hash_family_bound(spark):
+    from mega_data_factory_spark.operators.dedup import MinHashLSHDeduplicator
+
+    with pytest.raises(ValueError, match="universal-hash family"):
+        MinHashLSHDeduplicator(num_hashes=32, bands=8)
+
+
+def test_text_exact_url_mode_null_text_fallback(spark):
+    """url_col mode: NULL-text rows sharing a url must NOT collide — the
+    id fallback fires because concat (unlike concat_ws) propagates NULL."""
+    from mega_data_factory_spark.operators.dedup import TextExactDeduplicator
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com", None),
+            (2, "http://a.com", None),
+            (3, "http://a.com", "same words"),
+            (4, "http://a.com", "same words"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = TextExactDeduplicator(url_col="url", id_col="doc_id").apply(df)
+    assert {r.doc_id for r in out.collect()} == {1, 2, 3}
