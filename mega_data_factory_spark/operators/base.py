@@ -183,6 +183,42 @@ class Deduplicator(Operator):
         ).drop("__dedup_key", "__rn", "__rep")
 
 
+class JoinDeduplicator(Deduplicator):
+    """Pair-emitting dedup base: subclasses implement ``_dup_pairs(df) ->
+    (id_col, __rep)`` — one row per rejected id with its representative —
+    and inherit ONE shared apply/rejected implementation. The anti-join
+    and rejection tagging previously lived as near-identical copies in
+    eight classes and had already drifted (reason threading, join ``how``).
+    ``rejection_reason`` customizes the tag (DecontaminationFilter:
+    "contaminated"). ``key`` is deliberately unavailable — these dedups
+    are defined over pairs, not a single-key window (``Pipeline`` routes
+    them through ``_dup_pairs`` directly)."""
+
+    rejection_reason = "duplicate"
+
+    def key(self, df: DataFrame) -> Column:  # pragma: no cover - guard
+        raise NotImplementedError(f"{type(self).__name__} is not a single-key dedup")
+
+    @abstractmethod
+    def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        """(id_col, __rep) rows for every rejected id."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return anti_join_once(df, self._dup_pairs(df), self.id_col)
+
+    def rejected(self, df: DataFrame) -> DataFrame:
+        return (
+            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
+            .withColumn(
+                REJECTION_DETAILS_COL,
+                rejection_details(
+                    self.rejection_reason, self.name, F.lit(None), F.col("__rep").cast("string")
+                ),
+            )
+            .drop("__rep")
+        )
+
+
 def anti_join_once(df: DataFrame, dup_ids: DataFrame, id_col: str) -> DataFrame:
     """LEFT ANTI expressed as left-outer join + IS NULL filter.
 

@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mega_data_factory_spark.functions.vectors import cosine_similarity
-from mega_data_factory_spark.operators.base import Deduplicator, anti_join_once, rejection_details
+from mega_data_factory_spark.operators.base import (
+    JoinDeduplicator,
+    anti_join_once,
+    rejection_details,
+)
 
 
 class KMeansIndex:
@@ -296,7 +300,7 @@ class KMeansIndex:
         return survivors, rejected
 
 
-class SemanticDeduplicator(Deduplicator):
+class SemanticDeduplicator(JoinDeduplicator):
     """Semantic dedup as a FIRST-CLASS pipeline operator — the reference
     designed this (cluster id as dedup bucket, backend.py:89-93,
     operator.py:278-282; hand-rolled distributed k-means
@@ -350,8 +354,6 @@ class SemanticDeduplicator(Deduplicator):
         # cell at ANY centroid state)
         self.max_iter = max_iter
 
-    def key(self, df: DataFrame):  # pragma: no cover - not a single-key dedup
-        raise NotImplementedError("semantic dedup is not a single-key dedup")
 
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         import numpy as np
@@ -438,16 +440,3 @@ class SemanticDeduplicator(Deduplicator):
             # wins (the same min-id rule the per-cell kernel applies)
             pairs = pairs.groupBy(id_col).agg(F.min("__rep").alias("__rep"))
         return pairs
-
-    def apply(self, df: DataFrame) -> DataFrame:
-        return anti_join_once(df, self._dup_pairs(df), self.id_col)
-
-    def rejected(self, df: DataFrame) -> DataFrame:
-        return (
-            df.join(self._dup_pairs(df), on=self.id_col)
-            .withColumn(
-                "_rejection_details",
-                rejection_details("duplicate", self.name, F.lit(None), F.col("__rep").cast("string")),
-            )
-            .drop("__rep")
-        )

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from mega_data_factory_spark.functions.hashing import content_key, hash64_from_md5
 from mega_data_factory_spark.functions.text import word_shingles
 from mega_data_factory_spark.functions.vectors import l2_norm
-from mega_data_factory_spark.operators.base import Deduplicator, anti_join_once, rejection_details
+from mega_data_factory_spark.operators.base import (
+    Deduplicator,
+    JoinDeduplicator,
+    anti_join_once,
+    rejection_details,
+)
 
 
 class TextExactDeduplicator(Deduplicator):
@@ -53,7 +58,7 @@ class TextExactDeduplicator(Deduplicator):
         )
 
 
-class IncrementalExactDeduplicator(TextExactDeduplicator):
+class IncrementalExactDeduplicator(JoinDeduplicator, TextExactDeduplicator):
     """Exact-content dedup against BOTH the current batch and a persisted
     seen-keys store — continuous-ingestion dedup across runs. The
     reference's seen-set actors hold this state in memory forever
@@ -79,6 +84,10 @@ class IncrementalExactDeduplicator(TextExactDeduplicator):
     def __init__(self, store_path: str, **kwargs):
         super().__init__(**kwargs)
         self.store_path = store_path
+
+    def key(self, df: DataFrame) -> Column:
+        # real content key (MRO would otherwise hit JoinDeduplicator's guard)
+        return TextExactDeduplicator.key(self, df)
 
     def _store_keys(self, spark) -> DataFrame:
         from pyspark.errors import AnalysisException
@@ -114,19 +123,6 @@ class IncrementalExactDeduplicator(TextExactDeduplicator):
                 .otherwise(F.col("__first").cast("string"))
                 .alias("__rep"),
             )
-        )
-
-    def apply(self, df: DataFrame) -> DataFrame:
-        return anti_join_once(df, self._dup_pairs(df), self.id_col)
-
-    def rejected(self, df: DataFrame) -> DataFrame:
-        return (
-            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
-            .withColumn(
-                "_rejection_details",
-                rejection_details("duplicate", self.name, F.lit(None), F.col("__rep")),
-            )
-            .drop("__rep")
         )
 
     def update_store(self, df: DataFrame, *, survivors: bool = False) -> None:
@@ -216,7 +212,7 @@ def minhash_signature(hashes: Column, *, num_hashes: int = 16) -> Column:
     return F.array(*[F.array_min(F.transform(hashes, _perm(i))) for i in range(num_hashes)])
 
 
-class MinHashLSHDeduplicator(Deduplicator):
+class MinHashLSHDeduplicator(JoinDeduplicator):
     """Near-dedup via MinHash + banded LSH.
 
     Docs whose signatures agree on *every* hash in any band are near-dup
@@ -261,8 +257,6 @@ class MinHashLSHDeduplicator(Deduplicator):
         self.rows_per_band = num_hashes // bands
         self.shingle_n = shingle_n
 
-    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
-        raise NotImplementedError("MinHashLSH dedup is not a single-key dedup")
 
     def _band_pairs(self, df: DataFrame) -> DataFrame:
         """(id, earliest id sharing any band bucket).
@@ -302,17 +296,6 @@ class MinHashLSHDeduplicator(Deduplicator):
     # join-dedup contract for the pipeline runner (pipeline._apply_join_dedup)
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         return self._band_pairs(df)
-
-    def apply(self, df: DataFrame) -> DataFrame:
-        dups = self._band_pairs(df).select(self.id_col)
-        return anti_join_once(df, dups, self.id_col)
-
-    def rejected(self, df: DataFrame) -> DataFrame:
-        dups = self._band_pairs(df)
-        return df.join(dups, on=self.id_col, how="inner").withColumn(
-            "_rejection_details",
-            rejection_details("duplicate", self.name, F.lit(None), F.col("__rep").cast("string")),
-        ).drop("__rep")
 
 
 SIMHASH_BITS = 60  # md5-derived hashes carry 60 usable bits (15 hex chars)
@@ -369,7 +352,7 @@ class SimHashDeduplicator(Deduplicator):
         return F.coalesce(sig, F.concat(F.lit("id:"), F.col(self.id_col).cast("string")))
 
 
-class SimHashNearDeduplicator(Deduplicator):
+class SimHashNearDeduplicator(JoinDeduplicator):
     """Near-dedup on SimHash hamming distance <= ``max_hamming``.
 
     Candidate generation is banded (the pigeonhole construction the
@@ -406,8 +389,6 @@ class SimHashNearDeduplicator(Deduplicator):
         self.text_col = text_col
         self.shingle_n = shingle_n
 
-    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
-        raise NotImplementedError("banded simhash dedup is not a single-key dedup")
 
     def _band_width(self, b: int) -> tuple[int, int]:
         """(start bit, width) of band b — remainder bits go to the last band."""
@@ -437,21 +418,8 @@ class SimHashNearDeduplicator(Deduplicator):
         # a pair can collide in several bands -> min() also dedups pairs
         return pairs.groupBy(F.col("__idb").alias(self.id_col)).agg(F.min("__ida").alias("__rep"))
 
-    def apply(self, df: DataFrame) -> DataFrame:
-        return anti_join_once(df, self._dup_pairs(df), self.id_col)
 
-    def rejected(self, df: DataFrame) -> DataFrame:
-        return (
-            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
-            .withColumn(
-                "_rejection_details",
-                rejection_details("duplicate", self.name, F.lit(None), F.col("__rep").cast("string")),
-            )
-            .drop("__rep")
-        )
-
-
-class NgramJaccardDeduplicator(Deduplicator):
+class NgramJaccardDeduplicator(JoinDeduplicator):
     """Verified near-dedup: docs are duplicates iff the Jaccard similarity of
     their distinct word-shingle sets >= threshold; an earlier (smaller id)
     near-duplicate wins.
@@ -507,8 +475,6 @@ class NgramJaccardDeduplicator(Deduplicator):
         self.shingle_n = shingle_n
         self.max_doc_freq = max_doc_freq
 
-    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
-        raise NotImplementedError("Jaccard dedup is not a single-key dedup")
 
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         t = self.threshold
@@ -549,21 +515,8 @@ class NgramJaccardDeduplicator(Deduplicator):
         )
         return pairs.groupBy(F.col("__idb").alias(self.id_col)).agg(F.min("__ida").alias("__rep"))
 
-    def apply(self, df: DataFrame) -> DataFrame:
-        return anti_join_once(df, self._dup_pairs(df), self.id_col)
 
-    def rejected(self, df: DataFrame) -> DataFrame:
-        return (
-            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
-            .withColumn(
-                "_rejection_details",
-                rejection_details("duplicate", self.name, F.lit(None), F.col("__rep").cast("string")),
-            )
-            .drop("__rep")
-        )
-
-
-class SharedSpanDeduplicator(Deduplicator):
+class SharedSpanDeduplicator(JoinDeduplicator):
     """Exact substring dedup at span granularity (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better": documents
     sharing long verbatim spans should be collapsed): two docs are
@@ -597,8 +550,6 @@ class SharedSpanDeduplicator(Deduplicator):
         self.max_doc_freq = max_doc_freq
         self.text_col = text_col
 
-    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
-        raise NotImplementedError("span dedup is not a single-key dedup")
 
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         sh = df.select(
@@ -632,21 +583,8 @@ class SharedSpanDeduplicator(Deduplicator):
         )
         return pairs.groupBy(F.col("__idb").alias(self.id_col)).agg(F.min("__ida").alias("__rep"))
 
-    def apply(self, df: DataFrame) -> DataFrame:
-        return anti_join_once(df, self._dup_pairs(df), self.id_col)
 
-    def rejected(self, df: DataFrame) -> DataFrame:
-        return (
-            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
-            .withColumn(
-                "_rejection_details",
-                rejection_details("duplicate", self.name, F.lit(None), F.col("__rep").cast("string")),
-            )
-            .drop("__rep")
-        )
-
-
-class DecontaminationFilter(Deduplicator):
+class DecontaminationFilter(JoinDeduplicator):
     """Cross-corpus exact n-gram decontamination — the eval-leakage defense
     every frontier-model data pipeline runs (GPT-3 appendix C: 13-gram
     overlap removal; Lee et al. 2022 §6): drop training documents sharing
@@ -688,8 +626,6 @@ class DecontaminationFilter(Deduplicator):
         self.text_col = text_col
         self.benchmark_text_col = benchmark_text_col or text_col
 
-    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
-        raise NotImplementedError("decontamination is not a single-key dedup")
 
     def _span_index(self, df: DataFrame, text_col: str, id_col: str | None = None) -> DataFrame:
         """Exploded 8-byte span hashes, optionally id-keyed; docs under
@@ -719,21 +655,8 @@ class DecontaminationFilter(Deduplicator):
         )
         return hits.select(F.col("__id").alias(self.id_col), F.col("__shared").alias("__rep"))
 
-    def apply(self, df: DataFrame) -> DataFrame:
-        return anti_join_once(df, self._dup_pairs(df), self.id_col)
 
-    def rejected(self, df: DataFrame) -> DataFrame:
-        return (
-            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
-            .withColumn(
-                "_rejection_details",
-                rejection_details(self.rejection_reason, self.name, F.lit(None), F.col("__rep").cast("string")),
-            )
-            .drop("__rep")
-        )
-
-
-class EmbeddingCosineDeduplicator(Deduplicator):
+class EmbeddingCosineDeduplicator(JoinDeduplicator):
     """Near-dedup by embedding cosine similarity >= threshold; earliest
     (min id) near-neighbor wins.
 
@@ -779,8 +702,6 @@ class EmbeddingCosineDeduplicator(Deduplicator):
         self.bucket_bits = bucket_bits
         self.bucket_stride = bucket_stride
 
-    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
-        raise NotImplementedError("cosine dedup is not a single-key dedup")
 
     def _id_type(self, df: DataFrame) -> str:
         """DDL type of the id column — the pairs frames carry ids of the
@@ -928,17 +849,4 @@ class EmbeddingCosineDeduplicator(Deduplicator):
 
         return bucketed.groupBy("__bucket").applyInPandas(
             per_bucket, schema=f"{id_col} {id_dt}, __rep {id_dt}"
-        )
-
-    def apply(self, df: DataFrame) -> DataFrame:
-        return anti_join_once(df, self._dup_pairs(df), self.id_col)
-
-    def rejected(self, df: DataFrame) -> DataFrame:
-        return (
-            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
-            .withColumn(
-                "_rejection_details",
-                rejection_details("duplicate", self.name, F.lit(None), F.col("__rep").cast("string")),
-            )
-            .drop("__rep")
         )

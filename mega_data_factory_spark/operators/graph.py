@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mega_data_factory_spark.operators.base import Deduplicator, anti_join_once, rejection_details
+from mega_data_factory_spark.operators.base import JoinDeduplicator
 
 
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -171,7 +171,7 @@ def keep_best_per_component(
     )
 
 
-class ClusterDeduplicator(Deduplicator):
+class ClusterDeduplicator(JoinDeduplicator):
     """Keep-best-per-cluster dedup as a pipeline operator: wraps ANY
     pair-emitting deduplicator from the registry (MinHash LSH, SimHash,
     n-gram Jaccard, shared-span, embedding cosine, ...), resolves its
@@ -233,9 +233,6 @@ class ClusterDeduplicator(Deduplicator):
         self.descending = descending
         self.max_iter = max_iter
 
-    def key(self, df: DataFrame) -> Column:  # pragma: no cover - not used
-        raise NotImplementedError("cluster dedup is not a single-key dedup")
-
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         edges = self.base._dup_pairs(df).select(
             F.col(self.id_col).alias("src"), F.col("__rep").alias("dst")
@@ -258,17 +255,3 @@ class ClusterDeduplicator(Deduplicator):
             F.col("__id").alias(self.id_col), F.col("__best").alias("__rep")
         )
 
-    def apply(self, df: DataFrame) -> DataFrame:
-        return anti_join_once(df, self._dup_pairs(df), self.id_col)
-
-    def rejected(self, df: DataFrame) -> DataFrame:
-        return (
-            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
-            .withColumn(
-                "_rejection_details",
-                rejection_details(
-                    self.rejection_reason, self.name, F.lit(None), F.col("__rep").cast("string")
-                ),
-            )
-            .drop("__rep")
-        )
