@@ -646,6 +646,14 @@ class ImagePhashDeduplicator(Deduplicator):
         # rows that already carry a hash (e.g. from ImageFeatureExtractor)
         # feed NULL bytes into the UDF — the decode is skipped JVM-side, so
         # a fully-precomputed frame pays no Python at all while a mixed
-        # frame still computes the missing hashes
-        computed = phash_udf.asNondeterministic()(F.when(pre.isNull(), _bytes_col(df, self.image_col)))
+        # frame still computes the missing hashes. A frame that PRUNED the
+        # bytes column entirely (the module's advertised pattern after
+        # ImageFeatureExtractor) must not even reference it: dedup then
+        # runs on the precomputed hash + id fallback alone.
+        if self.image_col in df.columns:
+            computed = phash_udf.asNondeterministic()(
+                F.when(pre.isNull(), _bytes_col(df, self.image_col))
+            )
+        else:
+            computed = F.lit(None).cast("string")
         return F.coalesce(pre, computed, F.concat(F.lit("id:"), F.col(self.id_col).cast("string")))

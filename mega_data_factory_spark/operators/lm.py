@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mega_data_factory_spark.functions.text import normalize_text
-from mega_data_factory_spark.operators.base import Refiner
+from mega_data_factory_spark.operators.base import Operator
 
 ROUND_TO = 6
 
@@ -45,7 +45,7 @@ def _words(text_col: str) -> Column:
     return F.split(normalize_text(text_col), " ")
 
 
-class NgramPerplexityScorer(Refiner):
+class NgramPerplexityScorer(Operator):
     """Fit bigram counts on a reference corpus, then refine any corpus
     with ``doc_logprob`` (mean ln p per bigram) and ``perplexity``
     columns. Documents with fewer than 2 tokens get NULLs (no bigrams —
@@ -78,13 +78,17 @@ class NgramPerplexityScorer(Refiner):
 
     # ------------------------------------------------------------------ fit
 
-    def _doc_bigrams(self, df: DataFrame) -> DataFrame:
+    def _doc_bigrams(self, df: DataFrame, id_col: str | None = None) -> DataFrame:
         """(w1, w2) per position per document (duplicates preserved —
-        counts are positional, not per-set)."""
+        counts are positional, not per-set); ``id_col`` threads the doc id
+        through for the scoring side — ONE definition of the bigram
+        extraction for fit and score, so the semantics can never drift."""
         w = _words(self.text_col)
         pairs = F.zip_with(w, F.slice(w, 2, F.size(w)), lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
         pairs = F.slice(pairs, 1, F.size(w) - F.lit(1))
-        return df.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+        ids = [F.col(id_col).alias("__id")] if id_col else []
+        keep = ["__id"] if id_col else []
+        return df.select(*ids, F.explode(pairs).alias("p")).select(*keep, "p.w1", "p.w2")
 
     def unpersist(self) -> None:
         """Release the cached model frames (also called on re-fit)."""
@@ -114,19 +118,11 @@ class NgramPerplexityScorer(Refiner):
 
     # ---------------------------------------------------------------- score
 
-    def columns(self, df: DataFrame) -> dict[str, Column]:  # pragma: no cover
-        raise NotImplementedError("NgramPerplexityScorer joins a fitted model; use apply()")
-
     def apply(self, df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
         if self._bigrams is None or self._contexts is None or self._vocab is None:
             raise ValueError("call fit(reference_corpus) before apply()")
         k, v = float(self.add_k), int(self._vocab)
-        w = _words(self.text_col)
-        pairs = F.zip_with(w, F.slice(w, 2, F.size(w)), lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
-        pairs = F.slice(pairs, 1, F.size(w) - F.lit(1))
-        doc_grams = df.select(F.col(id_col).alias("__id"), F.explode(pairs).alias("p")).select(
-            "__id", "p.w1", "p.w2"
-        )
+        doc_grams = self._doc_bigrams(df, id_col=id_col)
         scored = (
             doc_grams.join(self._bigrams, ["w1", "w2"], "left")
             .join(self._contexts, ["w1"], "left")

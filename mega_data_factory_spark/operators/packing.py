@@ -87,10 +87,15 @@ class SequencePacker(Operator):
         tagged = REJECTION_DETAILS_COL in df.columns
         alive = F.col(REJECTION_DETAILS_COL).isNull() if tagged else F.lit(True)
         tok = F.when(alive, self._tokens()).otherwise(F.lit(None))
+        # NULL ids cannot pack (stable_bucket of NULL is NULL, and the
+        # unique-id ordering contract breaks): exclude them from the
+        # packable set EXPLICITLY — they keep NULL coordinates and, in a
+        # tagged pipeline, are tagged below so sequences() dropping them
+        # is visible in the funnel rather than silent token loss
         out = df.withColumn("__tok", tok).withColumn(
             "pack_bucket",
             F.when(
-                alive & (F.col("__tok") > 0),
+                alive & (F.col("__tok") > 0) & F.col(self.id_col).isNotNull(),
                 stable_bucket(self.id_col, buckets=self.buckets),
             ).cast("int"),
         )
@@ -102,7 +107,7 @@ class SequencePacker(Operator):
         # NULL-gated below)
         wkey = F.coalesce(
             F.col("pack_bucket"),
-            (-(F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(self.buckets)) + F.lit(1))).cast("int"),
+            (-(F.pmod(F.xxhash64(F.coalesce(F.col(self.id_col).cast("string"), F.lit(""))), F.lit(self.buckets)) + F.lit(1))).cast("int"),
         )
         w = (
             Window.partitionBy(wkey)
@@ -112,12 +117,24 @@ class SequencePacker(Operator):
         packable = F.col("pack_bucket").isNotNull()
         start = F.when(packable, F.sum("__tok").over(w) - F.col("__tok"))
         out = out.withColumn("__start", start)
-        return (
+        res = (
             # floor, not cast: `/` widens to double and a straight BIGINT
             # cast truncates here but ROUNDS in other engines (DuckDB)
             out.withColumn("seq_id", F.floor(F.col("__start") / F.lit(self.seq_len)).cast("long"))
             .withColumn("seq_offset", (F.col("__start") % F.lit(self.seq_len)).cast("long"))
             .drop("__tok", "__start")
+        )
+        return self._tag_unpackable(res, alive) if tagged else res
+
+    def _tag_unpackable(self, out: DataFrame, alive) -> DataFrame:
+        from mega_data_factory_spark.operators.base import rejection_details
+
+        return out.withColumn(
+            REJECTION_DETAILS_COL,
+            F.when(
+                alive & F.col("pack_bucket").isNull() & F.col(self.id_col).isNull(),
+                rejection_details("unpackable_null_id", self.name),
+            ).otherwise(F.col(REJECTION_DETAILS_COL)),
         )
 
     def sequences(self, df: DataFrame) -> DataFrame:

@@ -46,6 +46,7 @@ NUMERIC_TYPES = (
 )
 
 ROUND_TO = 6
+SAMPLE_COL = "__profile_sample"
 
 
 class ColumnProfiler:
@@ -92,6 +93,9 @@ class ColumnProfiler:
 
     # ------------------------------------------------------------ internals
 
+    def _samples(self) -> bool:
+        return self.approx and self.percentile_sample_mod > 1 and bool(self.percentiles)
+
     def _distinct(self, c: Column) -> Column:
         if self.approx:
             return F.approx_count_distinct(c, rsd=self.distinct_rsd)
@@ -112,9 +116,13 @@ class ColumnProfiler:
         memory stays bounded (still a sketch, never a value buffer), and
         the added rank error ~ sqrt(K/n) — at 100 TB row counts it is
         far below the sketch's own accuracy bound. The sample condition
-        hashes ALL profiled columns (row identity without needing an id
-        column), so it is partition- and run-independent. Exact mode
-        never samples."""
+        must be ROW-independent: an earlier form hashed the profiled
+        column values, which selects or rejects entire VALUES — a
+        low-cardinality column could land zero sampled values (all-NULL
+        percentiles) and duplicated rows (ubiquitous pre-dedup) were
+        sampled all-or-nothing. It now hashes a per-row id projected
+        BEFORE the aggregate (nondeterministic expressions are illegal
+        inside aggregate functions). Exact mode never samples."""
         ps = F.array(*[F.lit(p) for p in self.percentiles])
         v = c.cast("double")
         if self.approx:
@@ -142,12 +150,7 @@ class ColumnProfiler:
         aggregate (the percentile sketch)."""
         exprs: list[Column] = []
         layout: list[tuple[str, str, bool, str, int | None]] = []
-        sample_cond = None
-        if self.approx and self.percentile_sample_mod > 1:
-            sample_cond = (
-                F.pmod(F.xxhash64(*[F.col(n) for n, _ in cols]), F.lit(self.percentile_sample_mod))
-                == 0
-            )
+        sample_cond = F.col(SAMPLE_COL) if self._samples() else None
 
         def add(col: str, stat: str, e: Column, *, text: bool = False) -> None:
             alias = f"{col}__{stat}"
@@ -171,7 +174,10 @@ class ColumnProfiler:
                     alias = f"{name}__pcts"
                     exprs.append(self._pcts(c, sample_cond).alias(alias))
                     for i, p in enumerate(self.percentiles):
-                        layout.append((name, f"p{int(p * 100)}", False, alias, i))
+                        # :g keeps fractional percentiles distinct and
+                        # exact (0.999 -> p99.9; int() truncated it to the
+                        # colliding/mislabeled p99)
+                        layout.append((name, f"p{p * 100:g}", False, alias, i))
             elif isinstance(dtype, T.StringType):
                 add(name, "min_len", F.min(F.length(c)).cast("double"))
                 add(name, "max_len", F.max(F.length(c)).cast("double"))
@@ -195,6 +201,15 @@ class ColumnProfiler:
         cols = self._selected(df)
         if not cols:
             raise ValueError("no profilable columns selected")
+        if self._samples():
+            # row-identity sample flag, projected before the aggregate:
+            # monotonically_increasing_id is unique per row (partition-
+            # layout-stable for a given read), so the 1-in-K selection is
+            # independent of the measured values
+            df = df.withColumn(
+                SAMPLE_COL,
+                F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(self.percentile_sample_mod)) == 0,
+            )
         exprs, layout = self._agg_exprs(cols)
         row = df.agg(*exprs)
         entries = []

@@ -39,7 +39,18 @@ class DatasetSplitRefiner(Refiner):
     """Adds a ``split`` column ('train'/'val'/'test' by default) assigned by
     stable id hash: reproducible, partition-independent, join-free. Ratios
     are cumulative in declaration order; the last split absorbs rounding
-    remainder (every bucket maps to exactly one split)."""
+    remainder (every bucket maps to exactly one split). NULL ids get a
+    NULL split (they carry no stable identity — the previous fall-through
+    silently piled them into the LAST declared split, contaminating the
+    eval set).
+
+    Default ``salt`` is "split" — DISTINCT from the sampler's "mix". With
+    a shared salt (both used to default to None) the two operators'
+    buckets are the SAME number, so sampling at weight w then splitting
+    makes every survivor land in the first ceil(w * total)-bucket splits:
+    a 0.3-weight source put 100% of survivors in train and left val/test
+    empty. Pass explicit salts to intentionally correlate (or decorrelate
+    epochs)."""
 
     def __init__(
         self,
@@ -47,7 +58,7 @@ class DatasetSplitRefiner(Refiner):
         *,
         id_col: str = "doc_id",
         buckets: int = BUCKETS,
-        salt: str | None = None,
+        salt: str | None = "split",
         name: str | None = None,
     ):
         super().__init__(name)
@@ -75,7 +86,7 @@ class DatasetSplitRefiner(Refiner):
         expr = F.lit(ths[-1][0])
         for s, hi in reversed(ths[:-1]):
             expr = F.when(b < hi, F.lit(s)).otherwise(expr)
-        return {"split": expr}
+        return {"split": F.when(F.col(self.id_col).isNotNull(), expr)}
 
 
 class WeightedSourceSampler(Filter):
@@ -83,7 +94,11 @@ class WeightedSourceSampler(Filter):
     (e.g. keep 100% of books, 30% of common-crawl): a row survives iff its
     stable id bucket falls below ``weight[source] * buckets``. Unlisted
     sources keep ``default_weight``. Reproducible across runs and engines;
-    rejection accounting flows through the normal Filter tagging."""
+    rejection accounting flows through the normal Filter tagging. NULL ids
+    are rejected (no stable identity -> NULL bucket -> keep() coalesces to
+    False). Default ``salt`` "mix" is DISTINCT from the split refiner's
+    "split" — see DatasetSplitRefiner on why a shared salt corrupts
+    composed sample+split flows."""
 
     def __init__(
         self,
@@ -93,7 +108,7 @@ class WeightedSourceSampler(Filter):
         source_col: str = "source",
         id_col: str = "doc_id",
         buckets: int = BUCKETS,
-        salt: str | None = None,
+        salt: str | None = "mix",
         name: str | None = None,
     ):
         super().__init__(name)

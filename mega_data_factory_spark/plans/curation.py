@@ -727,8 +727,15 @@ def _dataset_split_mix_oracle() -> str:
 
     sampler = WeightedSourceSampler(MIX_WEIGHTS, default_weight=1.0, id_col="doc_id")
     splitter = DatasetSplitRefiner(SPLIT_RATIOS, id_col="doc_id", salt=SPLIT_SALT)
-    b_mix = _H64_SQL.format(v="CAST(doc_id AS VARCHAR)") + f" % {BUCKETS}"
-    b_split = _H64_SQL.format(v=f"CAST(doc_id AS VARCHAR) || '#{SPLIT_SALT}'") + f" % {BUCKETS}"
+
+    def _bucket_sql(salt: str | None) -> str:
+        # derive from the INSTANCE salts so the SQL can never drift from
+        # the operators' defaults (the sampler now defaults to salt="mix")
+        v = "CAST(doc_id AS VARCHAR)" + (f" || '#{salt}'" if salt is not None else "")
+        return _H64_SQL.format(v=v) + f" % {BUCKETS}"
+
+    b_mix = _bucket_sql(sampler.salt)
+    b_split = _bucket_sql(splitter.salt)
     weight_cases = " ".join(
         f"WHEN '{s}' THEN {int(round(w * BUCKETS))}" for s, w in sampler.weights.items()
     )

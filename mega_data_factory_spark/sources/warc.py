@@ -7,8 +7,9 @@ Spark-first: file-level parallelism comes from input splits of the
 ``binaryFile`` datasource (one task per WARC file — the reference's
 file->worker sharding, executor.py:237-310, for free); parsing runs in
 ``mapInPandas`` so one Python pass handles a whole file. The record parser
-is pure-python (WARC is line-oriented headers + Content-Length payloads);
-``warcio`` takes over when importable. HTML -> text extraction uses
+is pure-python (WARC is line-oriented headers + Content-Length payloads),
+with per-file error containment: corrupt members skip, they never fail
+the task. HTML -> text extraction uses
 trafilatura when importable, else a deterministic tag-strip fallback
 (the Rust readability kernel of the reference, src/text_ops.rs:16-58, is a
 quality upgrade behind the same column contract; extracts shorter than 50
@@ -65,9 +66,18 @@ def parse_warc_bytes(data: bytes, warc_path: str, crawl_id: str) -> Iterator[dic
 
     Keeps ``response`` records with an HTML payload, mirroring
     commoncrawl_loader.py:66-145; drops extracts under MIN_TEXT_LEN chars.
+
+    Error containment matches the reference loader's skip-and-continue
+    posture: a truncated gzip member or a malformed Content-Length must
+    not kill the task (retries would fail deterministically and abort the
+    job over one bad record in a multi-GB file) — the bad record (or, for
+    a failed decompress, the whole file) is skipped.
     """
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
+        try:
+            data = gzip.decompress(data)
+        except (OSError, EOFError):  # truncated/corrupt download
+            return
     stream = io.BytesIO(data)
     while True:
         line = stream.readline()
@@ -83,7 +93,10 @@ def parse_warc_bytes(data: bytes, warc_path: str, crawl_id: str) -> Iterator[dic
             if b":" in h:
                 k, v = h.split(b":", 1)
                 headers[k.decode().strip().lower()] = v.decode("utf-8", "replace").strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:  # corrupt header: skip record, keep scanning
+            continue
         payload = stream.read(length)
         if headers.get("warc-type") != "response":
             continue
@@ -92,7 +105,10 @@ def parse_warc_bytes(data: bytes, warc_path: str, crawl_id: str) -> Iterator[dic
         http_head, body = (payload[:sep], payload[sep + 4 :]) if sep >= 0 else (b"", payload)
         if b"text/html" not in http_head.lower():
             continue
-        title, text = extract_text(body)
+        try:
+            title, text = extract_text(body)
+        except Exception:  # noqa: BLE001 - extractor crash on pathological HTML
+            continue
         if len(text) < MIN_TEXT_LEN:
             continue
         yield {

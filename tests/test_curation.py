@@ -133,7 +133,9 @@ def test_dataset_split_matches_oracle(spark):
     docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
     r = DatasetSplitRefiner({"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id")
     out = r.apply(docs).select("doc_id", "split").orderBy("doc_id")
-    b = H64.format(v="CAST(doc_id AS VARCHAR)") + " % 10000"
+    # mirror the refiner's default salt ("split" — distinct from the
+    # sampler's "mix" so composed sample+split flows decorrelate)
+    b = H64.format(v=f"CAST(doc_id AS VARCHAR) || '#{r.salt}'") + " % 10000"
     sql = f"""
 SELECT doc_id,
   CASE WHEN {b} < 8000 THEN 'train' WHEN {b} < 9000 THEN 'val' ELSE 'test' END AS split
@@ -157,7 +159,7 @@ def test_weighted_sampler_matches_oracle(spark):
     docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
     s = WeightedSourceSampler({"src1": 0.5, "src2": 0.0}, default_weight=1.0, id_col="doc_id")
     out = s.apply(docs).select("doc_id", "source").orderBy("doc_id")
-    b = H64.format(v="CAST(doc_id AS VARCHAR)") + " % 10000"
+    b = H64.format(v=f"CAST(doc_id AS VARCHAR) || '#{s.salt}'") + " % 10000"
     sql = f"""
 SELECT doc_id, source FROM documents
 WHERE {b} < (CASE WHEN source = 'src2' THEN 0 WHEN source = 'src1' THEN 5000 ELSE 10000 END)

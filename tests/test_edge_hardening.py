@@ -116,3 +116,90 @@ def test_text_exact_url_mode_null_text_fallback(spark):
     )
     out = TextExactDeduplicator(url_col="url", id_col="doc_id").apply(df)
     assert {r.doc_id for r in out.collect()} == {1, 2, 3}
+
+
+def test_sampler_and_splitter_decorrelated(spark):
+    """Composing WeightedSourceSampler then DatasetSplitRefiner with
+    DEFAULTS must fill every split: a shared hash salt made survivors of a
+    0.3-weight source land 100% in train (val/test empty, verified before
+    the distinct per-operator default salts)."""
+    from mega_data_factory_spark.operators.sampling import (
+        DatasetSplitRefiner,
+        WeightedSourceSampler,
+    )
+
+    df = spark.range(20_000).selectExpr("id AS doc_id", "'cc' AS source")
+    sampled = WeightedSourceSampler({"cc": 0.3}, id_col="doc_id").apply(df)
+    labeled = DatasetSplitRefiner(id_col="doc_id").apply(sampled)
+    counts = {r["split"]: r["n"] for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0, counts
+    # ratios roughly hold among survivors
+    total = sum(counts.values())
+    assert counts["train"] / total > 0.8
+
+
+def test_split_null_id_gets_null_split(spark):
+    """NULL ids carry no stable identity: they must get a NULL split, not
+    silently pile into the last declared split (eval contamination)."""
+    from mega_data_factory_spark.operators.sampling import DatasetSplitRefiner
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    rows = {r.doc_id: r["split"] for r in DatasetSplitRefiner(id_col="doc_id").apply(df).collect()}
+    assert rows[None] is None and rows[1] in {"train", "val", "test"}
+
+
+def test_profiler_low_cardinality_percentiles(spark):
+    """Sketch-mode percentile sampling must be ROW-independent: a 4-value
+    status column used to sample whole VALUES (often all of them out),
+    yielding NULL or single-value percentiles."""
+    from mega_data_factory_spark.operators.profiling import ColumnProfiler
+
+    df = spark.range(10_000).selectExpr("CAST(element_at(array(200, 301, 404, 500), CAST(id % 4 + 1 AS INT)) AS LONG) AS status")
+    prof = ColumnProfiler(["status"]).profile(df)
+    pcts = {r.stat: r.value for r in prof.collect() if r.stat.startswith("p")}
+    assert pcts["p25"] is not None and pcts["p75"] is not None
+    assert 200 <= pcts["p25"] <= pcts["p50"] <= pcts["p75"] <= 500
+    assert pcts["p25"] != pcts["p75"]  # not collapsed onto one sampled value
+    # fractional percentile labels do not truncate/collide
+    prof2 = ColumnProfiler(["status"], percentiles=(0.99, 0.999)).profile(df)
+    stats = {r.stat for r in prof2.collect()}
+    assert "p99" in stats and "p99.9" in stats
+
+
+def test_phash_dedup_on_pruned_bytes_frame(spark):
+    """A frame that kept only the precomputed phash (bytes column pruned —
+    the module's advertised pattern) must dedup without referencing the
+    missing binary column."""
+    from mega_data_factory_spark.operators.images import ImagePhashDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "aabb"), (3, "ccdd"), (4, None)],
+        "id long, phash string",
+    )
+    out = ImagePhashDeduplicator(id_col="id").apply(df)
+    # exact-hash dup drops; the NULL-phash row keys on its id and survives
+    assert {r.id for r in out.collect()} == {1, 3, 4}
+
+
+def test_warc_parser_skips_corrupt_records():
+    """One corrupt record (bad Content-Length) or a truncated gzip file
+    must not raise — the remaining records still parse."""
+    from mega_data_factory_spark.sources.warc import parse_warc_bytes
+
+    html = b"<html><title>T</title><body>" + b"word " * 40 + b"</body></html>"
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://ok.com\r\n"
+        b"Content-Length: " + str(len(html) + 40).encode() + b"\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html + b"\r\n\r\n"
+    )
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://bad.com\r\n"
+        b"Content-Length: 12a3\r\n\r\njunk\r\n\r\n"
+    )
+    rows = list(parse_warc_bytes(bad + good, "f.warc", "c1"))
+    assert [r["url"] for r in rows] == ["http://ok.com"]
+    # truncated gzip: skipped wholesale, no EOFError
+    import gzip
+
+    truncated = gzip.compress(good)[:-10]
+    assert list(parse_warc_bytes(truncated, "f.warc.gz", "c1")) == []
