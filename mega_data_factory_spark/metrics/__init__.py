@@ -27,6 +27,10 @@ OPERATOR_METRICS_SCHEMA = StructType(
         StructField("pipeline", StringType()),
         StructField("stage_name", StringType()),
         StructField("operator_name", StringType()),
+        # pipeline position: parquet read-back is file-order, NOT insert
+        # order, so the report's funnel/Sankey need an explicit sequence
+        # (beyond the reference's schema, which relied on arrival order)
+        StructField("position", LongType()),
         StructField("timestamp", TimestampType()),
         StructField("input_records", LongType()),
         StructField("output_records", LongType()),
@@ -65,12 +69,12 @@ def write_metrics(spark: SparkSession, result, base_path: str) -> None:
     now = F.current_timestamp()
 
     op_rows = [
-        (result.run_id, result.pipeline, m.stage, m.operator, m.input_records, m.output_records, m.pass_rate)
-        for m in result.operators
+        (result.run_id, result.pipeline, m.stage, m.operator, i, m.input_records, m.output_records, m.pass_rate)
+        for i, m in enumerate(result.operators)
     ]
     ops = spark.createDataFrame(
         op_rows,
-        "run_id string, pipeline string, stage_name string, operator_name string, "
+        "run_id string, pipeline string, stage_name string, operator_name string, position long, "
         "input_records long, output_records long, pass_rate double",
     ).withColumn("timestamp", now)
 

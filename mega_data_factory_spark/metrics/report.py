@@ -251,11 +251,19 @@ def generate_report(
     if run_id is None:
         run_id = runs.orderBy(F.col("timestamp").desc()).first()["run_id"]
     run = runs.filter(F.col("run_id") == run_id).first()
-    ops = (
-        spark.read.parquet(os.path.join(metrics_path, "operators"))
-        .filter(F.col("run_id") == run_id)
-        .collect()
+    if run is None:
+        raise ValueError(f"run_id {run_id!r} not found in {metrics_path}/runs")
+    ops_df = spark.read.parquet(os.path.join(metrics_path, "operators")).filter(
+        F.col("run_id") == run_id
     )
+    # explicit pipeline order: parquet read-back is file-order; fall back
+    # to funnel monotonicity (input desc) for pre-`position` metrics
+    order = (
+        [F.col("position").asc()]
+        if "position" in ops_df.columns
+        else [F.col("input_records").desc()]
+    )
+    ops = ops_df.orderBy(*order).collect()
     stages = (
         spark.read.parquet(os.path.join(metrics_path, "stages"))
         .filter(F.col("run_id") == run_id)

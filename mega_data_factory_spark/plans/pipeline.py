@@ -85,6 +85,9 @@ class Pipeline:
 
         self.config = config
         self._ops: list[tuple[str, Operator]] = []  # (stage, instance) in order
+        # frames persisted mid-plan by _apply_join_dedup; released by the
+        # runner (run() / StreamingPipeline) after its actions complete
+        self._mid_cached: list[DataFrame] = []
         # per-stage ResourceProfiles (GPU stage placement, resources.py);
         # built eagerly so a bad resources block fails at construction
         self.stage_profiles = {
@@ -101,8 +104,17 @@ class Pipeline:
     def _alive(self) -> Column:
         return F.col(_R).isNull()
 
+    def release_intermediates(self) -> None:
+        """Unpersist the mid-plan caches from the last build (idempotent)."""
+        for f in self._mid_cached:
+            f.unpersist()
+        self._mid_cached = []
+
     def build(self, spark: SparkSession, files: list[str] | None = None) -> DataFrame:
-        """Source -> tagged DataFrame (one logical plan, no actions)."""
+        """Source -> tagged DataFrame (one logical plan, no actions — except
+        that join-dedup inputs are registered for caching; call
+        ``release_intermediates`` after the consuming action)."""
+        self.release_intermediates()
         df = read_source(spark, self.config.source, max_samples=self.config.max_samples, files=files)
         if _R not in df.columns:
             df = df.withColumn(
@@ -161,6 +173,13 @@ class Pipeline:
         return tagged.drop("__dk", "__rn", "__rep")
 
     def _apply_join_dedup(self, df: DataFrame, op: Deduplicator) -> DataFrame:
+        # The pairs side embeds the full upstream plan (scan + every prior
+        # operator) a SECOND time, and the filter(alive) difference defeats
+        # ReusedExchange — K join-dedups would re-execute the upstream
+        # (model-UDF refiners included) K extra times per action. Persist
+        # the shared input once; the runner releases it after its action.
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._mid_cached.append(df)
         # No broadcast hint: the dup-pairs frame is O(duplicates) — tiny on
         # a clean corpus but O(n) on a near-dup-heavy one, where a forced
         # broadcast OOMs the driver at scale. AQE sees the real size at
@@ -191,7 +210,10 @@ class Pipeline:
         """Physical plan of the built pipeline (one Catalyst plan for all
         stages) — the audit surface for pushdown/fusion/shuffle review."""
         df = self.build(spark)
-        return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+        try:
+            return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+        finally:
+            self.release_intermediates()
 
     # -------------------------------------------------------------- running
 
@@ -236,14 +258,20 @@ class Pipeline:
             else:
                 passed.count()  # populate the observation
             if self.config.rejected_sink:
+                import dataclasses
+
                 rejected = (
                     tagged.filter(~self._alive())
                     .withColumn("operator", F.col(f"{_R}.operator"))
                 )
-                cfg = self.config.rejected_sink
-                if not cfg.partition_by:
-                    cfg.partition_by = ["operator"]  # reference layout (executor.py:100-124)
-                write_sink(rejected, cfg)
+                # local copy — mutating the caller's SinkConfig in place
+                # would leak partition_by=['operator'] into any later reuse
+                # of that instance (reference layout, executor.py:100-124)
+                rej_cfg = dataclasses.replace(
+                    self.config.rejected_sink,
+                    partition_by=self.config.rejected_sink.partition_by or ["operator"],
+                )
+                write_sink(rejected, rej_cfg)
 
             got = obs.get
             total = got["total"]
@@ -284,13 +312,18 @@ class Pipeline:
                     # from the cached tagged frame, not the observed plan
                     # (a second action must not refire the Observation)
                     op.update_store(tagged.filter(self._alive()).drop(_R), survivors=True)
-            if pending is not None:  # sinks + metrics landed: checkpoint the files
+            if pending is not None and (self.config.sink or self.config.rejected_sink):
+                # checkpoint ONLY when something durable landed: a
+                # metrics-only preview run must not mark its input files
+                # processed, or a later run WITH a sink would skip them
+                # and their records would silently never ship
                 from mega_data_factory_spark.sources.manifest import mark_processed
 
                 mark_processed(src.resume_manifest, pending, run_id)
             return result
         finally:
             tagged.unpersist()
+            self.release_intermediates()
 
 
 def run_yaml(spark: SparkSession, yaml_path_or_text: str) -> PipelineResult:

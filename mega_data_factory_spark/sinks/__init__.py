@@ -50,7 +50,21 @@ def write_sink(df: DataFrame, cfg: SinkConfig) -> None:
             from pyspark.sql import functions as F
 
             writer = writer.partitionedBy(*[F.col(c) for c in cfg.partition_by])
-        writer.createOrReplace() if cfg.mode == "overwrite" else writer.append()
+        if cfg.mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            # append must CREATE on first write (the reference writer's
+            # create-if-missing, iceberg_writer.py:81-116) — a bare
+            # append() fails with TABLE_OR_VIEW_NOT_FOUND on a fresh
+            # catalog, making the default mode unusable
+            from pyspark.errors import AnalysisException
+
+            try:
+                writer.append()
+            except AnalysisException as exc:
+                if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc):
+                    raise
+                writer.create()
         return
     if cfg.bucket_by:
         # Bucketed/sorted layout: pre-shuffled-on-write by the join/agg key,

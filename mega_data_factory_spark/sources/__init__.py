@@ -76,8 +76,13 @@ def read_source(
         custom = _custom_source(fmt)
         if custom is not None:
             # custom loader contract (reference DataLoaderRegistry,
-            # framework/registry.py:13-133): (spark, path, options) -> DataFrame
-            df = custom(spark, cfg.path, options=cfg.options)
+            # framework/registry.py:13-133): (spark, path, options) -> DataFrame.
+            # A resume manifest's pending-file list is passed THROUGH as the
+            # path — silently re-globbing cfg.path would re-read (and
+            # re-append) already-processed files; loaders that cannot take
+            # a file list (e.g. a dataset-repo loader) raise their own
+            # clear error rather than breaking exactly-once quietly.
+            df = custom(spark, files if files is not None else cfg.path, options=cfg.options)
             return df.limit(max_samples) if max_samples else df
         if fmt not in _FORMATS:
             raise ValueError(f"unsupported source format {cfg.format!r}")

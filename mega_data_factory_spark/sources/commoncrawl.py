@@ -125,7 +125,11 @@ def read_commoncrawl(
     cache = cache_dir or os.path.join(tempfile.gettempdir(), "commoncrawl-cache")
     base, cid = base_url, crawl_id
 
-    files = spark.createDataFrame([(p,) for p in paths], "warc_path string").repartition(len(paths), "warc_path")
+    # round-robin repartition (NO column): hash-partitioning by path value
+    # birthday-collides files into shared partitions (~37% empty at n=32,
+    # stragglers downloading 2-3 multi-GB WARCs serially); columnless
+    # repartition deals exactly one file per task
+    files = spark.createDataFrame([(p,) for p in paths], "warc_path string").repartition(len(paths))
 
     def _fetch_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["crawl_id", "warc_path", "url", "warc_date", "title", "text", "text_length"]

@@ -119,14 +119,46 @@ def _open_fs(fs):
     return fs if fs is not None else _hf_fs()
 
 
+def _shard_reader(handle, path: str):
+    """pyarrow reader for one shard: parquet footer, or Arrow IPC for
+    ``.arrow`` files (HF ``datasets`` writes the STREAM format; the
+    random-access FILE format is tried first, stream as fallback). A
+    ``.arrow`` shard used to fall through to ``pq.ParquetFile`` and die
+    with an opaque 'Parquet magic bytes not found'."""
+    if path.endswith(".arrow"):
+        import pyarrow as pa
+
+        try:
+            return pa.ipc.open_file(handle)
+        except pa.ArrowInvalid:
+            handle.seek(0)
+            return pa.ipc.open_stream(handle)
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(handle)
+
+
+def _reader_schema(reader):
+    return reader.schema_arrow if hasattr(reader, "schema_arrow") else reader.schema
+
+
+def _reader_batches(reader):
+    """Record batches, streamed — peak memory is one batch per format."""
+    if hasattr(reader, "iter_batches"):  # parquet: row-group batches
+        yield from reader.iter_batches()
+    elif hasattr(reader, "num_record_batches"):  # IPC file format
+        for i in range(reader.num_record_batches):
+            yield reader.get_batch(i)
+    else:  # IPC stream format
+        yield from reader
+
+
 def _shard_schema(files: list[str], fs) -> "object":
     """Arrow schema from the first shard's footer (driver-side metadata
     read — bytes are not downloaded)."""
-    import pyarrow.parquet as pq
-
     f = _open_fs(fs).open(files[0], "rb")
     try:
-        return pq.ParquetFile(f).schema_arrow
+        return _reader_schema(_shard_reader(f, files[0]))
     finally:
         f.close()
 
@@ -151,14 +183,11 @@ def _read_shards(spark: SparkSession, files: list[str], fs) -> DataFrame:
             return [HfShardPartition(p) for p in self.files]
 
         def read(self, partition):
-            import pyarrow.parquet as pq
-
             handle = _open_fs(self.fs).open(partition.path, "rb")
             try:
-                pf = pq.ParquetFile(handle)
-                # stream row-group batches — peak memory is one batch, not
-                # the shard; at cluster scale each file is one task
-                yield from pf.iter_batches()
+                # stream batches — peak memory is one batch, not the
+                # shard; at cluster scale each file is one task
+                yield from _reader_batches(_shard_reader(handle, partition.path))
             finally:
                 handle.close()
 

@@ -33,7 +33,10 @@ def list_input_files(path: str, fmt: str = "parquet") -> list[str]:
     if os.path.isfile(path):
         return [path]
     ext = _EXT.get(fmt, "")
-    files = glob.glob(os.path.join(path, f"**/*{ext}"), recursive=True)
+    # isfile filter on BOTH branches: a DIRECTORY matching the extension
+    # glob (e.g. a dataset dir literally named data.parquet) would be
+    # listed alongside its part files and read twice
+    files = [p for p in glob.glob(os.path.join(path, f"**/*{ext}"), recursive=True) if os.path.isfile(p)]
     if not files:  # directory of files without the expected extension
         files = [p for p in glob.glob(os.path.join(path, "**/*"), recursive=True) if os.path.isfile(p)]
     return sorted(p for p in files if not os.path.basename(p).startswith(("_", ".")))

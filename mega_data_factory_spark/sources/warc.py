@@ -79,11 +79,19 @@ def parse_warc_bytes(data: bytes, warc_path: str, crawl_id: str) -> Iterator[dic
         except (OSError, EOFError):  # truncated/corrupt download
             return
     stream = io.BytesIO(data)
+    # a "WARC/..." line only STARTS a record at a true boundary: file
+    # start or right after a blank separator line. Without this, a record
+    # skipped for a corrupt Content-Length leaves its payload unconsumed,
+    # and any payload line beginning "WARC/" (an HTML page ABOUT the WARC
+    # format) would fabricate a phantom record with garbage headers.
+    at_boundary = True
     while True:
         line = stream.readline()
         if not line:
             break
-        if not line.startswith(b"WARC/"):
+        starts = line.startswith(b"WARC/") and at_boundary
+        at_boundary = line in (b"\r\n", b"\n")
+        if not starts:
             continue
         headers: dict[str, str] = {}
         while True:

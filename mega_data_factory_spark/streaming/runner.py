@@ -348,6 +348,7 @@ class StreamingPipeline:
                 ),
             )
         tagged = batch_df
+        self.pipeline.release_intermediates()  # fresh slate per micro-batch
         for _stage, op in self.pipeline._ops:
             tagged = self.pipeline._apply(tagged, op)
         tagged = tagged.persist()
@@ -401,3 +402,4 @@ class StreamingPipeline:
                     _write_rejected()
         finally:
             tagged.unpersist()
+            self.pipeline.release_intermediates()

@@ -86,3 +86,28 @@ def test_missing_hub_has_clear_error():
     with pytest.raises((ImportError, FileNotFoundError)) as e:
         list_repo_data_files("org/none")  # no fs injected, hub not installed
     assert "huggingface_hub" in str(e.value) or "none" in str(e.value)
+
+
+def _arrow_ipc_bytes(ids, *, stream=True):
+    """Arrow IPC shard bytes — STREAM format is what HF `datasets` writes;
+    the FILE format is the random-access variant."""
+    table = pa.table({"id": pa.array(ids, pa.int64()), "txt": [f"t{i}" for i in ids]})
+    buf = io.BytesIO()
+    opener = pa.ipc.new_stream if stream else pa.ipc.new_file
+    with opener(buf, table.schema) as w:
+        w.write_table(table)
+    return buf.getvalue()
+
+
+def test_read_arrow_ipc_shards(spark):
+    """.arrow shards (both IPC formats) read through the same DataSource —
+    they used to reach pyarrow.parquet and die on 'Parquet magic bytes'."""
+    fs = MockHfFs(
+        {
+            "datasets/org/ipc/data/train-00000.arrow": _arrow_ipc_bytes([1, 2, 3], stream=True),
+            "datasets/org/ipc/data/train-00001.arrow": _arrow_ipc_bytes([4, 5], stream=False),
+        }
+    )
+    df = read_huggingface(spark, "org/ipc", options={"fs": fs})
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3, 4, 5]
+    assert df.schema.simpleString() == "struct<id:bigint,txt:string>"

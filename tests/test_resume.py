@@ -182,3 +182,66 @@ def test_incremental_dedup_store_persists_via_pipeline_run(spark, tmp_path):
     # run-1 content rejected across runs; only the new text survives
     assert {r.doc_id for r in out2.collect()} == {11}
     assert res2.output_records == 1
+
+
+def test_resume_passes_pending_files_to_custom_source(spark, tmp_path, monkeypatch):
+    """Custom-format sources (warc etc.) must receive the PENDING file
+    list on resume — re-globbing the whole path re-appends processed
+    files. Also: a metrics-only run (no sinks) must NOT mark files
+    processed, or a later sinked run would skip them forever."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+    from mega_data_factory_spark.registry import SOURCES
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    for name, ids in (("a.fake", [1, 2]), ("b.fake", [3])):
+        spark.createDataFrame([(i,) for i in ids], "event_id long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src_dir / name))
+
+    seen_paths = []
+
+    def fake_loader(spark_, path, *, options=None):
+        seen_paths.append(path)
+        return spark_.read.parquet(*path) if isinstance(path, list) else spark_.read.parquet(f"{path}/*.fake")
+
+    # the registry stores callables for custom sources (read_source calls
+    # them as (spark, path, options=...)); register directly under the name
+    SOURCES._by_name["fakefmt"] = fake_loader  # type: ignore[attr-defined]
+
+    def cfg_with(sink):
+        cfg = PipelineConfig.from_dict(
+            {
+                "pipeline": {
+                    "name": "resume_custom",
+                    "id_col": "event_id",
+                    "source": {"format": "fakefmt", "path": str(src_dir),
+                               "resume_manifest": str(tmp_path / "manifest.jsonl")},
+                    "stages": [{"name": "s", "operators": [
+                        {"name": "NumericRangeFilter", "params": {"column": "event_id", "lo": 0.0}},
+                    ]}],
+                }
+            }
+        )
+        cfg.sink = sink
+        return cfg
+
+    # metrics-only run: must not checkpoint the files
+    Pipeline(cfg_with(None)).run(spark)
+    assert not (tmp_path / "manifest.jsonl").exists()
+
+    # sinked run 1: processes both files, marks them
+    Pipeline(cfg_with(SinkConfig(path=str(tmp_path / "out")))).run(spark)
+    out1 = spark.read.parquet(str(tmp_path / "out"))
+    assert out1.count() == 3
+
+    # new file arrives; run 2 must receive ONLY the pending file list
+    spark.createDataFrame([(9,)], "event_id long").coalesce(1).write.mode("overwrite").parquet(
+        str(src_dir / "c.fake")
+    )
+    Pipeline(cfg_with(SinkConfig(path=str(tmp_path / "out")))).run(spark)
+    assert isinstance(seen_paths[-1], list) and len(seen_paths[-1]) == 1
+    assert "c.fake" in seen_paths[-1][0]
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    assert out2.count() == 4  # no re-appended rows from a/b
