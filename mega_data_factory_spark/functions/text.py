@@ -77,8 +77,14 @@ def word_occurrences(col: Column | str, word: str) -> Column:
     an ASCII ``\b`` regex — same counting rule RE2 (DuckDB) and Java regex
     (Spark) agree on. 0 for NULL text.
     """
-    # lower() the text rather than using (?i) so the oracle SQL stays trivial.
-    pat = r"\b" + word.lower() + r"\b"
+    import re as _re
+
+    # lower() the text rather than using (?i) so the oracle SQL stays
+    # trivial; escape the word — config-supplied words with regex
+    # metacharacters ('a.b', 'c++') would otherwise mis-count (dot matches
+    # anything) or kill the job at pattern-compile time. re.escape's
+    # backslash-escapes are Java- and RE2-compatible for these inputs.
+    pat = r"\b" + _re.escape(word.lower()) + r"\b"
     return F.coalesce(F.regexp_count(F.lower(_c(col)), F.lit(pat)), F.lit(0)).cast("long")
 
 

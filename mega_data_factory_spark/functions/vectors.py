@@ -66,7 +66,10 @@ def cosine_to_query_udf(query_vec, *, round_to: int = 6):
     @F.pandas_udf("double", PandasUDFType.SCALAR)
     def cos(embs):
         out = np.full(len(embs), np.nan)
-        mask = embs.notna().to_numpy()
+        # wrong-dimension vectors score NULL, matching the expression-form
+        # cosine's behavior — a mixed-dim corpus (e.g. shards written by an
+        # older refiner) must not kill the batch with a ragged-array error
+        mask = (embs.notna() & (embs.map(lambda v: v is not None and len(v) == len(q)))).to_numpy()
         if mask.any() and qn > 0:
             m = np.array([list(v) for v in embs[mask]], dtype=np.float64)
             norms = np.linalg.norm(m, axis=1)

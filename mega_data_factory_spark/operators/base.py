@@ -72,14 +72,26 @@ class Operator(ABC):
 
 
 class Refiner(Operator):
-    """Adds columns; never drops rows. Subclasses implement ``columns``."""
+    """Adds columns; never drops rows. Subclasses implement ``columns``;
+    ``derived_columns`` optionally adds a second projection whose
+    expressions reference the FIRST projection's columns BY NAME — the
+    contract for thresholds over UDF scores (``is_aigc = score >= t``):
+    repeating the score expression in ``columns`` would evaluate the UDF
+    twice, and overriding ``apply`` alone would be silently bypassed by
+    ``Pipeline._apply``, which routes Refiners through these two hooks."""
 
     @abstractmethod
     def columns(self, df: DataFrame) -> dict[str, Column]:
         """New column name -> expression."""
 
+    def derived_columns(self, df: DataFrame) -> dict[str, Column]:
+        """Second-stage columns over the ``columns`` output (by name)."""
+        return {}
+
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.withColumns(self.columns(df))
+        out = df.withColumns(self.columns(df))
+        derived = self.derived_columns(out)
+        return out.withColumns(derived) if derived else out
 
 
 class Filter(Operator):

@@ -153,7 +153,11 @@ class UrlFilter(Filter):
     def domain(self) -> Column:
         url = F.col(self.url_col)
         with_scheme = F.when(url.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), url).otherwise(F.concat(F.lit("http://"), url))
-        return F.lower(F.parse_url(with_scheme, F.lit("HOST")))
+        # try_parse_url, NOT parse_url: under Spark 4's default ANSI mode
+        # parse_url THROWS INVALID_URL on any malformed URL — one bad URL
+        # (web crawls are full of them) would abort the whole job instead
+        # of being filtered. Malformed -> NULL host, handled in predicate.
+        return F.lower(F.try_parse_url(with_scheme, F.lit("HOST")))
 
     def predicate(self, df: DataFrame) -> Column:
         url = F.col(self.url_col)
@@ -163,11 +167,20 @@ class UrlFilter(Filter):
         suffixes = F.transform(F.sequence(F.lit(1), n), lambda i: F.concat_ws(".", F.slice(parts, i, n)))
         keep = F.lit(True)
         if self.blocked:
-            keep = keep & ~F.arrays_overlap(suffixes, F.array(*[F.lit(d) for d in self.blocked]))
+            # NULL-safe: an unparsable/NULL host is NOT on the blocklist
+            # (NULL would otherwise propagate through arrays_overlap and
+            # keep() would coalesce the row to rejected — the documented
+            # semantics keep no-domain rows, url_filter.py:296-299)
+            keep = keep & ~F.coalesce(
+                F.arrays_overlap(suffixes, F.array(*[F.lit(d) for d in self.blocked])), F.lit(False)
+            )
         if self.weights:
             keep = keep & (word_score(url, self.weights) < F.lit(self.threshold))
         if self.exclude_quality:
-            keep = keep & ~F.arrays_overlap(suffixes, F.array(*[F.lit(d) for d in self.QUALITY_SOURCES]))
+            keep = keep & ~F.coalesce(
+                F.arrays_overlap(suffixes, F.array(*[F.lit(d) for d in self.QUALITY_SOURCES])),
+                F.lit(False),
+            )
         # records without URL are kept (url_filter.py:296-299)
         return url.isNull() | (F.length(F.trim(url)) == 0) | keep
 

@@ -234,15 +234,13 @@ class AigcDetectorRefiner(Refiner):
             out = [None if r is None else float(next(it)) for r in rows]
             return pd.Series(out, dtype="float32")
 
-        score = aigc_udf(F.col(self.emb_col))
-        return {
-            "image_aigc_score": score,
-            # boolean derives from the score COLUMN (not the UDF twice)
-        }
+        return {"image_aigc_score": aigc_udf(F.col(self.emb_col))}
 
-    def apply(self, df: DataFrame) -> DataFrame:
-        out = super().apply(df)
-        return out.withColumn("image_is_aigc", F.col("image_aigc_score") > F.lit(self.threshold))
+    def derived_columns(self, df: DataFrame) -> dict[str, Column]:
+        # boolean derives from the score COLUMN (not the UDF twice); the
+        # derived hook (not an apply override) so the Pipeline path
+        # materializes it too
+        return {"image_is_aigc": F.col("image_aigc_score") > F.lit(self.threshold)}
 
 
 class AudioMetadataRefiner(Refiner):
@@ -307,7 +305,10 @@ class AudioMetadataRefiner(Refiner):
                     )
             return pd.DataFrame(rows)
 
-        m = meta_udf(_bytes_col(df, self.audio_col))
+        # asNondeterministic: a downstream filter on a metadata field
+        # would otherwise substitute the struct UDF into its predicate and
+        # parse every WAV twice (verified: 2 ArrowEvalPython nodes)
+        m = meta_udf.asNondeterministic()(_bytes_col(df, self.audio_col))
         return {
             "audio_sample_rate": m["sample_rate"],
             "audio_channels": m["channels"],
@@ -358,16 +359,21 @@ class VisualDegradationsRefiner(Refiner):
                 vi += r is not None
             return pd.DataFrame(out, dtype="float32")
 
-        h = heads_udf(F.col(self.emb_col))
-        cols = {f"img_vd_{k}": h[k] for k in seeds}
-        return cols
+        # asNondeterministic: stops the optimizer substituting the struct
+        # UDF into downstream filters (which would re-evaluate the heads
+        # per predicate — the images.py _project_struct_once hazard);
+        # within THIS projection the four field extracts share one
+        # evaluation (ExtractPythonUDFs dedups equal UDF expressions)
+        h = heads_udf.asNondeterministic()(F.col(self.emb_col))
+        return {f"img_vd_{k}": h[k] for k in seeds}
 
-    def apply(self, df: DataFrame) -> DataFrame:
-        out = super().apply(df)
+    def derived_columns(self, df: DataFrame) -> dict[str, Column]:
+        # derives from the score COLUMNS by name (derived hook, so the
+        # Pipeline path materializes the overall too)
         overall = F.lit(1.0) - sum(
             F.col(f"img_vd_{k}") * F.lit(w) for k, w in self.WEIGHTS.items()
         )
-        return out.withColumn("img_vd_overall_quality", overall.cast("float"))
+        return {"img_vd_overall_quality": overall.cast("float")}
 
 
 class ImageResizeRefiner(Refiner):
@@ -396,7 +402,15 @@ class ImageResizeRefiner(Refiner):
                     out_h.append(None)
                     continue
                 if img.ndim == 2:
-                    img = img[..., None].repeat(3, axis=2)
+                    img = img[..., None]
+                # channel-normalize to the promised RGB contract: 1-channel
+                # (grayscale PNG decodes as (h, w, 1), NOT 2-D, so the old
+                # ndim check missed it and emitted 1-channel bytes under an
+                # RGB contract — a stride-w*3 consumer misreads) and
+                # 2-channel (gray+alpha: alpha is NOT a color plane)
+                # replicate the luma; 4-channel drops alpha
+                if img.shape[2] < 3:
+                    img = img[..., :1].repeat(3, axis=2)
                 img = img[..., :3]
                 h, w = img.shape[:2]
                 # area-mean resize as two reduceat passes (the batch_phash
@@ -451,6 +465,10 @@ class VideoFrameSampleRefiner(Refiner):
 
     def __init__(self, every_n: int = 10, *, video_col: str = "video", name: str | None = None):
         super().__init__(name)
+        if every_n < 1:
+            # fail at construction (config validation), not as a per-task
+            # range() ValueError inside the UDF
+            raise ValueError(f"every_n must be >= 1, got {every_n}")
         self.every_n = every_n
         self.video_col = video_col
 

@@ -162,6 +162,12 @@ class RepetitionStatsRefiner(Refiner):
         super().__init__(name)
         self.text_col = text_col
         self.long_docs = long_docs
+        # Pipeline._apply routes Refiners through columns(); the linear
+        # form is a full-frame transform (explode + joins), so flag it for
+        # the generic path — without this, long_docs=True was silently
+        # ignored inside config pipelines, exactly where book-length
+        # corpora run
+        self.pipeline_full_frame = long_docs
         self.id_col = id_col
 
     def _words(self) -> Column:

@@ -147,8 +147,17 @@ class Pipeline:
                 return self._apply_join_dedup(df, op)
             return self._apply_key_dedup(df, op)
         if isinstance(op, Refiner):
+            if getattr(op, "pipeline_full_frame", False):
+                # refiner modes that are full-frame transforms (e.g. the
+                # linear-aggregation repetition stats) — apply() preserves
+                # the tag column; the alive gate is the operator's concern
+                return op.apply(df)
             cols = op.columns(df)
-            return df.withColumns({k: F.when(alive, v) for k, v in cols.items()})
+            out = df.withColumns({k: F.when(alive, v) for k, v in cols.items()})
+            derived = op.derived_columns(out)
+            if derived:
+                out = out.withColumns({k: F.when(alive, v) for k, v in derived.items()})
+            return out
         # generic operator: full-frame transform (must preserve the tag col)
         return op.apply(df)
 

@@ -203,3 +203,93 @@ def test_warc_parser_skips_corrupt_records():
 
     truncated = gzip.compress(good)[:-10]
     assert list(parse_warc_bytes(truncated, "f.warc.gz", "c1")) == []
+
+
+def test_url_filter_survives_malformed_urls(spark):
+    """ANSI parse_url throws INVALID_URL on malformed URLs — one bad crawl
+    URL must not abort the job, and an unparsable host is NOT blocklisted
+    (kept, the documented no-domain semantics)."""
+    from mega_data_factory_spark.operators.filters import UrlFilter
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://exa mple.com/x"),     # space -> INVALID_URL under parse_url
+            (2, "http://spam.com/offer"),
+            (3, "http:///pathonly"),           # parses, NULL host
+            (4, "http://ok.org/page"),
+        ],
+        "doc_id long, url string",
+    )
+    out = UrlFilter(blocked_domains=["spam.com"]).apply(df)
+    assert {r.doc_id for r in out.collect()} == {1, 3, 4}
+
+
+def test_word_occurrences_escapes_metacharacters(spark):
+    from mega_data_factory_spark.functions.text import word_occurrences
+
+    df = spark.createDataFrame([("aXb text a.b end",)], "text string")
+    n = df.select(word_occurrences("text", "a.b").alias("n")).first()["n"]
+    assert n == 1  # literal 'a.b' only — the dot must not match 'aXb'
+
+
+def test_pipeline_materializes_derived_refiner_columns(spark):
+    """Pipeline routes Refiners through columns(); threshold columns that
+    derive from UDF scores (image_is_aigc, img_vd_overall_quality) come
+    through the derived_columns hook and must exist on the pipeline path."""
+    from mega_data_factory_spark.config import PipelineConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    spark.createDataFrame(
+        [(1, [0.1] * 64), (2, None)], "id long, image_emb array<float>"
+    ).createOrReplaceTempView("aigc_src")
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "aigc",
+                "id_col": "id",
+                "source": {"table": "aigc_src"},
+                "stages": [{"name": "s", "operators": [
+                    {"name": "AigcDetectorRefiner"},
+                    {"name": "VisualDegradationsRefiner"},
+                ]}],
+            }
+        }
+    )
+    out = Pipeline(cfg).build(spark)
+    try:
+        cols = set(out.columns)
+        assert {"image_aigc_score", "image_is_aigc", "img_vd_overall_quality"} <= cols
+        row = out.filter(F.col("id") == 1).first()
+        assert row["image_is_aigc"] == (row["image_aigc_score"] > 0.5)
+        assert abs(
+            row["img_vd_overall_quality"]
+            - (1.0 - (0.2 * row["img_vd_color_cast"] + 0.3 * row["img_vd_blurriness"]
+                      + 0.25 * row["img_vd_watermark"] + 0.25 * row["img_vd_noise"]))
+        ) < 1e-6
+    finally:
+        Pipeline(cfg).release_intermediates()
+
+
+def test_resize_grayscale_emits_rgb_bytes(spark):
+    """1-channel decodes must expand to the promised RGB layout (w*h*3
+    bytes) — a stride-w*3 consumer would misread 1-channel output."""
+    import numpy as np
+
+    from mega_data_factory_spark.operators.multimodal import ImageResizeRefiner
+    from tests.test_images import make_png
+
+    gray = np.full((8, 8, 1), 128, np.uint8)  # grayscale PNG decodes (h, w, 1)
+    df = spark.createDataFrame([(1, bytearray(make_png(gray)))], "id long, image binary")
+    r = ImageResizeRefiner(4, 4).apply(df).select("image_resized.*").first()
+    assert len(r["bytes"]) == 4 * 4 * 3 and (r["width"], r["height"]) == (4, 4)
+
+
+def test_cosine_query_udf_ragged_vectors_null(spark):
+    from mega_data_factory_spark.functions.vectors import cosine_to_query_udf
+
+    cos = cosine_to_query_udf([1.0, 0.0, 0.0])
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0]), (3, None)], "id long, v array<float>"
+    )
+    got = {r.id: r.c for r in df.select("id", cos(F.col("v")).alias("c")).collect()}
+    assert got[1] == 1.0 and got[2] is None and got[3] is None
