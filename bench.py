@@ -74,6 +74,25 @@ def _image_pipeline(img_df) -> int:
     return df.count()
 
 
+WORDS_1M = ["analysis", "report", "casino", "pipeline", "poker", "data", "spark", "stream", "model", "web"]
+
+
+def _word_soup(words: list[str], *, width: int, stride: int):
+    """Deterministic text column over `id`: `width` words, each picked by
+    (id * (i + stride)) %% len(words) — ONE generator for the text-pipeline,
+    perplexity, and classifier corpora (they were three inline copies)."""
+    from pyspark.sql import functions as F
+
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.concat_ws(
+        " ",
+        *[
+            F.element_at(arr, ((F.col("id") * (i + stride)) % len(words) + 1).cast("int"))
+            for i in range(width)
+        ],
+    )
+
+
 def _text_pipeline_1m(spark) -> int:
     """1M-record URLFilter -> TextLengthFilter pipeline, the reference's
     headline benchmark workload (docs/ARCHITECTURE.md:418-434)."""
@@ -81,7 +100,7 @@ def _text_pipeline_1m(spark) -> int:
 
     from mega_data_factory_spark.operators.filters import TextLengthFilter, UrlFilter
 
-    words = ["analysis", "report", "casino", "pipeline", "poker", "data", "spark", "stream", "model", "web"]
+    words = WORDS_1M
     doms = ["example.com", "news.site.org", "spam-casino.biz", "blog.dev", "docs.io", "shop.net"]
     df = (
         spark.range(1_000_000)
@@ -96,18 +115,7 @@ def _text_pipeline_1m(spark) -> int:
                 F.element_at(F.array(*[F.lit(w) for w in words]), (F.col("id") % 10 + 1).cast("int")),
             ),
         )
-        .withColumn(
-            "text",
-            F.concat_ws(
-                " ",
-                *[
-                    F.element_at(
-                        F.array(*[F.lit(w) for w in words]), ((F.col("id") * (i + 7)) % 10 + 1).cast("int")
-                    )
-                    for i in range(40)
-                ],
-            ),
-        )
+        .withColumn("text", _word_soup(words, width=40, stride=7))
     )
     uf = UrlFilter(
         blocked_domains=["spam-casino.biz", "bad.example.net"],
@@ -268,6 +276,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    stream_detail: dict | None = None  # set by the streaming section when it succeeds
     total = 0.0
     for name in HEADLINE:
         fn = qs.get(name)
@@ -300,209 +309,217 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    # LM-quality datapoint: fit the bigram perplexity model on the sf
-    # documents corpus, score a 1M-row synthetic corpus (the same text
-    # generator as text_pipeline_1m) — measures the model-join + per-doc
-    # aggregate shape at training-pipeline volume (operators/lm.py).
-    from pyspark.sql import functions as F2
-
-    from mega_data_factory_spark.operators.lm import NgramPerplexityScorer
-
-    docs_lm = load_tables(spark, sf_dir, ("documents",))["documents"]
-    scorer = NgramPerplexityScorer().fit(docs_lm)
-    words_lm = ["analysis", "report", "casino", "pipeline", "poker", "data", "spark", "stream", "model", "web"]
-    corpus_1m = spark.range(1_000_000).select(
-        F2.col("id").alias("doc_id"),
-        F2.concat_ws(
-            " ",
-            *[
-                F2.element_at(
-                    F2.array(*[F2.lit(w) for w in words_lm]), ((F2.col("id") * (i + 3)) % 10 + 1).cast("int")
-                )
-                for i in range(30)
-            ],
-        ).alias("text"),
-    )
-    dt = float("inf")
-    n_out = 0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        n_out = scorer.apply(corpus_1m).filter(F2.col("perplexity").isNotNull()).count()
-        dt = min(dt, time.perf_counter() - t0)
-    scorer.unpersist()
-    timings["perplexity_1m"] = round(dt, 4)
-    total += dt
-    print(f"# perplexity_1m: {dt:.3f}s ({n_out} docs scored, {n_out/dt:,.0f} rec/s)", file=sys.stderr)
-
-    # Learned-quality-filter datapoint: score the SAME 1M-row corpus with
-    # the fastText-style hashed-ngram logistic classifier
-    # (operators/classifier.py). The fit is untimed — the reference's
-    # model refiners load pretrained checkpoints, so apply throughput is
-    # the comparable number — and weak labels are the sf documents
-    # (positive) vs a synthetic spam corpus (negative).
-    from mega_data_factory_spark.operators.classifier import QualityClassifier
-
-    spam_words = ["casino", "jackpot", "winner", "bonus", "prize", "lottery", "spam", "free", "click", "pills"]
-    spam_df = spark.range(5000).select(
-        F2.concat_ws(
-            " ",
-            *[
-                F2.element_at(
-                    F2.array(*[F2.lit(w) for w in spam_words]), ((F2.col("id") * (i + 5)) % 10 + 1).cast("int")
-                )
-                for i in range(30)
-            ],
-        ).alias("text")
-    )
-    clf = QualityClassifier(max_iter=20).fit_weak(docs_lm, spam_df)
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        n_out = clf.apply(corpus_1m).filter(F2.col("quality_score") >= 0.0).count()
-        dt = min(dt, time.perf_counter() - t0)
-    timings["quality_classifier_1m"] = round(dt, 4)
-    total += dt
-    print(
-        f"# quality_classifier_1m: {dt:.3f}s ({n_out} docs scored, {n_out/dt:,.0f} rec/s)",
-        file=sys.stderr,
-    )
-
-    # Dataset-profiling datapoint: full column profile of the two widest
-    # tables (lineitem + orders) in sketch mode — HLL cardinalities +
-    # approx_percentile, the bounded-memory 100 TB configuration. Each
-    # table's profile is ONE aggregate job regardless of column count
-    # (operators/profiling.py), so this measures scan + partial-agg
-    # throughput, not per-column jobs. Input is rewritten to a multi-file
-    # layout first (untimed, the _streaming_pipeline precedent): the
-    # single-file test parquet packs into 1-3 input splits, which
-    # serializes the CPU-heavy sketch updates (measured 7.5 s vs 2.9 s —
-    # the scan-parallelism artifact, scripts/diag_scan_parallelism.out);
-    # a real corpus scan has thousands of splits.
-    import shutil as _shutil
-    import tempfile as _tempfile
-
-    from mega_data_factory_spark.operators.profiling import ColumnProfiler
-
-    prof_tmp = _tempfile.mkdtemp(prefix="mdf_profile_bench_")
     try:
-        prof_dfs = {}
-        n_prof_rows = 0
-        for name, df in load_tables(spark, sf_dir, ("lineitem", "orders")).items():
-            n_prof_rows += df.count()
-            df.repartition(int(spark.sparkContext.defaultParallelism)).write.mode(
-                "overwrite"
-            ).parquet(f"{prof_tmp}/{name}")
-            prof_dfs[name] = spark.read.parquet(f"{prof_tmp}/{name}")
+        # LM-quality datapoint: fit the bigram perplexity model on the sf
+        # documents corpus, score a 1M-row synthetic corpus (the same text
+        # generator as text_pipeline_1m) — measures the model-join + per-doc
+        # aggregate shape at training-pipeline volume (operators/lm.py).
+        from pyspark.sql import functions as F2
+
+        from mega_data_factory_spark.operators.lm import NgramPerplexityScorer
+
+        docs_lm = load_tables(spark, sf_dir, ("documents",))["documents"]
+        scorer = NgramPerplexityScorer().fit(docs_lm)
+        corpus_1m = spark.range(1_000_000).select(
+            F2.col("id").alias("doc_id"),
+            _word_soup(WORDS_1M, width=30, stride=3).alias("text"),
+        )
         dt = float("inf")
         n_out = 0
         for _ in range(2):
             t0 = time.perf_counter()
-            n_out = sum(ColumnProfiler().profile(df).count() for df in prof_dfs.values())
+            n_out = scorer.apply(corpus_1m).filter(F2.col("perplexity").isNotNull()).count()
             dt = min(dt, time.perf_counter() - t0)
-    finally:
-        _shutil.rmtree(prof_tmp, ignore_errors=True)
-    timings["column_profile"] = round(dt, 4)
-    total += dt
-    print(
-        f"# column_profile: {dt:.3f}s ({n_out} stat rows over {n_prof_rows} input rows, "
-        f"{n_prof_rows/dt:,.0f} rec/s)",
-        file=sys.stderr,
-    )
+        scorer.unpersist()
+        timings["perplexity_1m"] = round(dt, 4)
+        total += dt
+        print(f"# perplexity_1m: {dt:.3f}s ({n_out} docs scored, {n_out/dt:,.0f} rec/s)", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["perplexity_1m"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# perplexity_1m: FAILED ({errors['perplexity_1m']})", file=sys.stderr)
 
-    # Baseline-comparable pipeline throughput: the reference's headline
-    # benchmark is 1M records through URLFilter -> TextLengthFilter in
-    # 49.11 s on 8 CPUs = 20,362 rec/s (BASELINE.md / ARCHITECTURE.md:418-434).
-    # Same workload shape on a generated 1M-row corpus (deterministic
-    # expressions; the filters run against realistic URL + text columns).
-    # drop cached plans the query loop left behind (the k-means fits cache
-    # feature frames) before the memory-sensitive synthetic pipelines
-    spark.catalog.clearCache()
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        n_out = _text_pipeline_1m(spark)
-        dt = min(dt, time.perf_counter() - t0)
-    timings["text_pipeline_1m"] = round(dt, 4)
-    total += dt
-    print(f"# text_pipeline_1m: {dt:.3f}s ({n_out} rows kept, {1_000_000/dt:,.0f} rec/s)", file=sys.stderr)
-
-    # Baseline-comparable image CPU stage: metadata -> technical quality ->
-    # quality filter -> phash dedup at 1,630 rec/s on the reference
-    # (BASELINE.md, docs/ARCHITECTURE.md:437-452). Input bytes are
-    # materialized (persisted) before timing so the measurement covers the
-    # pipeline, not synthetic-BMP generation.
-    n_img = 100_000
-    # drop any cached plans/shuffle references the min-of-2 query passes left
-    # behind so the Arrow-heavy image stage isn't measured under their GC
-    # pressure (measured 12.5s vs 4s steady without the clear)
-    spark.catalog.clearCache()
-    img_df = _image_df(spark, n_img).persist()
-    img_df.count()
-    # warmup: full-shape passes until steady — the first pass pays the
-    # 32-worker Python pool spawn (~1.5 s import cost per worker,
-    # serialized), kernel JIT, and shuffle page-cache warm; under host
-    # noise one pass is not always enough (measured 37s -> 15s -> 8s -> 7s
-    # cold-to-steady), so warm until a pass stops improving by >20%, cap 3.
-    # The timed figure is then the min of 2 passes — steady-state
-    # throughput, matching the reference baseline methodology, disclosed
-    # in the JSON output.
-    prev = float("inf")
-    for _ in range(3):
-        w0 = time.perf_counter()
-        _image_pipeline(img_df)
-        w = time.perf_counter() - w0
-        if w > prev * 0.8:
-            break
-        prev = w
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        n_out = _image_pipeline(img_df)
-        dt = min(dt, time.perf_counter() - t0)
-    img_df.unpersist()
-    timings["image_pipeline_100k"] = round(dt, 4)
-    total += dt
-    print(f"# image_pipeline_100k: {dt:.3f}s ({n_out} rows kept, {n_img/dt:,.0f} rec/s)", file=sys.stderr)
-
-    # Streaming-path datapoint: the curation workload through the
-    # foreachBatch streaming runner (micro-batch scheduling + checkpoint +
-    # two sink appends included) at ~200k-row volume so per-batch fixed
-    # costs amortize (the r5 5k-row corpus measured checkpoint overhead,
-    # not throughput). min-of-2 with a FRESH checkpoint per pass — a reused
-    # checkpoint would skip the already-processed files and measure
-    # nothing. The IDENTICAL workload is also run as one batch
-    # Pipeline.run; the JSON reports the streaming/batch wall ratio
-    # (VERDICT r5 #6's "within ~2x of the batch path" bar).
-    import shutil
-    import tempfile
-
-    stream_tmp = tempfile.mkdtemp(prefix="mdf_stream_bench_")
     try:
-        src, n_in = _stream_src(spark, sf_dir, stream_tmp)
-        dt = float("inf")
-        for i in range(2):
-            dt = min(dt, _streaming_pipeline(spark, src, stream_tmp, f"stream{i}"))
-        batch_dt = float("inf")
-        for i in range(2):
-            batch_dt = min(batch_dt, _batch_pipeline_same(spark, src, stream_tmp, f"batch{i}"))
-    finally:
-        shutil.rmtree(stream_tmp, ignore_errors=True)
-    timings["streaming_pipeline"] = round(dt, 4)
-    total += dt
-    stream_detail = {
-        "rows": n_in,
-        "rec_per_s": round(n_in / dt),
-        "micro_batches": 4,
-        "batch_path_sec": round(batch_dt, 4),
-        "streaming_vs_batch_ratio": round(dt / batch_dt, 2),
-    }
-    print(
-        f"# streaming_pipeline: {dt:.3f}s ({n_in} rows streamed, {n_in/dt:,.0f} rec/s; "
-        f"same workload as one batch: {batch_dt:.3f}s, ratio {dt/batch_dt:.2f}x)",
-        file=sys.stderr,
-    )
+        # Learned-quality-filter datapoint: score the SAME 1M-row corpus with
+        # the fastText-style hashed-ngram logistic classifier
+        # (operators/classifier.py). The fit is untimed — the reference's
+        # model refiners load pretrained checkpoints, so apply throughput is
+        # the comparable number — and weak labels are the sf documents
+        # (positive) vs a synthetic spam corpus (negative).
+        from mega_data_factory_spark.operators.classifier import QualityClassifier
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+        spam_words = ["casino", "jackpot", "winner", "bonus", "prize", "lottery", "spam", "free", "click", "pills"]
+        spam_df = spark.range(5000).select(_word_soup(spam_words, width=30, stride=5).alias("text"))
+        clf = QualityClassifier(max_iter=20).fit_weak(docs_lm, spam_df)
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_out = clf.apply(corpus_1m).filter(F2.col("quality_score") >= 0.0).count()
+            dt = min(dt, time.perf_counter() - t0)
+        timings["quality_classifier_1m"] = round(dt, 4)
+        total += dt
+        print(
+            f"# quality_classifier_1m: {dt:.3f}s ({n_out} docs scored, {n_out/dt:,.0f} rec/s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["quality_classifier_1m"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# quality_classifier_1m: FAILED ({errors['quality_classifier_1m']})", file=sys.stderr)
+
+    try:
+        # Dataset-profiling datapoint: full column profile of the two widest
+        # tables (lineitem + orders) in sketch mode — HLL cardinalities +
+        # approx_percentile, the bounded-memory 100 TB configuration. Each
+        # table's profile is ONE aggregate job regardless of column count
+        # (operators/profiling.py), so this measures scan + partial-agg
+        # throughput, not per-column jobs. Input is rewritten to a multi-file
+        # layout first (untimed, the _streaming_pipeline precedent): the
+        # single-file test parquet packs into 1-3 input splits, which
+        # serializes the CPU-heavy sketch updates (measured 7.5 s vs 2.9 s —
+        # the scan-parallelism artifact, scripts/diag_scan_parallelism.out);
+        # a real corpus scan has thousands of splits.
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from mega_data_factory_spark.operators.profiling import ColumnProfiler
+
+        prof_tmp = _tempfile.mkdtemp(prefix="mdf_profile_bench_")
+        try:
+            prof_dfs = {}
+            n_prof_rows = 0
+            for name, df in load_tables(spark, sf_dir, ("lineitem", "orders")).items():
+                n_prof_rows += df.count()
+                df.repartition(int(spark.sparkContext.defaultParallelism)).write.mode(
+                    "overwrite"
+                ).parquet(f"{prof_tmp}/{name}")
+                prof_dfs[name] = spark.read.parquet(f"{prof_tmp}/{name}")
+            dt = float("inf")
+            n_out = 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n_out = sum(ColumnProfiler().profile(df).count() for df in prof_dfs.values())
+                dt = min(dt, time.perf_counter() - t0)
+        finally:
+            _shutil.rmtree(prof_tmp, ignore_errors=True)
+        timings["column_profile"] = round(dt, 4)
+        total += dt
+        print(
+            f"# column_profile: {dt:.3f}s ({n_out} stat rows over {n_prof_rows} input rows, "
+            f"{n_prof_rows/dt:,.0f} rec/s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["column_profile"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# column_profile: FAILED ({errors['column_profile']})", file=sys.stderr)
+
+    try:
+        # Baseline-comparable pipeline throughput: the reference's headline
+        # benchmark is 1M records through URLFilter -> TextLengthFilter in
+        # 49.11 s on 8 CPUs = 20,362 rec/s (BASELINE.md / ARCHITECTURE.md:418-434).
+        # Same workload shape on a generated 1M-row corpus (deterministic
+        # expressions; the filters run against realistic URL + text columns).
+        # drop cached plans the query loop left behind (the k-means fits cache
+        # feature frames) before the memory-sensitive synthetic pipelines
+        spark.catalog.clearCache()
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_out = _text_pipeline_1m(spark)
+            dt = min(dt, time.perf_counter() - t0)
+        timings["text_pipeline_1m"] = round(dt, 4)
+        total += dt
+        print(f"# text_pipeline_1m: {dt:.3f}s ({n_out} rows kept, {1_000_000/dt:,.0f} rec/s)", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["text_pipeline_1m"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# text_pipeline_1m: FAILED ({errors['text_pipeline_1m']})", file=sys.stderr)
+
+    try:
+        # Baseline-comparable image CPU stage: metadata -> technical quality ->
+        # quality filter -> phash dedup at 1,630 rec/s on the reference
+        # (BASELINE.md, docs/ARCHITECTURE.md:437-452). Input bytes are
+        # materialized (persisted) before timing so the measurement covers the
+        # pipeline, not synthetic-BMP generation.
+        n_img = 100_000
+        # drop any cached plans/shuffle references the min-of-2 query passes left
+        # behind so the Arrow-heavy image stage isn't measured under their GC
+        # pressure (measured 12.5s vs 4s steady without the clear)
+        spark.catalog.clearCache()
+        img_df = _image_df(spark, n_img).persist()
+        img_df.count()
+        # warmup: full-shape passes until steady — the first pass pays the
+        # 32-worker Python pool spawn (~1.5 s import cost per worker,
+        # serialized), kernel JIT, and shuffle page-cache warm; under host
+        # noise one pass is not always enough (measured 37s -> 15s -> 8s -> 7s
+        # cold-to-steady), so warm until a pass stops improving by >20%, cap 3.
+        # The timed figure is then the min of 2 passes — steady-state
+        # throughput, matching the reference baseline methodology, disclosed
+        # in the JSON output.
+        prev = float("inf")
+        for _ in range(3):
+            w0 = time.perf_counter()
+            _image_pipeline(img_df)
+            w = time.perf_counter() - w0
+            if w > prev * 0.8:
+                break
+            prev = w
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_out = _image_pipeline(img_df)
+            dt = min(dt, time.perf_counter() - t0)
+        img_df.unpersist()
+        timings["image_pipeline_100k"] = round(dt, 4)
+        total += dt
+        print(f"# image_pipeline_100k: {dt:.3f}s ({n_out} rows kept, {n_img/dt:,.0f} rec/s)", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["image_pipeline_100k"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# image_pipeline_100k: FAILED ({errors['image_pipeline_100k']})", file=sys.stderr)
+
+    try:
+        # Streaming-path datapoint: the curation workload through the
+        # foreachBatch streaming runner (micro-batch scheduling + checkpoint +
+        # two sink appends included) at ~200k-row volume so per-batch fixed
+        # costs amortize (the r5 5k-row corpus measured checkpoint overhead,
+        # not throughput). min-of-2 with a FRESH checkpoint per pass — a reused
+        # checkpoint would skip the already-processed files and measure
+        # nothing. The IDENTICAL workload is also run as one batch
+        # Pipeline.run; the JSON reports the streaming/batch wall ratio
+        # (VERDICT r5 #6's "within ~2x of the batch path" bar).
+        import shutil
+        import tempfile
+
+        stream_tmp = tempfile.mkdtemp(prefix="mdf_stream_bench_")
+        try:
+            src, n_in = _stream_src(spark, sf_dir, stream_tmp)
+            dt = float("inf")
+            for i in range(2):
+                dt = min(dt, _streaming_pipeline(spark, src, stream_tmp, f"stream{i}"))
+            batch_dt = float("inf")
+            for i in range(2):
+                batch_dt = min(batch_dt, _batch_pipeline_same(spark, src, stream_tmp, f"batch{i}"))
+        finally:
+            shutil.rmtree(stream_tmp, ignore_errors=True)
+        timings["streaming_pipeline"] = round(dt, 4)
+        total += dt
+        stream_detail = {
+            "rows": n_in,
+            "rec_per_s": round(n_in / dt),
+            "micro_batches": 4,
+            "batch_path_sec": round(batch_dt, 4),
+            "streaming_vs_batch_ratio": round(dt / batch_dt, 2),
+        }
+        print(
+            f"# streaming_pipeline: {dt:.3f}s ({n_in} rows streamed, {n_in/dt:,.0f} rec/s; "
+            f"same workload as one batch: {batch_dt:.3f}s, ratio {dt/batch_dt:.2f}x)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["streaming_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# streaming_pipeline: FAILED ({errors['streaming_pipeline']})", file=sys.stderr)
+
+    sf_base = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # a custom dir name must not crash the JSON emission (the tool's whole
+    # output contract) after minutes of measurement — non-numeric -> null
+    sf = float(sf_base) if re.fullmatch(r"[0-9.]+", sf_base or "") else None
     print(
         json.dumps(
             {
@@ -510,7 +527,7 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else None,
+                "sf": sf,
                 # every query is timed min-of-2 full plan+execute passes
                 # (steady-state; session warmup excluded). The image pipeline
                 # additionally warms until converged before its timed passes
@@ -530,7 +547,7 @@ def main() -> None:
                     "perplexity_1m",
                     "quality_classifier_1m",
                 ],
-                "streaming": stream_detail,
+                **({"streaming": stream_detail} if stream_detail else {}),
                 # a run with failed queries reports a smaller total than a
                 # clean run; flag it so comparisons don't read it as a win
                 **({"errors": errors, "partial": True} if errors else {}),

@@ -38,6 +38,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 REJECTION_DETAILS_COL = "_rejection_details"
+# the nullable tag column's DDL — ONE definition for the batch builder and
+# the streaming runner (they used to carry drift-prone inline copies)
+REJECTION_STRUCT_DDL = "struct<reason:string,operator:string,dedup_key:string,representative_id:string>"
 
 
 def rejection_details(

@@ -36,9 +36,24 @@ NORM_NOLOWER = "trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
 NORM = "lower(" + NORM_NOLOWER + ")"
 
 
+def _content_key_sql(text: str = "text", id_col: str = "doc_id") -> str:
+    """SQL mirror of functions.hashing.content_key INCLUDING the NULL-text
+    id-fallback ('id:<id>', never collides). A bare md5 partition key would
+    group every NULL-text row into ONE SQL window partition and keep a
+    single survivor — diverging from the engine the moment testdata ships
+    a NULL text."""
+    return (
+        f"coalesce(md5({NORM.format(c=text)}), 'id:' || CAST({id_col} AS VARCHAR))"
+    )
+
+
 def _wc(col: str, word: str) -> str:
-    """SQL mirror of functions.text.word_occurrences."""
-    return f"coalesce(len(regexp_extract_all(lower({col}), '\\b{word.lower()}\\b')), 0)"
+    """SQL mirror of functions.text.word_occurrences — incl. its
+    re.escape (RE2-compatible) so metacharacter words count identically
+    on both engines."""
+    import re as _re
+
+    return f"coalesce(len(regexp_extract_all(lower({col}), '\\b{_re.escape(word.lower())}\\b')), 0)"
 
 
 def _token_count(col: str) -> str:
@@ -101,8 +116,8 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_DEDUP_ORACLE = f"""
 WITH keyed AS (
-  SELECT doc_id, md5({NORM.format(c='text')}) AS content_key,
-         row_number() OVER (PARTITION BY md5({NORM.format(c='text')}) ORDER BY doc_id) AS rn
+  SELECT doc_id, {_content_key_sql()} AS content_key,
+         row_number() OVER (PARTITION BY {_content_key_sql()} ORDER BY doc_id) AS rn
   FROM documents
 )
 SELECT doc_id, content_key FROM keyed WHERE rn = 1 ORDER BY doc_id
@@ -452,7 +467,7 @@ score_kept AS (
   SELECT * FROM len_kept WHERE {_word_score('text', PIPE_WEIGHTS)} < 0.5
 ),
 deduped AS (
-  SELECT *, row_number() OVER (PARTITION BY md5({NORM.format(c='text')}) ORDER BY doc_id) AS rn
+  SELECT *, row_number() OVER (PARTITION BY {_content_key_sql()} ORDER BY doc_id) AS rn
   FROM score_kept
 )
 SELECT doc_id, lang, CAST({_token_count('text')} AS BIGINT) AS token_count
@@ -483,7 +498,13 @@ def curation_rejection_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rejected"))
     )
     out = rej.unionByName(
-        stage3.select(F.lit("__passed__").alias("operator")).groupBy("operator").agg(F.count(F.lit(1)).alias("n_rejected"))
+        # global agg, NOT groupBy: a groupBy over an empty survivor frame
+        # yields no rows, while the oracle emits ('__passed__', 0)
+        # unconditionally — an everything-rejected corpus would row-count
+        # mismatch. agg on empty input returns exactly one 0-count row.
+        stage3.agg(F.count(F.lit(1)).alias("n_rejected")).select(
+            F.lit("__passed__").alias("operator"), "n_rejected"
+        )
     )
     return out.orderBy("operator")
 
@@ -496,7 +517,7 @@ score_kept AS (
   SELECT * FROM len_kept WHERE {_word_score('text', PIPE_WEIGHTS)} < 0.5
 ),
 deduped AS (
-  SELECT *, row_number() OVER (PARTITION BY md5({NORM.format(c='text')}) ORDER BY doc_id) AS rn
+  SELECT *, row_number() OVER (PARTITION BY {_content_key_sql()} ORDER BY doc_id) AS rn
   FROM score_kept
 ),
 counts AS (
@@ -665,7 +686,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sequence_packing_oracle() -> str:
-    b = _H64_SQL.format(v="CAST(doc_id AS VARCHAR)") + f" % {PACK_BUCKETS}"
+    from mega_data_factory_spark.plans.dedup_queries import _h64
+
+    b = _h64("CAST(doc_id AS VARCHAR)") + f" % {PACK_BUCKETS}"
     tc = _token_count("text")
     return f"""
 WITH toks AS (
@@ -688,7 +711,10 @@ FROM packed ORDER BY doc_id
 MIX_WEIGHTS = {"src0": 0.0, "src1": 0.25, "src2": 0.5, "src3": 0.75}
 SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SPLIT_SALT = "epoch1"
-_H64_SQL = "('0x' || substr(md5({v}), 1, 15))::BIGINT"
+# md5->60-bit SQL mirror lives in ONE place: plans.dedup_queries._h64
+# (the minhash/simhash family's helper) — a second copy here had to be
+# kept in lockstep by hand and would silently drift the packing/split
+# oracles from the dedup ones if the hash ever changed.
 
 
 def dataset_split_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,11 +754,12 @@ def _dataset_split_mix_oracle() -> str:
     sampler = WeightedSourceSampler(MIX_WEIGHTS, default_weight=1.0, id_col="doc_id")
     splitter = DatasetSplitRefiner(SPLIT_RATIOS, id_col="doc_id", salt=SPLIT_SALT)
 
+    from mega_data_factory_spark.plans.dedup_queries import _h64
+
     def _bucket_sql(salt: str | None) -> str:
         # derive from the INSTANCE salts so the SQL can never drift from
         # the operators' defaults (the sampler now defaults to salt="mix")
-        v = "CAST(doc_id AS VARCHAR)" + (f" || '#{salt}'" if salt is not None else "")
-        return _H64_SQL.format(v=v) + f" % {BUCKETS}"
+        return _h64("CAST(doc_id AS VARCHAR)", salt) + f" % {BUCKETS}"
 
     b_mix = _bucket_sql(sampler.salt)
     b_split = _bucket_sql(splitter.salt)

@@ -116,11 +116,18 @@ class Pipeline:
         ``release_intermediates`` after the consuming action)."""
         self.release_intermediates()
         df = read_source(spark, self.config.source, max_samples=self.config.max_samples, files=files)
+        return self.apply_ops(df)
+
+    def apply_ops(self, df: DataFrame) -> DataFrame:
+        """Tag column + every operator + stage resource profiles — the ONE
+        operator loop, shared by batch build() and the streaming runner
+        (a duplicated loop in the runner had already drifted: it skipped
+        the stage resource tagging, silently dropping GPU scheduling for
+        streamed model stages)."""
+        from mega_data_factory_spark.operators.base import REJECTION_STRUCT_DDL
+
         if _R not in df.columns:
-            df = df.withColumn(
-                _R,
-                F.lit(None).cast("struct<reason:string,operator:string,dedup_key:string,representative_id:string>"),
-            )
+            df = df.withColumn(_R, F.lit(None).cast(REJECTION_STRUCT_DDL))
         tagged: set[str] = set()
         for stage_name, op in self._ops:
             # first operator of a resource-carrying stage: tag the Spark

@@ -340,18 +340,11 @@ class StreamingPipeline:
 
     def _process_batch(self, batch_df: DataFrame) -> None:
         cfg = self.config
-        if REJECTION_DETAILS_COL not in batch_df.columns:
-            batch_df = batch_df.withColumn(
-                REJECTION_DETAILS_COL,
-                F.lit(None).cast(
-                    "struct<reason:string,operator:string,dedup_key:string,representative_id:string>"
-                ),
-            )
-        tagged = batch_df
         self.pipeline.release_intermediates()  # fresh slate per micro-batch
-        for _stage, op in self.pipeline._ops:
-            tagged = self.pipeline._apply(tagged, op)
-        tagged = tagged.persist()
+        # the SAME operator loop as batch build() — incl. the tag column
+        # and per-stage resource profiles (a duplicated loop here had
+        # dropped GPU stage scheduling for streamed model stages)
+        tagged = self.pipeline.apply_ops(batch_df).persist()
         try:
             import dataclasses
 
