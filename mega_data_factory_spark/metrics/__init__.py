@@ -43,6 +43,7 @@ STAGE_METRICS_SCHEMA = StructType(
         StructField("run_id", StringType()),
         StructField("pipeline", StringType()),
         StructField("stage_name", StringType()),
+        StructField("position", LongType()),
         StructField("timestamp", TimestampType()),
         StructField("input_records", LongType()),
         StructField("output_records", LongType()),
@@ -88,10 +89,11 @@ def write_metrics(spark: SparkSession, result, base_path: str) -> None:
             stage_rows[m.stage] = (stage_rows[m.stage][0], m.output_records)
     stages = spark.createDataFrame(
         [
-            (result.run_id, result.pipeline, s, i, o, (100.0 * o / i if i else 100.0))
-            for s, (i, o) in stage_rows.items()
+            (result.run_id, result.pipeline, s, pos, i, o, (100.0 * o / i if i else 100.0))
+            for pos, (s, (i, o)) in enumerate(stage_rows.items())
         ],
-        "run_id string, pipeline string, stage_name string, input_records long, output_records long, pass_rate double",
+        "run_id string, pipeline string, stage_name string, position long, "
+        "input_records long, output_records long, pass_rate double",
     ).withColumn("timestamp", now)
 
     runs = spark.createDataFrame(

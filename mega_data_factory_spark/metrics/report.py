@@ -140,10 +140,14 @@ def _sankey_svg(ops, total_in: int) -> str:
         f'<text x="{band_x0}" y="{top - 6}" font-size="11" fill="var(--ink-2)">{total_in:,} in</text>'
         f'<text x="{x + 4}" y="{top + 14}" font-size="11" fill="var(--ink)">{in_rec:,} kept</text>'
     )
+    # width scales with operator count: at 9+ operators a fixed 760 box
+    # clipped the last columns and the terminal kept-label (SVG overflow
+    # is hidden by default)
+    svg_w = max(760, x + 90)
     return (
         '<div class="legend">flow:<span class="swatch" style="background:var(--keep)"></span>kept'
         '<span class="swatch" style="background:var(--reject)"></span>rejected</div>'
-        f'<svg role="img" aria-label="record flow" viewBox="0 0 760 {h}" width="760" height="{h}">'
+        f'<svg role="img" aria-label="record flow" viewBox="0 0 {svg_w} {h}" width="{svg_w}" height="{h}">'
         + "".join(parts)
         + "</svg>"
     )
@@ -157,8 +161,17 @@ def _heatmap_svg(ops) -> str:
     if not ops:
         return ""
     stages = list(dict.fromkeys(m["stage_name"] for m in ops))
-    op_names = list(dict.fromkeys(m["operator_name"] for m in ops))
-    cell = {(m["stage_name"], m["operator_name"]): m["pass_rate"] for m in ops}
+    # label duplicates (two instances of one operator class in a stage)
+    # with an index suffix — a dict keyed on the bare name silently kept
+    # only the LAST instance's pass rate
+    seen: dict[str, int] = {}
+    labels = []
+    for m in ops:
+        name = m["operator_name"]
+        seen[name] = seen.get(name, 0) + 1
+        labels.append(f"{name} #{seen[name]}" if seen[name] > 1 else name)
+    op_names = list(dict.fromkeys(labels))
+    cell = {(m["stage_name"], lbl): m["pass_rate"] for m, lbl in zip(ops, labels)}
     cw, ch, left, top = 86, 26, 180, 28
     w, h = left + cw * len(op_names) + 10, top + ch * len(stages) + 10
     parts = [
@@ -194,7 +207,7 @@ _SAMPLE_N = 5
 _SAMPLE_CELL_CHARS = 80
 
 
-def _sample_tables(spark: SparkSession, rejected_path: str, operators: list[str]) -> str:
+def _sample_tables(spark: SparkSession, rejected_path: str, operators: list[str], run_id: str | None = None) -> str:
     """Debug sample rows per rejecting operator (the reference reporter's
     rejected-sample tables, framework/metrics/reporter.py:126-1313).
 
@@ -212,6 +225,11 @@ def _sample_tables(spark: SparkSession, rejected_path: str, operators: list[str]
         rejected = spark.read.parquet(rejected_path)
     except AnalysisException:  # no rejected sink written for this run
         return ""
+    # scope to THIS run when the sink carries run_id (the sink is append-
+    # mode, so a shared path accumulates rows from earlier runs and the
+    # single-run report would show stale samples)
+    if run_id is not None and "run_id" in rejected.columns:
+        rejected = rejected.filter(F.col("run_id") == run_id)
     sections = []
     for op in operators:
         rows = rejected.filter(F.col("operator") == op).limit(_SAMPLE_N).collect()
@@ -249,7 +267,10 @@ def generate_report(
     ``_SAMPLE_N`` sample rows per rejecting operator."""
     runs = spark.read.parquet(os.path.join(metrics_path, "runs"))
     if run_id is None:
-        run_id = runs.orderBy(F.col("timestamp").desc()).first()["run_id"]
+        latest = runs.orderBy(F.col("timestamp").desc()).first()
+        if latest is None:
+            raise ValueError(f"no runs recorded in {metrics_path}/runs")
+        run_id = latest["run_id"]
     run = runs.filter(F.col("run_id") == run_id).first()
     if run is None:
         raise ValueError(f"run_id {run_id!r} not found in {metrics_path}/runs")
@@ -264,11 +285,13 @@ def generate_report(
         else [F.col("input_records").desc()]
     )
     ops = ops_df.orderBy(*order).collect()
-    stages = (
-        spark.read.parquet(os.path.join(metrics_path, "stages"))
-        .filter(F.col("run_id") == run_id)
-        .collect()
+    stages_df = spark.read.parquet(os.path.join(metrics_path, "stages")).filter(
+        F.col("run_id") == run_id
     )
+    stage_order = (
+        [F.col("position").asc()] if "position" in stages_df.columns else [F.col("stage_name").asc()]
+    )
+    stages = stages_df.orderBy(*stage_order).collect()
 
     total_in = run["input_records"] or 1
     bottleneck = min(ops, key=lambda m: m["pass_rate"]) if ops else None
@@ -297,7 +320,9 @@ def generate_report(
         else ""
     )
     samples = (
-        _sample_tables(spark, rejected_path, [m["operator_name"] for m in ops]) if rejected_path else ""
+        _sample_tables(spark, rejected_path, [m["operator_name"] for m in ops], run_id)
+        if rejected_path
+        else ""
     )
     return f"""<!doctype html><html><head><meta charset="utf-8">
 <title>Run {_esc(run_id)}</title><style>{_CSS}</style></head><body>

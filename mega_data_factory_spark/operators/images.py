@@ -248,11 +248,22 @@ def compression_artifact_score(img: np.ndarray, nbytes: int) -> float:
 _BATCH_CHUNK = 256  # bound peak memory: chunk x H x W x C x 8B intermediates
 
 
+def _color_channels(c: int) -> int:
+    """COLOR channel count for a (.., C) decode: 2-channel = gray+alpha
+    (PNG color type 4) and 4-channel = RGB+alpha — alpha is never a color
+    plane; averaging it into luminance/entropy corrupted phash and quality
+    scores for gray+alpha images (and diverged from the PIL path, which
+    converts to RGB)."""
+    if c == 2:
+        return 1
+    return min(3, c)
+
+
 def _batch_gray(stack: np.ndarray) -> np.ndarray:
-    """(B,H,W,C) uint8 -> (B,H,W) float64 mean over the first <=3 channels.
+    """(B,H,W,C) uint8 -> (B,H,W) float64 mean over the COLOR channels.
     tensordot against a 1/k weight vector is ~5x over astype+mean (one BLAS
     pass instead of a full-size float64 materialization)."""
-    k = min(3, stack.shape[3])
+    k = _color_channels(stack.shape[3])
     if k == 1:
         return stack[..., 0].astype(np.float64)
     return np.tensordot(stack[..., :k], np.full(k, 1.0 / k), axes=([3], [0]))
@@ -267,7 +278,8 @@ def batch_entropy(stack: np.ndarray) -> np.ndarray:
     one vectorized pass over the (B,C,256) counts.
     """
     b, h, w, c = stack.shape
-    flat = stack.reshape(b, h * w, c)
+    c = _color_channels(c)
+    flat = stack[..., :c].reshape(b, h * w, c)
     counts = np.empty((b, c, 256), dtype=np.int64)
     for i in range(b):
         for ch in range(c):

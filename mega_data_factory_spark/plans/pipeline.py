@@ -279,6 +279,10 @@ class Pipeline:
                 rejected = (
                     tagged.filter(~self._alive())
                     .withColumn("operator", F.col(f"{_R}.operator"))
+                    # run provenance: the sink is append-mode, so without
+                    # this a shared path mixes runs and the report's
+                    # rejected-sample tables cannot scope to one run
+                    .withColumn("run_id", F.lit(run_id))
                 )
                 # local copy — mutating the caller's SinkConfig in place
                 # would leak partition_by=['operator'] into any later reuse

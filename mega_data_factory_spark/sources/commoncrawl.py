@@ -28,6 +28,7 @@ import os
 import tempfile
 import time
 import urllib.error
+import http.client
 import urllib.request
 from collections.abc import Iterator
 
@@ -55,7 +56,10 @@ def fetch_with_retry(
         try:
             with urllib.request.urlopen(url, timeout=timeout) as r:
                 return r.read()
-        except (urllib.error.URLError, OSError) as e:
+        except (urllib.error.URLError, OSError, http.client.HTTPException) as e:
+            # HTTPException covers IncompleteRead (mid-body connection
+            # drop) — it subclasses neither URLError nor OSError, so it
+            # used to escape the retry contract on the first attempt
             last = e
             if attempt < retries - 1:
                 sleep(backoff**attempt)
@@ -84,7 +88,13 @@ def _cached_fetch(base_url: str, warc_path: str, cache_dir: str) -> bytes:
     """Download one WARC to the executor-local cache (atomic rename, so
     concurrent tasks on one host never read a half-written file) and return
     its bytes. Cache layout mirrors the reference (~/.cache/commoncrawl)."""
-    local = os.path.join(cache_dir, warc_path.replace("/", "_"))
+    # hash prefix keeps the key injective: bare '/'->'_' replacement lets
+    # distinct remote paths collide onto one cache file and silently serve
+    # the wrong WARC bytes
+    import hashlib
+
+    digest = hashlib.md5(warc_path.encode()).hexdigest()[:12]
+    local = os.path.join(cache_dir, f"{digest}_{os.path.basename(warc_path)}")
     if not os.path.exists(local):
         data = fetch_with_retry(f"{base_url.rstrip('/')}/{warc_path.lstrip('/')}")
         os.makedirs(cache_dir, exist_ok=True)

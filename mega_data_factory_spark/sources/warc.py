@@ -78,7 +78,15 @@ def parse_warc_bytes(data: bytes, warc_path: str, crawl_id: str) -> Iterator[dic
             data = gzip.decompress(data)
         except (OSError, EOFError):  # truncated/corrupt download
             return
-    stream = io.BytesIO(data)
+    yield from parse_warc_stream(io.BytesIO(data), warc_path, crawl_id)
+
+
+def parse_warc_stream(stream, warc_path: str, crawl_id: str) -> Iterator[dict]:
+    """Core record loop over a binary file-like (readline/read) — the
+    STREAMING form: the Python DataSource hands it a (gzip) file object so
+    per-task memory is a read window, never raw+inflated whole-file copies
+    (``parse_warc_bytes`` wraps in-memory bytes for the ``binaryFile`` path,
+    whose contract already materializes the file)."""
     # a "WARC/..." line only STARTS a record at a true boundary: file
     # start or right after a blank separator line. Without this, a record
     # skipped for a corrupt Content-Length leaves its payload unconsumed,

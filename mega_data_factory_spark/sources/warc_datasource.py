@@ -28,7 +28,7 @@ import os
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import StructType
 
-from mega_data_factory_spark.sources.warc import WARC_SCHEMA, parse_warc_bytes
+from mega_data_factory_spark.sources.warc import WARC_SCHEMA, parse_warc_stream
 
 
 class WarcFilePartition(InputPartition):
@@ -56,13 +56,29 @@ class WarcDataSourceReader(DataSourceReader):
             )
         return [WarcFilePartition(p) for p in files]
 
-    def read(self, partition: WarcFilePartition):
-        with open(partition.path, "rb") as f:
-            data = f.read()
-        for rec in parse_warc_bytes(data, partition.path, self.crawl_id):
-            yield tuple(rec[f] for f in (
-                "crawl_id", "warc_path", "url", "warc_date", "title", "text", "text_length",
-            ))
+    def read(self, partition: WarcFilePartition | None):
+        # PySpark substitutes [None] for an EMPTY partitions() list
+        # (plan_data_source_read.py) — a dir with no WARC files must yield
+        # an empty DataFrame, not dereference None.path
+        if partition is None:
+            return
+        import gzip
+
+        opener = gzip.open if partition.path.endswith(".gz") else open
+        try:
+            # stream, don't slurp: gzip.GzipFile inflates lazily, so peak
+            # memory is a read window instead of raw+inflated whole-file
+            # copies of a multi-GB WARC
+            with opener(partition.path, "rb") as f:
+                for rec in parse_warc_stream(f, partition.path, self.crawl_id):
+                    yield tuple(rec[c] for c in (
+                        "crawl_id", "warc_path", "url", "warc_date", "title", "text", "text_length",
+                    ))
+        except (OSError, EOFError):
+            # truncated gz tail mid-stream: keep the records already
+            # yielded, skip the rest (the parse_warc_bytes containment
+            # contract, applied streaming)
+            return
 
 
 class WarcDataSource(DataSource):

@@ -293,3 +293,44 @@ def test_cosine_query_udf_ragged_vectors_null(spark):
     )
     got = {r.id: r.c for r in df.select("id", cos(F.col("v")).alias("c")).collect()}
     assert got[1] == 1.0 and got[2] is None and got[3] is None
+
+
+def test_gray_alpha_excludes_alpha_channel():
+    """Gray+alpha decodes (PNG color type 4): alpha is NOT a color plane —
+    averaging it corrupted luminance/entropy/phash vs the PIL path."""
+    import numpy as np
+
+    from mega_data_factory_spark.operators.images import _batch_gray, batch_entropy
+
+    gray = np.full((1, 4, 4, 1), 100, np.uint8)
+    ga = np.concatenate([gray, np.full((1, 4, 4, 1), 255, np.uint8)], axis=3)
+    assert np.array_equal(_batch_gray(ga), gray[..., 0].astype(np.float64))
+    assert batch_entropy(ga) == batch_entropy(gray)
+
+
+def test_rejected_sink_carries_run_id(spark, tmp_path):
+    """The rejected sink is append-mode; run provenance lets the report
+    scope its sample tables to one run on a shared path."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    spark.createDataFrame([(1, 0.1), (2, 5.0)], "event_id long, value double").createOrReplaceTempView(
+        "runid_src"
+    )
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "runid",
+                "id_col": "event_id",
+                "source": {"table": "runid_src"},
+                "stages": [{"name": "s", "operators": [
+                    {"name": "NumericRangeFilter", "params": {"column": "value", "lo": 1.0}},
+                ]}],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"))
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rej"))
+    res = Pipeline(cfg).run(spark)
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    assert [r.run_id for r in rej.collect()] == [res.run_id]

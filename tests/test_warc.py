@@ -127,3 +127,27 @@ def test_warc_extract_matches_oracle(spark):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, "warc_extract")
+
+
+def test_warc_datasource_empty_dir_and_gz_stream(spark, tmp_path):
+    """Empty dir: PySpark substitutes [None] for an empty partition list —
+    must yield an empty frame, not dereference None.path. .gz files stream
+    through gzip.GzipFile (no whole-file slurp) with the same records."""
+    import gzip as _gzip
+
+    from mega_data_factory_spark.sources.warc_datasource import register
+
+    register(spark)
+    empty = tmp_path / "none"
+    empty.mkdir()
+    assert spark.read.format("warc").option("path", str(empty)).load().count() == 0
+
+    data = make_warc(
+        [("http://gz.example/a", "2024-01-01T00:00:00Z",
+          b"<html><title>T</title><body>" + b"word " * 40 + b"</body></html>")]
+    )
+    gz_dir = tmp_path / "gz"
+    gz_dir.mkdir()
+    (gz_dir / "f.warc.gz").write_bytes(_gzip.compress(data))
+    rows = spark.read.format("warc").option("path", str(gz_dir)).load().collect()
+    assert len(rows) == 1 and rows[0].url == "http://gz.example/a"
