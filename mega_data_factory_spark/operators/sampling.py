@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mega_data_factory_spark.functions.hashing import hash64_from_md5
-from mega_data_factory_spark.operators.base import Filter, Refiner
+from mega_data_factory_spark.operators.base import Filter, Operator, Refiner, rejection_details
 
 BUCKETS = 10_000
 
@@ -128,3 +128,134 @@ class WeightedSourceSampler(Filter):
         for s, w in self.weights.items():
             thr = F.when(F.col(self.source_col) == s, F.lit(int(round(w * self.buckets)))).otherwise(thr)
         return b < thr
+
+
+def temperature_weights(
+    sizes: dict[str, float], alpha: float, *, target_total: float | None = None
+) -> dict[str, float]:
+    """Per-source epoch weights from corpus sizes under temperature
+    sampling: the sampled-token share of source *i* is proportional to
+    ``size_i ** alpha`` (alpha=1 -> natural proportions, alpha=0 ->
+    uniform across sources; GPT-3/XLM-R use alpha in [0.2, 0.7] to lift
+    low-resource sources without letting a giant crawl dominate).
+
+    Returns ``weights`` suitable for :class:`EpochWeightedMixer`:
+    ``weight_i * size_i`` (the expected output rows from source *i*) sums
+    to ``target_total`` (default: the input total, i.e. a pure re-mix at
+    constant corpus size). Pure driver-side arithmetic.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if not sizes or any(n <= 0 for n in sizes.values()):
+        raise ValueError("sizes must be a non-empty map of positive counts")
+    total = float(sum(sizes.values()))
+    t = float(target_total) if target_total is not None else total
+    q_norm = sum(n**alpha for n in sizes.values())
+    return {s: (n**alpha / q_norm) * t / n for s, n in sizes.items()}
+
+
+class EpochWeightedMixer(Operator):
+    """Epoch-weighted dataset mixing WITH upsampling — the training-mix
+    knob the downsampling-only :class:`WeightedSourceSampler` cannot
+    express: a source weighted ``w`` contributes ``floor(w)`` full epochs
+    of itself plus a deterministic ``frac(w)`` partial epoch (e.g. the
+    Llama-1 recipe runs Wikipedia at 2.45 epochs while CommonCrawl runs
+    at 0.67). Output rows carry an ``epoch`` int column (0-based copy
+    index) so downstream shuffles/packing can decorrelate repeats.
+
+    Determinism contract matches the sampler: the partial epoch keeps a
+    row iff its stable md5-derived id bucket falls below
+    ``frac(w) * buckets`` — reproducible across runs, engines, and
+    partitionings, and mirrorable in ANSI SQL (``conv(substr(md5(id ||
+    '#salt'),1,15),16,10) % buckets``; the repeat fan-out is a lateral
+    ``range(n)``). NULL ids carry no stable identity and are dropped
+    (standalone) or tagged rejected (pipeline path), never silently kept.
+
+    Scale shape: repeats are a codegen'd when-chain plus one
+    ``explode(sequence(...))`` — a narrow map that fuses into the scan
+    stage; no shuffle, no join against a weights table (the weights map is
+    a literal expression, the same way the sampler inlines thresholds).
+    Row COUNT multiplies by at most ``ceil(max weight)``; at 100 TB you
+    upsample the small curated sources (weights > 1 on the tail, < 1 on
+    the crawl head), so output volume stays ~input volume — the helper
+    :func:`temperature_weights` computes exactly that constant-volume mix.
+
+    Pipeline path (tag column present): already-rejected rows pass through
+    as exactly one copy with a NULL epoch; alive rows with 0 repeats are
+    kept as one copy tagged ``sampled_out`` (rejection accounting intact);
+    alive rows with n >= 1 repeats explode to n tagged-alive copies.
+    """
+
+    def __init__(
+        self,
+        weights: dict[str, float],
+        *,
+        default_weight: float = 1.0,
+        source_col: str = "source",
+        id_col: str = "doc_id",
+        buckets: int = BUCKETS,
+        salt: str | None = "epoch",
+        epoch_col: str = "epoch",
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        for s, w in {**weights, "__default__": default_weight}.items():
+            # the cap is a fat-finger guard (a weight of 1000 is a config
+            # bug, not a mix), mirroring the sampler's [0, 1] validation
+            if not 0.0 <= w <= 100.0:
+                raise ValueError(f"epoch weight for {s!r} must be in [0, 100], got {w}")
+        self.weights = dict(weights)
+        self.default_weight = default_weight
+        self.source_col = source_col
+        self.id_col = id_col
+        self.buckets = buckets
+        self.salt = salt
+        self.epoch_col = epoch_col
+
+    def _split_weight(self, w: float) -> tuple[int, int]:
+        """(full epochs, partial-epoch bucket threshold)."""
+        base = int(w)
+        return base, int(round((w - base) * self.buckets))
+
+    def repeats(self, df: DataFrame) -> Column:
+        """Deterministic per-row copy count (0 = drop). NULL id -> 0."""
+        b = stable_bucket(self.id_col, buckets=self.buckets, salt=self.salt)
+        base_d, thr_d = self._split_weight(self.default_weight)
+        n = F.lit(base_d) + F.when(b < thr_d, 1).otherwise(0)
+        for s, w in self.weights.items():
+            base, thr = self._split_weight(w)
+            n = F.when(
+                F.col(self.source_col) == s, F.lit(base) + F.when(b < thr, 1).otherwise(0)
+            ).otherwise(n)
+        return F.when(F.col(self.id_col).isNotNull(), n).otherwise(F.lit(0))
+
+    def _exploded(self, df: DataFrame, n: Column) -> DataFrame:
+        # sequence(0, n-1) with n == 0 would DESCEND to [0, -1] (Spark's
+        # sequence auto-steps downward) — an empty array is required so
+        # explode drops the row instead of fabricating two phantom epochs
+        seq = F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return df.withColumn(self.epoch_col, F.explode(seq))
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from mega_data_factory_spark.operators.base import REJECTION_DETAILS_COL
+
+        n = self.repeats(df)
+        if REJECTION_DETAILS_COL not in df.columns:
+            return self._exploded(df, n)
+        # pipeline path: preserve one copy of every non-exploding row so
+        # rejection accounting and the rejected sink still see it
+        alive = F.col(REJECTION_DETAILS_COL).isNull()
+        df = df.withColumn(
+            REJECTION_DETAILS_COL,
+            F.when(alive & (n == 0), rejection_details("sampled_out", self.name)).otherwise(
+                F.col(REJECTION_DETAILS_COL)
+            ),
+        )
+        eff = F.when(F.col(REJECTION_DETAILS_COL).isNull(), n).otherwise(F.lit(1))
+        out = self._exploded(df, eff)
+        return out.withColumn(
+            self.epoch_col,
+            F.when(F.col(REJECTION_DETAILS_COL).isNull(), F.col(self.epoch_col)),
+        )

@@ -62,6 +62,7 @@ def _register_builtins() -> None:
     )
     from mega_data_factory_spark.operators.sampling import (
         DatasetSplitRefiner,
+        EpochWeightedMixer,
         WeightedSourceSampler,
     )
     from mega_data_factory_spark.operators.filters import (
@@ -122,6 +123,7 @@ def _register_builtins() -> None:
         DecontaminationFilter,
         DatasetSplitRefiner,
         WeightedSourceSampler,
+        EpochWeightedMixer,
         EmbeddingCosineDeduplicator,
         ImageMetadataRefiner,
         ImageTechnicalQualityRefiner,

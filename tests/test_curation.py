@@ -171,3 +171,97 @@ ORDER BY doc_id
     # deterministic: second run yields the identical survivor set
     again = {r.doc_id for r in s.apply(docs).select("doc_id").collect()}
     assert again == {r.doc_id for r in rows}
+
+
+def test_epoch_mixer_matches_oracle(spark):
+    """EpochWeightedMixer: fractional-epoch UPSAMPLING (weights > 1) is
+    deterministic and reproducible in ANSI SQL — every (doc_id, epoch) row
+    matches the lateral range(n) mirror, including floor+partial epoch
+    counts and weight-0 removal."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    from mega_data_factory_spark.operators.sampling import EpochWeightedMixer
+
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    m = EpochWeightedMixer(
+        {"src1": 2.45, "src2": 0.0, "src3": 0.3}, default_weight=1.0, id_col="doc_id"
+    )
+    out = m.apply(docs).select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+    b = H64.format(v=f"CAST(doc_id AS VARCHAR) || '#{m.salt}'") + " % 10000"
+    n = (
+        f"(CASE WHEN source = 'src1' THEN 2 + (CASE WHEN {b} < 4500 THEN 1 ELSE 0 END) "
+        f"WHEN source = 'src2' THEN 0 "
+        f"WHEN source = 'src3' THEN (CASE WHEN {b} < 3000 THEN 1 ELSE 0 END) "
+        f"ELSE 1 END)"
+    )
+    sql = f"""
+WITH r AS (SELECT doc_id, source, {n} AS n FROM documents)
+SELECT doc_id, source, CAST(unnest(range(n)) AS INT) AS epoch
+FROM r ORDER BY doc_id, epoch
+"""
+    assert_df_matches_sql(out, sql, name="epoch_mixer")
+    from pyspark.sql import functions as F
+
+    per_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_src1 = docs.filter(F.col("source") == "src1").count()
+    assert "src2" not in per_src  # weight 0 removes the source
+    # realized epochs track the weight (hash buckets are ~uniform)
+    assert abs(per_src["src1"] / n_src1 - 2.45) < 0.25
+    # partition layout cannot change the output (the determinism contract)
+    re = m.apply(docs.repartition(7)).select("doc_id", "epoch")
+    assert sorted(map(tuple, re.collect())) == sorted((r.doc_id, r.epoch) for r in out.collect())
+
+
+def test_epoch_mixer_pipeline_tagging(spark):
+    """Pipeline path: dead rows pass through untouched as one NULL-epoch
+    copy, zero-repeat alive rows are TAGGED sampled_out (not dropped), and
+    alive rows explode with the tag preserved."""
+    from mega_data_factory_spark.operators.base import REJECTION_DETAILS_COL, rejection_details
+    from mega_data_factory_spark.operators.sampling import EpochWeightedMixer
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "up" if i % 2 == 0 else "gone") for i in range(20)], "doc_id long, source string"
+    ).withColumn(
+        REJECTION_DETAILS_COL,
+        F.when(F.col("doc_id") < 4, rejection_details("filtered", "Prior")),
+    )
+    m = EpochWeightedMixer({"up": 2.0, "gone": 0.0}, id_col="doc_id")
+    out = m.apply(df).cache()
+    dead = out.filter(F.col(REJECTION_DETAILS_COL).isNotNull())
+    alive = out.filter(F.col(REJECTION_DETAILS_COL).isNull())
+    # previously-rejected rows: exactly one copy each, operator untouched
+    prior = dead.filter(F.col(f"{REJECTION_DETAILS_COL}.operator") == "Prior")
+    assert prior.count() == 4
+    assert prior.filter(F.col("epoch").isNotNull()).count() == 0
+    # weight-0 alive rows: one copy, tagged by the mixer
+    gone = dead.filter(F.col(f"{REJECTION_DETAILS_COL}.operator") == m.name)
+    assert gone.count() == 8 and {r.source for r in gone.collect()} == {"gone"}
+    assert {r[0] for r in gone.select(f"{REJECTION_DETAILS_COL}.reason").collect()} == {"sampled_out"}
+    # weight-2 alive rows: exactly two copies, epochs 0 and 1
+    assert alive.count() == 16
+    assert alive.groupBy("doc_id").count().filter("count != 2").count() == 0
+    assert {r.epoch for r in alive.collect()} == {0, 1}
+    out.unpersist()
+
+
+def test_temperature_weights(spark):
+    """temperature_weights: alpha=1 reproduces natural proportions (all
+    weights 1), alpha=0 equalizes expected counts, and the constant-volume
+    contract holds for intermediate alpha."""
+    import pytest as _pytest
+
+    from mega_data_factory_spark.operators.sampling import temperature_weights
+
+    sizes = {"crawl": 1_000_000, "wiki": 10_000, "books": 40_000}
+    w1 = temperature_weights(sizes, 1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in w1.values())
+    w0 = temperature_weights(sizes, 0.0)
+    counts = {s: w0[s] * n for s, n in sizes.items()}
+    assert max(counts.values()) - min(counts.values()) < 1e-6  # uniform
+    w = temperature_weights(sizes, 0.3)
+    assert abs(sum(w[s] * n for s, n in sizes.items()) - sum(sizes.values())) < 1e-6
+    assert w["wiki"] > 1.0 > w["crawl"]  # tail lifted, head cut
+    with _pytest.raises(ValueError):
+        temperature_weights(sizes, -0.1)
+    with _pytest.raises(ValueError):
+        temperature_weights({}, 0.5)
