@@ -50,9 +50,24 @@ def _register_builtin_sources() -> None:
             kwargs["cache_dir"] = opts["cache_dir"]
         return read_commoncrawl(spark, opts.get("crawl_id", path), **kwargs)
 
+    def read_webdataset_source(spark, path, *, options=None):
+        from mega_data_factory_spark.sources.webdataset import read_webdataset
+
+        opts = dict(options or {})
+        kwargs = {}
+        if opts.get("extensions"):
+            exts = opts["extensions"]
+            kwargs["extensions"] = tuple(
+                e.strip() for e in (exts.split(",") if isinstance(exts, str) else exts)
+            )
+        if opts.get("max_samples"):
+            kwargs["max_samples"] = int(opts["max_samples"])
+        return read_webdataset(spark, path, **kwargs)
+
     SOURCES.register(read_warc, "warc")
     SOURCES.register(read_huggingface, "huggingface")
     SOURCES.register(read_commoncrawl_source, "commoncrawl")
+    SOURCES.register(read_webdataset_source, "webdataset")
 
 
 _register_builtin_sources()
