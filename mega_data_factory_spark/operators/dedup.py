@@ -258,8 +258,9 @@ class MinHashLSHDeduplicator(JoinDeduplicator):
         self.shingle_n = shingle_n
 
 
-    def _band_pairs(self, df: DataFrame) -> DataFrame:
-        """(id, earliest id sharing any band bucket).
+    def _band_ids(self, df: DataFrame) -> DataFrame:
+        """(id, __band_key) — one row per (doc, band); the compact-key frame
+        every consumer shuffles instead of text.
 
         Signature via explode -> base-hash -> groupBy(id) with num_hashes
         plain min() aggregates: simple expressions (fast to codegen — the
@@ -284,7 +285,11 @@ class MinHashLSHDeduplicator(JoinDeduplicator):
                 for b in range(self.bands)
             ]
         )
-        ids = sig.select(F.col(self.id_col), F.explode(bands).alias("__band_key"))
+        return sig.select(F.col(self.id_col), F.explode(bands).alias("__band_key"))
+
+    def _band_pairs(self, df: DataFrame) -> DataFrame:
+        """(id, earliest id sharing any band bucket)."""
+        ids = self._band_ids(df)
         w = Window.partitionBy("__band_key")
         return (
             ids.withColumn("__bucket_min", F.min(F.col(self.id_col)).over(w))
@@ -296,6 +301,85 @@ class MinHashLSHDeduplicator(JoinDeduplicator):
     # join-dedup contract for the pipeline runner (pipeline._apply_join_dedup)
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         return self._band_pairs(df)
+
+
+class IncrementalMinHashDeduplicator(MinHashLSHDeduplicator):
+    """MinHash-LSH near-dedup against BOTH the current batch and a persisted
+    BAND store — the near-dup counterpart of
+    :class:`IncrementalExactDeduplicator`: continuous crawls deduplicate
+    each new batch against the whole historical corpus without rescanning
+    it. The state is data, not actor memory (the reference's in-memory
+    seen-set, framework/backend.py:21-47, restated as a parquet directory
+    of ``(band_key, representative_id)`` rows previous runs appended).
+
+    Semantics (candidate-level, like the parent): a row is rejected iff
+    any of its band keys is in the store (the STORED representative wins —
+    the historical corpus is by definition earlier) or an earlier same-band
+    row exists in the batch (min id wins). After sinks land, call
+    ``update_store`` to append the survivors' bands — ``Pipeline.run``
+    does this automatically for any operator exposing ``update_store``.
+
+    Scale shape: the store is ``bands``-per-doc compact keys (~60 bytes x
+    bands, ~0.5% of a text corpus) and the membership check rides the SAME
+    shuffle the in-batch band grouping already pays — one hash join on
+    ``__band_key``, AQE-broadcast while the store is small, co-located
+    forever if the store directory is bucketed by band key. At-least-once
+    appends are safe: duplicate store rows collapse in the pre-join
+    min() aggregate.
+    """
+
+    def __init__(self, store_path: str, **kwargs):
+        super().__init__(**kwargs)
+        self.store_path = store_path
+
+    def _store_bands(self, spark) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(self.store_path).select("band_key", "representative_id")
+        except AnalysisException:  # first run: empty store
+            return spark.createDataFrame([], "band_key string, representative_id string")
+
+    def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        ids = self._band_ids(df)
+        w = Window.partitionBy("__band_key")
+        ranked = ids.withColumn("__bucket_min", F.min(F.col(self.id_col)).over(w))
+        store = (
+            self._store_bands(df.sparkSession)
+            .withColumnRenamed("band_key", "__band_key")
+            # deterministic collapse of replayed/duplicate appends (string
+            # min — representatives are opaque ids here, the pick just has
+            # to be stable)
+            .groupBy("__band_key")
+            .agg(F.min("representative_id").alias("__srep"))
+        )
+        joined = ranked.join(store, on="__band_key", how="left")
+        batch_earlier = F.col("__bucket_min") < F.col(self.id_col)
+        return (
+            joined.filter(F.col("__srep").isNotNull() | batch_earlier)
+            .groupBy(self.id_col)
+            .agg(
+                # stored rep takes precedence over the batch-internal min
+                # (never lexicographic-min across the two families)
+                F.min("__srep").alias("__s"),
+                F.min(F.when(batch_earlier, F.col("__bucket_min"))).alias("__b"),
+            )
+            .select(
+                F.col(self.id_col),
+                F.coalesce(F.col("__s"), F.col("__b").cast("string")).alias("__rep"),
+            )
+        )
+
+    def update_store(self, df: DataFrame, *, survivors: bool = False) -> None:
+        """Append the surviving docs' band keys. Same at-least-once posture
+        as the exact store: re-appending is harmless."""
+        out = df if survivors else self.apply(df)
+        bands = (
+            self._band_ids(out)
+            .groupBy(F.col("__band_key").alias("band_key"))
+            .agg(F.min(F.col(self.id_col).cast("string")).alias("representative_id"))
+        )
+        bands.write.mode("append").parquet(self.store_path)
 
 
 SIMHASH_BITS = 60  # md5-derived hashes carry 60 usable bits (15 hex chars)

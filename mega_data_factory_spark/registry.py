@@ -53,6 +53,7 @@ def _register_builtins() -> None:
         DecontaminationFilter,
         EmbeddingCosineDeduplicator,
         IncrementalExactDeduplicator,
+        IncrementalMinHashDeduplicator,
         KeyDeduplicator,
         MinHashLSHDeduplicator,
         NgramJaccardDeduplicator,
@@ -115,6 +116,7 @@ def _register_builtins() -> None:
         FingerprintRefiner,
         TextExactDeduplicator,
         IncrementalExactDeduplicator,
+        IncrementalMinHashDeduplicator,
         KeyDeduplicator,
         MinHashLSHDeduplicator,
         SimHashDeduplicator,

@@ -245,3 +245,71 @@ def test_resume_passes_pending_files_to_custom_source(spark, tmp_path, monkeypat
     assert "c.fake" in seen_paths[-1][0]
     out2 = spark.read.parquet(str(tmp_path / "out"))
     assert out2.count() == 4  # no re-appended rows from a/b
+
+
+def test_incremental_minhash_dedup_across_runs(spark, tmp_path):
+    """IncrementalMinHashDeduplicator: NEAR-duplicates of previously
+    admitted docs are rejected in later runs via the persisted band store
+    (stored representative wins over the batch-internal min); genuinely
+    new docs survive; appends are at-least-once safe."""
+    from mega_data_factory_spark.operators.dedup import IncrementalMinHashDeduplicator
+
+    store = str(tmp_path / "band_store")
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before the hunters arrive")
+    variant = base.replace("green forest", "green woods")  # near-dup of base
+    other = ("completely unrelated content about distributed query engines "
+             "processing petabytes of shuffled analytical data every day")
+    d = IncrementalMinHashDeduplicator(store, id_col="doc_id", num_hashes=16, bands=8)
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other), (3, base + " extra trailing clause appended")],
+        "doc_id long, text string",
+    )
+    surv1 = {r.doc_id for r in d.apply(b1).collect()}
+    assert 1 in surv1 and 2 in surv1  # first run: in-batch rule only
+    d.update_store(b1)
+
+    b2 = spark.createDataFrame(
+        [(10, base),      # exact re-occurrence -> rejected, stored rep "1"
+         (11, variant),   # near-dup of stored base -> rejected (band match)
+         (12, other + " now with fresh words"),  # near-dup of stored 2
+         (13, "an entirely novel document about gardening with tomatoes "
+              "peppers cucumbers and a small patch of fragrant basil")],
+        "doc_id long, text string",
+    )
+    surv2 = {r.doc_id for r in d.apply(b2).collect()}
+    assert surv2 == {13}
+    reps = {r.doc_id: r["representative_id"] for r in d.rejected(b2).select(
+        "doc_id", "_rejection_details.representative_id").collect()}
+    assert reps[10] == "1" and reps[11] == "1" and reps[12] == "2"
+    d.update_store(b2)
+
+    # re-append is harmless; a doc near 13's text is now rejected too
+    d.update_store(b2)
+    b3 = spark.createDataFrame(
+        [(20, "an entirely novel document about gardening with tomatoes "
+              "peppers cucumbers and a small patch of aromatic basil")],
+        "doc_id long, text string",
+    )
+    assert d.apply(b3).count() == 0
+    assert {"band_key", "representative_id"} <= set(spark.read.parquet(store).columns)
+
+
+def test_incremental_minhash_batch_and_store_precedence(spark, tmp_path):
+    """A doc that is BOTH an in-batch later duplicate and a store hit takes
+    the stored representative (the historical corpus is earlier by
+    definition), and the batch path alone still uses numeric-min ids."""
+    from mega_data_factory_spark.operators.dedup import IncrementalMinHashDeduplicator
+
+    store = str(tmp_path / "bands2")
+    text = ("repeatable sentence with enough words to form several distinct "
+            "shingles for the minhash signature computation to chew on here")
+    d = IncrementalMinHashDeduplicator(store, id_col="doc_id", num_hashes=16, bands=4)
+    d.update_store(spark.createDataFrame([(5, text)], "doc_id long, text string"))
+    b = spark.createDataFrame([(9, text), (10, text)], "doc_id long, text string")
+    reps = {r.doc_id: r["representative_id"] for r in d.rejected(b).select(
+        "doc_id", "_rejection_details.representative_id").collect()}
+    # both rows hit the store; 10 is also an in-batch dup of 9 — store wins
+    assert reps == {9: "5", 10: "5"}
+    assert d.apply(b).count() == 0
