@@ -188,7 +188,11 @@ def write_webdataset(
     shard = (hash64_from_md5(F.col(key_col).cast("string"), seed="wds") % num_shards).alias(
         "__shard_id__"
     )
-    tagged = df.select(shard, F.col(key_col).alias("__key__"), *[F.col(c) for c in cols])
+    # NULL keys cannot name tar members AND would land in a NULL shard id
+    # (int(None) kills the writer task) — drop them up front
+    tagged = df.filter(F.col(key_col).isNotNull()).select(
+        shard, F.col(key_col).alias("__key__"), *[F.col(c) for c in cols]
+    )
 
     col_ext = dict(cols)
 

@@ -109,6 +109,19 @@ def test_webdataset_read_options(spark, tmp_path):
     assert 0 < n < 10
 
 
+def test_webdataset_null_key_dropped(spark, tmp_path):
+    """A NULL sample key cannot name tar members; the row is dropped, the
+    write survives (was: int(None) killed the shard task)."""
+    df = spark.createDataFrame(
+        [("a", "one"), (None, "ghost"), ("b", "two")], "__key__ string, txt string"
+    )
+    out = str(tmp_path / "nk")
+    manifest = write_webdataset(df, out, num_shards=1)
+    assert sum(r.samples for r in manifest.collect()) == 2
+    back = read_webdataset(spark, out, extensions=("txt",))
+    assert {r["__key__"] for r in back.collect()} == {"a", "b"}
+
+
 def test_webdataset_write_validation(spark, tmp_path):
     df = spark.createDataFrame([("k", "v")], "__key__ string, txt string")
     with pytest.raises(ValueError, match="not in frame"):
