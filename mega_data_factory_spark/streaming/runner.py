@@ -268,8 +268,14 @@ class StreamingPipeline:
     reference's per-shard ``records_processed`` checkpoints
     (loader_worker.py:133-140), done properly by the engine.
 
-    Note: dedup inside foreachBatch is first-wins *within* the micro-batch;
-    put ``stream_exact_dedup`` upstream for cross-batch seen-state.
+    Note: plain dedup inside foreachBatch is first-wins *within* the
+    micro-batch; for cross-batch seen-state use ``stream_exact_dedup``
+    upstream OR an incremental store operator
+    (``IncrementalExactDeduplicator`` / ``IncrementalMinHashDeduplicator``)
+    in the config — their parquet stores are appended after each
+    micro-batch's sinks land, so batch N+1 dedups (exactly or
+    approximately) against everything batch N admitted, surviving
+    restarts without state-store RocksDB.
 
     ``output_files`` bounds the files each micro-batch appends per sink
     (coalesce before the write). Streaming parquet sinks otherwise emit one
@@ -393,6 +399,17 @@ class StreamingPipeline:
                     _write_passed()
                 if cfg.rejected_sink:
                     _write_rejected()
+            # incremental dedup stores persist AFTER this micro-batch's
+            # sinks land (the batch runner's posture, per batch): batch
+            # N+1 then dedups against everything batch N admitted — the
+            # cross-batch seen-state the in-batch window cannot provide.
+            # At-least-once is safe: a replayed batch re-appends keys the
+            # store join collapses.
+            for _stage, op in self.pipeline._ops:
+                if hasattr(op, "update_store"):
+                    op.update_store(
+                        tagged.filter(alive).drop(REJECTION_DETAILS_COL), survivors=True
+                    )
         finally:
             tagged.unpersist()
             self.pipeline.release_intermediates()

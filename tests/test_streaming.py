@@ -379,3 +379,67 @@ def test_streaming_pipeline_microbatch_knobs(spark, tmp_path):
     # 2 micro-batches x output_files=1 -> at most 2 parquet files in the
     # passed sink (batch 2 of EVENTS_B has no rejected rows -> rej has 1)
     assert len(glob.glob(str(tmp_path / "out" / "*.parquet"))) <= 2
+
+
+def test_streaming_incremental_store_persists_per_batch(spark, tmp_path):
+    """An incremental-store dedup op in a STREAMED config appends its
+    parquet store after every micro-batch, so a later run (restart) rejects
+    near-duplicates of docs an earlier run admitted — cross-batch,
+    cross-restart seen-state without RocksDB."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.streaming import StreamingPipeline
+
+    src = tmp_path / "docs_in"
+    store = str(tmp_path / "band_store")
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before the hunters arrive")
+    src.mkdir(parents=True, exist_ok=True)
+    with open(src / "a.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": base}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "a completely unrelated "
+                            "essay about growing tomatoes and basil"}) + "\n")
+
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "stream_incr",
+                "id_col": "doc_id",
+                "source": {"table": "unused"},
+                "stages": [
+                    {
+                        "name": "dedup",
+                        "operators": [
+                            {
+                                "name": "IncrementalMinHashDeduplicator",
+                                "params": {
+                                    "store_path": store,
+                                    "id_col": "doc_id",
+                                    "num_hashes": 16,
+                                    "bands": 8,
+                                },
+                            }
+                        ],
+                    }
+                ],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "docs_pass"))
+
+    ckpt = str(tmp_path / "incr_ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = StreamingPipeline(cfg, checkpoint_dir=ckpt).start(stream)
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "docs_pass")).count() == 2
+    assert spark.read.parquet(store).count() > 0  # store landed with batch 1
+
+    # restart with a near-dup of doc 1 and a fresh doc
+    with open(src / "b.json", "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": base.replace("green forest", "green woods")}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": "entirely new prose about "
+                            "distributed shuffle hash joins at scale"}) + "\n")
+    stream2 = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q2 = StreamingPipeline(cfg, checkpoint_dir=ckpt).start(stream2)
+    q2.awaitTermination(120)
+    ids = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "docs_pass")).collect())
+    assert ids == [1, 2, 11]  # 10 rejected against the run-1 store
