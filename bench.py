@@ -366,6 +366,44 @@ def main() -> None:
         print(f"# quality_classifier_1m: FAILED ({errors['quality_classifier_1m']})", file=sys.stderr)
 
     try:
+        # PQ ANN datapoint: product-quantize a 500k x 64-dim corpus (one
+        # Arrow-batched argmin-matmul pass -> 8-byte codes, 32x compression)
+        # and run an ADC top-10 scan over the codes in the same job — the
+        # compressed-domain search path (operators/quantization.py). The
+        # codebook fit is untimed (train-once like the classifier/scorer
+        # fits); encode throughput dominates and is the at-scale cost: it
+        # runs once at ingest. Vectors are deterministic hash soup — PQ
+        # recall quality is the test suite's bar, this measures throughput.
+        from mega_data_factory_spark.operators.quantization import ProductQuantizer
+
+        PQ_N, PQ_DIM = 500_000, 64
+        vec_expr = F2.transform(
+            F2.sequence(F2.lit(0), F2.lit(PQ_DIM - 1)),
+            lambda j: (F2.pmod(F2.xxhash64(F2.col("id"), j), F2.lit(1000)).cast("double") / 500.0 - 1.0).cast("float"),
+        )
+        pq_corpus = spark.range(PQ_N).select(F2.col("id").alias("vec_id"), vec_expr.alias("embedding"))
+        # materialize the synthetic corpus untimed: the interpreted
+        # hash-soup generator (PQ_N x PQ_DIM xxhash64 calls) is fixture
+        # cost, not the operator under measurement
+        pq_corpus = pq_corpus.persist()
+        pq_corpus.count()
+        pq = ProductQuantizer(m=8, sample_rows=20_000, seed=42).fit(pq_corpus)
+        qv = [float(x) for x in pq_corpus.first()["embedding"]]
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            top = pq.adc_topk(pq.encode(pq_corpus), qv, k=10, metric="ip").collect()
+            dt = min(dt, time.perf_counter() - t0)
+        assert len(top) == 10
+        pq_corpus.unpersist()
+        timings["pq_ann_500k"] = round(dt, 4)
+        total += dt
+        print(f"# pq_ann_500k: {dt:.3f}s (encode+ADC over {PQ_N:,} vecs, {PQ_N/dt:,.0f} rec/s)", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["pq_ann_500k"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# pq_ann_500k: FAILED ({errors['pq_ann_500k']})", file=sys.stderr)
+
+    try:
         # Dataset-profiling datapoint: full column profile of the two widest
         # tables (lineitem + orders) in sketch mode — HLL cardinalities +
         # approx_percentile, the bounded-memory 100 TB configuration. Each
@@ -546,6 +584,7 @@ def main() -> None:
                     "column_profile",
                     "perplexity_1m",
                     "quality_classifier_1m",
+                    "pq_ann_500k",
                 ],
                 **({"streaming": stream_detail} if stream_detail else {}),
                 # a run with failed queries reports a smaller total than a
