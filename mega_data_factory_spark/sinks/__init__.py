@@ -52,6 +52,10 @@ def write_sink(df: DataFrame, cfg: SinkConfig) -> None:
             writer = writer.partitionedBy(*[F.col(c) for c in cfg.partition_by])
         if cfg.mode == "overwrite":
             writer.createOrReplace()
+        elif cfg.mode == "overwrite_partitions":
+            # Iceberg's native dynamic overwrite: replace exactly the
+            # partitions present in this batch (replay-safe re-runs)
+            writer.overwritePartitions()
         else:
             # append must CREATE on first write (the reference writer's
             # create-if-missing, iceberg_writer.py:81-116) — a bare
@@ -96,6 +100,35 @@ def write_sink(df: DataFrame, cfg: SinkConfig) -> None:
         return
     if cfg.path is None:
         raise ValueError("sink needs a path")
+    if cfg.mode == "overwrite_partitions":
+        # Dynamic partition overwrite: replace ONLY the hive partitions
+        # present in this batch, leave every other partition untouched —
+        # the exactly-once lever for replayed/re-run batches the resume
+        # docs point at ("pair with dedup or partition-overwrite"): key the
+        # partition on the batch/run id (or ingest date) and a re-run
+        # REPLACES its own output instead of double-appending. Static
+        # overwrite (plain mode=overwrite) would wipe the whole directory.
+        if not cfg.partition_by:
+            raise ValueError(
+                "overwrite_partitions needs partition_by — it replaces "
+                "exactly the partitions present in the batch; without a "
+                "partition key it degenerates to full overwrite"
+            )
+        spark = df.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            (
+                df.write.format(fmt)
+                .mode("overwrite")
+                .options(**cfg.options)
+                .partitionBy(*cfg.partition_by)
+                .save(cfg.path)
+            )
+        finally:
+            spark.conf.set(key, prev)
+        return
     writer = df.write.format(fmt).mode(cfg.mode).options(**cfg.options)
     if cfg.partition_by:
         writer = writer.partitionBy(*cfg.partition_by)

@@ -508,3 +508,35 @@ def test_cli_run_max_samples_override(spark, capsys, tmp_path):
     out = _json.loads(capsys.readouterr().out)
     assert out["input_records"] == 7
     assert out["output_records"] == 7
+
+
+def test_overwrite_partitions_sink_mode(spark, tmp_path):
+    """mode=overwrite_partitions replaces ONLY the hive partitions present
+    in the batch (replay-safe re-runs); other partitions survive; the
+    session conf is restored afterwards; missing partition_by is refused."""
+    import pytest as _pytest
+
+    from mega_data_factory_spark.config import SinkConfig
+    from mega_data_factory_spark.sinks import write_sink
+
+    out = str(tmp_path / "dyn")
+    cfg = SinkConfig(path=out, mode="overwrite_partitions", partition_by=["run"])
+    b1 = spark.createDataFrame(
+        [(1, "r1"), (2, "r1"), (3, "r2")], "doc_id long, run string"
+    )
+    write_sink(b1, cfg)
+    assert spark.read.parquet(out).count() == 3
+
+    # replay run r1 with corrected rows: r1 is replaced, r2 untouched
+    b1_fixed = spark.createDataFrame([(10, "r1")], "doc_id long, run string")
+    write_sink(b1_fixed, cfg)
+    got = {(r.doc_id, r.run) for r in spark.read.parquet(out).collect()}
+    assert got == {(10, "r1"), (3, "r2")}
+    # idempotent: the same replay again changes nothing
+    write_sink(b1_fixed, cfg)
+    assert {(r.doc_id, r.run) for r in spark.read.parquet(out).collect()} == got
+    # conf restored (default static)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+    with _pytest.raises(ValueError, match="partition_by"):
+        write_sink(b1, SinkConfig(path=out, mode="overwrite_partitions"))
