@@ -141,6 +141,28 @@ class IncrementalExactDeduplicator(JoinDeduplicator, TextExactDeduplicator):
         new_keys.write.mode("append").parquet(self.store_path)
 
 
+class IncrementalKeyDeduplicator(IncrementalExactDeduplicator):
+    """Store-backed first-wins dedup on an ARBITRARY key column/expression —
+    the same parquet seen-keys machinery as the text-content store, but
+    keyed on whatever the pipeline derived (an image phash column, a
+    (url, byte-length) pair, an external fingerprint). Closes the
+    incremental family: exact text (:class:`IncrementalExactDeduplicator`),
+    near-text (:class:`IncrementalMinHashDeduplicator`), and now any
+    precomputed key. NULL-safe multi-key semantics match
+    :class:`KeyDeduplicator` (NUL sentinel, never concat_ws skipping)."""
+
+    def __init__(self, store_path: str, key_cols: list[str], *, id_col: str, name: str | None = None):
+        # TextExact's text-specific knobs are meaningless here; route only
+        # the shared identity args up the chain
+        super().__init__(store_path, id_col=id_col, name=name)
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        self.key_cols = key_cols
+
+    def key(self, df: DataFrame) -> Column:
+        return KeyDeduplicator.key(self, df)
+
+
 class KeyDeduplicator(Deduplicator):
     """Dedup on an arbitrary existing column/expression (generic first-wins
     per key — e.g. one row per customer, one event per (user, type))."""

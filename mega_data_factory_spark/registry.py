@@ -53,6 +53,7 @@ def _register_builtins() -> None:
         DecontaminationFilter,
         EmbeddingCosineDeduplicator,
         IncrementalExactDeduplicator,
+        IncrementalKeyDeduplicator,
         IncrementalMinHashDeduplicator,
         KeyDeduplicator,
         MinHashLSHDeduplicator,
@@ -116,6 +117,7 @@ def _register_builtins() -> None:
         FingerprintRefiner,
         TextExactDeduplicator,
         IncrementalExactDeduplicator,
+        IncrementalKeyDeduplicator,
         IncrementalMinHashDeduplicator,
         KeyDeduplicator,
         MinHashLSHDeduplicator,

@@ -313,3 +313,32 @@ def test_incremental_minhash_batch_and_store_precedence(spark, tmp_path):
     # both rows hit the store; 10 is also an in-batch dup of 9 — store wins
     assert reps == {9: "5", 10: "5"}
     assert d.apply(b).count() == 0
+
+
+def test_incremental_key_dedup_arbitrary_key(spark, tmp_path):
+    """IncrementalKeyDeduplicator: the seen-store works over any derived
+    key column (here an image-phash-style fingerprint), across runs, with
+    multi-key NULL safety inherited from KeyDeduplicator."""
+    from mega_data_factory_spark.operators.dedup import IncrementalKeyDeduplicator
+
+    store = str(tmp_path / "phash_store")
+    d = IncrementalKeyDeduplicator(store, ["phash"], id_col="img_id")
+    b1 = spark.createDataFrame(
+        [(1, "aabb"), (2, "ccdd"), (3, "aabb")], "img_id long, phash string"
+    )
+    assert {r.img_id for r in d.apply(b1).collect()} == {1, 2}
+    d.update_store(b1)
+
+    b2 = spark.createDataFrame(
+        [(10, "ccdd"), (11, "eeff")], "img_id long, phash string"
+    )
+    surv = {r.img_id for r in d.apply(b2).collect()}
+    assert surv == {11}
+    reps = {r.img_id: r["representative_id"] for r in d.rejected(b2).select(
+        "img_id", "_rejection_details.representative_id").collect()}
+    assert reps == {10: "2"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        IncrementalKeyDeduplicator(store, [], id_col="img_id")
