@@ -161,3 +161,47 @@ class SequencePacker(Operator):
                 "n_docs",
             )
         )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str | None = "shuffle",
+    num_partitions: int | None = None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Reproducible global shuffle — the final step before training
+    consumes packed sequences (correlated neighbors from packing/dedup
+    order hurt SGD; every training stack shuffles its shards).
+
+    ``df.orderBy(rand())`` is neither reproducible nor resumable. Here
+    every row gets a stable md5-derived rank (``hash64(id # salt)``), then
+    the frame is hash-repartitioned on that rank and sorted within
+    partitions. Because Spark's hash partitioning (murmur3 on the rank
+    value, mod N) and the in-partition sort are both pure functions of the
+    DATA, the resulting permutation — which rows share an output file, and
+    their order inside it — is identical across runs, cluster sizes, and
+    input layouts for a fixed ``num_partitions``. A different ``salt``
+    gives an independent permutation (fresh shuffle per epoch, the same
+    seed-family convention as the samplers).
+
+    Scale shape: ONE shuffle, no global sort (a total ``orderBy`` funnels
+    range boundaries through a driver sample and is pointless here — files
+    need not be globally ordered, just deterministically permuted);
+    partitions are balanced because md5 ranks are uniform. ``rank_col``
+    keeps the rank as a column for audit/resume instead of dropping it.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    from mega_data_factory_spark.functions.hashing import hash64_from_md5
+
+    rank = hash64_from_md5(F.col(id_col).cast("string"), seed=salt)
+    keep = rank_col or "__shuffle_rank"
+    out = (
+        df.withColumn(keep, rank)
+        # rank ties (hash collisions / duplicate ids) break on the id so
+        # the permutation stays total and deterministic
+        .repartition(n, F.col(keep))
+        .sortWithinPartitions(F.col(keep), F.col(id_col))
+    )
+    return out if rank_col else out.drop(keep)

@@ -172,3 +172,37 @@ def test_bad_params(spark):
         SequencePacker(0)
     with pytest.raises(ValueError, match="buckets"):
         SequencePacker(16, buckets=0)
+
+
+def test_deterministic_shuffle(spark):
+    """deterministic_shuffle: the permutation (file membership + in-file
+    order) is identical across input layouts and runs, independent of the
+    original order, and a different salt yields a different permutation."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.packing import deterministic_shuffle
+
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(500)], "doc_id long, text string")
+
+    def seq(frame, **kw):
+        out = deterministic_shuffle(frame, num_partitions=8, **kw)
+        rows = out.withColumn("__p", F.spark_partition_id()).collect()
+        by_part = {}
+        for r in rows:
+            by_part.setdefault(r["__p"], []).append(r.doc_id)
+        return [tuple(by_part[p]) for p in sorted(by_part)]
+
+    a = seq(df)
+    b = seq(df.repartition(13).sortWithinPartitions(F.col("doc_id").desc()))
+    assert a == b  # layout-independent permutation
+    flat = [i for part in a for i in part]
+    assert sorted(flat) == list(range(500))  # a true permutation
+    assert flat != list(range(500))  # and actually shuffled
+    # adjacent-id correlation is destroyed: few consecutive pairs remain
+    adjacent = sum(1 for x, y in zip(flat, flat[1:]) if y == x + 1)
+    assert adjacent < 25
+    c = seq(df, salt="epoch2")
+    assert c != a  # independent permutation per salt
+    # rank_col keeps the rank for audit
+    kept = deterministic_shuffle(df, num_partitions=4, rank_col="rk")
+    assert "rk" in kept.columns and kept.filter(F.col("rk").isNull()).count() == 0
