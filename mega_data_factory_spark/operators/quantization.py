@@ -158,6 +158,38 @@ class ProductQuantizer:
         if self.codebooks is None:
             raise ValueError("call fit() first")
 
+    def save(self, path: str) -> None:
+        """Persist the fitted codebooks (train-once / apply-later, the
+        QualityClassifier posture): a single .npz with the codec params
+        embedded, so a later job encodes new batches against the SAME
+        distance model — re-fitting per batch would silently make codes
+        from different runs incomparable."""
+        self._require_fit()
+        import io as _io
+        import os as _os
+
+        buf = _io.BytesIO()
+        np.savez(
+            buf,
+            codebooks=self.codebooks,
+            params=np.array([self.m, self.nbits, self.dim], dtype=np.int64),
+        )
+        _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".inprogress"
+        with open(tmp, "wb") as fh:
+            fh.write(buf.getvalue())
+        _os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str, *, vec_col: str = "embedding") -> "ProductQuantizer":
+        with open(path, "rb") as fh:
+            data = np.load(fh)
+            m, nbits, dim = (int(x) for x in data["params"])
+            pq = cls(m=m, nbits=nbits, vec_col=vec_col)
+            pq.codebooks = data["codebooks"]
+            pq.dim = dim
+        return pq
+
     def encode(self, df: DataFrame, *, code_col: str = "pq_code") -> DataFrame:
         """Adds ``code_col binary`` (m bytes/row). NULL or wrong-dim vectors
         get a NULL code (containment mirrors the dedup family: one ragged

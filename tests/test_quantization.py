@@ -139,3 +139,21 @@ def test_ivf_pq_composition(spark, emb):
     assert len(set(ids) & set(exact)) >= 2
     encoded.unpersist()
     base.unpersist()
+
+
+def test_pq_save_load_roundtrip(spark, tmp_path):
+    """Persisted codebooks encode new batches against the SAME distance
+    model: identical codes before/after a save/load cycle."""
+    rows = [(i, [float((i * 3 + j) % 17) for j in range(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = ProductQuantizer(m=4, seed=2).fit(df)
+    p = str(tmp_path / "pq" / "model.npz")
+    a.save(p)
+    b = ProductQuantizer.load(p)
+    assert (b.m, b.nbits, b.dim) == (a.m, a.nbits, a.dim)
+    assert np.array_equal(a.codebooks, b.codebooks)
+    ca = {r.vec_id: r.pq_code for r in a.encode(df).collect()}
+    cb = {r.vec_id: r.pq_code for r in b.encode(df).collect()}
+    assert ca == cb
+    with pytest.raises(ValueError, match="fit"):
+        ProductQuantizer(m=2).save(str(tmp_path / "x.npz"))
