@@ -42,6 +42,26 @@ def main(argv: list[str] | None = None) -> int:
     repp.add_argument("--run-id", default=None)
     repp.add_argument("--rejected", default=None, help="rejected-sink path for debug sample tables")
     repp.add_argument("--cpus", type=int, default=4)
+    wdsp = sub.add_parser(
+        "export-wds", help="export a parquet table to WebDataset tar shards"
+    )
+    wdsp.add_argument("-i", "--input", required=True, help="input parquet path")
+    wdsp.add_argument("-o", "--out", required=True, help="output shard directory")
+    wdsp.add_argument("--key-col", default="doc_id", help="sample key column")
+    wdsp.add_argument(
+        "--columns",
+        default=None,
+        help="col=ext[,col=ext...] payload mapping (default: every other column under its own name)",
+    )
+    wdsp.add_argument("--shards", type=int, default=64)
+    wdsp.add_argument("--prefix", default="shard")
+    wdsp.add_argument("--cpus", type=int, default=None)
+    compp = sub.add_parser(
+        "compact-store", help="compact an incremental-dedup key store (offline maintenance)"
+    )
+    compp.add_argument("-s", "--store", required=True, help="store parquet directory")
+    compp.add_argument("--target-files", type=int, default=None)
+    compp.add_argument("--cpus", type=int, default=4)
     args = p.parse_args(argv)
 
     if args.cmd == "list-operators":
@@ -82,6 +102,45 @@ def main(argv: list[str] | None = None) -> int:
             from mega_data_factory_spark.session import get_spark
 
             print(pipe.explain(get_spark("mdf-spark-cli", cpus=args.cpus)), file=sys.stderr)
+        return 0
+
+    if args.cmd == "export-wds":
+        from mega_data_factory_spark.session import get_spark
+        from mega_data_factory_spark.sources.webdataset import write_webdataset
+
+        spark = get_spark("mdf-spark-cli", cpus=args.cpus)
+        df = spark.read.parquet(args.input)
+        cols = None
+        if args.columns:
+            cols = dict(pair.split("=", 1) for pair in args.columns.split(","))
+        manifest = write_webdataset(
+            df,
+            args.out,
+            key_col=args.key_col,
+            columns=cols,
+            num_shards=args.shards,
+            prefix=args.prefix,
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "shards": len(manifest),
+                    "samples": sum(r.samples for r in manifest),
+                    "bytes": sum(r.bytes for r in manifest),
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "compact-store":
+        from mega_data_factory_spark.operators.dedup import compact_store
+        from mega_data_factory_spark.session import get_spark
+
+        stats = compact_store(
+            get_spark("mdf-spark-cli", cpus=args.cpus), args.store, target_files=args.target_files
+        )
+        print(json.dumps(stats))
         return 0
 
     if args.cmd == "report":

@@ -141,6 +141,39 @@ class IncrementalExactDeduplicator(JoinDeduplicator, TextExactDeduplicator):
         new_keys.write.mode("append").parquet(self.store_path)
 
 
+def compact_store(spark, store_path: str, *, target_files: int | None = None) -> dict:
+    """Offline maintenance for the incremental dedup stores: every run
+    appends a new parquet fragment and replays re-append existing keys, so
+    an always-on ingestion accumulates duplicate rows and small files —
+    the store join stays CORRECT (the consumers collapse duplicates) but
+    the scan cost creeps. Compaction rewrites the directory to one row per
+    key (min representative — the same deterministic pick the consumers
+    make, so semantics are bit-identical before/after) in ``target_files``
+    files, via write-new/swap-old so a crash mid-compact leaves either the
+    old or the new directory, never a mix. Works on all three store
+    shapes (content_key / band_key / arbitrary-key) by keying on the first
+    column. Run it between batches, not concurrently with one.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(store_path)
+    key_col = df.columns[0]
+    before = df.count()
+    compacted = df.groupBy(key_col).agg(
+        F.min("representative_id").alias("representative_id")
+    )
+    after = compacted.count()
+    n_files = target_files or max(1, after // 4_000_000)  # ~keys per 100MB-ish file
+    tmp, old = store_path.rstrip("/") + ".compacting", store_path.rstrip("/") + ".old"
+    compacted.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(store_path.rstrip("/"), old)
+    os.replace(tmp, store_path.rstrip("/"))
+    shutil.rmtree(old, ignore_errors=True)
+    return {"rows_before": before, "rows_after": after, "files": n_files}
+
+
 class IncrementalKeyDeduplicator(IncrementalExactDeduplicator):
     """Store-backed first-wins dedup on an ARBITRARY key column/expression —
     the same parquet seen-keys machinery as the text-content store, but

@@ -342,3 +342,43 @@ def test_incremental_key_dedup_arbitrary_key(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="non-empty"):
         IncrementalKeyDeduplicator(store, [], id_col="img_id")
+
+
+def test_compact_store_preserves_semantics(spark, tmp_path):
+    """compact_store: replayed appends and per-run fragments collapse to
+    one row per key with the SAME representative the consumers would pick;
+    dedup results are identical before and after; row/file counts shrink."""
+    import os
+
+    from mega_data_factory_spark.operators.dedup import (
+        IncrementalExactDeduplicator,
+        compact_store,
+    )
+
+    store = str(tmp_path / "seen")
+    d = IncrementalExactDeduplicator(store, id_col="doc_id")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    )
+    d.update_store(b1)
+    # a replayed batch re-appends its keys verbatim (survivors=True is the
+    # Pipeline path: the frame is already deduped, no store check first)
+    d.update_store(b1, survivors=True)
+    d.update_store(spark.createDataFrame([(3, "gamma text")], "doc_id long, text string"))
+    assert spark.read.parquet(store).count() == 5  # 2 + 2 replayed + 1
+
+    probe = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text"), (12, "fresh text")],
+        "doc_id long, text string",
+    )
+    before = {(r.doc_id, r["representative_id"]) for r in d.rejected(probe).select(
+        "doc_id", "_rejection_details.representative_id").collect()}
+
+    stats = compact_store(spark, store, target_files=1)
+    assert stats["rows_before"] == 5 and stats["rows_after"] == 3
+    assert len([f for f in os.listdir(store) if f.endswith(".parquet")]) == 1
+    assert not os.path.exists(store + ".old") and not os.path.exists(store + ".compacting")
+
+    after = {(r.doc_id, r["representative_id"]) for r in d.rejected(probe).select(
+        "doc_id", "_rejection_details.representative_id").collect()}
+    assert after == before == {(10, "1"), (11, "3")}
