@@ -115,7 +115,9 @@ class ProductQuantizer:
         n = base.count()
         if n == 0:
             raise ValueError("ProductQuantizer.fit: no non-NULL vectors to train on")
-        if n > self.sample_rows:
+        # sample_rows=None = train on everything (caller promises it fits
+        # on the driver); the bound is the default, not an obligation
+        if self.sample_rows is not None and n > self.sample_rows:
             frac = min(1.0, 1.1 * self.sample_rows / n)
             base = base.sample(fraction=frac, seed=self.seed).limit(self.sample_rows)
         rows = [r[0] for r in base.collect()]

@@ -53,6 +53,8 @@ def _ext_col(ext: str) -> str:
 
 
 def wds_schema(extensions: tuple[str, ...]) -> str:
+    if not extensions:
+        raise ValueError("webdataset read needs at least one extension to surface")
     cols = ", ".join(
         f"{_ext_col(e)} {'string' if e.split('.')[-1] in TEXT_EXTS else 'binary'}"
         for e in extensions
@@ -141,6 +143,7 @@ def read_webdataset(
     ``__key__``, ``__shard__`` and one column per requested extension
     (text-like extensions decode to string, the rest stay binary —
     the engine's opaque-bytes multimodal contract)."""
+    wds_schema(extensions)  # validate BEFORE the scan (clear error first)
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.tar")

@@ -157,3 +157,12 @@ def test_pq_save_load_roundtrip(spark, tmp_path):
     assert ca == cb
     with pytest.raises(ValueError, match="fit"):
         ProductQuantizer(m=2).save(str(tmp_path / "x.npz"))
+
+
+def test_pq_fit_full_corpus_when_unbounded(spark):
+    """sample_rows=None trains on the full input (no TypeError on the
+    unbounded path)."""
+    rows = [(i, [float((i + j) % 11) for j in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pq = ProductQuantizer(m=2, sample_rows=None, seed=1).fit(df)
+    assert pq.dim == 8 and pq.codebooks.shape == (2, 256, 4)

@@ -144,3 +144,8 @@ def test_webdataset_yaml_source_registered(spark, tmp_path):
     cfg = SourceConfig(format="webdataset", path=out, options={"extensions": "txt", "max_samples": "4"})
     got = read_source(spark, cfg)
     assert got.count() == 4 and set(got.columns) == {"__key__", "__shard__", "txt"}
+
+
+def test_webdataset_read_requires_extensions(spark):
+    with pytest.raises(ValueError, match="extension"):
+        read_webdataset(spark, "/nonexistent", extensions=())
