@@ -782,13 +782,58 @@ FROM labeled GROUP BY source, split ORDER BY source, split
 """
 
 
+EPOCH_WEIGHTS = {"src0": 0.0, "src1": 2.45, "src2": 0.3}
+
+
+def epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixing WITH upsampling (operators/sampling.py
+    EpochWeightedMixer — the Llama-style training mix the downsampling-only
+    sampler cannot express): src1 runs at 2.45 epochs (every doc twice plus
+    a deterministic 45% partial epoch), src2 at 0.3, src0 removed, the rest
+    at 1.0. The FULL (doc_id, source, epoch) fan-out is the driver row, so
+    the hash pins the exact repeat assignment, not just counts. Pure
+    codegen'd when-chain + one explode(sequence(...)) — no shuffle, no
+    weights-table join; the oracle mirrors it with a lateral range(n)."""
+    from mega_data_factory_spark.operators.sampling import EpochWeightedMixer
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    m = EpochWeightedMixer(EPOCH_WEIGHTS, default_weight=1.0, id_col="doc_id")
+    return m.apply(t["documents"]).select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+
+
+def _epoch_mix_oracle() -> str:
+    from mega_data_factory_spark.operators.sampling import BUCKETS, EpochWeightedMixer
+    from mega_data_factory_spark.plans.dedup_queries import _h64
+
+    m = EpochWeightedMixer(EPOCH_WEIGHTS, default_weight=1.0, id_col="doc_id")
+    b = _h64("CAST(doc_id AS VARCHAR)", m.salt) + f" % {BUCKETS}"
+
+    def _n_sql(w: float) -> str:
+        base, thr = m._split_weight(w)
+        return f"{base} + (CASE WHEN ({b}) < {thr} THEN 1 ELSE 0 END)"
+
+    cases = " ".join(f"WHEN '{s}' THEN {_n_sql(w)}" for s, w in m.weights.items())
+    return f"""
+WITH r AS (
+  SELECT doc_id, source, (CASE source {cases} ELSE {_n_sql(m.default_weight)} END) AS n
+  FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id, source, CAST(unnest(range(n)) AS INT) AS epoch
+FROM r ORDER BY doc_id, epoch
+"""
+
+
 # text_length_filter and docs_token_stats are consolidated OUT of the
 # driver window (TextLengthFilter stays driver-covered through
 # curation_pipeline/curation_funnel_by_source/text_cleanup; the token
 # stats now ride inside text_analysis) but keep their oracle-differential
 # bar in tests/test_curation.py. The freed slots carry the round-6
-# ngram_perplexity and sequence_packing rows.
+# ngram_perplexity and sequence_packing rows; simhash_dedup's slot
+# (signature validation subsumed by simhash_near_dedup's hash-anchored
+# banding, with the exact form keeping its bar in
+# tests/test_dedup_similarity.py) carries the epoch_mix row.
 QUERIES = {
+    "epoch_mix": epoch_mix,
     "dataset_split_mix": dataset_split_mix,
     "warc_extract": warc_extract,
     "curation_funnel_by_source": curation_funnel_by_source,
@@ -805,6 +850,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "epoch_mix": _epoch_mix_oracle(),
     "dataset_split_mix": _dataset_split_mix_oracle(),
     "warc_extract": _warc_extract_oracle(),
     "curation_funnel_by_source": FUNNEL_ORACLE,

@@ -465,7 +465,12 @@ SELECT c.vec_id FROM corpus c WHERE c.vec_id NOT IN (SELECT vec_id FROM dups) OR
 
 QUERIES = {
     "minhash_lsh_dedup": minhash_lsh_dedup,
-    "simhash_dedup": simhash_dedup,
+    # simhash_dedup is consolidated OUT of the driver window: the 60-bit
+    # signature arithmetic stays hash-anchored through simhash_near_dedup
+    # (whose band keys and bit_count verify are functions of the same
+    # signature), and the exact form keeps its full oracle bar in
+    # tests/test_dedup_similarity.py. Its slot carries plans/curation.py's
+    # epoch_mix row.
     "simhash_near_dedup": simhash_near_dedup,
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
     "shared_span_dedup": shared_span_dedup,
@@ -475,7 +480,6 @@ QUERIES = {
 
 ORACLE = {
     "minhash_lsh_dedup": MINHASH_ORACLE,
-    "simhash_dedup": SIMHASH_ORACLE,
     "simhash_near_dedup": SIMHASH_NEAR_ORACLE,
     "ngram_jaccard_dedup": JACCARD_ORACLE,
     "shared_span_dedup": SHARED_SPAN_ORACLE,

@@ -5,6 +5,7 @@ import pytest
 from tests.conftest import assert_query_matches_oracle
 
 CURATION = [
+    "epoch_mix",
     "dataset_split_mix",
     "curation_funnel_by_source",
     "text_exact_dedup",

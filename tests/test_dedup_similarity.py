@@ -7,7 +7,6 @@ from tests.conftest import SF_DIR_ORACLE, assert_query_matches_oracle
 
 NAMES = [
     "minhash_lsh_dedup",
-    "simhash_dedup",
     "ngram_jaccard_dedup",
     "shared_span_dedup",
     "decontamination",
@@ -15,6 +14,16 @@ NAMES = [
     "embedding_cosine_dedup",
     "topk_cosine",
 ]
+
+
+def test_simhash_dedup_keeps_oracle_bar(spark):
+    """simhash_dedup is consolidated out of the driver window (the
+    signature arithmetic stays driver-anchored via simhash_near_dedup)
+    but keeps its full value-for-value differential bar here."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    from mega_data_factory_spark.plans.dedup_queries import SIMHASH_ORACLE, simhash_dedup
+
+    assert_df_matches_sql(simhash_dedup(spark, SF_DIR_ORACLE), SIMHASH_ORACLE, name="simhash_dedup")
 
 
 def test_embedding_norms_keeps_oracle_bar(spark):
