@@ -196,6 +196,7 @@ class EpochWeightedMixer(Operator):
         buckets: int = BUCKETS,
         salt: str | None = "epoch",
         epoch_col: str = "epoch",
+        unique_id_col: str | None = None,
         name: str | None = None,
     ):
         super().__init__(name)
@@ -211,6 +212,14 @@ class EpochWeightedMixer(Operator):
         self.buckets = buckets
         self.salt = salt
         self.epoch_col = epoch_col
+        # After upsampling, id_col is NO LONGER UNIQUE (each epoch repeats
+        # it) — anything downstream that orders or dedups by id (sequence
+        # packing's window, first-wins dedup, the split refiner) would see
+        # ties and lose determinism, or collapse the repeats right back
+        # out. unique_id_col emits "id#epoch" (epoch 0 keeps the bare id
+        # string, so a weight<=1 mix is id-stable) for downstream stages
+        # to key on.
+        self.unique_id_col = unique_id_col
 
     def _split_weight(self, w: float) -> tuple[int, int]:
         """(full epochs, partial-epoch bucket threshold)."""
@@ -238,12 +247,21 @@ class EpochWeightedMixer(Operator):
         )
         return df.withColumn(self.epoch_col, F.explode(seq))
 
+    def _with_unique_id(self, df: DataFrame) -> DataFrame:
+        if not self.unique_id_col:
+            return df
+        e = F.col(self.epoch_col)
+        uid = F.when(
+            e.isNull() | (e == 0), F.col(self.id_col).cast("string")
+        ).otherwise(F.concat(F.col(self.id_col).cast("string"), F.lit("#"), e.cast("string")))
+        return df.withColumn(self.unique_id_col, uid)
+
     def apply(self, df: DataFrame) -> DataFrame:
         from mega_data_factory_spark.operators.base import REJECTION_DETAILS_COL
 
         n = self.repeats(df)
         if REJECTION_DETAILS_COL not in df.columns:
-            return self._exploded(df, n)
+            return self._with_unique_id(self._exploded(df, n))
         # pipeline path: preserve one copy of every non-exploding row so
         # rejection accounting and the rejected sink still see it
         alive = F.col(REJECTION_DETAILS_COL).isNull()
@@ -255,7 +273,8 @@ class EpochWeightedMixer(Operator):
         )
         eff = F.when(F.col(REJECTION_DETAILS_COL).isNull(), n).otherwise(F.lit(1))
         out = self._exploded(df, eff)
-        return out.withColumn(
+        out = out.withColumn(
             self.epoch_col,
             F.when(F.col(REJECTION_DETAILS_COL).isNull(), F.col(self.epoch_col)),
         )
+        return self._with_unique_id(out)

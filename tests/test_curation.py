@@ -266,3 +266,31 @@ def test_temperature_weights(spark):
         temperature_weights(sizes, -0.1)
     with _pytest.raises(ValueError):
         temperature_weights({}, 0.5)
+
+
+def test_epoch_mixer_unique_id_composes_with_packing(spark):
+    """After upsampling, doc_id repeats across epochs — unique_id_col
+    restores a unique identity (bare id for epoch 0, id#epoch beyond) so
+    downstream id-keyed stages (packing windows, dedup) stay deterministic
+    and don't collapse the repeats."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.packing import SequencePacker
+    from mega_data_factory_spark.operators.sampling import EpochWeightedMixer
+
+    docs = spark.createDataFrame(
+        [(i, "u", "word " * 20) for i in range(40)], "doc_id long, source string, text string"
+    )
+    m = EpochWeightedMixer({"u": 2.0}, id_col="doc_id", unique_id_col="uid")
+    out = m.apply(docs)
+    assert out.count() == 80
+    assert out.select("uid").distinct().count() == 80  # truly unique
+    # epoch 0 keeps the bare id string (weight<=1 mixes stay id-stable)
+    e0 = {r.uid for r in out.filter(F.col("epoch") == 0).collect()}
+    assert e0 == {str(i) for i in range(40)}
+    # packing keyed on uid: every repeat is packed (nothing collapses),
+    # deterministically across layouts
+    p = SequencePacker(seq_len=64, buckets=4, id_col="uid")
+    a = sorted(map(tuple, p.apply(out).select("uid", "pack_bucket", "seq_id", "seq_offset").collect()))
+    b = sorted(map(tuple, p.apply(out.repartition(7)).select("uid", "pack_bucket", "seq_id", "seq_offset").collect()))
+    assert a == b and len(a) == 80
