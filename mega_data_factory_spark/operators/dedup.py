@@ -92,6 +92,7 @@ class IncrementalExactDeduplicator(JoinDeduplicator, TextExactDeduplicator):
     def _store_keys(self, spark) -> DataFrame:
         from pyspark.errors import AnalysisException
 
+        _recover_store(self.store_path)  # crashed-compaction fallback
         try:
             return spark.read.parquet(self.store_path).select("content_key", "representative_id")
         except AnalysisException:  # first run: empty store
@@ -141,6 +142,18 @@ class IncrementalExactDeduplicator(JoinDeduplicator, TextExactDeduplicator):
         new_keys.write.mode("append").parquet(self.store_path)
 
 
+def _recover_store(store_path: str) -> None:
+    """If a compaction crashed between its two directory swaps, the live
+    path is missing and the data sits in ``.old`` — restore it. Called by
+    compact_store and the store readers, so the crash window can never
+    read as an empty first-run store."""
+    import os
+
+    base = store_path.rstrip("/")
+    if not os.path.exists(base) and os.path.exists(base + ".old"):
+        os.replace(base + ".old", base)
+
+
 def compact_store(spark, store_path: str, *, target_files: int | None = None) -> dict:
     """Offline maintenance for the incremental dedup stores: every run
     appends a new parquet fragment and replays re-append existing keys, so
@@ -149,14 +162,22 @@ def compact_store(spark, store_path: str, *, target_files: int | None = None) ->
     the scan cost creeps. Compaction rewrites the directory to one row per
     key (min representative — the same deterministic pick the consumers
     make, so semantics are bit-identical before/after) in ``target_files``
-    files, via write-new/swap-old so a crash mid-compact leaves either the
-    old or the new directory, never a mix. Works on all three store
-    shapes (content_key / band_key / arbitrary-key) by keying on the first
-    column. Run it between batches, not concurrently with one.
+    files, via write-new/swap-old. A crash between the two swaps leaves
+    the data in ``.old`` — both the store consumers (``_store_keys`` /
+    ``_store_bands``) and a re-run of this function fall back to /
+    recover from it, so no crash point loses the seen-state (a missing
+    store silently reading as first-run-empty would re-admit every
+    historical duplicate). Works on all three store shapes (content_key /
+    band_key / arbitrary-key) by keying on the first column. Run it
+    between batches, not concurrently with one. Paths here are
+    local/shared-posix filesystem (the swap is os.rename); for an object
+    store, point the store at a catalog table and compact with INSERT
+    OVERWRITE instead.
     """
     import os
     import shutil
 
+    _recover_store(store_path)
     df = spark.read.parquet(store_path)
     key_col = df.columns[0]
     before = df.count()
@@ -193,7 +214,13 @@ class IncrementalKeyDeduplicator(IncrementalExactDeduplicator):
         self.key_cols = key_cols
 
     def key(self, df: DataFrame) -> Column:
-        return KeyDeduplicator.key(self, df)
+        # The single-column form must NOT stay NULL for NULL values here:
+        # the in-batch window groups NULLs together, but a NULL store row
+        # never matches the store join (SQL NULL != NULL), so cross-run
+        # semantics would silently diverge from in-batch semantics. The
+        # NUL sentinel keeps NULL a real (distinct-from-"") key in both
+        # paths; the multi-column form already sentinels per column.
+        return F.coalesce(KeyDeduplicator.key(self, df), F.lit("\x00"))
 
 
 class KeyDeduplicator(Deduplicator):
@@ -390,6 +417,7 @@ class IncrementalMinHashDeduplicator(MinHashLSHDeduplicator):
     def _store_bands(self, spark) -> DataFrame:
         from pyspark.errors import AnalysisException
 
+        _recover_store(self.store_path)  # crashed-compaction fallback
         try:
             return spark.read.parquet(self.store_path).select("band_key", "representative_id")
         except AnalysisException:  # first run: empty store

@@ -67,12 +67,20 @@ def _kmeans_1sub(x: np.ndarray, k: int, *, iters: int, rng: np.random.Generator)
         # (n, k) squared L2 via the expansion trick; argmin per row
         d2 = ((x**2).sum(1)[:, None] - 2 * x @ cents.T) + (cents**2).sum(1)[None, :]
         assign = d2.argmin(1)
+        empties = []
         for j in range(k):
             mask = assign == j
             if mask.any():
                 cents[j] = x[mask].mean(0)
-            elif n > k:
-                cents[j] = x[d2.min(1).argmax()]  # reseed from worst-fit point
+            else:
+                empties.append(j)
+        if empties and n > k:
+            # reseed each empty cluster from a DISTINCT worst-fit point —
+            # one shared argmax would create duplicate centroids of which
+            # argmin can only ever pick one, permanently wasting codes
+            worst = np.argsort(-d2.min(1))[: len(empties)]
+            for j, p in zip(empties, worst):
+                cents[j] = x[p]
     return cents
 
 
@@ -108,6 +116,17 @@ class ProductQuantizer:
         self.seed = seed
         self.codebooks: np.ndarray | None = None  # (m, k, sub_dim) float64
         self.dim: int | None = None
+        self._bc = None  # cached codebook broadcast (one per session)
+
+    def _codebook_bc(self, df: DataFrame):
+        """Broadcast the codebooks ONCE and reuse: a fresh broadcast per
+        encode() call would accumulate in driver/executor memory for the
+        session lifetime under the continuous-ingestion posture (one call
+        per micro-batch)."""
+        sc = df.sparkSession.sparkContext
+        if self._bc is None:
+            self._bc = sc.broadcast(self.codebooks)
+        return self._bc
 
     def fit(self, df: DataFrame) -> "ProductQuantizer":
         vc = self.vec_col
@@ -116,10 +135,23 @@ class ProductQuantizer:
         if n == 0:
             raise ValueError("ProductQuantizer.fit: no non-NULL vectors to train on")
         # sample_rows=None = train on everything (caller promises it fits
-        # on the driver); the bound is the default, not an obligation
+        # on the driver); the bound is the default, not an obligation.
+        # The sample is selected by a VALUE hash threshold, not
+        # df.sample(): Bernoulli sampling seeds per partition and limit()
+        # takes arrival order, so the training set — and every code — would
+        # depend on the input layout; the engine's determinism bar is
+        # layout-independence. xxhash64 over the vector is one codegen
+        # pass; the orderBy ranks only the ~1.1x-cap filtered subset.
         if self.sample_rows is not None and n > self.sample_rows:
-            frac = min(1.0, 1.1 * self.sample_rows / n)
-            base = base.sample(fraction=frac, seed=self.seed).limit(self.sample_rows)
+            h = F.pmod(F.xxhash64(F.col(vc), F.lit(self.seed)), F.lit(1_000_000))
+            thr = max(1, int(1_000_000 * min(1.0, 1.1 * self.sample_rows / n)))
+            base = (
+                base.withColumn("__h", h)
+                .filter(F.col("__h") < thr)
+                .orderBy("__h", vc)
+                .limit(self.sample_rows)
+                .drop("__h")
+            )
         rows = [r[0] for r in base.collect()]
         # containment parity with encode(): a few ragged crawl vectors must
         # not abort training — fit on the MODAL length (deterministic given
@@ -201,7 +233,7 @@ class ProductQuantizer:
 
         m, dim, k = self.m, self.dim, self.k
         sub = dim // m
-        bc = df.sparkSession.sparkContext.broadcast(self.codebooks)
+        bc = self._codebook_bc(df)
 
         @pandas_udf("binary")
         def pq_encode(vs: pd.Series) -> pd.Series:
@@ -243,6 +275,7 @@ class ProductQuantizer:
         metric: str = "ip",
         score_col: str = "adc_score",
         round_to: int = 6,
+        id_col: str | None = None,
     ) -> DataFrame:
         """Asymmetric-distance top-k over an ENCODED frame: the raw query is
         scored against code approximations via a broadcast (m, 2**nbits)
@@ -283,4 +316,9 @@ class ProductQuantizer:
         scored = df.withColumn(score_col, F.round(adc(F.col(code_col)), round_to)).filter(
             F.col(score_col).isNotNull()
         )
-        return scored.orderBy(F.col(score_col).desc()).limit(k)
+        # score ties are STRUCTURAL in PQ (duplicate vectors share codes,
+        # rounding collapses more) — break them on the id so top-k
+        # membership is deterministic, the similarity.py convention
+        tie = id_col or ("vec_id" if "vec_id" in df.columns else None)
+        order = [F.col(score_col).desc()] + ([F.col(tie)] if tie else [])
+        return scored.orderBy(*order).limit(k)

@@ -216,7 +216,7 @@ class EpochWeightedMixer(Operator):
         # it) — anything downstream that orders or dedups by id (sequence
         # packing's window, first-wins dedup, the split refiner) would see
         # ties and lose determinism, or collapse the repeats right back
-        # out. unique_id_col emits "id#epoch" (epoch 0 keeps the bare id
+        # out. unique_id_col emits "id\x1fepoch" (epoch 0 keeps the bare id
         # string, so a weight<=1 mix is id-stable) for downstream stages
         # to key on.
         self.unique_id_col = unique_id_col
@@ -251,9 +251,13 @@ class EpochWeightedMixer(Operator):
         if not self.unique_id_col:
             return df
         e = F.col(self.epoch_col)
+        # unit-separator, not "#": an id that itself contains "#" (e.g.
+        # literal "5#1") would collide with another row's synthesized uid;
+        # \x1f is the engine's established composite-key separator
+        # (KeyDeduplicator) and cannot appear in the epoch digits
         uid = F.when(
             e.isNull() | (e == 0), F.col(self.id_col).cast("string")
-        ).otherwise(F.concat(F.col(self.id_col).cast("string"), F.lit("#"), e.cast("string")))
+        ).otherwise(F.concat(F.col(self.id_col).cast("string"), F.lit("\x1f"), e.cast("string")))
         return df.withColumn(self.unique_id_col, uid)
 
     def apply(self, df: DataFrame) -> DataFrame:

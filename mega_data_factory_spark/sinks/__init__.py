@@ -54,8 +54,24 @@ def write_sink(df: DataFrame, cfg: SinkConfig) -> None:
             writer.createOrReplace()
         elif cfg.mode == "overwrite_partitions":
             # Iceberg's native dynamic overwrite: replace exactly the
-            # partitions present in this batch (replay-safe re-runs)
-            writer.overwritePartitions()
+            # partitions present in this batch (replay-safe re-runs).
+            # partition_by is required, as on the hive path: against an
+            # unpartitioned table overwritePartitions() degenerates to a
+            # silent FULL overwrite — the exact hazard this mode exists
+            # to avoid. First write must create (the append precedent).
+            if not cfg.partition_by:
+                raise ValueError(
+                    "overwrite_partitions needs partition_by — against an "
+                    "unpartitioned table it degenerates to full overwrite"
+                )
+            from pyspark.errors import AnalysisException
+
+            try:
+                writer.overwritePartitions()
+            except AnalysisException as exc:
+                if "TABLE_OR_VIEW_NOT_FOUND" not in str(exc):
+                    raise
+                writer.create()
         else:
             # append must CREATE on first write (the reference writer's
             # create-if-missing, iceberg_writer.py:81-116) — a bare

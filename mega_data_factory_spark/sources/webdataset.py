@@ -103,11 +103,14 @@ def parse_tar_bytes(
                 if "." not in base:
                     continue  # no extension: not a sample member
                 key, ext = base.split(".", 1)
+                # extension filter BEFORE the key-change flush: a key whose
+                # members are all unrequested (an auxiliary stats.json in a
+                # jpg+txt read) must not fabricate an all-NULL sample row
+                if ext not in want:
+                    continue
                 if key != cur_key:
                     yield from flush()
                     cur_key = key
-                if ext not in want:
-                    continue
                 payload = tf.extractfile(m).read()
                 cur[want[ext]] = (
                     payload.decode("utf-8", "replace") if ext in text_like else payload

@@ -166,3 +166,14 @@ def test_pq_fit_full_corpus_when_unbounded(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pq = ProductQuantizer(m=2, sample_rows=None, seed=1).fit(df)
     assert pq.dim == 8 and pq.codebooks.shape == (2, 256, 4)
+
+
+def test_pq_fit_layout_independent(spark):
+    """The bounded training sample is selected by a value-hash threshold,
+    so codebooks are identical across input partition layouts (df.sample +
+    limit depended on arrival order)."""
+    rows = [(i, [float((i * 5 + j) % 23) for j in range(8)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = ProductQuantizer(m=2, sample_rows=100, seed=9).fit(df)
+    b = ProductQuantizer(m=2, sample_rows=100, seed=9).fit(df.repartition(17))
+    assert np.array_equal(a.codebooks, b.codebooks)

@@ -382,3 +382,41 @@ def test_compact_store_preserves_semantics(spark, tmp_path):
     after = {(r.doc_id, r["representative_id"]) for r in d.rejected(probe).select(
         "doc_id", "_rejection_details.representative_id").collect()}
     assert after == before == {(10, "1"), (11, "3")}
+
+
+def test_incremental_key_dedup_null_key_cross_run(spark, tmp_path):
+    """NULL single-column keys must dedup ACROSS runs exactly as they do
+    in-batch (the NUL sentinel): run 2's NULL-key row is rejected against
+    run 1's stored NULL-key representative."""
+    from mega_data_factory_spark.operators.dedup import IncrementalKeyDeduplicator
+
+    d = IncrementalKeyDeduplicator(str(tmp_path / "nk"), ["phash"], id_col="img_id")
+    b1 = spark.createDataFrame([(1, None), (2, "aa")], "img_id long, phash string")
+    assert {r.img_id for r in d.apply(b1).collect()} == {1, 2}
+    d.update_store(b1)
+    b2 = spark.createDataFrame([(10, None), (11, "")], "img_id long, phash string")
+    surv = {r.img_id for r in d.apply(b2).collect()}
+    assert surv == {11}  # NULL matched the store; "" is distinct from NULL
+
+
+def test_compact_store_crash_window_recovers(spark, tmp_path):
+    """A crash between compaction's two swaps leaves the data in .old; the
+    consumers and a re-run both recover it instead of reading an empty
+    first-run store (which would re-admit every historical duplicate)."""
+    import os
+
+    from mega_data_factory_spark.operators.dedup import (
+        IncrementalExactDeduplicator,
+        compact_store,
+    )
+
+    store = str(tmp_path / "seen")
+    d = IncrementalExactDeduplicator(store, id_col="doc_id")
+    d.update_store(spark.createDataFrame([(1, "alpha text")], "doc_id long, text string"))
+    # simulate the crash window: live dir moved to .old, new dir never landed
+    os.replace(store, store + ".old")
+    probe = spark.createDataFrame([(10, "alpha text")], "doc_id long, text string")
+    assert d.apply(probe).count() == 0  # consumer recovered the store
+    os.replace(store, store + ".old")
+    stats = compact_store(spark, store, target_files=1)
+    assert stats["rows_after"] == 1  # compaction recovered and ran

@@ -443,3 +443,45 @@ def test_streaming_incremental_store_persists_per_batch(spark, tmp_path):
     q2.awaitTermination(120)
     ids = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "docs_pass")).collect())
     assert ids == [1, 2, 11]  # 10 rejected against the run-1 store
+
+
+def test_streaming_store_not_updated_without_sinks(spark, tmp_path):
+    """A sink-less (metrics-only) streaming run must NOT remember docs as
+    seen — nothing shipped, so a later real run has to admit them."""
+    from mega_data_factory_spark.config import PipelineConfig
+    from mega_data_factory_spark.streaming import StreamingPipeline
+
+    src = tmp_path / "nosink_in"
+    store = str(tmp_path / "nosink_store")
+    src.mkdir(parents=True, exist_ok=True)
+    with open(src / "a.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "some document body here"}) + "\n")
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "nosink",
+                "id_col": "doc_id",
+                "source": {"table": "unused"},
+                "stages": [
+                    {
+                        "name": "d",
+                        "operators": [
+                            {
+                                "name": "IncrementalExactDeduplicator",
+                                "params": {"store_path": store, "id_col": "doc_id"},
+                            }
+                        ],
+                    }
+                ],
+            }
+        }
+    )
+    cfg.sink = None
+    cfg.rejected_sink = None
+    q = StreamingPipeline(cfg, checkpoint_dir=str(tmp_path / "ck")).start(
+        spark.readStream.schema("doc_id long, text string").json(str(src))
+    )
+    q.awaitTermination(120)
+    import os
+
+    assert not os.path.exists(store)  # nothing shipped -> nothing remembered

@@ -149,3 +149,18 @@ def test_webdataset_yaml_source_registered(spark, tmp_path):
 def test_webdataset_read_requires_extensions(spark):
     with pytest.raises(ValueError, match="extension"):
         read_webdataset(spark, "/nonexistent", extensions=())
+
+
+def test_parse_tar_no_phantom_sample_for_unrequested_keys():
+    """A key whose members are ALL unrequested extensions (an auxiliary
+    stats.json in a jpg+txt read) must not fabricate an all-NULL sample."""
+    tar = _make_tar(
+        [
+            ("0001.jpg", b"img1"),
+            ("stats.json", b"{}"),
+            ("0002.jpg", b"img2"),
+        ]
+    )
+    rows = list(parse_tar_bytes(tar, "s.tar", ("jpg", "txt")))
+    assert [r["__key__"] for r in rows] == ["0001", "0002"]
+    assert all(r["jpg"] is not None for r in rows)
