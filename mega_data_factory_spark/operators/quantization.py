@@ -145,10 +145,15 @@ class ProductQuantizer:
         if self.sample_rows is not None and n > self.sample_rows:
             h = F.pmod(F.xxhash64(F.col(vc), F.lit(self.seed)), F.lit(1_000_000))
             thr = max(1, int(1_000_000 * min(1.0, 1.1 * self.sample_rows / n)))
+            # tie-break on an independent hash, not the array itself:
+            # comparing 64-float arrays in the sort costs more than the
+            # whole filter; two DIFFERENT vectors colliding on both hashes
+            # is ~n^2/2^128 — not a realistic nondeterminism source
+            h2 = F.xxhash64(F.col(vc), F.lit(self.seed + 1))
             base = (
                 base.withColumn("__h", h)
                 .filter(F.col("__h") < thr)
-                .orderBy("__h", vc)
+                .orderBy("__h", h2)
                 .limit(self.sample_rows)
                 .drop("__h")
             )
