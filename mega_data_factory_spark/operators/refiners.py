@@ -299,3 +299,147 @@ class FingerprintRefiner(Refiner):
     def columns(self, df: DataFrame) -> dict[str, Column]:
         fp = stable_text_hash(normalize_text(self.text_col))
         return {"fingerprint": fp, "fingerprint_prefix": F.substring(fp, 1, 8)}
+
+
+class BoilerplateLineRefiner(Refiner):
+    """Cross-document boilerplate line removal — the RefinedWeb/CCNet
+    line-level dedup step the document-level dedup family cannot express:
+    navigation chrome, cookie banners, and footer lines repeat across a
+    large fraction of a crawl's documents; stripping them per-document
+    (rather than dropping whole docs) recovers the prose. A line is
+    boilerplate iff it occurs in >= ``max(min_docs, min_doc_frac * corpus
+    docs)`` DISTINCT documents (optionally per ``group_col`` — e.g. per
+    domain, where chrome actually repeats). Adds ``text_cleaned`` plus a
+    ``boilerplate_lines_removed`` count; the original column is untouched.
+
+    Beyond the reference's surface — first-class per the build brief.
+
+    Scale shape: two shuffles. (1) distinct (doc, line-hash) pairs are
+    counted per line — the shuffle key is the md5 HASH of the line, never
+    the line text (the minhash compact-key discipline); the doc-frequency
+    cut bounds the boilerplate set the way NgramJaccard's DF cap bounds
+    its index. (2) The rebuild regroups surviving lines per doc with an
+    order-preserving sort_array over (position, line) structs. Short
+    lines (< ``min_line_chars``) are never counted OR removed: they are
+    too common to be meaningful and too cheap to keep.
+
+    Not a pipeline ``columns()`` refiner — the line counts are a
+    full-frame aggregate (``pipeline_full_frame``). SQL-mirrorable
+    (split/unnest-with-ordinality/count/string_agg); the differential
+    test holds the driver-gate bar (tests/test_curation.py).
+    """
+
+    pipeline_full_frame = True
+
+    def __init__(
+        self,
+        *,
+        min_doc_frac: float = 0.05,
+        min_docs: int = 3,
+        min_line_chars: int = 10,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        group_col: str | None = None,
+        out_col: str = "text_cleaned",
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        if not 0.0 < min_doc_frac <= 1.0:
+            raise ValueError(f"min_doc_frac must be in (0, 1], got {min_doc_frac}")
+        self.min_doc_frac = min_doc_frac
+        self.min_docs = min_docs
+        self.min_line_chars = min_line_chars
+        self.text_col = text_col
+        self.id_col = id_col
+        self.group_col = group_col
+        self.out_col = out_col
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:  # pragma: no cover
+        raise NotImplementedError(
+            f"{self.name} needs corpus-wide line counts; it runs as a "
+            "full-frame transform (pipeline_full_frame)"
+        )
+
+    def _line_hash(self, line: Column) -> Column:
+        from mega_data_factory_spark.functions.hashing import hash64_from_md5
+
+        return hash64_from_md5(line)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from mega_data_factory_spark.operators.base import REJECTION_DETAILS_COL
+
+        grp = [self.group_col] if self.group_col else []
+        # (doc, group, pos, line) — pos preserved for the rebuild
+        lines = df.select(
+            F.col(self.id_col).alias("__id"),
+            *[F.col(g) for g in grp],
+            F.posexplode(F.split(F.col(self.text_col), "\n")).alias("__pos", "__line"),
+        )
+        countable = F.length(F.trim(F.col("__line"))) >= self.min_line_chars
+        # distinct (doc, line) first: a line pasted 50x in ONE doc is
+        # repetition (RepetitionStatsRefiner's job), not boilerplate
+        pairs = (
+            lines.filter(countable)
+            .select(*grp, "__id", self._line_hash(F.col("__line")).alias("__lh"))
+            .distinct()
+        )
+        docs_per_grp = df.groupBy(*[F.col(g) for g in grp]).agg(
+            F.count(F.lit(1)).alias("__ndocs")
+        )
+        counts = pairs.groupBy(*grp, "__lh").agg(F.count(F.lit(1)).alias("__df"))
+        # docs_per_grp is one row per group (or one row total) — always
+        # broadcast-sized
+        boiler = (
+            counts.join(F.broadcast(docs_per_grp), on=grp)
+            if grp
+            else counts.crossJoin(F.broadcast(docs_per_grp))
+        )
+        boiler = boiler.filter(
+            F.col("__df") >= F.greatest(
+                F.lit(self.min_docs), F.ceil(F.lit(self.min_doc_frac) * F.col("__ndocs"))
+            )
+        ).select(*grp, "__lh", F.lit(True).alias("__boiler"))
+        tagged = lines.withColumn(
+            "__lh", F.when(countable, self._line_hash(F.col("__line")))
+        ).join(boiler, on=[*grp, "__lh"], how="left")
+        rebuilt = (
+            tagged.withColumn("__keep", F.col("__boiler").isNull())
+            .groupBy("__id")
+            .agg(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("__keep"), F.struct(F.col("__pos"), F.col("__line")))
+                            )
+                        ),
+                        lambda s: s["__line"],
+                    ),
+                ).alias(self.out_col),
+                F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias(
+                    "boilerplate_lines_removed"
+                ),
+            )
+        )
+        joined = df.join(
+            rebuilt.withColumnRenamed("__id", self.id_col), on=self.id_col, how="left"
+        )
+        # NULL text produced no lines -> NULL cleaned text (not "")
+        out = joined.withColumn(
+            self.out_col,
+            F.when(F.col(self.text_col).isNotNull(), F.col(self.out_col)),
+        ).withColumn(
+            "boilerplate_lines_removed",
+            F.coalesce(F.col("boilerplate_lines_removed"), F.lit(0)).cast("int"),
+        )
+        if REJECTION_DETAILS_COL in df.columns:
+            # pipeline path: dead rows keep their text untouched
+            alive = F.col(REJECTION_DETAILS_COL).isNull()
+            out = out.withColumn(
+                self.out_col, F.when(alive, F.col(self.out_col))
+            ).withColumn(
+                "boilerplate_lines_removed",
+                F.when(alive, F.col("boilerplate_lines_removed")),
+            )
+        return out

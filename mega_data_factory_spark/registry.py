@@ -95,6 +95,7 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.packing import SequencePacker
     from mega_data_factory_spark.operators.selection import TokenBudgetSelector
     from mega_data_factory_spark.operators.refiners import (
+        BoilerplateLineRefiner,
         FingerprintRefiner,
         LanguageIdRefiner,
         PiiRedactRefiner,
@@ -114,6 +115,7 @@ def _register_builtins() -> None:
         QualityScoreRefiner,
         RepetitionStatsRefiner,
         PiiRedactRefiner,
+        BoilerplateLineRefiner,
         FingerprintRefiner,
         TextExactDeduplicator,
         IncrementalExactDeduplicator,

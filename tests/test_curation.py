@@ -294,3 +294,77 @@ def test_epoch_mixer_unique_id_composes_with_packing(spark):
     a = sorted(map(tuple, p.apply(out).select("uid", "pack_bucket", "seq_id", "seq_offset").collect()))
     b = sorted(map(tuple, p.apply(out.repartition(7)).select("uid", "pack_bucket", "seq_id", "seq_offset").collect()))
     assert a == b and len(a) == 80
+
+
+def test_boilerplate_line_refiner_behavior(spark):
+    """Lines repeating across >= max(min_docs, frac*docs) documents are
+    stripped per-document; prose survives; within-doc repetition alone is
+    NOT boilerplate; short lines never counted or removed; NULL text
+    stays NULL."""
+    from mega_data_factory_spark.operators.refiners import BoilerplateLineRefiner
+
+    chrome = "Accept cookies to continue browsing"
+    rows = [(i, f"unique prose line number {i}\n{chrome}\nmore prose {i}") for i in range(8)]
+    rows += [(100, "repeated inside only\nrepeated inside only\nrepeated inside only")]
+    rows += [(101, "hi\nhi\nhi\nshort lines stay put even when common")]
+    rows += [(102, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = BoilerplateLineRefiner(min_doc_frac=0.5, min_docs=3)
+    out = {x.doc_id: x for x in r.apply(df).collect()}
+    for i in range(8):
+        assert chrome not in out[i].text_cleaned
+        assert f"unique prose line number {i}" in out[i].text_cleaned
+        assert out[i].boilerplate_lines_removed == 1
+    # within-doc repetition is untouched (distinct (doc,line) counting)
+    assert out[100].text_cleaned == rows[8][1]
+    assert out[100].boilerplate_lines_removed == 0
+    # "hi" is under min_line_chars: kept even though it repeats
+    assert out[101].text_cleaned.count("hi") == 3
+    assert out[102].text_cleaned is None and out[102].boilerplate_lines_removed == 0
+
+
+def test_boilerplate_line_refiner_matches_oracle(spark):
+    """Value-for-value DuckDB mirror of the full clean: split with
+    ordinality, distinct doc-frequency per line, threshold cut, ordered
+    string_agg rebuild."""
+    from tests.conftest import assert_df_matches_sql
+    from mega_data_factory_spark.operators.refiners import BoilerplateLineRefiner
+    from pyspark.sql import functions as F
+
+    chrome, foot = "cookie banner boilerplate line", "all rights reserved footer"
+    rows = []
+    for i in range(10):
+        body = [f"document {i} opening paragraph", chrome]
+        if i % 2 == 0:
+            body.append(foot)
+        body.append(f"closing thoughts {i}")
+        rows.append((i, "\n".join(body)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = BoilerplateLineRefiner(min_doc_frac=0.6, min_docs=2)
+    out = r.apply(df).select("doc_id", "text_cleaned", "boilerplate_lines_removed").orderBy("doc_id")
+    values = ", ".join("({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '")) for i, t in rows)
+    n_docs = len(rows)
+    thr = f"GREATEST(2, CAST(CEIL(0.6 * {n_docs}) AS BIGINT))"
+    sql = f"""
+WITH corpus(doc_id, text) AS (VALUES {values}),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM corpus
+),
+counted AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines
+  WHERE length(trim(line)) >= 10 GROUP BY line
+),
+boiler AS (SELECT line FROM counted WHERE df >= {thr}),
+kept AS (
+  SELECT l.doc_id, l.line, l.pos, b.line IS NULL AS keep
+  FROM lines l LEFT JOIN boiler b ON (length(trim(l.line)) >= 10 AND l.line = b.line)
+)
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_cleaned,
+  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS boilerplate_lines_removed
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+    assert_df_matches_sql(out, sql, name="boilerplate_lines")
