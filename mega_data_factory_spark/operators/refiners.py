@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it in globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -443,3 +444,104 @@ class BoilerplateLineRefiner(Refiner):
                 F.when(alive, F.col("boilerplate_lines_removed")),
             )
         return out
+
+
+class UnicodeNormalizeRefiner(Refiner):
+    """Text hygiene: Unicode NFC normalization + control-character strip
+    (keeping \\n and \\t), with an optional mojibake repair pass — web
+    crawls mix NFC/NFD encodings of the same glyphs, which silently
+    defeats every downstream exact/near dedup key ("café" != "café" when
+    one is decomposed), and stray C0 controls break tokenizers.
+
+    Beyond the reference's surface — first-class per the build brief.
+
+    The NFC + control-strip path is an Arrow-batched pandas UDF
+    (``unicodedata.normalize`` has no JVM builtin) and is mirrored
+    value-for-value by DuckDB's ``nfc_normalize`` + regexp in the
+    differential test. ``fix_mojibake=True`` additionally repairs the
+    classic UTF-8-read-as-cp1252 double encoding ("Ã©" -> "é") via a
+    sloppy-windows-1252 round-trip attempted only when telltale lead bytes are
+    present and accepted only if it strictly shrinks the text — a
+    heuristic, so it is pytest-only, not oracle-mirrored.
+
+    Scale shape: narrow map, one Arrow crossing, no shuffle; at 100 TB it
+    fuses into the ingest scan like the other refiners' UDF stages.
+    """
+
+    _CONTROL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+    def __init__(
+        self,
+        *,
+        text_col: str = "text",
+        out_col: str = "text_normalized",
+        form: str = "NFC",
+        fix_mojibake: bool = False,
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+            raise ValueError(f"form must be a unicodedata form, got {form!r}")
+        self.text_col = text_col
+        self.out_col = out_col
+        self.form = form
+        self.fix_mojibake = fix_mojibake
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        import re as _re
+        import unicodedata
+
+        from pyspark.sql.functions import pandas_udf
+
+        form, fix = self.form, self.fix_mojibake
+        ctrl = _re.compile(self._CONTROL_RE)
+        # UTF-8 lead bytes seen through a latin-1 lens: Ã Â â €
+        tell = _re.compile("[ÃÂâ€]")
+
+        def sloppy_1252(s: str) -> bytes:
+            # the mojibake lens is Windows-1252 with latin-1 passthrough
+            # for the five undefined bytes (ftfy's "sloppy-windows-1252"):
+            # smart-quote artifacts contain cp1252-only chars (Ux20AC,
+            # Ux0153) AND raw C1 controls (Ux9D) in the same run, so
+            # neither plain latin-1 nor plain cp1252 can re-encode them
+            out = bytearray()
+            for ch in s:
+                try:
+                    out += ch.encode("cp1252")
+                except UnicodeEncodeError:
+                    o = ord(ch)
+                    if o > 0xFF:
+                        raise
+                    out.append(o)
+            return bytes(out)
+
+        @pandas_udf("string")
+        def norm(vs: pd.Series) -> pd.Series:
+            def one(s):
+                if s is None:
+                    return None
+                if fix and tell.search(s):
+                    try:
+                        repaired = sloppy_1252(s).decode("utf-8")
+                        # accept only a strict shrink: real mojibake always
+                        # collapses multi-char artifacts to one glyph
+                        if len(repaired) < len(s):
+                            s = repaired
+                    except (UnicodeEncodeError, UnicodeDecodeError):
+                        pass
+                return ctrl.sub("", unicodedata.normalize(form, s))
+
+            return vs.map(one)
+
+        return {self.out_col: norm(F.col(self.text_col))}
+
+    def derived_columns(self, df: DataFrame) -> dict[str, Column]:
+        # second projection referencing the UDF output BY NAME (the
+        # Refiner contract): repeating the UDF expression in columns()
+        # would run the Python normalization twice per row
+        return {
+            "unicode_changed": F.when(
+                F.col(self.text_col).isNotNull(),
+                F.col(self.text_col) != F.col(self.out_col),
+            )
+        }

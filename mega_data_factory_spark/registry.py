@@ -96,6 +96,7 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.selection import TokenBudgetSelector
     from mega_data_factory_spark.operators.refiners import (
         BoilerplateLineRefiner,
+        UnicodeNormalizeRefiner,
         FingerprintRefiner,
         LanguageIdRefiner,
         PiiRedactRefiner,
@@ -116,6 +117,7 @@ def _register_builtins() -> None:
         RepetitionStatsRefiner,
         PiiRedactRefiner,
         BoilerplateLineRefiner,
+        UnicodeNormalizeRefiner,
         FingerprintRefiner,
         TextExactDeduplicator,
         IncrementalExactDeduplicator,

@@ -368,3 +368,68 @@ SELECT doc_id,
 FROM kept GROUP BY doc_id ORDER BY doc_id
 """
     assert_df_matches_sql(out, sql, name="boilerplate_lines")
+
+
+def test_unicode_normalize_matches_oracle(spark):
+    """NFC + control-strip mirrored by DuckDB's nfc_normalize + regexp -
+    NFD composition, embedded controls, newline/tab preservation, NULLs."""
+    from tests.conftest import assert_df_matches_sql
+    from mega_data_factory_spark.operators.refiners import UnicodeNormalizeRefiner
+
+    rows = [
+        (1, "cafe\u0301 du monde"),            # NFD e + combining acute
+        (2, "tabs\tand\nnewlines survive"),
+        (3, "ctrl\x08chars\x00gone"),
+        (4, "plain ascii unchanged"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = UnicodeNormalizeRefiner().apply(df).select(
+        "doc_id", "text_normalized", "unicode_changed"
+    ).orderBy("doc_id")
+
+    def lit(t):
+        if t is None:
+            return "NULL"
+        s = t.replace(chr(0), "' || chr(0) || '").replace(chr(8), "' || chr(8) || '")
+        s = s.replace("\t", "' || chr(9) || '").replace("\n", "' || chr(10) || '")
+        s = s.replace("\u0301", "' || chr(769) || '")
+        return "'" + s + "'"
+
+    values = ", ".join(f"({i}, {lit(t)})" for i, t in rows)
+    ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    sql = f"""
+WITH corpus(doc_id, text) AS (VALUES {values}),
+n AS (
+  SELECT doc_id, text,
+    regexp_replace(nfc_normalize(text), '{ctrl}', '', 'g') AS text_normalized
+  FROM corpus
+)
+SELECT doc_id, text_normalized,
+  CASE WHEN text IS NULL THEN NULL ELSE text != text_normalized END AS unicode_changed
+FROM n ORDER BY doc_id
+"""
+    assert_df_matches_sql(out, sql, name="unicode_normalize")
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].text_normalized == "caf\u00e9 du monde" and got[1].unicode_changed
+    assert got[2].text_normalized == rows[1][1] and not got[2].unicode_changed
+    assert got[3].text_normalized == "ctrlcharsgone"
+    assert got[5].text_normalized is None and got[5].unicode_changed is None
+
+
+def test_unicode_mojibake_repair(spark):
+    """fix_mojibake repairs UTF-8-read-as-latin1 double encoding but never
+    touches clean text."""
+    from mega_data_factory_spark.operators.refiners import UnicodeNormalizeRefiner
+
+    rows = [
+        (1, "caf\u00c3\u00a9 au lait"),                      # mojibake for "cafe/acute"
+        (2, "\u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d text"),  # mojibake smart quotes
+        (3, "no artifacts at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text_normalized for r in UnicodeNormalizeRefiner(
+        fix_mojibake=True).apply(df).collect()}
+    assert out[1] == "caf\u00e9 au lait"
+    assert "quoted" in out[2] and "\u00e2\u20ac" not in out[2]
+    assert out[3] == "no artifacts at all"
