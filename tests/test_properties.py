@@ -222,3 +222,33 @@ def test_sequence_packing_invariants(spark, toks, seq_len, buckets):
         start = by_bucket.get(b, 0)
         assert (seq_id, off) == (start // seq_len, start % seq_len)
         by_bucket[b] = start + toks[doc_id]
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.floats(min_value=0.0, max_value=4.0, allow_nan=False).map(lambda x: round(x, 2)),
+    n=st.integers(min_value=1, max_value=60),
+)
+def test_epoch_mixer_count_invariants(spark, w, n):
+    """For ANY weight w and corpus size n: every doc yields floor(w) or
+    ceil(w) copies; total output is within the partial-epoch bucket
+    granularity of w*n; epochs are exactly 0..copies-1 per doc; and the
+    fan-out is idempotent-deterministic (two applies agree row-for-row)."""
+    import math
+
+    from mega_data_factory_spark.operators.sampling import EpochWeightedMixer
+
+    df = spark.createDataFrame([(i, "s") for i in range(n)], "doc_id long, source string")
+    m = EpochWeightedMixer({"s": w}, id_col="doc_id")
+    rows = m.apply(df).select("doc_id", "epoch").collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    lo, hi = math.floor(w), math.ceil(w)
+    for eps in per_doc.values():
+        assert len(eps) in (lo, hi) and sorted(eps) == list(range(len(eps)))
+    assert len(per_doc) <= n
+    total = len(rows)
+    assert abs(total - w * n) <= n * 0.5 + 1  # hash-bucket granularity bound
+    again = m.apply(df).select("doc_id", "epoch").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
