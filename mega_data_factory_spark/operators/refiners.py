@@ -370,6 +370,14 @@ class BoilerplateLineRefiner(Refiner):
         from mega_data_factory_spark.operators.base import REJECTION_DETAILS_COL
 
         grp = [self.group_col] if self.group_col else []
+        # In a pipeline, only ALIVE rows vote on what is boilerplate (and
+        # only alive docs enter the denominator): a line repeating solely
+        # among already-rejected docs must not be stripped from survivors.
+        # The rebuild below still runs over the FULL frame so dead rows
+        # keep their columns (NULLed by the tag guard at the end).
+        from mega_data_factory_spark.operators.base import REJECTION_DETAILS_COL as _R
+
+        voting = df.filter(F.col(_R).isNull()) if _R in df.columns else df
         # (doc, group, pos, line) — pos preserved for the rebuild
         lines = df.select(
             F.col(self.id_col).alias("__id"),
@@ -379,12 +387,17 @@ class BoilerplateLineRefiner(Refiner):
         countable = F.length(F.trim(F.col("__line"))) >= self.min_line_chars
         # distinct (doc, line) first: a line pasted 50x in ONE doc is
         # repetition (RepetitionStatsRefiner's job), not boilerplate
+        vote_lines = voting.select(
+            F.col(self.id_col).alias("__id"),
+            *[F.col(g) for g in grp],
+            F.posexplode(F.split(F.col(self.text_col), "\n")).alias("__pos", "__line"),
+        )
         pairs = (
-            lines.filter(countable)
+            vote_lines.filter(countable)
             .select(*grp, "__id", self._line_hash(F.col("__line")).alias("__lh"))
             .distinct()
         )
-        docs_per_grp = df.groupBy(*[F.col(g) for g in grp]).agg(
+        docs_per_grp = voting.groupBy(*[F.col(g) for g in grp]).agg(
             F.count(F.lit(1)).alias("__ndocs")
         )
         counts = pairs.groupBy(*grp, "__lh").agg(F.count(F.lit(1)).alias("__df"))

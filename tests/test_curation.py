@@ -433,3 +433,35 @@ def test_unicode_mojibake_repair(spark):
     assert out[1] == "caf\u00e9 au lait"
     assert "quoted" in out[2] and "\u00e2\u20ac" not in out[2]
     assert out[3] == "no artifacts at all"
+
+
+def test_boilerplate_alive_rows_only_vote(spark):
+    """Pipeline path: a line repeating only among already-REJECTED docs is
+    not boilerplate for the survivors; dead rows keep NULL outputs."""
+    from mega_data_factory_spark.operators.base import (
+        REJECTION_DETAILS_COL,
+        rejection_details,
+    )
+    from mega_data_factory_spark.operators.refiners import BoilerplateLineRefiner
+    from pyspark.sql import functions as F
+
+    spamline = "identical spam footer line here"
+    alive_rows = [(i, f"real prose {i}\n{spamline}") for i in range(2)]
+    dead_rows = [(100 + i, f"junk {i}\n{spamline}") for i in range(6)]
+    df = spark.createDataFrame(alive_rows + dead_rows, "doc_id long, text string").withColumn(
+        REJECTION_DETAILS_COL,
+        F.when(F.col("doc_id") >= 100, rejection_details("filtered", "Prior")),
+    )
+    # threshold 4 docs: spamline repeats in 8 docs total but only 2 ALIVE
+    r = BoilerplateLineRefiner(min_doc_frac=0.1, min_docs=4)
+    out = {x.doc_id: x for x in r.apply(df).collect()}
+    assert spamline in out[0].text_cleaned  # alive votes alone miss the bar
+    assert out[100].text_cleaned is None and out[100].boilerplate_lines_removed is None
+    # raise alive repetition to the bar: now it IS boilerplate for alive docs
+    alive_many = [(i, f"real prose {i}\n{spamline}") for i in range(5)]
+    df2 = spark.createDataFrame(alive_many + dead_rows, "doc_id long, text string").withColumn(
+        REJECTION_DETAILS_COL,
+        F.when(F.col("doc_id") >= 100, rejection_details("filtered", "Prior")),
+    )
+    out2 = {x.doc_id: x for x in r.apply(df2).collect()}
+    assert spamline not in out2[0].text_cleaned
