@@ -185,6 +185,10 @@ class ProductQuantizer:
             )
         sub = self.dim // self.m
         rng = np.random.default_rng(self.seed)
+        # a re-fit must invalidate the cached broadcast or encode() would
+        # silently keep coding against the PREVIOUS model while save()
+        # persists the new one
+        self._bc = None
         self.codebooks = np.stack(
             [
                 _kmeans_1sub(sample[:, j * sub : (j + 1) * sub], self.k, iters=self.iters, rng=rng)

@@ -375,47 +375,55 @@ class BoilerplateLineRefiner(Refiner):
         # among already-rejected docs must not be stripped from survivors.
         # The rebuild below still runs over the FULL frame so dead rows
         # keep their columns (NULLed by the tag guard at the end).
-        from mega_data_factory_spark.operators.base import REJECTION_DETAILS_COL as _R
-
-        voting = df.filter(F.col(_R).isNull()) if _R in df.columns else df
-        # (doc, group, pos, line) — pos preserved for the rebuild
-        lines = df.select(
-            F.col(self.id_col).alias("__id"),
-            *[F.col(g) for g in grp],
-            F.posexplode(F.split(F.col(self.text_col), "\n")).alias("__pos", "__line"),
+        voting = (
+            df.filter(F.col(REJECTION_DETAILS_COL).isNull())
+            if REJECTION_DETAILS_COL in df.columns
+            else df
         )
+
+        def _grp_key(g: str) -> Column:
+            # NULL-safe group key: a plain equi-join on the group column
+            # would silently exempt every NULL-group doc from removal
+            # (SQL NULL never matches), exactly the no-domain crawl rows
+            # that need it most. NUL sentinel, the KeyDeduplicator rule.
+            return F.coalesce(F.col(g).cast("string"), F.lit("\x00")).alias(f"__g_{g}")
+
+        gkeys = [f"__g_{g}" for g in grp]
+
+        def _explode_lines(frame: DataFrame) -> DataFrame:
+            # (doc, group-key, pos, line) — pos preserved for the rebuild
+            return frame.select(
+                F.col(self.id_col).alias("__id"),
+                *[_grp_key(g) for g in grp],
+                F.posexplode(F.split(F.col(self.text_col), "\n")).alias("__pos", "__line"),
+            )
+
+        lines = _explode_lines(df)
         countable = F.length(F.trim(F.col("__line"))) >= self.min_line_chars
         # distinct (doc, line) first: a line pasted 50x in ONE doc is
         # repetition (RepetitionStatsRefiner's job), not boilerplate
-        vote_lines = voting.select(
-            F.col(self.id_col).alias("__id"),
-            *[F.col(g) for g in grp],
-            F.posexplode(F.split(F.col(self.text_col), "\n")).alias("__pos", "__line"),
-        )
         pairs = (
-            vote_lines.filter(countable)
-            .select(*grp, "__id", self._line_hash(F.col("__line")).alias("__lh"))
+            _explode_lines(voting)
+            .filter(countable)
+            .select(*gkeys, "__id", self._line_hash(F.col("__line")).alias("__lh"))
             .distinct()
         )
-        docs_per_grp = voting.groupBy(*[F.col(g) for g in grp]).agg(
+        docs_per_grp = voting.groupBy(*[_grp_key(g) for g in grp]).agg(
             F.count(F.lit(1)).alias("__ndocs")
         )
-        counts = pairs.groupBy(*grp, "__lh").agg(F.count(F.lit(1)).alias("__df"))
-        # docs_per_grp is one row per group (or one row total) — always
-        # broadcast-sized
-        boiler = (
-            counts.join(F.broadcast(docs_per_grp), on=grp)
-            if grp
-            else counts.crossJoin(F.broadcast(docs_per_grp))
-        )
+        counts = pairs.groupBy(*gkeys, "__lh").agg(F.count(F.lit(1)).alias("__df"))
+        # no broadcast hint: docs_per_grp is one row per GROUP — per-domain
+        # grouping on a web crawl makes that millions of rows, so let AQE
+        # pick the join strategy from actual sizes
+        boiler = counts.join(docs_per_grp, on=gkeys) if grp else counts.crossJoin(docs_per_grp)
         boiler = boiler.filter(
             F.col("__df") >= F.greatest(
                 F.lit(self.min_docs), F.ceil(F.lit(self.min_doc_frac) * F.col("__ndocs"))
             )
-        ).select(*grp, "__lh", F.lit(True).alias("__boiler"))
+        ).select(*gkeys, "__lh", F.lit(True).alias("__boiler"))
         tagged = lines.withColumn(
             "__lh", F.when(countable, self._line_hash(F.col("__line")))
-        ).join(boiler, on=[*grp, "__lh"], how="left")
+        ).join(boiler, on=[*gkeys, "__lh"], how="left")
         rebuilt = (
             tagged.withColumn("__keep", F.col("__boiler").isNull())
             .groupBy("__id")

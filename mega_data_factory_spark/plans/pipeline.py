@@ -326,12 +326,18 @@ class Pipeline:
             # incremental dedup stores persist AFTER the sinks land (same
             # at-least-once posture as the resume manifest) — without this
             # a config-driven IncrementalExactDeduplicator would dedup
-            # within the run but never remember it across runs
-            for _stage, op in self._ops:
-                if hasattr(op, "update_store"):
-                    # from the cached tagged frame, not the observed plan
-                    # (a second action must not refire the Observation)
-                    op.update_store(tagged.filter(self._alive()).drop(_R), survivors=True)
+            # within the run but never remember it across runs. Guarded on
+            # the PASSED sink specifically: survivor keys only ever ship
+            # through it, so a sink-less (or rejected-only audit) run must
+            # not remember docs as seen — a later real run would reject
+            # them as duplicates of representatives that never landed.
+            if self.config.sink:
+                for _stage, op in self._ops:
+                    if hasattr(op, "update_store"):
+                        # from the cached tagged frame, not the observed
+                        # plan (a second action must not refire the
+                        # Observation)
+                        op.update_store(tagged.filter(self._alive()).drop(_R), survivors=True)
             if pending is not None and (self.config.sink or self.config.rejected_sink):
                 # checkpoint ONLY when something durable landed: a
                 # metrics-only preview run must not mark its input files

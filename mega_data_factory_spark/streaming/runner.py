@@ -404,12 +404,12 @@ class StreamingPipeline:
             # N+1 then dedups against everything batch N admitted — the
             # cross-batch seen-state the in-batch window cannot provide.
             # At-least-once is safe: a replayed batch re-appends keys the
-            # store join collapses. Guarded on a configured sink (the
-            # mark_processed rule): a metrics-only run must not remember
-            # docs as seen when they never shipped anywhere — a later
-            # real run would reject them as duplicates of representatives
-            # that never landed.
-            if cfg.sink or cfg.rejected_sink:
+            # store join collapses. Guarded on the PASSED sink
+            # specifically: survivor keys only ever ship through it, so a
+            # metrics-only or rejected-only run must not remember docs as
+            # seen — a later real run would reject them as duplicates of
+            # representatives that never landed.
+            if cfg.sink:
                 for _stage, op in self.pipeline._ops:
                     if hasattr(op, "update_store"):
                         op.update_store(

@@ -26,7 +26,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # all-pairs (or otherwise superlinear) DuckDB formulations — driver-gate-sized
 QUADRATIC_ORACLES = {
     "minhash_lsh_dedup",
-    "simhash_dedup",
     "simhash_near_dedup",
     "ngram_jaccard_dedup",
     "embedding_cosine_dedup",

@@ -465,3 +465,21 @@ def test_boilerplate_alive_rows_only_vote(spark):
     )
     out2 = {x.doc_id: x for x in r.apply(df2).collect()}
     assert spamline not in out2[0].text_cleaned
+
+
+def test_boilerplate_null_group_not_exempt(spark):
+    """group_col mode: docs with a NULL group value still get boilerplate
+    stripped (NUL-sentinel group key; a plain equi-join would silently
+    exempt every no-domain row)."""
+    from mega_data_factory_spark.operators.refiners import BoilerplateLineRefiner
+
+    chrome = "identical cookie banner line text"
+    rows = [(i, None, f"prose {i}\n{chrome}") for i in range(5)]
+    rows += [(10, "a.com", f"other prose\n{chrome}")]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    r = BoilerplateLineRefiner(min_doc_frac=0.5, min_docs=3, group_col="domain")
+    out = {x.doc_id: x for x in r.apply(df).collect()}
+    for i in range(5):  # NULL-domain group: 5 docs share the line -> stripped
+        assert chrome not in out[i].text_cleaned
+    # a.com group has only 1 doc with it -> kept there
+    assert chrome in out[10].text_cleaned
