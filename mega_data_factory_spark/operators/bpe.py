@@ -1,0 +1,218 @@
+"""Byte-pair-encoding tokenizer: distributed fit, Arrow-batched encode.
+
+The brief's floor is token COUNTING (whitespace + a BPE-ish regex,
+``functions/text.py``); this is the real thing — a trainable BPE vocab so
+the engine's token budgets, packing coordinates, and perplexity features
+can run on the same subword units the downstream model will see.
+
+Scale architecture (the reason this belongs in a 100 TB engine): BPE
+training never needs the corpus — it needs the WORD-FREQUENCY TABLE
+(Sennrich et al. 2016; HuggingFace tokenizers train the same way). So
+``fit`` is ONE distributed groupBy(word).count() — compact keys, map-side
+combine — truncated to the ``max_distinct_words`` head (the Zipf tail
+contributes counts of 1 that cannot win a merge against the head), and
+the merge loop runs driver-side over that bounded table with incremental
+pair-count maintenance (only words containing the merged pair are
+re-segmented). Corpus size affects the ONE count job, never the loop.
+
+``encode`` broadcasts the merge ranks and applies the standard greedy
+lowest-rank-first merge per word inside a pandas UDF, memoized per batch
+(web text re-uses words heavily). Unseen characters fall back to single-
+character tokens — encoding never fails.
+
+Not SQL-oracle-expressible (iterative merge selection); the test suite
+holds the bar: determinism, lossless detokenization (concatenating a
+word's tokens reproduces the word), merge-order sanity on a known
+corpus, persistence roundtrip (tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it in globals
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.functions.text import normalize_text
+
+# marks a word-internal boundary so merges never cross words; chosen from
+# the unicode private-use area to never collide with corpus characters
+END_OF_WORD = "\ue000"
+
+
+def _word_counts(df: DataFrame, text_col: str, *, lowercase: bool, cap: int) -> list[tuple[str, int]]:
+    words = df.select(
+        F.explode(F.split(normalize_text(text_col, lowercase=lowercase), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counted = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # head-of-Zipf truncation: deterministic (count desc, word asc) and
+    # executed as TakeOrderedAndProject, never a full sort
+    rows = counted.orderBy(F.col("n").desc(), F.col("w")).limit(cap).collect()
+    return [(r["w"], r["n"]) for r in rows]
+
+
+class BpeTokenizer:
+    """Trainable BPE codec. ``merges`` is the ordered merge list (the
+    model); ``ranks`` its pair->priority index used by encode."""
+
+    def __init__(
+        self,
+        vocab_size: int = 8000,
+        *,
+        text_col: str = "text",
+        lowercase: bool = True,
+        max_distinct_words: int = 200_000,
+        min_pair_count: int = 2,
+    ):
+        if vocab_size < 1:
+            raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+        self.vocab_size = vocab_size
+        self.text_col = text_col
+        self.lowercase = lowercase
+        self.max_distinct_words = max_distinct_words
+        self.min_pair_count = min_pair_count
+        self.merges: list[tuple[str, str]] | None = None
+
+    # ---------------------------------------------------------- training
+    def fit(self, df: DataFrame) -> "BpeTokenizer":
+        vocab = _word_counts(
+            df, self.text_col, lowercase=self.lowercase, cap=self.max_distinct_words
+        )
+        if not vocab:
+            raise ValueError("BpeTokenizer.fit: no words to train on")
+        # segmentations: word -> list of current symbols (chars + EOW)
+        segs = {w: [*w, END_OF_WORD] for w, _ in vocab}
+        counts = dict(vocab)
+        # pair -> total count, and pair -> words containing it (the
+        # incremental index: each merge touches only its own words)
+        pair_counts: dict[tuple[str, str], int] = {}
+        pair_words: dict[tuple[str, str], set[str]] = {}
+
+        def add_word_pairs(w: str, sign: int) -> None:
+            seg, n = segs[w], counts[w]
+            for a, b in zip(seg, seg[1:]):
+                p = (a, b)
+                pair_counts[p] = pair_counts.get(p, 0) + sign * n
+                if sign > 0:
+                    pair_words.setdefault(p, set()).add(w)
+
+        for w, _ in vocab:
+            add_word_pairs(w, +1)
+
+        base_symbols = {s for seg in segs.values() for s in seg}
+        merges: list[tuple[str, str]] = []
+        n_merges = max(0, self.vocab_size - len(base_symbols))
+        for _ in range(n_merges):
+            # deterministic argmax: count desc, then lexicographic pair
+            best = max(
+                ((c, p) for p, c in pair_counts.items() if c >= self.min_pair_count),
+                default=None,
+                key=lambda t: (t[0], tuple(-ord(ch) for ch in t[1][0] + "\x00" + t[1][1])),
+            )
+            if best is None:
+                break
+            _, pair = best
+            merges.append(pair)
+            merged = pair[0] + pair[1]
+            for w in list(pair_words.get(pair, ())):
+                add_word_pairs(w, -1)  # retract old pair counts
+                seg, out, i = segs[w], [], 0
+                while i < len(seg):
+                    if i + 1 < len(seg) and (seg[i], seg[i + 1]) == pair:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(seg[i])
+                        i += 1
+                segs[w] = out
+                add_word_pairs(w, +1)
+            pair_counts.pop(pair, None)
+            pair_words.pop(pair, None)
+        self.merges = merges
+        return self
+
+    # ---------------------------------------------------------- encoding
+    @staticmethod
+    def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+        seg = [*word, END_OF_WORD]
+        while len(seg) > 1:
+            best_i, best_r = -1, None
+            for i, p in enumerate(zip(seg, seg[1:])):
+                r = ranks.get(p)
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            seg[best_i : best_i + 2] = [seg[best_i] + seg[best_i + 1]]
+        return seg
+
+    def encode(self, df: DataFrame, *, out_col: str = "bpe_tokens") -> DataFrame:
+        """Adds ``out_col array<string>`` (tokens; the word-final token
+        carries the END_OF_WORD marker, so detokenization is concatenate +
+        marker->space) and ``bpe_token_count int``. NULL text -> NULL."""
+        if self.merges is None:
+            raise ValueError("call fit() (or load()) first")
+        from pyspark.sql.functions import pandas_udf
+
+        ranks = {p: i for i, p in enumerate(self.merges)}
+        lowercase, text_col = self.lowercase, self.text_col
+        bc = df.sparkSession.sparkContext.broadcast(ranks)
+        enc = BpeTokenizer._encode_word
+
+        @pandas_udf("array<string>")
+        def bpe(texts: pd.Series) -> pd.Series:
+            r = bc.value
+            cache: dict[str, list[str]] = {}
+
+            def one(t):
+                if t is None:
+                    return None
+                if lowercase:
+                    t = t.lower()
+                out: list[str] = []
+                for w in t.split():
+                    toks = cache.get(w)
+                    if toks is None:
+                        # tokens keep the end-of-word marker (the "</w>"
+                        # convention): detokenization is then pure
+                        # concatenation + marker-to-space, lossless by
+                        # construction
+                        toks = enc(w, r)
+                        cache[w] = toks
+                    out.extend(toks)
+                return out
+
+            return texts.map(one)
+
+        out = df.withColumn(out_col, bpe(F.col(text_col)))
+        return out.withColumn(
+            "bpe_token_count",
+            F.when(F.col(out_col).isNotNull(), F.size(out_col)).cast("int"),
+        )
+
+    # ------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        if self.merges is None:
+            raise ValueError("nothing to save: call fit() first")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".inprogress"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "vocab_size": self.vocab_size,
+                    "lowercase": self.lowercase,
+                    "merges": [list(p) for p in self.merges],
+                },
+                fh,
+            )
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str, *, text_col: str = "text") -> "BpeTokenizer":
+        with open(path) as fh:
+            d = json.load(fh)
+        tok = cls(d["vocab_size"], text_col=text_col, lowercase=d["lowercase"])
+        tok.merges = [tuple(p) for p in d["merges"]]
+        return tok

@@ -1,0 +1,83 @@
+"""BpeTokenizer: merge-learning sanity on a known corpus, lossless
+detokenization, determinism, persistence, containment. Iterative merge
+selection is not SQL-expressible (like k-means); these bars are the
+correctness gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.operators.bpe import END_OF_WORD, BpeTokenizer
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "low low low low low"),
+        (2, "lower lower newer newer newer newer"),
+        (3, "newest newest widest widest"),
+        (4, "low lower lowest"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_learns_frequent_merges(spark, corpus):
+    """On the classic low/lower/newer corpus, high-frequency adjacent pairs
+    ('lo', 'er</w>'-style units) become early merges, and frequent whole
+    words collapse to few tokens while rare words stay more segmented."""
+    tok = BpeTokenizer(vocab_size=40).fit(corpus)
+    assert tok.merges, "no merges learned"
+    pair_strs = ["".join(p) for p in tok.merges]
+    assert "lo" in pair_strs[:6]  # 'l','o' co-occur in low/lower/lowest
+    enc = tok.encode(corpus).collect()
+    by_id = {r.doc_id: r for r in enc}
+    # 'low' is the most frequent word: it must encode to ONE token
+    assert by_id[1].bpe_tokens.count("low" + END_OF_WORD) == 5
+    assert by_id[1].bpe_token_count == 5
+    # counts column matches the array
+    for r in enc:
+        assert r.bpe_token_count == len(r.bpe_tokens)
+
+
+def test_bpe_detokenization_lossless(spark, corpus):
+    """concatenating tokens and mapping the end-of-word marker to a space
+    reproduces the normalized text exactly — including unseen words/chars
+    (single-char fallback, never an error)."""
+    tok = BpeTokenizer(vocab_size=40).fit(corpus)
+    probe = spark.createDataFrame(
+        [(1, "low lower zebra 12345 ünïcödé"), (2, None), (3, "newest")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in tok.encode(probe).collect()}
+    for i, expected in ((1, "low lower zebra 12345 ünïcödé"), (3, "newest")):
+        detok = "".join(rows[i].bpe_tokens).replace(END_OF_WORD, " ").strip()
+        assert detok == expected
+    assert rows[2].bpe_tokens is None and rows[2].bpe_token_count is None
+
+
+def test_bpe_deterministic_and_layout_independent(spark, corpus):
+    a = BpeTokenizer(vocab_size=40).fit(corpus)
+    b = BpeTokenizer(vocab_size=40).fit(corpus.repartition(7))
+    assert a.merges == b.merges
+
+
+def test_bpe_save_load_roundtrip(spark, corpus, tmp_path):
+    a = BpeTokenizer(vocab_size=40).fit(corpus)
+    p = str(tmp_path / "bpe" / "model.json")
+    a.save(p)
+    b = BpeTokenizer.load(p)
+    assert b.merges == a.merges and b.lowercase == a.lowercase
+    ea = [tuple(r.bpe_tokens) for r in a.encode(corpus).orderBy("doc_id").collect()]
+    eb = [tuple(r.bpe_tokens) for r in b.encode(corpus).orderBy("doc_id").collect()]
+    assert ea == eb
+
+
+def test_bpe_validation(spark):
+    with pytest.raises(ValueError, match="vocab_size"):
+        BpeTokenizer(0)
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no words"):
+        BpeTokenizer(10).fit(empty)
+    with pytest.raises(ValueError, match="fit"):
+        BpeTokenizer(10).encode(empty)
+    with pytest.raises(ValueError, match="nothing to save"):
+        BpeTokenizer(10).save("/tmp/x.json")
