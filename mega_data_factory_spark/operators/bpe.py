@@ -32,10 +32,11 @@ import json
 import os
 
 import pandas as pd  # module-level: pandas_udf type-hint resolution needs it in globals
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mega_data_factory_spark.functions.text import normalize_text
+from mega_data_factory_spark.operators.base import Operator
 
 # marks a word-internal boundary so merges never cross words; chosen from
 # the unicode private-use area to never collide with corpus characters
@@ -53,9 +54,14 @@ def _word_counts(df: DataFrame, text_col: str, *, lowercase: bool, cap: int) -> 
     return [(r["w"], r["n"]) for r in rows]
 
 
-class BpeTokenizer:
+class BpeTokenizer(Operator):
     """Trainable BPE codec. ``merges`` is the ordered merge list (the
-    model); ``ranks`` its pair->priority index used by encode."""
+    model); ``ranks`` its pair->priority index used by encode.
+
+    Registered as a pipeline operator (the QualityClassifier posture):
+    fit offline, ``save(path)``, then a YAML stage with
+    ``params: {model_path: ...}`` adds ``bpe_tokens``/``bpe_token_count``
+    per micro-batch — ``apply`` IS ``encode`` with a lazy model load."""
 
     def __init__(
         self,
@@ -65,7 +71,10 @@ class BpeTokenizer:
         lowercase: bool = True,
         max_distinct_words: int = 200_000,
         min_pair_count: int = 2,
+        model_path: str | None = None,
+        name: str | None = None,
     ):
+        super().__init__(name)
         if vocab_size < 1:
             raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
         self.vocab_size = vocab_size
@@ -73,7 +82,15 @@ class BpeTokenizer:
         self.lowercase = lowercase
         self.max_distinct_words = max_distinct_words
         self.min_pair_count = min_pair_count
+        self.model_path = model_path
         self.merges: list[tuple[str, str]] | None = None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        if self.merges is None and self.model_path is not None:
+            loaded = type(self).load(self.model_path, text_col=self.text_col)
+            self.merges = loaded.merges
+            self.lowercase = loaded.lowercase
+        return self.encode(df)
 
     # ---------------------------------------------------------- training
     def fit(self, df: DataFrame) -> "BpeTokenizer":

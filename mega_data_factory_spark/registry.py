@@ -89,6 +89,7 @@ def _register_builtins() -> None:
         VideoFrameSampleRefiner,
         VisualDegradationsRefiner,
     )
+    from mega_data_factory_spark.operators.bpe import BpeTokenizer
     from mega_data_factory_spark.operators.classifier import QualityClassifier
     from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
     from mega_data_factory_spark.operators.graph import ClusterDeduplicator
@@ -147,6 +148,7 @@ def _register_builtins() -> None:
         ClusterDeduplicator,
         QualityClassifier,
         TokenBudgetSelector,
+        BpeTokenizer,
     ):
         OPERATORS.register(cls)
     # reference acronym-quirk aliases (framework/config.py:21-28)

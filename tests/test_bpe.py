@@ -81,3 +81,16 @@ def test_bpe_validation(spark):
         BpeTokenizer(10).encode(empty)
     with pytest.raises(ValueError, match="nothing to save"):
         BpeTokenizer(10).save("/tmp/x.json")
+
+
+def test_bpe_yaml_pipeline_apply(spark, corpus, tmp_path):
+    """Registry + model_path path: a config-driven stage encodes per batch
+    from the persisted model (apply == lazy-load + encode)."""
+    from mega_data_factory_spark.registry import OPERATORS
+
+    p = str(tmp_path / "bpe.json")
+    BpeTokenizer(vocab_size=40).fit(corpus).save(p)
+    op = OPERATORS.create("bpe_tokenizer", {"model_path": p})
+    out = op.apply(corpus)
+    assert {"bpe_tokens", "bpe_token_count"} <= set(out.columns)
+    assert out.filter(F.col("bpe_token_count").isNull()).count() == 0
