@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import pandas as pd  # module-level: pandas_udf type-hint resolution needs it in globals
 from pyspark.sql import DataFrame
@@ -41,6 +42,13 @@ from mega_data_factory_spark.operators.base import Operator
 # marks a word-internal boundary so merges never cross words; chosen from
 # the unicode private-use area to never collide with corpus characters
 END_OF_WORD = "\ue000"
+
+# Word splitting must agree between fit (JVM: normalize_text collapses Java
+# `\s` = ASCII whitespace, then split on " ") and encode (Python). Python's
+# str.split() breaks on UNICODE whitespace (U+00A0, U+2028, ...), which the
+# JVM side treats as word-interior \u2014 a word trained as "a\xa0b" would encode
+# as two words. Split on exactly the Java \s class instead.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _word_counts(df: DataFrame, text_col: str, *, lowercase: bool, cap: int) -> list[tuple[str, int]]:
@@ -189,7 +197,9 @@ class BpeTokenizer(Operator):
                 if lowercase:
                     t = t.lower()
                 out: list[str] = []
-                for w in t.split():
+                for w in _ASCII_WS.split(t):
+                    if not w:
+                        continue
                     toks = cache.get(w)
                     if toks is None:
                         # tokens keep the end-of-word marker (the "</w>"

@@ -71,6 +71,18 @@ def test_bpe_save_load_roundtrip(spark, corpus, tmp_path):
     assert ea == eb
 
 
+def test_bpe_unicode_whitespace_word_parity(spark):
+    """fit's JVM split (Java \\s = ASCII whitespace) treats U+00A0 as
+    word-interior; encode must agree — one trained word, one end-of-word
+    marker, not two (regression: str.split() breaks on Unicode ws)."""
+    nb = "a b"
+    df = spark.createDataFrame([(i, nb) for i in range(5)], "doc_id long, text string")
+    tok = BpeTokenizer(vocab_size=20).fit(df)
+    toks = tok.encode(df).collect()[0].bpe_tokens
+    assert sum(t.count(END_OF_WORD) for t in toks) == 1
+    assert "".join(toks).replace(END_OF_WORD, " ").strip() == nb
+
+
 def test_bpe_validation(spark):
     with pytest.raises(ValueError, match="vocab_size"):
         BpeTokenizer(0)
