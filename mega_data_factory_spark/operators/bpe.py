@@ -92,11 +92,15 @@ class BpeTokenizer(Operator):
         self.min_pair_count = min_pair_count
         self.model_path = model_path
         self.merges: list[tuple[str, str]] | None = None
+        # base (single-char + END_OF_WORD) symbol inventory, fixed at fit
+        # time: together with `merges` it determines vocab() ids
+        self.symbols: list[str] | None = None
 
     def apply(self, df: DataFrame) -> DataFrame:
         if self.merges is None and self.model_path is not None:
             loaded = type(self).load(self.model_path, text_col=self.text_col)
             self.merges = loaded.merges
+            self.symbols = loaded.symbols
             self.lowercase = loaded.lowercase
         return self.encode(df)
 
@@ -156,6 +160,7 @@ class BpeTokenizer(Operator):
             pair_counts.pop(pair, None)
             pair_words.pop(pair, None)
         self.merges = merges
+        self.symbols = sorted(base_symbols)
         return self
 
     # ---------------------------------------------------------- encoding
@@ -219,6 +224,69 @@ class BpeTokenizer(Operator):
             F.when(F.col(out_col).isNotNull(), F.size(out_col)).cast("int"),
         )
 
+    def vocab(self) -> dict[str, int]:
+        """Deterministic token -> id map: id 0 is reserved UNK (fallback
+        tokens for characters never seen at fit time), base symbols follow
+        in sorted order, then merged tokens in merge order. Two merges can
+        produce the same surface string (``'a'+'bc'`` and ``'ab'+'c'``);
+        the first keeps the id. Pure driver-side arithmetic over the
+        model — no data access."""
+        if self.merges is None:
+            raise ValueError("call fit() (or load()) first")
+        syms = self.symbols
+        if syms is None:  # pre-vocab model file: best-effort reconstruction
+            syms = sorted({ch for p in self.merges for s in p for ch in s} | {END_OF_WORD})
+        v: dict[str, int] = {}
+        for s in syms:
+            v.setdefault(s, len(v) + 1)
+        for a, b in self.merges:
+            v.setdefault(a + b, len(v) + 1)
+        return v
+
+    def encode_ids(self, df: DataFrame, *, out_col: str = "bpe_token_ids") -> DataFrame:
+        """Adds ``out_col array<int>`` (vocab ids, UNK=0 for fit-unseen
+        fallback characters) and ``bpe_token_count``. The training-shard
+        form: ``SequencePacker.packed_token_ids`` chunks these arrays into
+        exact ``seq_len`` sequences. NULL text -> NULL."""
+        if self.merges is None:
+            raise ValueError("call fit() (or load()) first")
+        from pyspark.sql.functions import pandas_udf
+
+        ranks = {p: i for i, p in enumerate(self.merges)}
+        vocab = self.vocab()
+        lowercase, text_col = self.lowercase, self.text_col
+        bc = df.sparkSession.sparkContext.broadcast((ranks, vocab))
+        enc = BpeTokenizer._encode_word
+
+        @pandas_udf("array<int>")
+        def bpe_ids(texts: pd.Series) -> pd.Series:
+            r, v = bc.value
+            cache: dict[str, list[int]] = {}
+
+            def one(t):
+                if t is None:
+                    return None
+                if lowercase:
+                    t = t.lower()
+                out: list[int] = []
+                for w in _ASCII_WS.split(t):
+                    if not w:
+                        continue
+                    ids = cache.get(w)
+                    if ids is None:
+                        ids = [v.get(tok, 0) for tok in enc(w, r)]
+                        cache[w] = ids
+                    out.extend(ids)
+                return out
+
+            return texts.map(one)
+
+        out = df.withColumn(out_col, bpe_ids(F.col(text_col)))
+        return out.withColumn(
+            "bpe_token_count",
+            F.when(F.col(out_col).isNotNull(), F.size(out_col)).cast("int"),
+        )
+
     # ------------------------------------------------------- persistence
     def save(self, path: str) -> None:
         if self.merges is None:
@@ -231,6 +299,7 @@ class BpeTokenizer(Operator):
                     "vocab_size": self.vocab_size,
                     "lowercase": self.lowercase,
                     "merges": [list(p) for p in self.merges],
+                    "symbols": self.symbols,
                 },
                 fh,
             )
@@ -242,4 +311,5 @@ class BpeTokenizer(Operator):
             d = json.load(fh)
         tok = cls(d["vocab_size"], text_col=text_col, lowercase=d["lowercase"])
         tok.merges = [tuple(p) for p in d["merges"]]
+        tok.symbols = d.get("symbols")  # absent in pre-vocab model files
         return tok

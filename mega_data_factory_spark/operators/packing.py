@@ -85,8 +85,22 @@ class SequencePacker(Operator):
         dropped: rejected/empty rows get NULL packing coordinates and
         consume no token budget — row accounting stays intact."""
         tagged = REJECTION_DETAILS_COL in df.columns
+        out, alive = self._with_coords(df, self._tokens(), tagged)
+        res = (
+            # floor, not cast: `/` widens to double and a straight BIGINT
+            # cast truncates here but ROUNDS in other engines (DuckDB)
+            out.withColumn("seq_id", F.floor(F.col("__start") / F.lit(self.seq_len)).cast("long"))
+            .withColumn("seq_offset", (F.col("__start") % F.lit(self.seq_len)).cast("long"))
+            .drop("__tok", "__start")
+        )
+        return self._tag_unpackable(res, alive) if tagged else res
+
+    def _with_coords(self, df: DataFrame, tokens: Column, tagged: bool):
+        """Shared coordinate assignment: adds ``__tok``, ``pack_bucket``
+        and the running-total ``__start`` (one shuffle on the bucket key).
+        Returns (frame, alive-predicate)."""
         alive = F.col(REJECTION_DETAILS_COL).isNull() if tagged else F.lit(True)
-        tok = F.when(alive, self._tokens()).otherwise(F.lit(None))
+        tok = F.when(alive, tokens).otherwise(F.lit(None))
         # NULL ids cannot pack (stable_bucket of NULL is NULL, and the
         # unique-id ordering contract breaks): exclude them from the
         # packable set EXPLICITLY — they keep NULL coordinates and, in a
@@ -116,15 +130,7 @@ class SequencePacker(Operator):
         )
         packable = F.col("pack_bucket").isNotNull()
         start = F.when(packable, F.sum("__tok").over(w) - F.col("__tok"))
-        out = out.withColumn("__start", start)
-        res = (
-            # floor, not cast: `/` widens to double and a straight BIGINT
-            # cast truncates here but ROUNDS in other engines (DuckDB)
-            out.withColumn("seq_id", F.floor(F.col("__start") / F.lit(self.seq_len)).cast("long"))
-            .withColumn("seq_offset", (F.col("__start") % F.lit(self.seq_len)).cast("long"))
-            .drop("__tok", "__start")
-        )
-        return self._tag_unpackable(res, alive) if tagged else res
+        return out.withColumn("__start", start), alive
 
     def _tag_unpackable(self, out: DataFrame, alive) -> DataFrame:
         from mega_data_factory_spark.operators.base import rejection_details
@@ -159,6 +165,63 @@ class SequencePacker(Operator):
                 F.col("__m.id").alias("doc_ids"),
                 "n_tokens",
                 "n_docs",
+            )
+        )
+
+
+    def packed_token_ids(
+        self, df: DataFrame, tokens_col: str = "bpe_token_ids", *, out_col: str = "tokens"
+    ) -> DataFrame:
+        """Materialize the training shards themselves: one row per
+        ``(pack_bucket, seq_id)`` whose ``out_col`` is the concatenation
+        of member documents' ``tokens_col`` arrays in packing order, cut
+        at every ``seq_len`` tokens. Unlike ``apply``/``sequences`` (which
+        assign a document to the sequence where it STARTS), here documents
+        SPAN sequence boundaries — exact concat-then-chunk: every output
+        array is exactly ``seq_len`` long except the final partial one per
+        bucket, with no padding and no truncation loss (per-bucket
+        concatenation in id order is reproduced verbatim).
+
+        Token counts are ``size(tokens_col)`` — self-consistent with the
+        array being chunked by construction, so the coordinates agree with
+        ``apply(token_col=...)`` over the same counts.
+
+        Scale shape: coordinates reuse the one bucket-key window shuffle;
+        the chunking is a posexplode (narrow) + ONE shuffle keyed on
+        (bucket, seq) whose rows are (int, long, id) — each token id
+        crosses the wire exactly once, i.e. shuffle volume == output
+        volume, the floor for exact shard materialization. Per-group
+        state is bounded by ``seq_len`` (collect_list of one sequence).
+        """
+        tagged = REJECTION_DETAILS_COL in df.columns
+        coords, _ = self._with_coords(df, F.size(F.col(tokens_col)).cast("long"), tagged)
+        ex = (
+            coords.filter(F.col("pack_bucket").isNotNull())
+            .select(
+                "pack_bucket",
+                "__start",
+                F.posexplode(F.col(tokens_col)).alias("__p", "__tid"),
+            )
+            .withColumn("__abs", F.col("__start") + F.col("__p"))
+        )
+        return (
+            ex.groupBy(
+                "pack_bucket",
+                F.floor(F.col("__abs") / F.lit(self.seq_len)).cast("long").alias("seq_id"),
+            )
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (F.col("__abs") % F.lit(self.seq_len)).alias("__off"),
+                                F.col("__tid").alias("__t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__t"],
+                ).alias(out_col),
+                F.count(F.lit(1)).cast("long").alias("n_tokens"),
             )
         )
 

@@ -106,3 +106,40 @@ def test_bpe_yaml_pipeline_apply(spark, corpus, tmp_path):
     out = op.apply(corpus)
     assert {"bpe_tokens", "bpe_token_count"} <= set(out.columns)
     assert out.filter(F.col("bpe_token_count").isNull()).count() == 0
+
+
+def test_bpe_encode_ids_matches_tokens(spark, corpus):
+    """encode_ids is encode through the vocab map: inverse-vocab maps ids
+    back to exactly the bpe_tokens arrays; counts agree; NULL stays NULL."""
+    tok = BpeTokenizer(vocab_size=40).fit(corpus)
+    inv = {i: t for t, i in tok.vocab().items()}
+    assert 0 not in inv  # id 0 is reserved UNK
+    probe = corpus.union(
+        spark.createDataFrame([(9, None)], "doc_id long, text string")
+    )
+    both = tok.encode_ids(tok.encode(probe)).collect()
+    for r in both:
+        if r.text is None:
+            assert r.bpe_token_ids is None and r.bpe_token_count is None
+            continue
+        assert [inv[i] for i in r.bpe_token_ids] == list(r.bpe_tokens)
+        assert r.bpe_token_count == len(r.bpe_token_ids)
+
+
+def test_bpe_unknown_chars_get_unk_id(spark, corpus):
+    tok = BpeTokenizer(vocab_size=40).fit(corpus)
+    probe = spark.createDataFrame([(1, "low ßß")], "doc_id long, text string")
+    ids = probe.transform(tok.encode_ids).collect()[0].bpe_token_ids
+    assert 0 in ids  # fit-unseen char maps to UNK, never an error
+    assert ids[0] != 0  # known word still resolves
+
+
+def test_bpe_vocab_persists_across_save_load(spark, corpus, tmp_path):
+    a = BpeTokenizer(vocab_size=40).fit(corpus)
+    p = str(tmp_path / "bpe_ids.json")
+    a.save(p)
+    b = BpeTokenizer.load(p)
+    assert b.vocab() == a.vocab()
+    ea = [tuple(r.bpe_token_ids) for r in a.encode_ids(corpus).orderBy("doc_id").collect()]
+    eb = [tuple(r.bpe_token_ids) for r in b.encode_ids(corpus).orderBy("doc_id").collect()]
+    assert ea == eb

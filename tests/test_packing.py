@@ -206,3 +206,86 @@ def test_deterministic_shuffle(spark):
     # rank_col keeps the rank for audit
     kept = deterministic_shuffle(df, num_partitions=4, rank_col="rk")
     assert "rk" in kept.columns and kept.filter(F.col("rk").isNull()).count() == 0
+
+
+def test_packed_token_ids_exact_chunks(spark):
+    """Shard materialization: exact seq_len arrays, documents spanning
+    sequence boundaries, per-bucket concatenation reproduced verbatim,
+    layout-independent."""
+    from mega_data_factory_spark.operators.packing import SequencePacker
+
+    seq_len = 8
+    docs = [
+        (i, list(range(i * 100, i * 100 + n)))
+        for i, n in enumerate([3, 5, 21, 1, 8, 13, 2], start=1)  # 21 > seq_len: spans 3 seqs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, bpe_token_ids array<int>")
+    p = SequencePacker(seq_len, buckets=3)
+    out = p.packed_token_ids(df).collect()
+    # group shards per bucket, ordered by seq_id
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r.pack_bucket, []).append(r)
+    for b, shards in by_bucket.items():
+        shards.sort(key=lambda r: r.seq_id)
+        # contiguous seq ids from 0
+        assert [s.seq_id for s in shards] == list(range(len(shards)))
+        # every shard full except the last
+        for s in shards[:-1]:
+            assert len(s.tokens) == seq_len and s.n_tokens == seq_len
+        assert 1 <= len(shards[-1].tokens) <= seq_len
+        assert all(s.n_tokens == len(s.tokens) for s in shards)
+    # per-bucket flattening == concatenation of member docs in id order;
+    # expected membership via the operator's own coordinates (token_col form)
+    coord_rows = (
+        SequencePacker(seq_len, buckets=3, token_col="__n")
+        .apply(df.withColumn("__n", F.size("bpe_token_ids")))
+        .select("doc_id", "pack_bucket")
+        .collect()
+    )
+    members: dict[int, list[int]] = {}
+    toks = {d: a for d, a in docs}
+    for r in sorted(coord_rows, key=lambda r: r.doc_id):
+        members.setdefault(r.pack_bucket, []).extend(toks[r.doc_id])
+    for b, shards in by_bucket.items():
+        flat = [t for s in sorted(shards, key=lambda r: r.seq_id) for t in s.tokens]
+        assert flat == members[b], f"bucket {b} concatenation mismatch"
+    # layout independence
+    again = p.packed_token_ids(df.repartition(5)).collect()
+    key = lambda rows: sorted((r.pack_bucket, r.seq_id, tuple(r.tokens)) for r in rows)
+    assert key(again) == key(out)
+
+
+def test_packed_token_ids_bpe_end_to_end(spark):
+    """documents -> BPE encode_ids -> exact-seq_len shards: inverse-vocab
+    detokenization of the flattened shards reproduces the normalized
+    corpus text per bucket (nothing lost or reordered end to end)."""
+    from mega_data_factory_spark.operators.bpe import END_OF_WORD, BpeTokenizer
+    from mega_data_factory_spark.operators.packing import SequencePacker
+
+    rows = [(i, f"pack these words doc {i} low lower newest") for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = BpeTokenizer(vocab_size=60).fit(df)
+    ids = tok.encode_ids(df)
+    p = SequencePacker(16, buckets=2)
+    shards = p.packed_token_ids(ids).collect()
+    inv = {i: t for t, i in tok.vocab().items()}
+    # rebuild per-bucket text from shards
+    by_bucket: dict[int, list] = {}
+    for r in shards:
+        by_bucket.setdefault(r.pack_bucket, []).append(r)
+    # expected membership from coordinates (count col = array size)
+    coord = (
+        SequencePacker(16, buckets=2, token_col="bpe_token_count")
+        .apply(ids)
+        .select("doc_id", "pack_bucket")
+        .collect()
+    )
+    texts = dict(rows)
+    for b, rs in by_bucket.items():
+        flat = [t for r in sorted(rs, key=lambda r: r.seq_id) for t in r.tokens]
+        detok = "".join(inv[i] for i in flat).replace(END_OF_WORD, " ").strip()
+        expected = " ".join(
+            texts[r.doc_id] for r in sorted(coord, key=lambda r: r.doc_id) if r.pack_bucket == b
+        )
+        assert detok == expected
