@@ -404,6 +404,56 @@ def main() -> None:
         print(f"# pq_ann_500k: FAILED ({errors['pq_ann_500k']})", file=sys.stderr)
 
     try:
+        # Training-shard export datapoint: BPE subword encode -> exact-
+        # seq_len packed token arrays (operators/bpe.py encode_ids +
+        # operators/packing.py packed_token_ids) over the sf documents
+        # replicated to 100k rows with per-replica salt (the _stream_src
+        # pattern — real text, not word soup). The BPE fit is untimed
+        # (train-once, like the classifier/PQ fits); timed = Arrow-batched
+        # encode + the one (bucket, seq) chunk shuffle + shard agg, i.e.
+        # the full text -> training-tensor export path.
+        from mega_data_factory_spark.operators.bpe import BpeTokenizer
+        from mega_data_factory_spark.operators.packing import SequencePacker
+
+        rep_n = 20
+        reps_tok = spark.range(rep_n).withColumnRenamed("id", "rep")
+        tok_corpus = (
+            docs_lm.crossJoin(F2.broadcast(reps_tok))
+            .withColumn("doc_id", F2.col("doc_id") * rep_n + F2.col("rep"))
+            .withColumn(
+                "text",
+                F2.when(F2.col("rep") == 0, F2.col("text")).otherwise(
+                    F2.concat(F2.col("text"), F2.lit(" rep"), F2.col("rep").cast("string"))
+                ),
+            )
+            .drop("rep")
+            .persist()
+        )
+        n_tok_docs = tok_corpus.count()
+        bpe_tok = BpeTokenizer(vocab_size=2000, max_distinct_words=100_000).fit(docs_lm)
+        shard_packer = SequencePacker(2048, buckets=64)
+        dt = float("inf")
+        n_seq = n_toks = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            shards = shard_packer.packed_token_ids(bpe_tok.encode_ids(tok_corpus))
+            agg = shards.agg(F2.count(F2.lit(1)), F2.sum("n_tokens")).first()
+            if time.perf_counter() - t0 < dt:
+                dt = time.perf_counter() - t0
+                n_seq, n_toks = int(agg[0]), int(agg[1] or 0)
+        tok_corpus.unpersist()
+        timings["token_shard_export"] = round(dt, 4)
+        total += dt
+        print(
+            f"# token_shard_export: {dt:.3f}s ({n_tok_docs} docs -> {n_seq} seqs of 2048, "
+            f"{n_toks:,} tokens, {n_toks/dt:,.0f} tok/s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["token_shard_export"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# token_shard_export: FAILED ({errors['token_shard_export']})", file=sys.stderr)
+
+    try:
         # Dataset-profiling datapoint: full column profile of the two widest
         # tables (lineitem + orders) in sketch mode — HLL cardinalities +
         # approx_percentile, the bounded-memory 100 TB configuration. Each
@@ -585,6 +635,7 @@ def main() -> None:
                     "perplexity_1m",
                     "quality_classifier_1m",
                     "pq_ann_500k",
+                    "token_shard_export",
                 ],
                 **({"streaming": stream_detail} if stream_detail else {}),
                 # a run with failed queries reports a smaller total than a

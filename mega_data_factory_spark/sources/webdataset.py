@@ -177,8 +177,12 @@ def write_webdataset(
     by key and written with zeroed tar metadata, so the SAME rows always
     produce byte-identical shards (resumable/verifiable output). NULL
     members are skipped (a sample missing its caption still ships its
-    image). One ``applyInPandas`` task streams each shard; tar members
-    must be materialized per-sample anyway, so peak memory is one sample.
+    image). One ``applyInPandas`` task writes each shard — and holds that
+    ENTIRE shard as one Arrow/pandas group in executor memory while doing
+    so: size ``num_shards`` so ``corpus_bytes / num_shards`` stays in the
+    hundreds of MB (the standard WebDataset shard size and comfortably
+    under Arrow's 2 GB group limit); it is the exact analog of
+    img2dataset's one-shard-per-worker buffer.
     """
     from mega_data_factory_spark.functions.hashing import hash64_from_md5
 
