@@ -4,6 +4,10 @@
     python -m mega_data_factory_spark validate -c pipeline.yaml [--explain]
     python -m mega_data_factory_spark list-operators
     python -m mega_data_factory_spark list-queries
+    python -m mega_data_factory_spark fit-bpe -i corpus.parquet -o bpe.json
+    python -m mega_data_factory_spark export-tokens -i corpus.parquet -m bpe.json -o shards/
+    python -m mega_data_factory_spark export-wds -i table.parquet -o shards/
+    python -m mega_data_factory_spark compact-store -s store/
 """
 
 from __future__ import annotations
@@ -56,6 +60,28 @@ def main(argv: list[str] | None = None) -> int:
     wdsp.add_argument("--shards", type=int, default=64)
     wdsp.add_argument("--prefix", default="shard")
     wdsp.add_argument("--cpus", type=int, default=None)
+    fitp = sub.add_parser(
+        "fit-bpe", help="train a BPE tokenizer model from a parquet corpus"
+    )
+    fitp.add_argument("-i", "--input", required=True, help="input parquet path")
+    fitp.add_argument("-o", "--out", required=True, help="model JSON output path")
+    fitp.add_argument("--vocab-size", type=int, default=8000)
+    fitp.add_argument("--text-col", default="text")
+    fitp.add_argument("--max-distinct-words", type=int, default=200_000)
+    fitp.add_argument("--cpus", type=int, default=None)
+    tokp = sub.add_parser(
+        "export-tokens",
+        help="encode a corpus with a fitted BPE model and write exact-seq_len "
+        "training shards (pack_bucket, seq_id, tokens) as parquet",
+    )
+    tokp.add_argument("-i", "--input", required=True, help="input parquet path")
+    tokp.add_argument("-m", "--model", required=True, help="fitted BPE model JSON (fit-bpe)")
+    tokp.add_argument("-o", "--out", required=True, help="output parquet directory")
+    tokp.add_argument("--seq-len", type=int, default=2048)
+    tokp.add_argument("--buckets", type=int, default=64)
+    tokp.add_argument("--id-col", default="doc_id")
+    tokp.add_argument("--text-col", default="text")
+    tokp.add_argument("--cpus", type=int, default=None)
     compp = sub.add_parser(
         "compact-store", help="compact an incremental-dedup key store (offline maintenance)"
     )
@@ -127,6 +153,60 @@ def main(argv: list[str] | None = None) -> int:
                     "shards": len(manifest),
                     "samples": sum(r.samples for r in manifest),
                     "bytes": sum(r.bytes for r in manifest),
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
+
+    if args.cmd == "fit-bpe":
+        from mega_data_factory_spark.operators.bpe import BpeTokenizer
+        from mega_data_factory_spark.session import get_spark
+
+        spark = get_spark("mdf-spark-cli", cpus=args.cpus)
+        tok = BpeTokenizer(
+            args.vocab_size,
+            text_col=args.text_col,
+            max_distinct_words=args.max_distinct_words,
+        ).fit(spark.read.parquet(args.input))
+        tok.save(args.out)
+        print(
+            json.dumps(
+                {"model": args.out, "merges": len(tok.merges), "vocab": len(tok.vocab())}
+            )
+        )
+        return 0
+
+    if args.cmd == "export-tokens":
+        from pyspark.sql import functions as F
+
+        from mega_data_factory_spark.operators.bpe import BpeTokenizer
+        from mega_data_factory_spark.operators.packing import SequencePacker
+        from mega_data_factory_spark.session import get_spark
+
+        spark = get_spark("mdf-spark-cli", cpus=args.cpus)
+        tok = BpeTokenizer.load(args.model, text_col=args.text_col)
+        packer = SequencePacker(args.seq_len, buckets=args.buckets, id_col=args.id_col)
+        shards = packer.packed_token_ids(
+            tok.encode_ids(spark.read.parquet(args.input))
+        )
+        # one file per pack bucket, sequences in order inside it — the
+        # layout a trainer streams shard-by-shard
+        (
+            shards.repartition(args.buckets, "pack_bucket")
+            .sortWithinPartitions("pack_bucket", "seq_id")
+            .write.mode("overwrite")
+            .parquet(args.out)
+        )
+        agg = spark.read.parquet(args.out).agg(
+            F.count(F.lit(1)).alias("sequences"), F.sum("n_tokens").alias("tokens")
+        ).first()
+        print(
+            json.dumps(
+                {
+                    "sequences": int(agg["sequences"]),
+                    "tokens": int(agg["tokens"] or 0),
+                    "seq_len": args.seq_len,
                     "out": args.out,
                 }
             )

@@ -143,3 +143,36 @@ def test_bpe_vocab_persists_across_save_load(spark, corpus, tmp_path):
     ea = [tuple(r.bpe_token_ids) for r in a.encode_ids(corpus).orderBy("doc_id").collect()]
     eb = [tuple(r.bpe_token_ids) for r in b.encode_ids(corpus).orderBy("doc_id").collect()]
     assert ea == eb
+
+
+def test_cli_fit_bpe_and_export_tokens(spark, corpus, tmp_path, capsys):
+    """The full CLI story: fit-bpe trains + persists a model, export-tokens
+    encodes, packs, and writes bucket-ordered shard parquet whose token
+    total equals the corpus's encoded token count."""
+    import json
+
+    from mega_data_factory_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    corpus.write.parquet(src)
+    model = str(tmp_path / "bpe.json")
+    out = str(tmp_path / "shards")
+    assert main(["fit-bpe", "-i", src, "-o", model, "--vocab-size", "40"]) == 0
+    fit_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fit_out["merges"] > 0 and fit_out["vocab"] > 0
+    assert main([
+        "export-tokens", "-i", src, "-m", model, "-o", out,
+        "--seq-len", "16", "--buckets", "2",
+    ]) == 0
+    exp_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    tok = BpeTokenizer.load(model)
+    n_tokens = (
+        tok.encode_ids(corpus)
+        .agg(F.sum("bpe_token_count"))
+        .first()[0]
+    )
+    assert exp_out["tokens"] == n_tokens
+    shards = spark.read.parquet(out)
+    assert shards.count() == exp_out["sequences"]
+    full = shards.filter(F.col("n_tokens") == 16).count()
+    assert full >= exp_out["sequences"] - 2  # <=1 partial per bucket

@@ -91,3 +91,18 @@ def test_no_query_plans_a_cartesian_product(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_no_query_plans_a_rowwise_python_udf(spark):
+    """Sweep every registered query: none may compile to a row-at-a-time
+    Python UDF (BatchEvalPython — pickled per-row transfer, the 10-100x
+    slow path). Arrow-batched Python (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) is the engine's sanctioned Python tier."""
+    from mega_data_factory_spark.plans import all_queries
+
+    offenders = []
+    for name, fn in all_queries().items():
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
