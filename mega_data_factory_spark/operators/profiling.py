@@ -226,3 +226,40 @@ class ColumnProfiler:
                 )
             )
         return row.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+    @staticmethod
+    def diff(before: DataFrame, after: DataFrame) -> DataFrame:
+        """Corpus drift report: full-outer-join two ``profile()`` outputs on
+        (column, stat) into ``(column, stat, before, after, delta,
+        rel_change, text_before, text_after)`` — the before/after QA view
+        every curation run wants (did the dedup shift the length
+        distribution? did the filter empty a column?).
+
+        ``rel_change`` = delta / |before| (NULL when before is 0/NULL —
+        sign-stable for negative stats like log-probs). A stat present on
+        one side only (schema drift: column added/dropped) keeps the other
+        side NULL, so drift in the SHAPE of the data surfaces in the same
+        report as drift in its values. Driver-free: two profile rows per
+        stat joined on tiny frames; composable with normal sinks.
+        """
+        b = before.select(
+            "column", "stat", F.col("value").alias("before"), F.col("text").alias("text_before")
+        )
+        a = after.select(
+            "column", "stat", F.col("value").alias("after"), F.col("text").alias("text_after")
+        )
+        joined = b.join(a, ["column", "stat"], "full_outer")
+        delta = F.col("after") - F.col("before")
+        return joined.select(
+            "column",
+            "stat",
+            "before",
+            "after",
+            F.round(delta, ROUND_TO).alias("delta"),
+            F.when(
+                F.col("before").isNotNull() & (F.col("before") != 0) & F.col("after").isNotNull(),
+                F.round(delta / F.abs(F.col("before")), ROUND_TO),
+            ).alias("rel_change"),
+            "text_before",
+            "text_after",
+        )

@@ -159,3 +159,35 @@ def test_profile_default_columns_and_errors(spark):
         ColumnProfiler(["nope"]).profile(df)
     with pytest.raises(ValueError, match="percentiles"):
         ColumnProfiler(percentiles=(0.0, 1.5))
+
+
+def test_profile_diff_drift_report(spark):
+    """diff() = full-outer stat join: exact deltas, sign-stable rel_change,
+    schema drift (column dropped after curation) surfacing as one-sided
+    rows, text stats carried through."""
+    from mega_data_factory_spark.operators.profiling import ColumnProfiler
+
+    before_df = spark.createDataFrame(
+        [(1, 10.0, "aa"), (2, 20.0, "bb"), (3, 30.0, None), (4, None, "dd")],
+        "id long, v double, s string",
+    )
+    # curation: dropped the row with NULL v, halved v, dropped column s
+    after_df = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 15.0)], "id long, v double"
+    )
+    p = ColumnProfiler(percentiles=(), approx=False)
+    d = {(r.column, r.stat): r for r in ColumnProfiler.diff(
+        p.profile(before_df), p.profile(after_df)
+    ).collect()}
+    mean = d[("v", "mean")]
+    assert mean.before == 20.0 and mean.after == 10.0
+    assert mean.delta == -10.0 and mean.rel_change == -0.5
+    counts = d[("v", "count")]
+    assert (counts.before, counts.after) == (3.0, 3.0) and counts.delta == 0.0
+    # column s exists only on the before side (schema drift)
+    s_count = d[("s", "count")]
+    assert s_count.before == 3.0 and s_count.after is None and s_count.delta is None
+    assert d[("s", "min")].text_before == "aa" and d[("s", "min")].text_after is None
+    # zero-baseline guard: nulls went 1 -> 0 on v... (before=1, after=0)
+    nulls = d[("v", "nulls")]
+    assert nulls.before == 1.0 and nulls.after == 0.0 and nulls.rel_change == -1.0
