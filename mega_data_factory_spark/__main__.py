@@ -79,6 +79,12 @@ def main(argv: list[str] | None = None) -> int:
     tokp.add_argument("-o", "--out", required=True, help="output parquet directory")
     tokp.add_argument("--seq-len", type=int, default=2048)
     tokp.add_argument("--buckets", type=int, default=64)
+    tokp.add_argument(
+        "--eos-id",
+        type=int,
+        default=None,
+        help="append this end-of-document token id to every doc before packing",
+    )
     tokp.add_argument("--id-col", default="doc_id")
     tokp.add_argument("--text-col", default="text")
     tokp.add_argument("--cpus", type=int, default=None)
@@ -188,7 +194,7 @@ def main(argv: list[str] | None = None) -> int:
         tok = BpeTokenizer.load(args.model, text_col=args.text_col)
         packer = SequencePacker(args.seq_len, buckets=args.buckets, id_col=args.id_col)
         shards = packer.packed_token_ids(
-            tok.encode_ids(spark.read.parquet(args.input))
+            tok.encode_ids(spark.read.parquet(args.input)), eos_id=args.eos_id
         )
         # one file per pack bucket, sequences in order inside it — the
         # layout a trainer streams shard-by-shard

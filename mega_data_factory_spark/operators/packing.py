@@ -170,7 +170,12 @@ class SequencePacker(Operator):
 
 
     def packed_token_ids(
-        self, df: DataFrame, tokens_col: str = "bpe_token_ids", *, out_col: str = "tokens"
+        self,
+        df: DataFrame,
+        tokens_col: str = "bpe_token_ids",
+        *,
+        out_col: str = "tokens",
+        eos_id: int | None = None,
     ) -> DataFrame:
         """Materialize the training shards themselves: one row per
         ``(pack_bucket, seq_id)`` whose ``out_col`` is the concatenation
@@ -186,6 +191,12 @@ class SequencePacker(Operator):
         array being chunked by construction, so the coordinates agree with
         ``apply(token_col=...)`` over the same counts.
 
+        ``eos_id`` appends one end-of-document token to every document's
+        array BEFORE packing (the GPT-style document delimiter trainers
+        expect); it then counts toward the budget like any token, so the
+        invariants (exact ``seq_len`` chunks, verbatim per-bucket
+        concatenation of the delimited docs) are unchanged.
+
         Scale shape: coordinates reuse the one bucket-key window shuffle;
         the chunking is a posexplode (narrow) + ONE shuffle keyed on
         (bucket, seq) whose rows are (int, long, id) — each token id
@@ -194,6 +205,14 @@ class SequencePacker(Operator):
         state is bounded by ``seq_len`` (collect_list of one sequence).
         """
         tagged = REJECTION_DETAILS_COL in df.columns
+        if eos_id is not None:
+            df = df.withColumn(
+                tokens_col,
+                F.when(
+                    F.col(tokens_col).isNotNull(),
+                    F.concat(F.col(tokens_col), F.array(F.lit(int(eos_id)).cast("int"))),
+                ),
+            )
         coords, _ = self._with_coords(df, F.size(F.col(tokens_col)).cast("long"), tagged)
         ex = (
             coords.filter(F.col("pack_bucket").isNotNull())

@@ -252,3 +252,47 @@ def test_epoch_mixer_count_invariants(spark, w, n):
     assert abs(total - w * n) <= n * 0.5 + 1  # hash-bucket granularity bound
     again = m.apply(df).select("doc_id", "epoch").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+@settings(**_SETTINGS)
+@given(
+    lens=st.lists(st.integers(0, 23), min_size=1, max_size=20),
+    seq_len=st.integers(2, 9),
+    eos=st.one_of(st.none(), st.just(0)),
+)
+def test_packed_token_ids_invariants(spark, lens, seq_len, eos):
+    """Property: for ANY doc-length profile, seq_len, and eos choice —
+    every shard except <=1 per bucket is exactly seq_len; flattening
+    shards per bucket in seq order reproduces the (delimited) per-bucket
+    concatenation of member docs in id order; nothing lost, nothing
+    reordered."""
+    from mega_data_factory_spark.operators.packing import SequencePacker
+
+    docs = [(i, list(range(i * 1000, i * 1000 + n))) for i, n in enumerate(lens, start=1)]
+    df = spark.createDataFrame(docs, "doc_id long, bpe_token_ids array<int>")
+    p = SequencePacker(seq_len, buckets=2)
+    shards = p.packed_token_ids(df, eos_id=eos).collect()
+    coord = (
+        SequencePacker(seq_len, buckets=2, token_col="__n")
+        .apply(df.withColumn(
+            "__n",
+            F.size("bpe_token_ids") + (F.lit(1) if eos is not None else F.lit(0)),
+        ))
+        .select("doc_id", "pack_bucket")
+        .collect()
+    )
+    toks = {d: (a + [eos] if eos is not None else a) for d, a in docs}
+    expected: dict[int, list[int]] = {}
+    for r in sorted(coord, key=lambda r: r.doc_id):
+        if r.pack_bucket is not None:
+            expected.setdefault(r.pack_bucket, []).extend(toks[r.doc_id])
+    by_bucket: dict[int, list] = {}
+    for r in shards:
+        by_bucket.setdefault(r.pack_bucket, []).append(r)
+    assert set(by_bucket) == set(expected)
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.seq_id)
+        assert [r.seq_id for r in rs] == list(range(len(rs)))
+        assert all(len(r.tokens) == seq_len for r in rs[:-1])
+        assert 1 <= len(rs[-1].tokens) <= seq_len
+        assert [t for r in rs for t in r.tokens] == expected[b]
