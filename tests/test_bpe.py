@@ -176,3 +176,15 @@ def test_cli_fit_bpe_and_export_tokens(spark, corpus, tmp_path, capsys):
     assert shards.count() == exp_out["sequences"]
     full = shards.filter(F.col("n_tokens") == 16).count()
     assert full >= exp_out["sequences"] - 2  # <=1 partial per bucket
+
+
+def test_bpe_tie_break_is_lexicographic_on_joined_key(spark):
+    """Equal-count pairs merge in lexicographic order of the joined
+    a\\0b key — the canonical deterministic tie-break the lazy-heap
+    argmax implements (count desc, then smallest key)."""
+    rows = [(i, w) for i, w in enumerate(["xy"] * 3 + ["xz"] * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = BpeTokenizer(vocab_size=30).fit(df)
+    # every initial pair has count 3; "x\0y" < "x\0z" < the EOW pairs
+    assert tok.merges[0] == ("x", "y")
+    assert tok.merges[1] == ("x", "z")
