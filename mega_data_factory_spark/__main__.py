@@ -7,6 +7,7 @@
     python -m mega_data_factory_spark fit-bpe -i corpus.parquet -o bpe.json
     python -m mega_data_factory_spark export-tokens -i corpus.parquet -m bpe.json -o shards/
     python -m mega_data_factory_spark export-wds -i table.parquet -o shards/
+    python -m mega_data_factory_spark profile-diff -a before.parquet -b after.parquet
     python -m mega_data_factory_spark compact-store -s store/
 """
 
@@ -88,6 +89,16 @@ def main(argv: list[str] | None = None) -> int:
     tokp.add_argument("--id-col", default="doc_id")
     tokp.add_argument("--text-col", default="text")
     tokp.add_argument("--cpus", type=int, default=None)
+    pdp = sub.add_parser(
+        "profile-diff",
+        help="profile two parquet tables (before/after curation) and print "
+        "the per-stat drift report",
+    )
+    pdp.add_argument("-a", "--before", required=True, help="before parquet path")
+    pdp.add_argument("-b", "--after", required=True, help="after parquet path")
+    pdp.add_argument("-o", "--out", default=None, help="optional parquet output for the report")
+    pdp.add_argument("--exact", action="store_true", help="exact distinct/percentiles (test scale)")
+    pdp.add_argument("--cpus", type=int, default=None)
     compp = sub.add_parser(
         "compact-store", help="compact an incremental-dedup key store (offline maintenance)"
     )
@@ -217,6 +228,27 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "profile-diff":
+        from mega_data_factory_spark.operators.profiling import ColumnProfiler
+        from mega_data_factory_spark.session import get_spark
+
+        spark = get_spark("mdf-spark-cli", cpus=args.cpus)
+        prof = ColumnProfiler(approx=not args.exact)
+        report = ColumnProfiler.diff(
+            prof.profile(spark.read.parquet(args.before)),
+            prof.profile(spark.read.parquet(args.after)),
+        ).orderBy("column", "stat")
+        if args.out:
+            report.write.mode("overwrite").parquet(args.out)
+        for r in report.collect():  # driver-small: stats x columns rows
+            print(
+                json.dumps(
+                    {k: r[k] for k in ("column", "stat", "before", "after", "delta", "rel_change")
+                     if r[k] is not None or k in ("column", "stat")}
+                )
+            )
         return 0
 
     if args.cmd == "compact-store":

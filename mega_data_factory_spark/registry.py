@@ -60,6 +60,7 @@ def _register_builtins() -> None:
         NgramJaccardDeduplicator,
         SharedSpanDeduplicator,
         SimHashDeduplicator,
+        SimHashNearDeduplicator,
         TextExactDeduplicator,
     )
     from mega_data_factory_spark.operators.sampling import (
@@ -127,6 +128,7 @@ def _register_builtins() -> None:
         KeyDeduplicator,
         MinHashLSHDeduplicator,
         SimHashDeduplicator,
+        SimHashNearDeduplicator,
         NgramJaccardDeduplicator,
         SharedSpanDeduplicator,
         DecontaminationFilter,

@@ -191,3 +191,19 @@ def test_profile_diff_drift_report(spark):
     # zero-baseline guard: nulls went 1 -> 0 on v... (before=1, after=0)
     nulls = d[("v", "nulls")]
     assert nulls.before == 1.0 and nulls.after == 0.0 and nulls.rel_change == -1.0
+
+
+def test_cli_profile_diff(spark, tmp_path, capsys):
+    import json as _json
+
+    from mega_data_factory_spark.__main__ import main
+
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double").write.parquet(a)
+    spark.createDataFrame([(1, 5.0)], "id long, v double").write.parquet(b)
+    out = str(tmp_path / "report")
+    assert main(["profile-diff", "-a", a, "-b", b, "-o", out, "--exact"]) == 0
+    lines = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    mean = next(x for x in lines if x["column"] == "v" and x["stat"] == "mean")
+    assert mean["before"] == 15.0 and mean["after"] == 5.0 and mean["delta"] == -10.0
+    assert spark.read.parquet(out).count() == len(lines)
