@@ -78,12 +78,22 @@ class IncrementalExactDeduplicator(JoinDeduplicator, TextExactDeduplicator):
     shuffle the in-batch dedup already pays, and AQE broadcasts the store
     side while it is small. For a 100 TB corpus the store join is
     shuffle-on-key; bucketing the store by ``content_key`` (SinkConfig
-    bucket_by) makes repeated runs co-located.
+    bucket_by) makes repeated runs co-located. ``bloom_fpp`` routes the
+    store check through a Bloom pre-filter (operators/bloom.py): on a
+    steady-state crawl most batch rows are NEW, and the filter lets them
+    bypass the store join entirely — only true duplicates plus an
+    fpp-sized sliver shuffle. No false negatives, so rejection semantics
+    are unchanged; the filter is refit from the store on every apply
+    (never cached across ``update_store`` — a stale filter would miss
+    keys the previous micro-batch appended).
     """
 
-    def __init__(self, store_path: str, **kwargs):
+    def __init__(self, store_path: str, *, bloom_fpp: float | None = None, **kwargs):
         super().__init__(**kwargs)
         self.store_path = store_path
+        if bloom_fpp is not None and not 0.0 < bloom_fpp < 1.0:
+            raise ValueError(f"bloom_fpp must be in (0, 1), got {bloom_fpp}")
+        self.bloom_fpp = bloom_fpp
 
     def key(self, df: DataFrame) -> Column:
         # real content key (MRO would otherwise hit JoinDeduplicator's guard)
@@ -114,7 +124,12 @@ class IncrementalExactDeduplicator(JoinDeduplicator, TextExactDeduplicator):
             .withColumnRenamed("content_key", "__k")
             .dropDuplicates(["__k"])
         )
-        joined = ranked.join(store, on="__k", how="left")
+        if self.bloom_fpp:
+            from mega_data_factory_spark.operators.bloom import bloom_pruned_left_join
+
+            joined = bloom_pruned_left_join(ranked, store, "__k", fpp=self.bloom_fpp)
+        else:
+            joined = ranked.join(store, on="__k", how="left")
         seen = F.col("representative_id").isNotNull()
         return (
             joined.filter(seen | (F.col("__rn") > 1))
@@ -205,10 +220,18 @@ class IncrementalKeyDeduplicator(IncrementalExactDeduplicator):
     precomputed key. NULL-safe multi-key semantics match
     :class:`KeyDeduplicator` (NUL sentinel, never concat_ws skipping)."""
 
-    def __init__(self, store_path: str, key_cols: list[str], *, id_col: str, name: str | None = None):
+    def __init__(
+        self,
+        store_path: str,
+        key_cols: list[str],
+        *,
+        id_col: str,
+        bloom_fpp: float | None = None,
+        name: str | None = None,
+    ):
         # TextExact's text-specific knobs are meaningless here; route only
         # the shared identity args up the chain
-        super().__init__(store_path, id_col=id_col, name=name)
+        super().__init__(store_path, bloom_fpp=bloom_fpp, id_col=id_col, name=name)
         if not key_cols:
             raise ValueError("key_cols must be non-empty")
         self.key_cols = key_cols
@@ -407,12 +430,18 @@ class IncrementalMinHashDeduplicator(MinHashLSHDeduplicator):
     ``__band_key``, AQE-broadcast while the store is small, co-located
     forever if the store directory is bucketed by band key. At-least-once
     appends are safe: duplicate store rows collapse in the pre-join
-    min() aggregate.
+    min() aggregate. ``bloom_fpp`` adds the same Bloom pre-filter as the
+    exact store (operators/bloom.py): band keys the filter rejects are
+    definitely not in the store and skip the join — only possibly-seen
+    bands shuffle. Refit per apply, never cached across ``update_store``.
     """
 
-    def __init__(self, store_path: str, **kwargs):
+    def __init__(self, store_path: str, *, bloom_fpp: float | None = None, **kwargs):
         super().__init__(**kwargs)
         self.store_path = store_path
+        if bloom_fpp is not None and not 0.0 < bloom_fpp < 1.0:
+            raise ValueError(f"bloom_fpp must be in (0, 1), got {bloom_fpp}")
+        self.bloom_fpp = bloom_fpp
 
     def _store_bands(self, spark) -> DataFrame:
         from pyspark.errors import AnalysisException
@@ -436,7 +465,12 @@ class IncrementalMinHashDeduplicator(MinHashLSHDeduplicator):
             .groupBy("__band_key")
             .agg(F.min("representative_id").alias("__srep"))
         )
-        joined = ranked.join(store, on="__band_key", how="left")
+        if self.bloom_fpp:
+            from mega_data_factory_spark.operators.bloom import bloom_pruned_left_join
+
+            joined = bloom_pruned_left_join(ranked, store, "__band_key", fpp=self.bloom_fpp)
+        else:
+            joined = ranked.join(store, on="__band_key", how="left")
         batch_earlier = F.col("__bucket_min") < F.col(self.id_col)
         return (
             joined.filter(F.col("__srep").isNotNull() | batch_earlier)
