@@ -467,6 +467,98 @@ class BoilerplateLineRefiner(Refiner):
         return out
 
 
+class IntraDocDedupRefiner(Refiner):
+    """INTRA-document repeated line/paragraph removal — the RefinedWeb
+    line-wise dedup step at document scope, complementing
+    :class:`BoilerplateLineRefiner` (cross-document) and
+    ``RepetitionStatsRefiner`` (measures repetition without rewriting):
+    scraped pages repeat nav blocks, quoted threads re-quote the same
+    paragraph, and the standard fix keeps the FIRST occurrence of each
+    exact unit and drops the rest. Adds ``text_deduped`` (units rejoined
+    in original order) and ``dup_units_removed``. Beyond the reference's
+    surface — first-class per the build brief.
+
+    Units shorter than ``min_unit_chars`` after trim (bullet markers,
+    blank separator lines) are never treated as duplicates — removing a
+    repeated blank line would glue unrelated paragraphs together.
+
+    Scale shape: pure Column HOFs over the split array — a narrow map
+    that fuses into the scan, zero shuffle, zero Python (contrast
+    BoilerplateLineRefiner's two corpus-level shuffles, which its
+    cross-document counting genuinely needs). The duplicate scan is the
+    sorted-run single pass (array_sort by (unit, position), one
+    ``aggregate`` walk marking non-first run members) — the same linear
+    form that replaced the quadratic top-bigram HOF; a nested
+    filter-per-unit would re-evaluate the array O(n^2) times
+    interpreted. SQL-mirrorable (unnest WITH ORDINALITY + row_number
+    over (unit) + string_agg), held by the differential test in
+    tests/test_curation.py.
+    """
+
+    def __init__(
+        self,
+        *,
+        text_col: str = "text",
+        sep: str = "\n",
+        min_unit_chars: int = 10,
+        out_col: str = "text_deduped",
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        if not sep:
+            raise ValueError("sep must be a non-empty separator string")
+        self.text_col = text_col
+        self.sep = sep
+        self.min_unit_chars = min_unit_chars
+        self.out_col = out_col
+
+    def _dropped_positions(self, units: Column) -> Column:
+        """0-based positions of non-first exact repeats (countable units
+        only), via one sorted-run pass."""
+        zipped = F.transform(units, lambda u, i: F.struct(u.alias("u"), i.alias("p")))
+        by_unit = F.array_sort(
+            zipped,
+            lambda a, b: F.when(a["u"] < b["u"], -1)
+            .when(a["u"] > b["u"], 1)
+            .otherwise(a["p"] - b["p"]),
+        )
+        countable = lambda u: F.length(F.trim(u)) >= self.min_unit_chars  # noqa: E731
+        acc0 = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.array().cast("array<int>").alias("ps"),
+        )
+        walked = F.aggregate(
+            by_unit,
+            acc0,
+            lambda acc, s: F.struct(
+                s["u"].alias("prev"),
+                F.when(
+                    s["u"].eqNullSafe(acc["prev"]) & countable(s["u"]),
+                    F.array_append(acc["ps"], s["p"]),
+                )
+                .otherwise(acc["ps"])
+                .alias("ps"),
+            ),
+        )
+        return walked["ps"]
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        import re
+
+        t = F.col(self.text_col)
+        units = F.split(t, re.escape(self.sep))
+        dropped = self._dropped_positions(units)
+        kept = F.filter(
+            F.transform(units, lambda u, i: F.struct(u.alias("u"), i.alias("p"))),
+            lambda s: ~F.array_contains(dropped, s["p"]),
+        )
+        rebuilt = F.array_join(F.transform(kept, lambda s: s["u"]), self.sep)
+        return {
+            self.out_col: F.when(t.isNotNull(), rebuilt),
+            "dup_units_removed": F.when(t.isNotNull(), F.size(dropped)).otherwise(F.lit(0)).cast("int"),
+        }
+
+
 class UnicodeNormalizeRefiner(Refiner):
     """Text hygiene: Unicode NFC normalization + control-character strip
     (keeping \\n and \\t), with an optional mojibake repair pass — web

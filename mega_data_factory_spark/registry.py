@@ -98,6 +98,7 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.selection import TokenBudgetSelector
     from mega_data_factory_spark.operators.refiners import (
         BoilerplateLineRefiner,
+        IntraDocDedupRefiner,
         UnicodeNormalizeRefiner,
         FingerprintRefiner,
         LanguageIdRefiner,
@@ -119,6 +120,7 @@ def _register_builtins() -> None:
         RepetitionStatsRefiner,
         PiiRedactRefiner,
         BoilerplateLineRefiner,
+        IntraDocDedupRefiner,
         UnicodeNormalizeRefiner,
         FingerprintRefiner,
         TextExactDeduplicator,

@@ -370,6 +370,82 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
     assert_df_matches_sql(out, sql, name="boilerplate_lines")
 
 
+def test_intradoc_dedup_refiner_behavior(spark):
+    """First occurrence of a repeated unit survives, later ones drop, order
+    is preserved; short units (blank separators, bullets) always survive;
+    NULL text stays NULL; paragraph mode dedups on the blank-line unit."""
+    from mega_data_factory_spark.operators.refiners import IntraDocDedupRefiner
+
+    quoted = "the same quoted paragraph repeated verbatim"
+    rows = [
+        (1, f"opening prose line one\n{quoted}\nmiddle prose\n{quoted}\n{quoted}\nclosing"),
+        (2, "-\nlong unique line alpha\n-\nlong unique line beta\n-"),  # short repeats kept
+        (3, "no duplicates here at all\nsecond distinct line"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in IntraDocDedupRefiner().apply(df).collect()}
+    assert out[1].text_deduped == f"opening prose line one\n{quoted}\nmiddle prose\nclosing"
+    assert out[1].dup_units_removed == 2
+    assert out[2].text_deduped == rows[1][1] and out[2].dup_units_removed == 0
+    assert out[3].text_deduped == rows[2][1] and out[3].dup_units_removed == 0
+    assert out[4].text_deduped is None and out[4].dup_units_removed == 0
+    assert out[5].text_deduped == "" and out[5].dup_units_removed == 0
+
+    para = "first paragraph of real content\n\nsecond paragraph entirely\n\nfirst paragraph of real content"
+    pdf = spark.createDataFrame([(1, para)], "doc_id long, text string")
+    pout = IntraDocDedupRefiner(sep="\n\n").apply(pdf).first()
+    assert pout.text_deduped == "first paragraph of real content\n\nsecond paragraph entirely"
+    assert pout.dup_units_removed == 1
+
+
+def test_intradoc_dedup_matches_oracle(spark):
+    """Value-for-value DuckDB mirror: split with ordinality, row_number per
+    (doc, unit) by position, countable-gated drop, ordered rebuild."""
+    from tests.conftest import assert_df_matches_sql
+    from mega_data_factory_spark.operators.refiners import IntraDocDedupRefiner
+
+    quoted = "a block quoted twice in the thread"
+    rows = []
+    for i in range(12):
+        body = [f"document {i} first line of prose", quoted, f"reply text {i}"]
+        if i % 3 == 0:
+            body += [quoted, quoted]  # in-doc repeats for a third of docs
+        if i % 4 == 0:
+            body += ["", f"document {i} first line of prose"]  # blank + repeat of line 1
+        rows.append((i, "\n".join(body)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        IntraDocDedupRefiner()
+        .apply(df)
+        .select("doc_id", "text_deduped", "dup_units_removed")
+        .orderBy("doc_id")
+    )
+    values = ", ".join("({}, '{}')".format(i, t.replace("\n", "' || chr(10) || '")) for i, t in rows)
+    sql = f"""
+WITH corpus(doc_id, text) AS (VALUES {values}),
+units AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS u,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM corpus
+),
+marked AS (
+  SELECT doc_id, u, pos,
+         CASE WHEN length(trim(u)) >= 10
+              THEN row_number() OVER (PARTITION BY doc_id, u ORDER BY pos)
+              ELSE 1 END AS rn
+  FROM units
+)
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN rn = 1 THEN u END, chr(10) ORDER BY pos), '') AS text_deduped,
+  CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS INT) AS dup_units_removed
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+    assert_df_matches_sql(out, sql, name="intradoc_dedup")
+
+
 def test_unicode_normalize_matches_oracle(spark):
     """NFC + control-strip mirrored by DuckDB's nfc_normalize + regexp -
     NFD composition, embedded controls, newline/tab preservation, NULLs."""
