@@ -467,6 +467,31 @@ class BoilerplateLineRefiner(Refiner):
         return out
 
 
+class UrlCanonicalizeRefiner(Refiner):
+    """Adds ``url_canonical`` — the canonical scheme-less URL spelling
+    (functions/urls.py: scheme/fragment dropped, host lowercased with
+    www./port/userinfo stripped, trailing slash cut, tracking params
+    removed, surviving query params sorted). C4/RefinedWeb dedup by URL
+    before any content dedup; compose as
+    ``KeyDeduplicator(["url_canonical"], ...)`` or point an
+    ``IncrementalKeyDeduplicator`` store at it for cross-run URL dedup.
+    Beyond the reference's surface — first-class per the build brief.
+
+    Pure codegen'd regex/HOF Columns in the Java/RE2 common subset; the
+    DuckDB differential test mirrors every step token-for-token
+    (tests/test_curation.py). Zero shuffle at any scale."""
+
+    def __init__(self, *, url_col: str = "url", out_col: str = "url_canonical", name: str | None = None):
+        super().__init__(name)
+        self.url_col = url_col
+        self.out_col = out_col
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        from mega_data_factory_spark.functions.urls import canonical_url
+
+        return {self.out_col: canonical_url(self.url_col)}
+
+
 class IntraDocDedupRefiner(Refiner):
     """INTRA-document repeated line/paragraph removal — the RefinedWeb
     line-wise dedup step at document scope, complementing

@@ -100,6 +100,7 @@ def _register_builtins() -> None:
         BoilerplateLineRefiner,
         IntraDocDedupRefiner,
         UnicodeNormalizeRefiner,
+        UrlCanonicalizeRefiner,
         FingerprintRefiner,
         LanguageIdRefiner,
         PiiRedactRefiner,
@@ -122,6 +123,7 @@ def _register_builtins() -> None:
         BoilerplateLineRefiner,
         IntraDocDedupRefiner,
         UnicodeNormalizeRefiner,
+        UrlCanonicalizeRefiner,
         FingerprintRefiner,
         TextExactDeduplicator,
         IncrementalExactDeduplicator,

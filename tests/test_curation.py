@@ -370,6 +370,106 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
     assert_df_matches_sql(out, sql, name="boilerplate_lines")
 
 
+def test_url_canonicalize_behavior(spark):
+    """Scheme/www/port/fragment/tracking-params collapse to one spelling;
+    query params sort; host-less and NULL/blank inputs give NULL."""
+    from mega_data_factory_spark.operators.refiners import UrlCanonicalizeRefiner
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:8080/Path/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://example.com/Path?a=1&b=2"),
+        (3, "example.com/Path/?b=2&a=1&fbclid=zzz"),
+        (4, "http://user:pw@host.net./dir//"),
+        (5, "https://site.org/x?utm_campaign=c&gclid=g"),  # all-tracking query
+        (6, "http://site.org"),
+        (7, None),
+        (8, "   "),
+        (9, "/relative/only"),  # no host -> NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r.id: r.url_canonical for r in UrlCanonicalizeRefiner().apply(df).collect()}
+    assert out[1] == out[2] == out[3] == "example.com/Path?a=1&b=2"
+    assert out[4] == "host.net/dir"
+    assert out[5] == "site.org/x"
+    assert out[6] == "site.org"
+    assert out[7] is None and out[8] is None and out[9] is None
+
+    # the intended composition: exact URL dedup across spellings
+    from mega_data_factory_spark.operators.dedup import KeyDeduplicator
+
+    survivors = {
+        r.id
+        for r in KeyDeduplicator(["url_canonical"], order_col="id")
+        .apply(UrlCanonicalizeRefiner().apply(df))
+        .collect()
+    }
+    assert {1, 4, 5, 6} <= survivors and 2 not in survivors and 3 not in survivors
+
+
+def test_url_canonicalize_matches_oracle(spark):
+    """Token-for-token DuckDB mirror of every canonicalization step —
+    scheme strip, fragment cut, userinfo/port/www/trailing-dot host
+    normalization, trailing-slash path cut, tracking-param filter and
+    query sort (patterns in the Java/RE2 common subset)."""
+    from tests.conftest import assert_df_matches_sql
+    from mega_data_factory_spark.functions.urls import TRACKING_PARAM_RE
+    from mega_data_factory_spark.operators.refiners import UrlCanonicalizeRefiner
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:8080/Path/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://example.com/Path?a=1&b=2"),
+        (3, "example.com/Path/?b=2&a=1&fbclid=zzz"),
+        (4, "ftp://user:pw@Host.NET./dir//"),
+        (5, "https://site.org/x?utm_campaign=c&gclid=g&ref"),
+        (6, "http://site.org?download&z=9"),
+        (7, "blog.example.co.uk/a/b/c?_ga=1.2&mc_cid=x&keep=yes"),
+        (8, "http://www.w.org:"),
+        (9, "site.io/page#section?notquery"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = UrlCanonicalizeRefiner().apply(df).select("id", "url_canonical").orderBy("id")
+    values = ", ".join(f"({i}, '{u}')" for i, u in rows)
+    sql = f"""
+WITH corpus(id, url) AS (VALUES {values}),
+s AS (
+  SELECT id,
+         regexp_replace(regexp_replace(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                        '#.*$', '') AS bare,
+         trim(url) AS u
+  FROM corpus
+),
+parts AS (
+  SELECT id, u, bare,
+         regexp_extract(bare, '^([^/?]+)', 1) AS authority,
+         regexp_extract(bare, '^[^/?]+([^?]*)', 1) AS rawpath,
+         CASE WHEN contains(bare, '?') THEN regexp_extract(bare, '\\?(.*)$', 1) ELSE '' END AS q
+  FROM s
+),
+hp AS (
+  SELECT id, u, q,
+         regexp_replace(regexp_replace(
+             regexp_replace(lower(regexp_replace(authority, '^[^@]*@', '')),
+                            ':[0-9]*$', ''),
+             '^www\\.', ''), '\\.$', '') AS host,
+         regexp_replace(rawpath, '/+$', '') AS path
+  FROM parts
+),
+qf AS (
+  SELECT id, u, host, path,
+         list_sort(list_filter(string_split(q, '&'),
+                   p -> length(p) > 0 AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))) AS params
+  FROM hp
+)
+SELECT id,
+       CASE WHEN u IS NULL OR length(u) = 0 OR length(host) = 0 THEN NULL
+            ELSE host || path ||
+                 CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+       END AS url_canonical
+FROM qf ORDER BY id
+"""
+    assert_df_matches_sql(out, sql, name="url_canonicalize")
+
+
 def test_intradoc_dedup_refiner_behavior(spark):
     """First occurrence of a repeated unit survives, later ones drop, order
     is preserved; short units (blank separators, bullets) always survive;
