@@ -16,14 +16,16 @@ persisted-state-compatible.
 
 Spark-first shape — BOTH sides stay JVM-side, no Python in any hot path:
 
-* **Build** is one aggregation over the store keys: each key contributes its
-  ``num_hashes`` (word index, bit mask) pairs via a codegen'd
-  ``explode(array(...))``, a ``groupBy(word).agg(bit_or(mask))`` collapses
-  them (compact shuffle: ~12 bytes x num_hashes per key, at most
-  ``num_bits/64`` groups), and the resulting sparse words land in a driver
-  numpy bitmap. Spark's own runtime-filter BloomFilterAggregate is not
-  exposed to the SQL/Python surface, so the aggregation is restated with
-  public primitives.
+* **Build** is shuffle-free: bit positions are computed JVM-side
+  (``xxhash64`` Columns — the SAME expressions the probe uses, so
+  build/probe hash consistency is by construction), each partition folds
+  its positions into a local numpy bitmap inside one ``mapInPandas`` pass,
+  and the driver ORs the ≤ ``build_partitions`` partial bitmaps — the
+  treeAggregate discipline of Spark's own (unexposed) BloomFilterAggregate.
+  A first-draft ``explode + groupBy(word).agg(bit_or)`` build was measured
+  and rejected: bit positions are uniform, so map-side partial aggregation
+  cannot collapse them and the build shuffles ``num_hashes`` rows PER KEY —
+  more bytes than the store join it is meant to remove.
 * **Probe** is pure Column arithmetic: the bitmap rides into the plan as a
   single-row broadcast (one ``array<long>`` cell, broadcast-nested-loop
   against the batch = zero shuffle), and each row tests
@@ -123,43 +125,77 @@ class BloomFilter:
 
     # -- build ------------------------------------------------------------
 
+    def _base_hashes(self, key: Column, m: int) -> tuple[Column, Column]:
+        """The two base hashes of the Kirsch-Mitzenmacher double-hashing
+        scheme: position_i = (h1 + i*h2) mod m gives k near-independent
+        positions from TWO xxhash64 evaluations (the asymptotic fpp is
+        unchanged — Kirsch & Mitzenmacher 2006). Build and probe both
+        derive positions from this one method, so consistency is by
+        construction; the build ships 2 long columns per key instead of k."""
+        h1 = F.pmod(F.xxhash64(key.cast("string"), F.lit(0)), F.lit(m))
+        h2 = F.pmod(F.xxhash64(key.cast("string"), F.lit(1)), F.lit(m))
+        return h1, h2
+
     def _positions(self, key: Column, m: int, k: int) -> list[tuple[Column, Column]]:
-        """k (word index, bit mask) Column pairs for a key. The hash family
-        is xxhash64(key, i) — the seed column makes the k hashes
-        independent; pmod keeps positions non-negative."""
+        """k (word index, bit mask) Column pairs for a key. No int64
+        overflow: h1, h2 < m <= 2^33 and i <= 16, so h1 + i*h2 < 2^38."""
+        h1, h2 = self._base_hashes(key, m)
         out = []
         for i in range(k):
-            pos = F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(m))
+            pos = F.pmod(h1 + F.lit(i) * h2, F.lit(m))
             word = F.shiftright(pos, 6)  # // 64 (m is a multiple of 64)
             mask = _shiftleft(F.lit(1).cast("long"), pos.bitwiseAND(F.lit(63)))
             out.append((word, mask))
         return out
 
-    def fit(self, df: DataFrame, key: Column | str) -> "BloomFilter":
-        """Build the bitmap from ``df``'s key column. Two small jobs: a
-        count (sizing) and the word-level bit_or aggregation (collects at
-        most num_bits/64 sparse rows). NULL keys are dropped."""
+    def fit(self, df: DataFrame, key: Column | str, *, build_partitions: int | None = None) -> "BloomFilter":
+        """Build the bitmap from ``df``'s key column. Two jobs: a count
+        (sizing) and one narrow ``mapInPandas`` pass that folds each
+        partition's JVM-computed bit positions into a local numpy bitmap —
+        no shuffle; the driver ORs the partial bitmaps. NULL keys are
+        dropped. ``build_partitions`` bounds driver traffic to
+        ``partitions x num_bits/8`` bytes (default: the session's
+        parallelism)."""
         import numpy as np
 
         key = F.col(key) if isinstance(key, str) else key
         keys = df.select(key.alias("__bf_key")).filter(F.col("__bf_key").isNotNull())
         n = keys.count()
         m, k = self._size_for(n)
-        contribs = keys.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(w.alias("word"), b.alias("mask"))
-                        for w, b in self._positions(F.col("__bf_key"), m, k)
-                    ]
-                )
-            ).alias("c")
-        ).select("c.word", "c.mask")
-        rows = contribs.groupBy("word").agg(F.bit_or("mask").alias("mask")).collect()
-        arr = np.zeros(m // 64, dtype=np.int64)
-        for r in rows:
-            arr[r["word"]] = r["mask"]
-        self.bits = arr
+        nparts = build_partitions or df.sparkSession.sparkContext.defaultParallelism
+        words = m // 64
+
+        # TWO flat long columns (the KM base hashes), not k and not an
+        # array column: Arrow hands flat int64 buffers to numpy zero-copy
+        # (a list<long> column arrives as per-row Python lists — measured
+        # ~30x slower at a 30M-key store), and double hashing cuts the
+        # transfer from k columns to 2
+        h1c, h2c = self._base_hashes(F.col("__bf_key"), m)
+        pos = keys.select(h1c.alias("h1"), h2c.alias("h2"))
+
+        def _fold(batches):
+            import pandas as pd
+
+            arr = np.zeros(words, dtype=np.uint64)
+            one = np.uint64(1)
+            um = np.uint64(m)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                h1 = pdf["h1"].to_numpy(dtype=np.int64).astype(np.uint64)
+                h2 = pdf["h2"].to_numpy(dtype=np.int64).astype(np.uint64)
+                for i in range(k):
+                    ps = (h1 + np.uint64(i) * h2) % um
+                    np.bitwise_or.at(
+                        arr, (ps >> np.uint64(6)).astype(np.int64), one << (ps & np.uint64(63))
+                    )
+            yield pd.DataFrame({"bm": [arr.tobytes()]})
+
+        parts = pos.coalesce(max(1, nparts)).mapInPandas(_fold, "bm binary").collect()
+        acc = np.zeros(words, dtype=np.uint64)
+        for r in parts:
+            acc |= np.frombuffer(r["bm"], dtype=np.uint64)
+        self.bits = acc.view(np.int64).copy()
         self.num_bits, self.num_hashes, self.item_count = m, k, n
         return self
 
@@ -170,8 +206,15 @@ class BloomFilter:
             raise ValueError("BloomFilter is not fitted (call fit() or load())")
 
     def _bitmap_df(self, spark: SparkSession) -> DataFrame:
+        import pandas as pd
+
         self._require_fitted()
-        return spark.createDataFrame([(self.bits.tolist(),)], "__bf_bits array<long>")
+        # pandas + Arrow, not a Python list literal: a 1% filter over 10^8
+        # keys is a ~15M-element array, and the pickled-list createDataFrame
+        # path serializes it element by element
+        return spark.createDataFrame(
+            pd.DataFrame({"__bf_bits": [self.bits]}), "__bf_bits array<long>"
+        )
 
     def contains_expr(self, key: Column | str) -> Column:
         """Membership test against a plan-side ``__bf_bits`` array column
@@ -223,21 +266,48 @@ class BloomFilter:
 def bloom_pruned_left_join(
     left: DataFrame, right: DataFrame, on: str, *, fpp: float = 0.01
 ) -> DataFrame:
-    """``left.join(right, on=on, how="left")`` with a Bloom pre-filter built
-    from ``right``'s keys: rows the filter rejects are DEFINITELY unmatched
-    (no false negatives), so they bypass the join with NULL right-side
-    columns; only bloom hits shuffle. Result is row-for-row equal to the
+    """``left.join(right, on=on, how="left")`` with ZERO large shuffles,
+    via a Bloom pre-filter built from ``right``'s keys. Rows the filter
+    rejects are DEFINITELY unmatched (no false negatives) and bypass the
+    join with NULL right-side columns. Result is row-for-row equal to the
     plain left join whenever ``right`` is unique on ``on`` (the incremental
     stores are — both call sites collapse duplicates first).
 
-    Cost model: the build scans ``right`` twice more (count + bit_or agg) —
-    right is the compact key store, ~0.1-0.5% of the corpus — to remove the
-    full-batch shuffle on ``left``, which dominates at scale. The pruned
-    plan shuffles ``hits`` only: true duplicates plus an fpp-sized sliver.
+    Join geometry (the part that matters at 100 TB): a naive
+    ``hits LEFT JOIN right`` cannot broadcast — left-outer correctness
+    forces the build side to be ``right``, the very table that outgrew the
+    broadcast threshold, so both sides shuffle anyway (measured: AQE kept
+    SortMergeJoin). Instead the hit-key sliver semi-reduces the store
+    FIRST, and the join order inverts:
+
+      1. probe: broadcast bitmap, codegen bit tests — no shuffle;
+      2. ``right LEFT SEMI broadcast(hit keys)`` — the store STREAMS once,
+         emitting only rows whose key some batch row might carry (true
+         duplicates + fpp sliver);
+      3. ``hits LEFT JOIN broadcast(pruned store)`` — the right side is
+         now sliver-sized, so the left-outer broadcast is legal and the
+         batch never shuffles either;
+      4. union the definite-miss rows back with NULL right columns.
+
+    The only exchange left is the hit-key ``distinct`` — compact keys at
+    hit-sliver cardinality. The broadcast hints are load-bearing and
+    bounded: both broadcasts are O(true duplicates + fpp x batch). A batch
+    that is MOSTLY duplicates breaks that bound — there, the plain join
+    was the right plan anyway (``fpp=None`` at the call sites).
+
+    Cost model: ``right`` is scanned twice more than the plain join (fit
+    fold + semi reduction) — it is the compact key store, ~0.1-0.5% of the
+    corpus — to remove the full-batch AND full-store shuffles that
+    dominate at scale. On local[*], where shuffles ride RAM, the plain
+    join is cheaper (scripts/diag_bloom.out measures it honestly); the
+    knob exists for cluster-scale stores past the broadcast threshold.
     """
     bf = BloomFilter(fpp=fpp).fit(right, on)
     marked = bf.with_hit_col(left, on, "__bloom_hit")
-    hits = marked.filter(F.col("__bloom_hit")).drop("__bloom_hit").join(right, on=on, how="left")
+    hit_rows = marked.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    hit_keys = hit_rows.select(on).distinct()
+    pruned_right = right.join(F.broadcast(hit_keys), on=on, how="left_semi")
+    hits = hit_rows.join(F.broadcast(pruned_right), on=on, how="left")
     null_right = {
         c: F.lit(None).cast(right.schema[c].dataType) for c in right.columns if c != on
     }

@@ -85,7 +85,10 @@ class IncrementalExactDeduplicator(JoinDeduplicator, TextExactDeduplicator):
     fpp-sized sliver shuffle. No false negatives, so rejection semantics
     are unchanged; the filter is refit from the store on every apply
     (never cached across ``update_store`` — a stale filter would miss
-    keys the previous micro-batch appended).
+    keys the previous micro-batch appended). A CLUSTER knob: it pays off
+    once the store outgrows the broadcast threshold and shuffle rides the
+    network; on local[*] RAM-shuffle the plain join is faster
+    (scripts/diag_bloom.out), which is why it defaults to None.
     """
 
     def __init__(self, store_path: str, *, bloom_fpp: float | None = None, **kwargs):
@@ -433,7 +436,9 @@ class IncrementalMinHashDeduplicator(MinHashLSHDeduplicator):
     min() aggregate. ``bloom_fpp`` adds the same Bloom pre-filter as the
     exact store (operators/bloom.py): band keys the filter rejects are
     definitely not in the store and skip the join — only possibly-seen
-    bands shuffle. Refit per apply, never cached across ``update_store``.
+    bands shuffle. Refit per apply, never cached across ``update_store``;
+    a cluster knob (store past broadcast threshold), not a local[*] win —
+    see scripts/diag_bloom.out.
     """
 
     def __init__(self, store_path: str, *, bloom_fpp: float | None = None, **kwargs):

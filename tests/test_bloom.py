@@ -146,6 +146,60 @@ def test_incremental_minhash_bloom_matches_plain(spark, tmp_path):
     assert _minhash_case(spark, tmp_path, 0.3) == _minhash_case(spark, tmp_path, None)
 
 
+def test_bloom_via_yaml_streaming_restart(spark, tmp_path):
+    """bloom_fpp flows from YAML params through the registry into the
+    streaming runner: the store persists per micro-batch, a restart builds
+    a FRESH filter from the grown store (no stale-filter false negatives),
+    and cross-run duplicates are rejected exactly as without bloom."""
+    import json
+
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.streaming import StreamingPipeline
+
+    src = tmp_path / "docs_in"
+    src.mkdir(parents=True, exist_ok=True)
+    with open(src / "a.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "an essay that will repeat verbatim later"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "independent first-run content"}) + "\n")
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "stream_bloom",
+                "id_col": "doc_id",
+                "source": {"table": "unused"},
+                "stages": [
+                    {
+                        "name": "dedup",
+                        "operators": [
+                            {
+                                "name": "IncrementalExactDeduplicator",
+                                "params": {
+                                    "store_path": str(tmp_path / "seen"),
+                                    "id_col": "doc_id",
+                                    "bloom_fpp": 0.3,
+                                },
+                            }
+                        ],
+                    }
+                ],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "passed"))
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    StreamingPipeline(cfg, checkpoint_dir=ckpt).start(stream).awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "passed")).count() == 2
+
+    with open(src / "b.json", "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": "an essay that will repeat verbatim later"}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": "genuinely new second-run content"}) + "\n")
+    stream2 = spark.readStream.schema("doc_id long, text string").json(str(src))
+    StreamingPipeline(cfg, checkpoint_dir=ckpt).start(stream2).awaitTermination(120)
+    ids = sorted(r.doc_id for r in spark.read.parquet(str(tmp_path / "passed")).collect())
+    assert ids == [1, 2, 11]  # 10 rejected against the run-1 store through the bloom path
+
+
 def test_bad_bloom_fpp_rejected(tmp_path):
     from mega_data_factory_spark.operators.dedup import (
         IncrementalExactDeduplicator,
