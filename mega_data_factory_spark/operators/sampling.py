@@ -130,6 +130,168 @@ class WeightedSourceSampler(Filter):
         return b < thr
 
 
+class StratifiedQuotaSampler(Operator):
+    """Keep EXACTLY ``min(quota, stratum size)`` rows per stratum — the
+    count-based balancing knob the fraction-based
+    :class:`WeightedSourceSampler` cannot express ("1M docs per language"
+    needs the per-stratum sizes to turn into a fraction, and the fraction
+    drifts as the corpus grows). Selection within a stratum is the quota
+    rows with the SMALLEST (stable id hash, id) — deterministic across
+    runs, engines, and partitionings, and mirrorable in ANSI SQL as
+    ``row_number() OVER (PARTITION BY stratum ORDER BY h, id) <= quota``.
+
+    The naive form IS that window: a full shuffle of every quoted stratum
+    plus a per-stratum sort — with a 10^10-row crawl stratum, the 100 TB
+    scale-killer. This computes the identical cut with the
+    TokenBudgetSelector's histogram discipline (selection.py):
+
+      1. range-bucket the 60-bit hash (top ``log2(hist_buckets)`` bits —
+         bucket id is monotonic in h, equal h always shares a bucket);
+      2. count rows per (stratum, bucket) — ONE compact groupBy, at most
+         ``len(quotas) x hist_buckets`` rows to the driver;
+      3. per stratum, cumulate bucket counts ascending to find the
+         boundary bucket where the quota lands: smaller buckets keep
+         wholesale (pushed-down filter, no shuffle), larger drop
+         wholesale, and ONLY the boundary bucket — ~1/hist_buckets of the
+         stratum — pays a row_number window.
+
+    Strata without a quota (and all strata, when ``default_quota`` is
+    None) pass through untouched. With ``default_quota`` set, EVERY
+    stratum participates — the driver then holds #distinct-strata x
+    hist_buckets count rows, so per-domain strata on an open crawl want
+    the explicit-quotas form. NULL ids carry no stable identity and are
+    never selected into a quota (the sampler-family rule); a NULL stratum
+    is a real stratum (NUL-distinct, matched null-safely). Pipeline path:
+    over-quota rows are tagged ``quota_exceeded`` instead of dropped.
+    """
+
+    def __init__(
+        self,
+        quotas: dict[str, int],
+        *,
+        default_quota: int | None = None,
+        stratum_col: str = "source",
+        id_col: str = "doc_id",
+        hist_buckets: int = 8192,
+        salt: str | None = "quota",
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        for s, q in {**quotas, **({"__default__": default_quota} if default_quota is not None else {})}.items():
+            if q < 0:
+                raise ValueError(f"quota for {s!r} must be >= 0, got {q}")
+        if hist_buckets < 2 or hist_buckets & (hist_buckets - 1):
+            raise ValueError(f"hist_buckets must be a power of two >= 2, got {hist_buckets}")
+        self.quotas = dict(quotas)
+        self.default_quota = default_quota
+        self.stratum_col = stratum_col
+        self.id_col = id_col
+        self.hist_buckets = hist_buckets
+        self.salt = salt
+
+    def _hash(self) -> Column:
+        return hash64_from_md5(F.col(self.id_col).cast("string"), seed=self.salt)
+
+    def _hist_bucket(self) -> Column:
+        # top bits of the 60-bit hash: monotonic range buckets
+        return F.shiftright(self._hash(), 60 - self.hist_buckets.bit_length() + 1)
+
+    def _quota_col(self) -> Column:
+        q = F.lit(self.default_quota).cast("long")
+        for s, n in self.quotas.items():
+            q = F.when(F.col(self.stratum_col) == s, F.lit(int(n))).otherwise(q)
+        return q
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from mega_data_factory_spark.operators.base import (
+            REJECTION_DETAILS_COL,
+            rejection_details,
+        )
+
+        tagged_mode = REJECTION_DETAILS_COL in df.columns
+        alive = F.col(REJECTION_DETAILS_COL).isNull() if tagged_mode else F.lit(True)
+        quota = self._quota_col()
+        limited = alive & quota.isNotNull()
+        hb = self._hist_bucket()
+        work = df.withColumn("__sq_hb", F.when(limited, hb))
+
+        counted = (
+            work.filter(limited & F.col(self.id_col).isNotNull())
+            .groupBy(F.col(self.stratum_col).alias("__s"), F.col("__sq_hb").alias("__b"))
+            .count()
+            .collect()
+        )
+        hist: dict = {}
+        for r in counted:
+            hist.setdefault(r["__s"], {})[int(r["__b"])] = int(r["count"])
+
+        def _quota_of(s):
+            return self.quotas.get(s, self.default_quota) if s is not None else self.default_quota
+
+        # per stratum: (boundary bucket, rows remaining inside it); strata
+        # that fit entirely get no entry (kept wholesale)
+        boundaries: dict = {}
+        for s, bs in hist.items():
+            q, cum = int(_quota_of(s)), 0
+            for b in sorted(bs):
+                if cum + bs[b] > q:
+                    boundaries[s] = (b, q - cum)
+                    break
+                cum += bs[b]
+
+        def _match(s) -> Column:
+            return (
+                F.col(self.stratum_col).isNull()
+                if s is None
+                else F.col(self.stratum_col).eqNullSafe(F.lit(s))
+            )
+
+        bound_b = F.lit(None).cast("long")
+        rem = F.lit(None).cast("long")
+        for s, (b, r) in boundaries.items():
+            bound_b = F.when(_match(s), F.lit(b)).otherwise(bound_b)
+            rem = F.when(_match(s), F.lit(r)).otherwise(rem)
+        work = work.withColumn("__sq_bound", F.when(limited, bound_b)).withColumn(
+            "__sq_rem", F.when(limited, rem)
+        )
+
+        # coalesce kills three-valued logic: a stratum that fits wholesale
+        # has a NULL boundary, and `hb == NULL` is NULL, not False — an
+        # uncoalesced ~on_boundary filter silently dropped such strata
+        on_boundary = (
+            limited
+            & F.coalesce(F.col("__sq_hb") == F.col("__sq_bound"), F.lit(False))
+            & F.col(self.id_col).isNotNull()
+        )
+        w = (
+            Window.partitionBy(F.col(self.stratum_col))
+            .orderBy(self._hash().asc(), F.col(self.id_col).asc())
+        )
+        boundary_rows = work.filter(on_boundary).withColumn(
+            "__sq_keep", F.row_number().over(w) <= F.col("__sq_rem")
+        )
+        other_rows = work.filter(~on_boundary).withColumn(
+            "__sq_keep",
+            F.when(~limited, F.lit(True))  # unquoted or dead: untouched
+            .when(F.col(self.id_col).isNull(), F.lit(False))  # no stable identity
+            .when(F.col("__sq_bound").isNull(), F.lit(True))  # stratum fits whole
+            .otherwise(F.col("__sq_hb") < F.col("__sq_bound")),
+        )
+        merged = other_rows.unionByName(boundary_rows)
+        aux = ["__sq_hb", "__sq_bound", "__sq_rem", "__sq_keep"]
+        if not tagged_mode:
+            return merged.filter(F.col("__sq_keep")).drop(*aux)
+        return merged.withColumn(
+            REJECTION_DETAILS_COL,
+            F.when(
+                F.col(REJECTION_DETAILS_COL).isNull() & ~F.col("__sq_keep"),
+                rejection_details("quota_exceeded", self.name),
+            ).otherwise(F.col(REJECTION_DETAILS_COL)),
+        ).drop(*aux)
+
+
 def temperature_weights(
     sizes: dict[str, float], alpha: float, *, target_total: float | None = None
 ) -> dict[str, float]:

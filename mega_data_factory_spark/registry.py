@@ -66,6 +66,7 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.sampling import (
         DatasetSplitRefiner,
         EpochWeightedMixer,
+        StratifiedQuotaSampler,
         WeightedSourceSampler,
     )
     from mega_data_factory_spark.operators.filters import (
@@ -138,6 +139,7 @@ def _register_builtins() -> None:
         DecontaminationFilter,
         DatasetSplitRefiner,
         WeightedSourceSampler,
+        StratifiedQuotaSampler,
         EpochWeightedMixer,
         EmbeddingCosineDeduplicator,
         ImageMetadataRefiner,

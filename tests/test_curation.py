@@ -370,6 +370,83 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
     assert_df_matches_sql(out, sql, name="boilerplate_lines")
 
 
+def test_stratified_quota_sampler_behavior(spark):
+    """Exactly min(quota, stratum size) rows per quoted stratum; selection
+    is deterministic under repartitioning; unquoted strata pass untouched;
+    NULL ids never fill a quota; tagged mode tags instead of dropping."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.base import REJECTION_DETAILS_COL
+    from mega_data_factory_spark.operators.sampling import StratifiedQuotaSampler
+
+    rows = [(i, "a") for i in range(40)] + [(100 + i, "b") for i in range(5)]
+    rows += [(200 + i, "c") for i in range(10)] + [(None, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    s = StratifiedQuotaSampler({"a": 7, "b": 50}, id_col="doc_id", stratum_col="source")
+    out = s.apply(df)
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src == {"a": 7, "b": 5, "c": 10}  # exact / whole / unquoted
+    picked = sorted(r.doc_id for r in out.filter(F.col("source") == "a").collect())
+    assert None not in picked
+    # identical pick regardless of physical layout
+    picked2 = sorted(
+        r.doc_id
+        for r in s.apply(df.repartition(13)).filter(F.col("source") == "a").collect()
+    )
+    assert picked == picked2
+    # histogram boundary logic is exact at ANY bucket count
+    for hb in (2, 64):
+        s2 = StratifiedQuotaSampler({"a": 7, "b": 50}, id_col="doc_id", hist_buckets=hb)
+        got = sorted(r.doc_id for r in s2.apply(df).filter(F.col("source") == "a").collect())
+        assert got == picked
+
+    tagged = df.withColumn(REJECTION_DETAILS_COL, F.lit(None).cast(
+        "struct<reason:string,operator:string,dedup_key:string,representative_id:string>"))
+    tout = s.apply(tagged)
+    assert tout.count() == len(rows)  # nothing dropped, only tagged
+    reasons = {r["r"] for r in tout.filter(F.col(REJECTION_DETAILS_COL).isNotNull())
+               .select(F.col(f"{REJECTION_DETAILS_COL}.reason").alias("r")).collect()}
+    assert reasons == {"quota_exceeded"}
+    kept = tout.filter(F.col(REJECTION_DETAILS_COL).isNull())
+    assert {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()} == by_src
+
+
+def test_stratified_quota_sampler_matches_oracle(spark):
+    """The histogram cut equals the global per-stratum rank: DuckDB mirror
+    via row_number() OVER (PARTITION BY source ORDER BY h, id) <= quota
+    with the engine's md5-derived hash reproduced exactly."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    from mega_data_factory_spark.operators.sampling import StratifiedQuotaSampler
+    from mega_data_factory_spark.session import load_tables
+
+    quotas = {"src1": 17, "src3": 0, "src5": 4}
+    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"]
+    out = (
+        StratifiedQuotaSampler(quotas, id_col="doc_id", stratum_col="source")
+        .apply(docs)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+    qcase = " ".join(f"WHEN source = '{s}' THEN {q}" for s, q in quotas.items())
+    sql = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#quota'), 1, 15))::BIGINT AS hh,
+         CASE {qcase} ELSE NULL END AS q
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, q,
+         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, source FROM ranked
+WHERE q IS NULL OR (doc_id IS NOT NULL AND rn <= q)
+ORDER BY doc_id
+"""
+    assert_df_matches_sql(out, sql, name="stratified_quota")
+
+
 def test_url_canonicalize_behavior(spark):
     """Scheme/www/port/fragment/tracking-params collapse to one spelling;
     query params sort; host-less and NULL/blank inputs give NULL."""
