@@ -407,6 +407,44 @@ def test_shipped_yaml_config_scale_defaults(spark, tmp_path):
     assert any(m.operator == "NgramJaccardDeduplicator" for m in result.operators)
 
 
+def test_fineweb_recipe_config(spark, tmp_path):
+    """The shipped FineWeb-style recipe builds and runs end to end as one
+    tagged plan: funnel accounting balances, every enabled stage family
+    reports metrics, cleanup columns land on survivors, and rejected rows
+    are attributed to the operator that cut them."""
+    from mega_data_factory_spark.config import SinkConfig
+
+    with open("configs/fineweb_style_recipe.yaml") as f:
+        cfg = PipelineConfig.from_yaml(f.read())
+    cfg.max_samples = 400
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"), mode="overwrite")
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rej"), mode="overwrite")
+    cfg.metrics_path = str(tmp_path / "metrics")
+    result = Pipeline(cfg).run(spark)
+
+    rejected_total = sum(m.input_records - m.output_records for m in result.operators)
+    assert result.output_records + rejected_total == result.input_records == 400
+    ops_seen = {m.operator for m in result.operators}
+    assert {
+        "LanguageIdRefiner",
+        "GopherRepetitionCut",
+        "QualityScoreCut",
+        "IntraDocDedupRefiner",
+        "PiiRedactRefiner",
+        "TextExactDeduplicator",
+        "MinHashLSHDeduplicator",
+        "DatasetSplitRefiner",
+    } <= ops_seen
+    passed = spark.read.parquet(str(tmp_path / "out"))
+    assert passed.count() == result.output_records > 0
+    for col in ("lang_pred", "quality_score", "text_deduped", "text_redacted", "split"):
+        assert col in passed.columns, col
+    # rejected sink is hive-partitioned by the cutting operator
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    cutters = {r["operator"] for r in rej.select("operator").distinct().collect()}
+    assert cutters and cutters <= ops_seen
+
+
 def test_stage_resource_profile_surface(spark):
     """resources.py contract: profile construction mirrors the reference's
     stage-resource shape; local masters report no stage-level scheduling
