@@ -17,9 +17,12 @@ Canonical form (scheme-less, the dedup key shape):
 
     host/path?k=v&k2=v2
 
-* scheme and ``#fragment`` dropped (http/https/bare collapse — the point);
-* host lowercased, ``userinfo@``, ``:port`` and leading ``www.`` stripped,
-  trailing dot removed;
+* scheme and ``#fragment`` dropped (http/https/protocol-relative/bare
+  collapse — the point);
+* host lowercased, ``:port`` and leading ``www.`` stripped, trailing dot
+  removed; ``userinfo@`` stripped only when the URL had an explicit
+  ``//``-authority (so ``mailto:``/bare-email values keep a distinct key
+  instead of aliasing with the site root);
 * path: trailing ``/`` stripped (``/`` alone collapses to empty);
 * query: parameters split on ``&``, empties and tracking params dropped,
   the rest SORTED (order-insensitive compare) and rejoined; an
@@ -49,12 +52,22 @@ def canonical_url(url: Column | str) -> Column:
     NULL/blank/host-less input."""
     u = F.col(url) if isinstance(url, str) else url
     u = F.trim(u)
-    # scheme and fragment off first; what remains is authority[/path][?query]
-    bare = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    # scheme and fragment off first; what remains is authority[/path][?query].
+    # The optional-scheme form also strips protocol-relative "//host/x"
+    # (a valid crawl spelling that previously canonicalized to NULL).
+    bare = F.regexp_replace(u, "^([a-zA-Z][a-zA-Z0-9+.-]*:)?//", "")
     bare = F.regexp_replace(bare, "#.*$", "")
 
     authority = F.regexp_extract(bare, "^([^/?]+)", 1)
-    host = F.lower(F.regexp_replace(authority, "^[^@]*@", ""))  # drop userinfo
+    # userinfo@ is only stripped when the URL had an explicit //-authority:
+    # on scheme-less values an unconditional "^[^@]*@" cut turned
+    # "mailto:info@example.com" (and bare email addresses in the url
+    # field) into the site root "example.com", aliasing unrelated
+    # documents with the homepage's dedup key.
+    had_authority = u.rlike("^([a-zA-Z][a-zA-Z0-9+.-]*:)?//")
+    host = F.lower(
+        F.when(had_authority, F.regexp_replace(authority, "^[^@]*@", "")).otherwise(authority)
+    )
     host = F.regexp_replace(host, ":[0-9]*$", "")  # drop port (incl. bare ':')
     host = F.regexp_replace(host, "^www\\.", "")
     host = F.regexp_replace(host, "\\.$", "")  # trailing-dot FQDN form

@@ -134,10 +134,27 @@ class Deduplicator(Operator):
         order_col: str = "doc_id",
         id_col: str | None = None,
         wide_payload: bool = False,
+        null_keys: str = "group",
     ):
         super().__init__(name)
         self.order_col = order_col
         self.id_col = id_col or order_col
+        # null_keys: what a NULL dedup key MEANS.
+        #   "group"    (default) — SQL PARTITION BY semantics: NULL-keyed
+        #              rows form ONE group and dedup among themselves
+        #              (right for "one row per customer" where NULL is a
+        #              real category).
+        #   "distinct" — a NULL key is NO identity: every NULL-keyed row
+        #              survives and is never anyone's duplicate (right
+        #              for derived identity keys — canonical URLs,
+        #              fingerprints — where NULL means "could not derive";
+        #              grouping there mass-drops unrelated rows).
+        # Implemented by rewriting NULL keys to a per-row synthetic key
+        # ("\x00N\x1f" + order value, unique because order_col is): one
+        # plan shape for both modes, window and wide_payload paths alike.
+        if null_keys not in ("group", "distinct"):
+            raise ValueError(f"null_keys must be 'group' or 'distinct', got {null_keys!r}")
+        self.null_keys = null_keys
         # wide_payload: rows carry a heavy column (image/audio bytes) that
         # must NOT go through the dedup shuffle. The window strategy
         # shuffles whole rows; the semi-join strategy shuffles only
@@ -153,10 +170,24 @@ class Deduplicator(Operator):
     def key(self, df: DataFrame) -> Column:
         """Dedup key expression (string)."""
 
+    def _missing_key(self, df: DataFrame) -> Column:
+        """True where the row has NO dedup identity (used by
+        null_keys="distinct"). Default: the derived key is NULL; subclasses
+        whose ``key`` sentinels NULLs (multi-column concat) override this
+        to test the underlying columns."""
+        return self.key(df).isNull()
+
+    def _effective_key(self, df: DataFrame) -> Column:
+        k = self.key(df)
+        if self.null_keys == "distinct":
+            unique = F.concat(F.lit("\x00N\x1f"), F.col(self.order_col).cast("string"))
+            return F.when(self._missing_key(df), unique).otherwise(k)
+        return k
+
     def _ranked(self, df: DataFrame) -> DataFrame:
         w = Window.partitionBy(F.col("__dedup_key")).orderBy(F.col(self.order_col))
         return (
-            df.withColumn("__dedup_key", self.key(df))
+            df.withColumn("__dedup_key", self._effective_key(df))
             .withColumn("__rn", F.row_number().over(w))
             .withColumn("__rep", F.first(F.col(self.id_col)).over(w))
         )
@@ -164,7 +195,7 @@ class Deduplicator(Operator):
     def _winners(self, df: DataFrame) -> DataFrame:
         """(winner order value, key) per dedup key — the compact election."""
         return (
-            df.withColumn("__dedup_key", self.key(df))
+            df.withColumn("__dedup_key", self._effective_key(df))
             .groupBy("__dedup_key")
             .agg(F.min(F.col(self.order_col)).alias("__win_order"))
         )
@@ -178,7 +209,7 @@ class Deduplicator(Operator):
     def rejected(self, df: DataFrame) -> DataFrame:
         if self.wide_payload:
             win = self._winners(df)
-            keyed = df.withColumn("__dedup_key", self.key(df))
+            keyed = df.withColumn("__dedup_key", self._effective_key(df))
             dups = keyed.join(win, on="__dedup_key", how="inner").filter(
                 F.col(self.order_col) != F.col("__win_order")
             )
@@ -218,12 +249,45 @@ class JoinDeduplicator(Deduplicator):
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         """(id_col, __rep) rows for every rejected id."""
 
+    def _dup_pairs_memo(self, df: DataFrame) -> DataFrame:
+        """``_dup_pairs(df)`` memoized on the INPUT FRAME's identity.
+        apply() and rejected() (and update_store's re-apply) are routinely
+        called with the same df in one batch; without the memo each call
+        rebuilds the pair plan — and for the bloom-pruned incremental
+        stores, plan construction is EAGER work (store count + full key
+        scan + bitmap collect per BloomFilter.fit), so one batch paid the
+        feature's dominant cost two or three times. Keyed on object
+        identity: a new micro-batch frame is a new object, so the filter
+        is still refit per batch (the staleness guarantee the incremental
+        docstrings make); DataFrames are immutable, so reuse is safe.
+
+        ``_memo_token`` guards EXTERNAL state: pure dedups are functions
+        of df alone (token None, always equal), but the store-backed
+        incrementals capture the seen-store's file listing at plan-build
+        time — reusing that plan after ``update_store``/``compact_store``
+        rewrote the directory would miss new keys or crash on deleted
+        files, so their token (the store dir snapshot) changes and the
+        memo rebuilds."""
+        memo = getattr(self, "_pairs_memo", None)
+        token = self._memo_token()
+        if memo is not None and memo[0] is df and token is not None and memo[2] == token:
+            return memo[1]
+        pairs = self._dup_pairs(df)
+        self._pairs_memo = (df, pairs, token)
+        return pairs
+
+    def _memo_token(self) -> object:
+        """External-state fingerprint for the pairs memo. None from a
+        STATEFUL subclass means "unknown" and disables reuse; the base
+        returns a constant (no external state)."""
+        return ()
+
     def apply(self, df: DataFrame) -> DataFrame:
-        return anti_join_once(df, self._dup_pairs(df), self.id_col)
+        return anti_join_once(df, self._dup_pairs_memo(df), self.id_col)
 
     def rejected(self, df: DataFrame) -> DataFrame:
         return (
-            df.join(self._dup_pairs(df), on=self.id_col, how="inner")
+            df.join(self._dup_pairs_memo(df), on=self.id_col, how="inner")
             .withColumn(
                 REJECTION_DETAILS_COL,
                 rejection_details(

@@ -91,6 +91,14 @@ class BloomFilter:
         self.fpp = fpp
         self.num_bits = num_bits
         self.num_hashes = num_hashes
+        # USER pins, distinct from fitted state: fit() writes the computed
+        # sizing into num_bits/num_hashes (the probe needs them), so a
+        # refit must size from these originals — treating the previous
+        # fit's size as a pin silently kept a now-undersized bitmap
+        # (100k-keys filter refit on a 10M-key store -> fpp ~1, every row
+        # probes "hit", no warning).
+        self._pinned_bits = num_bits
+        self._pinned_hashes = num_hashes
         self.max_bits = max_bits
         self.bits = None  # numpy int64[num_bits // 64], set by fit/load
         self.item_count: int | None = None
@@ -103,8 +111,8 @@ class BloomFilter:
 
     def _size_for(self, n: int) -> tuple[int, int]:
         """(num_bits, num_hashes) for n items at self.fpp, honoring pins."""
-        if self.num_bits is not None:
-            m = self._round_words(self.num_bits)
+        if self._pinned_bits is not None:
+            m = self._round_words(self._pinned_bits)
         elif n == 0:
             m = 64
         else:
@@ -117,8 +125,8 @@ class BloomFilter:
                 "Shard the store or raise max_bits if that is too lossy."
             )
             m = self._round_words(self.max_bits)
-        if self.num_hashes is not None:
-            k = self.num_hashes
+        if self._pinned_hashes is not None:
+            k = self._pinned_hashes
         else:
             k = max(1, min(16, int(round((m / max(n, 1)) * _LN2))))
         return m, k
@@ -258,6 +266,9 @@ class BloomFilter:
         with np.load(path if path.endswith(".npz") else path + ".npz") as z:
             bits, meta = z["bits"], z["meta"]
         bf = cls(num_bits=int(meta[0]), num_hashes=int(meta[1]))
+        # loaded geometry is FITTED state, not a user pin: a load-then-fit
+        # on a different store must resize from fpp, not freeze the old size
+        bf._pinned_bits = bf._pinned_hashes = None
         bf.bits = bits.astype(np.int64)
         bf.item_count = int(meta[2])
         return bf
@@ -302,6 +313,16 @@ def bloom_pruned_left_join(
     join is cheaper (scripts/diag_bloom.out measures it honestly); the
     knob exists for cluster-scale stores past the broadcast threshold.
     """
+    overlap = (set(left.columns) & set(right.columns)) - {on}
+    if overlap:
+        # the plain join would emit BOTH copies of a shared column; the
+        # miss-branch union here cannot (withColumns would overwrite the
+        # left copy with NULL and unionByName rejects duplicate names) —
+        # fail loud instead of silently corrupting left data
+        raise ValueError(
+            f"bloom_pruned_left_join: left and right share non-key column(s) "
+            f"{sorted(overlap)}; rename the right side before pruning"
+        )
     bf = BloomFilter(fpp=fpp).fit(right, on)
     marked = bf.with_hit_col(left, on, "__bloom_hit")
     hit_rows = marked.filter(F.col("__bloom_hit")).drop("__bloom_hit")

@@ -111,6 +111,13 @@ class IncrementalExactDeduplicator(JoinDeduplicator, TextExactDeduplicator):
         except AnalysisException:  # first run: empty store
             return spark.createDataFrame([], "content_key string, representative_id string")
 
+    def _memo_token(self) -> object:
+        # the pairs plan snapshots the store's file listing (and, bloom
+        # path, an eagerly-collected bitmap): valid only while the store
+        # directory is unchanged. update_store appends and compact_store
+        # swaps files — both shift this snapshot, invalidating the memo.
+        return _store_dir_token(self.store_path)
+
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         """(id, __rep): rejected rows with their representative — the stored
         one when the key is already known, else the batch's min-id row."""
@@ -153,11 +160,35 @@ class IncrementalExactDeduplicator(JoinDeduplicator, TextExactDeduplicator):
         (``Pipeline.run`` passes its passed-side frame), skipping the
         redundant re-apply."""
         out = df if survivors else self.apply(df)
+        if getattr(self, "null_keys", "group") == "distinct":
+            # identity-less rows are exempt from dedup; remembering their
+            # synthetic per-row keys would reject replayed rows later
+            out = out.filter(~self._missing_key(out))
         new_keys = out.select(
             self.key(out).alias("content_key"),
             F.col(self.id_col).cast("string").alias("representative_id"),
         ).dropDuplicates(["content_key"])
         new_keys.write.mode("append").parquet(self.store_path)
+
+
+def _store_dir_token(store_path: str) -> object:
+    """Cheap fingerprint of a store directory's file set (name, mtime,
+    size per file) for plan-memo invalidation. None (= "unknown, never
+    reuse") when the path is missing or not a local/posix directory —
+    correctness degrades to the pre-memo rebuild-every-call behavior."""
+    import os
+
+    try:
+        with os.scandir(store_path.rstrip("/")) as it:
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in it
+                    if e.is_file()
+                )
+            )
+    except OSError:
+        return None
 
 
 def _recover_store(store_path: str) -> None:
@@ -221,7 +252,11 @@ class IncrementalKeyDeduplicator(IncrementalExactDeduplicator):
     incremental family: exact text (:class:`IncrementalExactDeduplicator`),
     near-text (:class:`IncrementalMinHashDeduplicator`), and now any
     precomputed key. NULL-safe multi-key semantics match
-    :class:`KeyDeduplicator` (NUL sentinel, never concat_ws skipping)."""
+    :class:`KeyDeduplicator` (NUL sentinel, never concat_ws skipping),
+    including its ``null_keys`` knob: ``"distinct"`` exempts rows with any
+    NULL key component from both the in-batch window AND the store (they
+    are never rejected, never remembered) — the mode for derived identity
+    keys like ``url_canonical``."""
 
     def __init__(
         self,
@@ -230,6 +265,7 @@ class IncrementalKeyDeduplicator(IncrementalExactDeduplicator):
         *,
         id_col: str,
         bloom_fpp: float | None = None,
+        null_keys: str = "group",
         name: str | None = None,
     ):
         # TextExact's text-specific knobs are meaningless here; route only
@@ -237,7 +273,13 @@ class IncrementalKeyDeduplicator(IncrementalExactDeduplicator):
         super().__init__(store_path, bloom_fpp=bloom_fpp, id_col=id_col, name=name)
         if not key_cols:
             raise ValueError("key_cols must be non-empty")
+        if null_keys not in ("group", "distinct"):
+            raise ValueError(f"null_keys must be 'group' or 'distinct', got {null_keys!r}")
         self.key_cols = key_cols
+        self.null_keys = null_keys  # TextExact's chain doesn't thread it
+
+    def _missing_key(self, df: DataFrame) -> Column:
+        return KeyDeduplicator._missing_key(self, df)
 
     def key(self, df: DataFrame) -> Column:
         # The single-column form must NOT stay NULL for NULL values here:
@@ -246,15 +288,38 @@ class IncrementalKeyDeduplicator(IncrementalExactDeduplicator):
         # semantics would silently diverge from in-batch semantics. The
         # NUL sentinel keeps NULL a real (distinct-from-"") key in both
         # paths; the multi-column form already sentinels per column.
-        return F.coalesce(KeyDeduplicator.key(self, df), F.lit("\x00"))
+        # null_keys="distinct" instead rewrites NULL-component keys to a
+        # per-row synthetic ("\x00N\x1f" + id): unique in the window,
+        # never stored (update_store filters them), never store-matched.
+        raw = KeyDeduplicator.key(self, df)
+        if self.null_keys == "distinct":
+            unique = F.concat(F.lit("\x00N\x1f"), F.col(self.id_col).cast("string"))
+            return F.when(self._missing_key(df), unique).otherwise(raw)
+        return F.coalesce(raw, F.lit("\x00"))
 
 
 class KeyDeduplicator(Deduplicator):
     """Dedup on an arbitrary existing column/expression (generic first-wins
-    per key — e.g. one row per customer, one event per (user, type))."""
+    per key — e.g. one row per customer, one event per (user, type)).
 
-    def __init__(self, key_cols: list[str], *, order_col: str, id_col: str | None = None, name: str | None = None):
-        super().__init__(name, order_col=order_col, id_col=id_col)
+    ``null_keys`` (base-class knob) decides what NULL key columns mean:
+    the default ``"group"`` is SQL PARTITION BY (NULLs dedup among
+    themselves — right when NULL is a real category); ``"distinct"``
+    exempts rows where ANY key column is NULL (no derivable identity —
+    the mode for derived keys like ``url_canonical``, where grouping
+    NULLs silently mass-drops every URL-less document as a "duplicate"
+    of the first one)."""
+
+    def __init__(
+        self,
+        key_cols: list[str],
+        *,
+        order_col: str,
+        id_col: str | None = None,
+        null_keys: str = "group",
+        name: str | None = None,
+    ):
+        super().__init__(name, order_col=order_col, id_col=id_col, null_keys=null_keys)
         if not key_cols:
             raise ValueError("key_cols must be non-empty")
         self.key_cols = key_cols
@@ -269,6 +334,15 @@ class KeyDeduplicator(Deduplicator):
         if len(cols) == 1:
             return cols[0]
         return F.concat_ws("\x1f", *[F.coalesce(c, F.lit("\x00")) for c in cols])
+
+    def _missing_key(self, df: DataFrame) -> Column:
+        # the multi-column key() sentinels NULLs into a non-NULL concat, so
+        # "distinct" mode must test the underlying columns: ANY NULL
+        # component means the composite identity is underivable
+        cond = F.col(self.key_cols[0]).isNull()
+        for c in self.key_cols[1:]:
+            cond = cond | F.col(c).isNull()
+        return cond
 
 
 # Universal-hash minhash family over the Mersenne prime 2^31-1: one base
@@ -456,6 +530,11 @@ class IncrementalMinHashDeduplicator(MinHashLSHDeduplicator):
             return spark.read.parquet(self.store_path).select("band_key", "representative_id")
         except AnalysisException:  # first run: empty store
             return spark.createDataFrame([], "band_key string, representative_id string")
+
+    def _memo_token(self) -> object:
+        # see IncrementalExactDeduplicator._memo_token: the pairs-plan memo
+        # is only valid while the band store's file set is unchanged
+        return _store_dir_token(self.store_path)
 
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         ids = self._band_ids(df)

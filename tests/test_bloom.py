@@ -66,6 +66,35 @@ def test_sizing_validation_and_clamp(spark):
     assert any("clamping" in str(x.message) for x in w)
 
 
+def test_refit_resizes_from_fpp_not_previous_fit(spark):
+    """fit() writes the computed geometry into num_bits/num_hashes for the
+    probe; a REFIT on a bigger corpus must size from the original fpp, not
+    treat the previous fit as a user pin (which silently kept an
+    undersized bitmap with fpp -> 1)."""
+    bf = BloomFilter(fpp=0.01)
+    bf.fit(_keys_df(spark, 0, 50), "key")
+    small = bf.num_bits
+    bf.fit(_keys_df(spark, 0, 5000), "key")
+    assert bf.num_bits > small * 10  # resized for ~100x keys
+    assert bf.with_hit_col(_keys_df(spark, 0, 5000), "key").filter(
+        F.col("__bloom_hit")
+    ).count() == 5000  # still no false negatives after refit
+    # an explicit user pin IS honored across refits
+    pinned = BloomFilter(num_bits=1024, num_hashes=3)
+    pinned.fit(_keys_df(spark, 0, 50), "key")
+    pinned.fit(_keys_df(spark, 0, 500), "key")
+    assert pinned.num_bits == 1024 and pinned.num_hashes == 3
+
+
+def test_pruned_join_rejects_shared_nonkey_columns(spark):
+    """The miss-branch union cannot represent the plain join's duplicate
+    column output — fail loud instead of nulling left data."""
+    left = spark.createDataFrame([("a", 1)], "k string, rep int")
+    right = spark.createDataFrame([("a", 2)], "k string, rep int")
+    with pytest.raises(ValueError, match="share non-key column"):
+        bloom_pruned_left_join(left, right, "k")
+
+
 def test_save_load_roundtrip(spark, tmp_path):
     df = _keys_df(spark, 0, 100)
     bf = BloomFilter(fpp=0.01).fit(df, "key")

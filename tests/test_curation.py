@@ -462,6 +462,9 @@ def test_url_canonicalize_behavior(spark):
         (7, None),
         (8, "   "),
         (9, "/relative/only"),  # no host -> NULL
+        (10, "mailto:info@example.com"),  # no //-authority: keep userinfo
+        (11, "info@example.com"),  # bare email in the url field
+        (12, "//user@Host.NET/x?b=2&a=1"),  # protocol-relative authority
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     out = {r.id: r.url_canonical for r in UrlCanonicalizeRefiner().apply(df).collect()}
@@ -470,17 +473,26 @@ def test_url_canonicalize_behavior(spark):
     assert out[5] == "site.org/x"
     assert out[6] == "site.org"
     assert out[7] is None and out[8] is None and out[9] is None
+    # userinfo is ONLY stripped behind an explicit //-authority: mailto/bare
+    # email values must NOT alias with the example.com site root
+    assert out[10] == "mailto:info@example.com"
+    assert out[11] == "info@example.com"
+    assert out[12] == "host.net/x?a=1&b=2"  # protocol-relative != NULL
 
-    # the intended composition: exact URL dedup across spellings
+    # the intended composition: exact URL dedup across spellings.
+    # null_keys="distinct" is the url-dedup mode: canonical-NULL rows
+    # (missing/blank/host-less urls) carry no identity and must ALL
+    # survive — the default window would collapse 7/8/9 into one.
     from mega_data_factory_spark.operators.dedup import KeyDeduplicator
 
     survivors = {
         r.id
-        for r in KeyDeduplicator(["url_canonical"], order_col="id")
+        for r in KeyDeduplicator(["url_canonical"], order_col="id", null_keys="distinct")
         .apply(UrlCanonicalizeRefiner().apply(df))
         .collect()
     }
-    assert {1, 4, 5, 6} <= survivors and 2 not in survivors and 3 not in survivors
+    assert {1, 4, 5, 6, 7, 8, 9, 10, 11} <= survivors
+    assert 2 not in survivors and 3 not in survivors
 
 
 def test_url_canonicalize_matches_oracle(spark):
@@ -502,6 +514,9 @@ def test_url_canonicalize_matches_oracle(spark):
         (7, "blog.example.co.uk/a/b/c?_ga=1.2&mc_cid=x&keep=yes"),
         (8, "http://www.w.org:"),
         (9, "site.io/page#section?notquery"),
+        (10, "mailto:info@example.com"),
+        (11, "Contact@Example.COM"),
+        (12, "//user:pw@Host.NET:8080/x/?b=2&utm_medium=m&a=1"),
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     out = UrlCanonicalizeRefiner().apply(df).select("id", "url_canonical").orderBy("id")
@@ -510,13 +525,14 @@ def test_url_canonicalize_matches_oracle(spark):
 WITH corpus(id, url) AS (VALUES {values}),
 s AS (
   SELECT id,
-         regexp_replace(regexp_replace(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+         regexp_replace(regexp_replace(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*:)?//', ''),
                         '#.*$', '') AS bare,
          trim(url) AS u
   FROM corpus
 ),
 parts AS (
   SELECT id, u, bare,
+         regexp_matches(u, '^([a-zA-Z][a-zA-Z0-9+.-]*:)?//') AS had_authority,
          regexp_extract(bare, '^([^/?]+)', 1) AS authority,
          regexp_extract(bare, '^[^/?]+([^?]*)', 1) AS rawpath,
          CASE WHEN contains(bare, '?') THEN regexp_extract(bare, '\\?(.*)$', 1) ELSE '' END AS q
@@ -525,7 +541,9 @@ parts AS (
 hp AS (
   SELECT id, u, q,
          regexp_replace(regexp_replace(
-             regexp_replace(lower(regexp_replace(authority, '^[^@]*@', '')),
+             regexp_replace(lower(CASE WHEN had_authority
+                                       THEN regexp_replace(authority, '^[^@]*@', '')
+                                       ELSE authority END),
                             ':[0-9]*$', ''),
              '^www\\.', ''), '\\.$', '') AS host,
          regexp_replace(rawpath, '/+$', '') AS path

@@ -26,6 +26,68 @@ def test_key_dedup_null_placement_no_collision(spark):
         KeyDeduplicator([], order_col="id")
 
 
+def test_key_dedup_null_keys_distinct_mode(spark):
+    """null_keys="distinct": rows with a NULL key component carry NO
+    identity — every one survives and none is rejected (the default
+    window mode groups them, which for derived keys like url_canonical
+    mass-drops unrelated URL-less documents as 'duplicates')."""
+    from mega_data_factory_spark.operators.dedup import KeyDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "a"), (5, None), (6, "b")],
+        "id long, k string",
+    )
+    # default: NULLs form one group -> 2 survives, 3/5 rejected
+    grouped = KeyDeduplicator(["k"], order_col="id").apply(df)
+    assert {r.id for r in grouped.collect()} == {1, 2, 6}
+    # distinct: every NULL-keyed row survives; real dup still collapses
+    d = KeyDeduplicator(["k"], order_col="id", null_keys="distinct")
+    assert {r.id for r in d.apply(df).collect()} == {1, 2, 3, 5, 6}
+    rej = d.rejected(df)
+    assert {r.id for r in rej.collect()} == {4}
+    # wide_payload winner-election path agrees
+    dw = KeyDeduplicator(["k"], order_col="id", null_keys="distinct")
+    dw.wide_payload = True
+    assert {r.id for r in dw.apply(df).collect()} == {1, 2, 3, 5, 6}
+    assert {r.id for r in dw.rejected(df).collect()} == {4}
+    # multi-column: ANY NULL component = no identity
+    df2 = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (3, "a", "x"), (4, "a", "x")],
+        "id long, k1 string, k2 string",
+    )
+    d2 = KeyDeduplicator(["k1", "k2"], order_col="id", null_keys="distinct")
+    assert {r.id for r in d2.apply(df2).collect()} == {1, 2, 3}
+    with pytest.raises(ValueError, match="null_keys"):
+        KeyDeduplicator(["k"], order_col="id", null_keys="skip")
+
+
+def test_incremental_key_dedup_null_keys_distinct(spark, tmp_path):
+    """Store-backed variant: NULL-keyed rows are exempt in-batch, never
+    appended to the store, and never matched by it on later runs."""
+    from mega_data_factory_spark.operators.dedup import IncrementalKeyDeduplicator
+
+    store = str(tmp_path / "store")
+    d = IncrementalKeyDeduplicator(store, ["k"], id_col="id", null_keys="distinct")
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "a")], "id long, k string"
+    )
+    out1 = d.apply(b1)
+    assert {r.id for r in out1.collect()} == {1, 2, 3}
+    d.update_store(out1, survivors=True)
+    # the store remembers only the real key "a" — no synthetic NULL keys
+    stored = {r.content_key for r in spark.read.parquet(store).collect()}
+    assert stored == {"a"}
+    # batch 2 replays id=2 (still NULL key) plus new NULL rows: all survive;
+    # the known key is rejected with the STORED representative
+    d2 = IncrementalKeyDeduplicator(store, ["k"], id_col="id", null_keys="distinct")
+    b2 = spark.createDataFrame(
+        [(2, None), (7, None), (8, "a")], "id long, k string"
+    )
+    assert {r.id for r in d2.apply(b2).collect()} == {2, 7}
+    rej = d2.rejected(b2).collect()
+    assert [r.id for r in rej] == [8]
+
+
 def test_simhash_null_text_rows_never_collide(spark):
     """All-NULL-text rows (failed extractions) must each survive exact
     simhash dedup — NULL signatures used to form ONE window group."""

@@ -439,6 +439,22 @@ def test_fineweb_recipe_config(spark, tmp_path):
     assert passed.count() == result.output_records > 0
     for col in ("lang_pred", "quality_score", "text_deduped", "text_redacted", "split"):
         assert col in passed.columns, col
+    # the cleanup stages CHAIN (text -> normalized -> deduped -> redacted)
+    # and the dedups key on the final cleaned column — the recipe's params
+    # wire text_col through; a regression to independent raw-text
+    # annotations would break these config assertions
+    from mega_data_factory_spark.registry import OPERATORS
+
+    ops_by_name = {
+        oc.name: OPERATORS.create(oc.name, oc.params)
+        for st in cfg.stages
+        for oc in st.operators
+        if oc.enabled
+    }
+    assert ops_by_name["IntraDocDedupRefiner"].text_col == "text_normalized"
+    assert ops_by_name["PiiRedactRefiner"].text_col == "text_deduped"
+    assert ops_by_name["TextExactDeduplicator"].text_col == "text_redacted"
+    assert ops_by_name["MinHashLSHDeduplicator"].text_col == "text_redacted"
     # rejected sink is hive-partitioned by the cutting operator
     rej = spark.read.parquet(str(tmp_path / "rej"))
     cutters = {r["operator"] for r in rej.select("operator").distinct().collect()}
