@@ -823,6 +823,91 @@ FROM r ORDER BY doc_id, epoch
 """
 
 
+# ----------------------------------------------------------------- DSIR
+DSIR_B, DSIR_K, DSIR_N = 512, 1.0, 60
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling end to end (operators/dsir.py — Xie et
+    al. 2023): fit hashed unigram+bigram bucket distributions with target
+    = three sources and raw = the whole documents corpus, score every
+    document's importance log-ratio, then keep the Gumbel-top-N — the
+    published data-selection recipe as one driver row. Every step
+    (md5-bucket hashing, Laplace-smoothed log-ratios, per-doc sums,
+    stable-hash Gumbel noise, exact global top-N) is deterministic and
+    mirrored in the oracle; the top-N cut itself runs through the
+    bucketed-histogram TokenBudgetSelector (no global sort at scale)."""
+    from mega_data_factory_spark.operators.dsir import DsirImportanceScorer, DsirResampler
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    target = docs.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
+    scorer = DsirImportanceScorer(n_buckets=DSIR_B, add_k=DSIR_K).fit(target, docs)
+    kept = DsirResampler(DSIR_N).apply(scorer.apply(docs))
+    return kept.select("doc_id", "source", "dsir_logweight").orderBy("doc_id")
+
+
+def dsir_feats_ctes(target_pred: str, *, b: int = DSIR_B, k: float = DSIR_K) -> str:
+    """CTEs mirroring DsirImportanceScorer (features -> bucket counts ->
+    smoothed log-ratios -> per-doc logweight) over ``documents``. Shared
+    with tests/test_dsir.py so the mirror cannot drift."""
+    return f"""
+w AS (SELECT doc_id, source,
+             list_filter(string_split({NORM.format(c='text')}, ' '), x -> x != '') AS ws
+      FROM documents),
+grams AS (
+  SELECT doc_id, source, g FROM (
+    SELECT doc_id, source, unnest(ws) AS g FROM w
+    UNION ALL
+    SELECT doc_id, source, ws[i.i] || ' ' || ws[i.i + 1] AS g
+    FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) i
+  )
+),
+feats AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g || '#dsir'), 1, 15))::BIGINT % {b} AS b
+  FROM grams
+),
+p AS (SELECT b, COUNT(*) AS c FROM feats WHERE {target_pred} GROUP BY 1),
+q AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY 1),
+tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM p) AS np,
+               (SELECT COALESCE(SUM(c), 0) FROM q) AS nq),
+lrs AS (
+  SELECT f.doc_id,
+         ln((COALESCE(p.c, 0) + {k}) / (tot.np + {k} * {b}))
+         - ln((COALESCE(q.c, 0) + {k}) / (tot.nq + {k} * {b})) AS lr
+  FROM feats f
+  LEFT JOIN p ON f.b = p.b
+  LEFT JOIN q ON f.b = q.b
+  CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, ROUND(SUM(lr), 6) AS dsir_logweight FROM lrs GROUP BY doc_id
+)
+"""
+
+
+def _dsir_select_oracle() -> str:
+    pred = "source IN " + str(tuple(DSIR_TARGET_SOURCES))
+    return f"""
+WITH {dsir_feats_ctes(pred).strip()},
+adj AS (
+  SELECT d.doc_id, d.source, per_doc.dsir_logweight,
+         per_doc.dsir_logweight + (-ln(-ln(
+           (((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#dsir-gumbel'), 1, 15))::BIGINT >> 7)
+             + 0.5) / 9007199254740992.0)))) AS a
+  FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+),
+ranked AS (
+  SELECT doc_id, source, dsir_logweight,
+         row_number() OVER (ORDER BY a DESC NULLS LAST, doc_id) AS rn
+  FROM adj
+)
+SELECT doc_id, source, dsir_logweight
+FROM ranked WHERE rn <= {DSIR_N} ORDER BY doc_id
+"""
+
+
 # text_length_filter and docs_token_stats are consolidated OUT of the
 # driver window (TextLengthFilter stays driver-covered through
 # curation_pipeline/curation_funnel_by_source/text_cleanup; the token
@@ -845,6 +930,7 @@ QUERIES = {
     "sequence_packing": sequence_packing,
     "text_cleanup": text_cleanup,
     "url_rule_filters": url_rule_filters,
+    "dsir_select": dsir_select,
     "curation_pipeline": curation_pipeline,
     "curation_rejection_summary": curation_rejection_summary,
 }
@@ -862,6 +948,7 @@ ORACLE = {
     "sequence_packing": _sequence_packing_oracle(),
     "text_cleanup": _text_cleanup_oracle(),
     "url_rule_filters": URL_RULES_ORACLE,
+    "dsir_select": _dsir_select_oracle(),
     "curation_pipeline": CURATION_PIPELINE_ORACLE,
     "curation_rejection_summary": REJECTION_SUMMARY_ORACLE,
 }

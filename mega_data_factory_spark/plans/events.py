@@ -222,10 +222,16 @@ def events_user_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# events_type_stats is consolidated OUT of the driver window: every stat
+# family it exercises is driver-covered elsewhere (counts + decimal sums +
+# derived averages by q1_pricing_summary, time-bucketed aggregation by
+# events_hourly_agg, count_distinct and exact interpolated percentiles by
+# column_profile's exact mode). It keeps the SAME oracle-differential bar
+# in tests/test_events.py::test_type_stats_matches_oracle. The freed slot
+# carries the dsir_select row (plans/curation.py).
 QUERIES = {
     "events_hourly_agg": events_hourly_agg,
     "events_sessionize": events_sessionize,
-    "events_type_stats": events_type_stats,
     "events_first_per_user_type": events_first_per_user_type,
     "events_json_props": events_json_props,
     "events_user_approx_distinct": events_user_approx_distinct,
@@ -234,7 +240,6 @@ QUERIES = {
 ORACLE = {
     "events_hourly_agg": HOURLY_ORACLE,
     "events_sessionize": SESSIONIZE_ORACLE,
-    "events_type_stats": TYPE_STATS_ORACLE,
     "events_first_per_user_type": FIRST_PER_USER_ORACLE,
     "events_json_props": JSON_PROPS_ORACLE,
 }

@@ -93,6 +93,7 @@ def _register_builtins() -> None:
     )
     from mega_data_factory_spark.operators.bpe import BpeTokenizer
     from mega_data_factory_spark.operators.classifier import QualityClassifier
+    from mega_data_factory_spark.operators.dsir import DsirImportanceScorer, DsirResampler
     from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
     from mega_data_factory_spark.operators.graph import ClusterDeduplicator
     from mega_data_factory_spark.operators.packing import SequencePacker
@@ -156,6 +157,8 @@ def _register_builtins() -> None:
         ClusterDeduplicator,
         QualityClassifier,
         TokenBudgetSelector,
+        DsirImportanceScorer,
+        DsirResampler,
         BpeTokenizer,
     ):
         OPERATORS.register(cls)

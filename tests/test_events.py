@@ -7,7 +7,6 @@ from tests.conftest import assert_query_matches_oracle
 EVENTS = [
     "events_hourly_agg",
     "events_sessionize",
-    "events_type_stats",
     "events_first_per_user_type",
     "events_json_props",
 ]
@@ -16,6 +15,18 @@ EVENTS = [
 @pytest.mark.parametrize("name", EVENTS)
 def test_events_matches_oracle(spark, name):
     assert_query_matches_oracle(spark, name)
+
+
+def test_type_stats_matches_oracle(spark):
+    """Consolidated out of the driver window (its stat families are
+    driver-covered by q1/events_hourly_agg/column_profile) but the
+    differential bar stays: per-type counts, decimal sums, distinct
+    users, and exact interpolated percentiles vs DuckDB."""
+    from tests.conftest import assert_df_matches_sql
+    from mega_data_factory_spark.plans.events import TYPE_STATS_ORACLE, events_type_stats
+
+    out = events_type_stats(spark, "/root/testdata/sf0.01")
+    assert_df_matches_sql(out, TYPE_STATS_ORACLE, name="events_type_stats")
 
 
 def test_approx_distinct_within_tolerance(spark):
