@@ -941,6 +941,124 @@ class DecontaminationFilter(JoinDeduplicator):
         return hits.select(F.col("__id").alias(self.id_col), F.col("__shared").alias("__rep"))
 
 
+class SemanticDecontaminationFilter(JoinDeduplicator):
+    """Cross-corpus EMBEDDING-space decontamination: drop training
+    documents whose embedding sits within cosine ``threshold`` of any
+    benchmark/eval-set embedding. The semantic complement of the 13-gram
+    :class:`DecontaminationFilter` — paraphrased or lightly-reworded eval
+    leakage shares no exact 13-word span but keeps a near-identical
+    embedding, which is how frontier pipelines audit contamination beyond
+    n-gram overlap. Beyond the reference's surface — first-class per the
+    build brief's training-data-pipeline mandate.
+
+    Scale shape (the same asymmetry as the n-gram filter, and the reason
+    this is NOT a self-join dedup): the benchmark side is eval-set-sized,
+    so its unit-normalized matrix collects once and broadcasts; the
+    100 TB training corpus is scored in place by one vectorized float64
+    block matmul per partition inside ``mapInPandas`` — NO shuffle of
+    training data at any corpus size, embeddings never leave their scan
+    partition. ``max_benchmark_rows`` guards the broadcast (n x dim x 8
+    bytes); a benchmark past it should be sharded into multiple filter
+    passes (benchmarks are eval-sized by nature — the cap is a
+    misconfiguration tripwire, so there is deliberately no approximate
+    auto-route here: contamination scrubbing must not silently miss).
+
+    Rejected rows carry reason ``"contaminated"`` and, as
+    ``representative_id``, the best-matching benchmark item's id
+    (``benchmark_id_col``; ties by rounded cosine break to the smallest
+    benchmark id) — or the rounded best cosine when no id column is
+    given. NULL/zero-norm training embeddings carry no semantic evidence
+    and always survive (the EmbeddingCosineDeduplicator convention).
+
+    ``benchmark`` is a DataFrame or a temp-view/table name (resolved
+    lazily — YAML-constructible, the DecontaminationFilter posture).
+    """
+
+    rejection_reason = "contaminated"
+
+    def __init__(
+        self,
+        benchmark,
+        *,
+        threshold: float = 0.9,
+        vec_col: str = "embedding",
+        benchmark_vec_col: str | None = None,
+        benchmark_id_col: str | None = None,
+        id_col: str = "doc_id",
+        max_benchmark_rows: int = 200_000,
+        name: str | None = None,
+    ):
+        super().__init__(name, order_col=id_col, id_col=id_col)
+        if not -1.0 <= threshold <= 1.0:
+            raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+        self.benchmark = benchmark
+        self.threshold = float(threshold)
+        self.vec_col = vec_col
+        self.benchmark_vec_col = benchmark_vec_col or vec_col
+        self.benchmark_id_col = benchmark_id_col
+        self.max_benchmark_rows = max_benchmark_rows
+
+    def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        bench_df = (
+            df.sparkSession.table(self.benchmark) if isinstance(self.benchmark, str) else self.benchmark
+        )
+        bid = self.benchmark_id_col
+        cols = [F.col(self.benchmark_vec_col).alias("__bv")] + (
+            [F.col(bid).alias("__bid")] if bid else []
+        )
+        bench = bench_df.select(*cols).filter(F.col("__bv").isNotNull() & (l2_norm("__bv") > 0))
+        n = bench.count()
+        id_dt = df.schema[self.id_col].dataType.simpleString()
+        if n == 0:
+            return df.sparkSession.createDataFrame([], f"{self.id_col} {id_dt}, __rep string")
+        if n > self.max_benchmark_rows:
+            raise ValueError(
+                f"benchmark has {n} embeddings > max_benchmark_rows="
+                f"{self.max_benchmark_rows}; shard the benchmark into multiple "
+                "decontamination passes (no approximate fallback by design)"
+            )
+        rows = bench.collect()
+        b_mat = np.array([r["__bv"] for r in rows], dtype=np.float64)
+        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        if bid:
+            b_ids = np.array([r["__bid"] for r in rows])
+            order = np.argsort(b_ids)  # ascending ids: argmax tie -> smallest id
+            b_ids, b_mat = b_ids[order], b_mat[order]
+        else:
+            b_ids = None
+        bc = df.sparkSession.sparkContext.broadcast((b_ids, b_mat))
+        threshold, id_col = self.threshold, self.id_col
+
+        base = df.select(F.col(self.id_col).alias("__id"), F.col(self.vec_col).alias("__v")).filter(
+            F.col("__v").isNotNull() & (l2_norm("__v") > 0)
+        )
+
+        def block(pdf_iter):
+            import pandas as pd
+
+            r_ids, r_mat = bc.value
+            for pdf in pdf_iter:
+                if pdf.empty:
+                    continue
+                q = np.array(list(pdf["__v"]), dtype=np.float64)
+                q /= np.linalg.norm(q, axis=1, keepdims=True)
+                cos = np.round(q @ r_mat.T, 6)  # (block, n_bench)
+                best = cos.argmax(axis=1)  # ids ascending: ties -> smallest id
+                rows_idx = np.arange(len(q))
+                best_cos = cos[rows_idx, best]
+                hit = best_cos >= threshold
+                rep = (
+                    r_ids[best[hit]].astype(str)
+                    if r_ids is not None
+                    else np.array([format(c, ".6f") for c in best_cos[hit]])
+                )
+                yield pd.DataFrame({id_col: pdf["__id"].to_numpy()[hit], "__rep": rep})
+
+        return base.mapInPandas(block, schema=f"{id_col} {id_dt}, __rep string")
+
+
 class EmbeddingCosineDeduplicator(JoinDeduplicator):
     """Near-dedup by embedding cosine similarity >= threshold; earliest
     (min id) near-neighbor wins.

@@ -58,6 +58,7 @@ def _register_builtins() -> None:
         KeyDeduplicator,
         MinHashLSHDeduplicator,
         NgramJaccardDeduplicator,
+        SemanticDecontaminationFilter,
         SharedSpanDeduplicator,
         SimHashDeduplicator,
         SimHashNearDeduplicator,
@@ -138,6 +139,7 @@ def _register_builtins() -> None:
         NgramJaccardDeduplicator,
         SharedSpanDeduplicator,
         DecontaminationFilter,
+        SemanticDecontaminationFilter,
         DatasetSplitRefiner,
         WeightedSourceSampler,
         StratifiedQuotaSampler,

@@ -407,3 +407,139 @@ def test_decontamination_in_pipeline(spark, tmp_path):
     rej = spark.read.parquet(f"{tmp_path}/rej").collect()
     assert len(rej) == 1 and rej[0].doc_id == 1
     assert rej[0]["_rejection_details"]["reason"] == "contaminated"
+
+
+def test_semantic_decontamination_matches_oracle(spark):
+    """Embedding-space cross-corpus decontamination: every training vector
+    whose best rounded cosine against the benchmark reaches the threshold
+    is rejected with that benchmark item's id as representative (ties to
+    the smallest id) — matched row-for-row against the DuckDB all-pairs
+    formulation. Benchmark = every 10th embedding, so self-matches at
+    cosine 1.0 are guaranteed and near-matches exercise the threshold."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    from mega_data_factory_spark.operators.dedup import SemanticDecontaminationFilter
+    from mega_data_factory_spark.plans.dedup_queries import _cos_sql
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    t = 0.45
+    d = SemanticDecontaminationFilter(
+        bench, threshold=t, vec_col="embedding", benchmark_id_col="bench_id", id_col="vec_id"
+    )
+    rejected = (
+        d.rejected(emb)
+        .select("vec_id", F.col("_rejection_details.representative_id").alias("representative_id"))
+        .orderBy("vec_id")
+    )
+    cos = _cos_sql("e.embedding", "b.bv")
+    sql = f"""
+WITH bench AS (
+  SELECT vec_id AS bid, embedding AS bv FROM embeddings WHERE vec_id % 10 = 0
+),
+pairs AS (
+  SELECT e.vec_id, b.bid, round({cos}, 6) AS c
+  FROM embeddings e CROSS JOIN bench b
+  WHERE {cos} IS NOT NULL
+),
+best AS (
+  SELECT vec_id, bid, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, bid) AS rn
+  FROM pairs
+)
+SELECT vec_id, CAST(bid AS VARCHAR) AS representative_id
+FROM best WHERE rn = 1 AND c >= {t} ORDER BY vec_id
+"""
+    assert_df_matches_sql(rejected, sql, name="semantic_decontamination")
+    # survivors are exactly the complement (apply/rejected partition the input)
+    survivors = {r.vec_id for r in d.apply(emb).collect()}
+    dropped = {r.vec_id for r in rejected.collect()}
+    all_ids = {r.vec_id for r in emb.collect()}
+    assert survivors | dropped == all_ids and not (survivors & dropped)
+
+
+def test_semantic_decontamination_behavior(spark):
+    """Paraphrase-shaped contract: exact and direction-preserving near
+    copies of a benchmark vector are cut, orthogonal vectors survive;
+    NULL/zero-norm training vectors always survive; no benchmark id col
+    -> representative is the best cosine; empty benchmark -> no-op;
+    oversized benchmark and bad thresholds fail loud."""
+    import pytest as _pytest
+
+    from mega_data_factory_spark.operators.dedup import SemanticDecontaminationFilter
+
+    bench = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])], "bench_id long, embedding array<double>"
+    )
+    train = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1, 0.0]),   # near benchmark 1
+            (11, [0.0, 0.0, 1.0]),   # orthogonal to both
+            (12, [0.0, 2.0, 0.0]),   # scaled copy of benchmark 2 (cos 1.0)
+            (13, None),              # no embedding -> survives
+            (14, [0.0, 0.0, 0.0]),   # zero norm -> survives
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    d = SemanticDecontaminationFilter(bench, threshold=0.9, benchmark_id_col="bench_id")
+    assert {r.doc_id for r in d.apply(train).collect()} == {11, 13, 14}
+    reps = {
+        r.doc_id: r["_rejection_details"]["representative_id"]
+        for r in d.rejected(train).collect()
+    }
+    assert reps == {10: "1", 12: "2"}
+    # no id column: representative carries the best cosine instead
+    d2 = SemanticDecontaminationFilter(bench.select("embedding"), threshold=0.9)
+    reps2 = {
+        r.doc_id: r["_rejection_details"]["representative_id"]
+        for r in d2.rejected(train).collect()
+    }
+    assert reps2 == {10: "0.993884", 12: "1.000000"}
+    # empty benchmark -> nothing cut
+    empty = bench.filter("bench_id < 0")
+    assert SemanticDecontaminationFilter(empty, benchmark_id_col="bench_id").apply(train).count() == 5
+    with _pytest.raises(ValueError, match="threshold"):
+        SemanticDecontaminationFilter(bench, threshold=1.5)
+    with _pytest.raises(ValueError, match="max_benchmark_rows"):
+        SemanticDecontaminationFilter(bench, max_benchmark_rows=1).apply(train).count()
+
+
+def test_semantic_decontamination_in_pipeline(spark, tmp_path):
+    """YAML stage with the benchmark passed by table name: contaminated
+    rows land in the rejected sink tagged 'contaminated'."""
+    from mega_data_factory_spark.config import PipelineConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        "doc_id long, embedding array<double>",
+    ).createOrReplaceTempView("sem_train")
+    spark.createDataFrame(
+        [(100, [1.0, 0.05])], "bench_id long, embedding array<double>"
+    ).createOrReplaceTempView("sem_bench")
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "sem_decon",
+                "id_col": "doc_id",
+                "source": {"table": "sem_train"},
+                "stages": [
+                    {"name": "scrub", "operators": [
+                        {"name": "SemanticDecontaminationFilter",
+                         "params": {"benchmark": "sem_bench", "threshold": 0.95,
+                                    "benchmark_id_col": "bench_id", "id_col": "doc_id"}}]},
+                ],
+                "sink": {"format": "parquet", "path": str(tmp_path / "out"), "mode": "overwrite"},
+                "rejected_sink": {"format": "parquet", "path": str(tmp_path / "rej"), "mode": "overwrite"},
+            }
+        }
+    )
+    Pipeline(cfg).run(spark)
+    kept = {r.doc_id for r in spark.read.parquet(f"{tmp_path}/out").collect()}
+    assert kept == {2, 3}
+    rej = spark.read.parquet(f"{tmp_path}/rej").collect()
+    assert len(rej) == 1 and rej[0].doc_id == 1
+    assert rej[0]["_rejection_details"]["reason"] == "contaminated"
