@@ -77,9 +77,13 @@ plain = timed(
 )
 # fit and probe+join timed separately: in the operator the fit runs once
 # per batch apply, the join once — report both and the sum
-t0 = time.time()
-bf0 = BloomFilter(fpp=0.01).fit(store, "k")
-fit_wall = time.time() - t0
+# min-of-2 like every other wall here (the first fit pays worker/JIT warmup)
+fit_walls = []
+for _ in range(2):
+    t0 = time.time()
+    bf0 = BloomFilter(fpp=0.01).fit(store, "k")
+    fit_walls.append(time.time() - t0)
+fit_wall = min(fit_walls)
 print(f"bloom fit (store scan)  : {fit_wall:.3f}s ({bf0.num_bits / 8 / 1e6:.1f} MB bitmap, k={bf0.num_hashes})")
 
 
