@@ -88,6 +88,37 @@ def word_occurrences(col: Column | str, word: str) -> Column:
     return F.coalesce(F.regexp_count(F.lower(_c(col)), F.lit(pat)), F.lit(0)).cast("long")
 
 
+def word_array(col: Column | str) -> Column:
+    """Non-empty normalized words — the shared unigram feature definition
+    (DSIR scorer, quality classifier). NULL text yields NULL."""
+    return F.filter(F.split(normalize_text(col), " "), lambda w: w != "")
+
+
+def word_ngram_array(col: Column | str, *, bigrams: bool = True, empty_on_null: bool = False) -> Column:
+    """Unigrams (+ space-joined bigrams) as ONE array column — pure Column
+    HOFs, codegen'd, no Python. The single definition shared by the
+    hashed-feature operators (fastText-style ``QualityClassifier``, DSIR
+    importance scorer) so their feature spaces cannot drift apart.
+
+    Bigrams via ``zip_with`` against the shifted word array; k<2 words ->
+    no bigrams (no whole-text fallback — clean SQL mirror, unlike the
+    Jaccard shingles which need every doc non-empty). ``empty_on_null``
+    maps NULL text to an EMPTY array instead of NULL (``HashingTF`` throws
+    on a null input array; ``explode`` treats the two identically)."""
+    w = word_array(col)
+    if bigrams:
+        k = F.size(w)
+        bg = F.slice(
+            F.zip_with(w, F.slice(w, 2, k), lambda a, b: F.concat_ws(" ", a, b)),
+            1,
+            F.greatest(k - F.lit(1), F.lit(0)),
+        )
+        w = F.concat(w, bg)
+    if empty_on_null:
+        w = F.coalesce(w, F.array().cast("array<string>"))
+    return w
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Array of word n-gram shingles over the normalized text, preserving
     document order (duplicates included). Documents with fewer than ``n``

@@ -32,6 +32,19 @@ def l2_norm(a: Column | str) -> Column:
     return F.sqrt(dot_product(a, a))
 
 
+def is_finite_vector(a: Column | str) -> Column:
+    """TRUE iff the vector is non-NULL and every element is finite.
+    Guard for collect-and-broadcast matmul paths: Spark orders NaN ABOVE
+    every number (``l2_norm(v) > 0`` is TRUE for a NaN vector), so one
+    NaN embedding would otherwise reach numpy and poison an argmax for
+    every comparison row."""
+    v = _c(a)
+    bad = F.exists(
+        v, lambda x: F.isnan(x.cast("double")) | (F.abs(x.cast("double")) == F.lit(float("inf")))
+    )
+    return v.isNotNull() & ~bad
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL if either vector is NULL or zero-norm."""
     na, nb = l2_norm(a), l2_norm(b)

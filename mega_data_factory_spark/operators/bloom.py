@@ -163,12 +163,12 @@ class BloomFilter:
         partition's JVM-computed bit positions into a local numpy bitmap,
         followed by an EXECUTOR-SIDE OR-reduce tree down to a single
         bitmap — the driver collects ``num_bits/8`` bytes exactly once,
-        never ``partitions x num_bits/8``. (Measured on a 30M-key store:
-        collecting 32 x 36 MB partials through the driver socket was
-        ~150 s at ~7 MB/s; the tree reduce cut fit wall to ~15 s — the
-        shuffle of partial bitmaps rides executor-local I/O instead.)
-        NULL keys are dropped. ``build_partitions`` sets the fold
-        parallelism (default: the session's parallelism)."""
+        never ``partitions x num_bits/8``. (The partial-bitmap traffic
+        rides the shuffle instead of the py4j driver socket; on the 30M-key
+        diag store that is 32 x 36 MB = 1.1 GB that no longer serializes
+        through the driver — scripts/diag_bloom.out is the canonical
+        measurement.) NULL keys are dropped. ``build_partitions`` sets the
+        fold parallelism (default: the session's parallelism)."""
         import numpy as np
 
         key = F.col(key) if isinstance(key, str) else key

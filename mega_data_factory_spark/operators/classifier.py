@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mega_data_factory_spark.functions.text import normalize_text
+from mega_data_factory_spark.functions.text import word_ngram_array
 from mega_data_factory_spark.operators.base import Operator
 
 ROUND_TO = 6
@@ -55,17 +55,12 @@ _LABEL = "__qc_label"
 
 def _gram_array(text_col: str) -> Column:
     """Unigrams + space-joined bigrams as ONE array column (fastText's
-    wordNgrams=2 recipe) — pure Column HOFs, codegen'd, no Python.
-    NULL text yields an EMPTY array, not NULL: ``HashingTF`` throws on a
-    null input array, and one bad record must not abort a corpus-scale
-    scoring job (``apply`` still reports a NULL score for such rows)."""
-    w = F.filter(F.split(normalize_text(text_col), " "), lambda x: x != "")
-    bigrams = F.slice(
-        F.zip_with(w, F.slice(w, 2, F.size(w)), lambda a, b: F.concat_ws(" ", a, b)),
-        1,
-        F.greatest(F.size(w) - F.lit(1), F.lit(0)),
-    )
-    return F.coalesce(F.concat(w, bigrams), F.array().cast("array<string>"))
+    wordNgrams=2 recipe) — the SHARED definition in functions/text.py,
+    also used by the DSIR scorer. NULL text yields an EMPTY array, not
+    NULL: ``HashingTF`` throws on a null input array, and one bad record
+    must not abort a corpus-scale scoring job (``apply`` still reports a
+    NULL score for such rows)."""
+    return word_ngram_array(text_col, bigrams=True, empty_on_null=True)
 
 
 class QualityClassifier(Operator):

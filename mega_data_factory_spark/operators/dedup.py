@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from mega_data_factory_spark.functions.hashing import content_key, hash64_from_md5
 from mega_data_factory_spark.functions.text import word_shingles
-from mega_data_factory_spark.functions.vectors import l2_norm
+from mega_data_factory_spark.functions.vectors import is_finite_vector, l2_norm
 from mega_data_factory_spark.operators.base import (
     Deduplicator,
     JoinDeduplicator,
@@ -941,6 +941,28 @@ class DecontaminationFilter(JoinDeduplicator):
         return hits.select(F.col("__id").alias(self.id_col), F.col("__shared").alias("__rep"))
 
 
+def _broadcast_unit_matrix(frame, id_field: str | None, vec_field: str = "__v"):
+    """Shared collect-and-broadcast step for the block-matmul operators
+    (:class:`EmbeddingCosineDeduplicator`, :class:`SemanticDecontaminationFilter`):
+    collect the (id?, vector) rows, unit-normalize into ONE float64 matrix,
+    sort ascending by id (so a downstream argmax tie-breaks to the smallest
+    id), and broadcast ``(ids, mat)``. Callers must pre-filter to finite
+    non-zero-norm vectors (``is_finite_vector`` + norm guard) and enforce
+    their row cap BEFORE calling — this helper assumes driver-safe input."""
+    import numpy as np
+
+    rows = frame.collect()
+    mat = np.array([r[vec_field] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    if id_field:
+        ids = np.array([r[id_field] for r in rows])  # int64 or unicode — both argsort
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+    else:
+        ids = None
+    return frame.sparkSession.sparkContext.broadcast((ids, mat))
+
+
 class SemanticDecontaminationFilter(JoinDeduplicator):
     """Cross-corpus EMBEDDING-space decontamination: drop training
     documents whose embedding sits within cosine ``threshold`` of any
@@ -967,8 +989,10 @@ class SemanticDecontaminationFilter(JoinDeduplicator):
     ``representative_id``, the best-matching benchmark item's id
     (``benchmark_id_col``; ties by rounded cosine break to the smallest
     benchmark id) — or the rounded best cosine when no id column is
-    given. NULL/zero-norm training embeddings carry no semantic evidence
-    and always survive (the EmbeddingCosineDeduplicator convention).
+    given. NULL/zero-norm/non-finite training embeddings carry no
+    semantic evidence and always survive (the EmbeddingCosineDeduplicator
+    convention); non-finite BENCHMARK embeddings and NULL benchmark ids
+    are dropped before the broadcast (a NaN row would poison the argmax).
 
     ``benchmark`` is a DataFrame or a temp-view/table name (resolved
     lazily — YAML-constructible, the DecontaminationFilter posture).
@@ -1008,7 +1032,14 @@ class SemanticDecontaminationFilter(JoinDeduplicator):
         cols = [F.col(self.benchmark_vec_col).alias("__bv")] + (
             [F.col(bid).alias("__bid")] if bid else []
         )
-        bench = bench_df.select(*cols).filter(F.col("__bv").isNotNull() & (l2_norm("__bv") > 0))
+        # is_finite_vector: one NaN/inf benchmark embedding would poison the
+        # per-block argmax for EVERY training row (NaN propagates through the
+        # matmul and numpy argmax prefers NaN), silently disabling the filter;
+        # a NULL benchmark id would crash np.argsort with an opaque TypeError
+        keep = is_finite_vector("__bv") & (l2_norm("__bv") > 0)
+        if bid:
+            keep = keep & F.col("__bid").isNotNull()
+        bench = bench_df.select(*cols).filter(keep)
         n = bench.count()
         id_dt = df.schema[self.id_col].dataType.simpleString()
         if n == 0:
@@ -1019,20 +1050,11 @@ class SemanticDecontaminationFilter(JoinDeduplicator):
                 f"{self.max_benchmark_rows}; shard the benchmark into multiple "
                 "decontamination passes (no approximate fallback by design)"
             )
-        rows = bench.collect()
-        b_mat = np.array([r["__bv"] for r in rows], dtype=np.float64)
-        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
-        if bid:
-            b_ids = np.array([r["__bid"] for r in rows])
-            order = np.argsort(b_ids)  # ascending ids: argmax tie -> smallest id
-            b_ids, b_mat = b_ids[order], b_mat[order]
-        else:
-            b_ids = None
-        bc = df.sparkSession.sparkContext.broadcast((b_ids, b_mat))
+        bc = _broadcast_unit_matrix(bench, "__bid" if bid else None, "__bv")
         threshold, id_col = self.threshold, self.id_col
 
         base = df.select(F.col(self.id_col).alias("__id"), F.col(self.vec_col).alias("__v")).filter(
-            F.col("__v").isNotNull() & (l2_norm("__v") > 0)
+            is_finite_vector("__v") & (l2_norm("__v") > 0)
         )
 
         def block(pdf_iter):
@@ -1117,7 +1139,7 @@ class EmbeddingCosineDeduplicator(JoinDeduplicator):
 
         id_dt = self._id_type(df)
         base = df.select(F.col(self.id_col).alias("__id"), F.col(self.vec_col).alias("__v")).filter(
-            F.col("__v").isNotNull() & (l2_norm("__v") > 0)
+            is_finite_vector("__v") & (l2_norm("__v") > 0)
         )
         # Count before collecting: past the cap, no (id, vector) row ever
         # reaches the driver — we either shuffle-bucket or fail fast.
@@ -1144,13 +1166,7 @@ class EmbeddingCosineDeduplicator(JoinDeduplicator):
                 f"{n} vectors exceed max_broadcast_rows={self.max_broadcast_rows}; "
                 "bucket first (LSH / k-means) and dedup per bucket, or pass auto_bucket=True"
             )
-        rows = base.collect()
-        ids = np.array([r["__id"] for r in rows])  # int64 or unicode — both compare/argsort
-        mat = np.array([r["__v"] for r in rows], dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        order = np.argsort(ids)
-        ids, mat = ids[order], mat[order]
-        bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+        bc = _broadcast_unit_matrix(base, "__id", "__v")
         threshold = self.threshold
         id_col = self.id_col
 

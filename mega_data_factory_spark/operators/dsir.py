@@ -49,31 +49,20 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mega_data_factory_spark.functions.hashing import hash64_from_md5
-from mega_data_factory_spark.functions.text import normalize_text
+from mega_data_factory_spark.functions.text import word_ngram_array
 from mega_data_factory_spark.operators.base import Operator
 
 ROUND_TO = 6
 HASH_SEED = "dsir"
-# Gumbel uniform: the 60-bit hash is cut to its top 53 bits so that
-# (h53 + 0.5) / 2^53 is EXACT double arithmetic in every engine and
-# strictly inside (0, 1) — with the full 60 bits, hashes near 2^60
-# round to u = 1.0 in a double and -ln(-ln(1.0)) is +inf
-_UNIFORM_SHIFT = 7  # 60 - 53
-_UNIFORM_SPACE = float(1 << 53)
-
-
-def _doc_words(text_col: str) -> Column:
-    """Non-empty normalized words (the unigram features)."""
-    return F.filter(F.split(normalize_text(text_col), " "), lambda w: w != "")
-
-
-def _doc_bigrams(words: Column) -> Column:
-    """Adjacent word pairs joined with one space; k<2 words -> empty array
-    (no whole-text fallback — a clean SQL-mirrorable definition, unlike the
-    Jaccard shingles which need every doc non-empty)."""
-    k = F.size(words)
-    grams = F.zip_with(words, F.slice(words, 2, k), lambda a, b: F.concat_ws(" ", a, b))
-    return F.slice(grams, 1, F.greatest(k - F.lit(1), F.lit(0)))
+# Gumbel uniform: the 60-bit hash is cut to its top 52 bits so that
+# (h52 + 0.5) / 2^52 is EXACT double arithmetic in every engine and
+# strictly inside (0, 1). 52 bits, not 53: double spacing in
+# [2^52, 2^53) is 1.0, so (2^53 - 1) + 0.5 rounds (ties-to-even) UP to
+# 2^53 and u becomes exactly 1.0 — Spark's ln(-ln(1.0)) is NULL and
+# DuckDB RAISES on ln(0). At 52 bits the +0.5 lands in [2^51, 2^52)
+# spacing-0.5 territory and is exact for every hash value.
+_UNIFORM_SHIFT = 8  # 60 - 52
+_UNIFORM_SPACE = float(1 << 52)
 
 
 class DsirImportanceScorer(Operator):
@@ -96,6 +85,7 @@ class DsirImportanceScorer(Operator):
         n_buckets: int = 10_000,
         add_k: float = 1.0,
         text_col: str = "text",
+        id_col: str = "doc_id",
         bigrams: bool = True,
         ratio_path: str | None = None,
         name: str | None = None,
@@ -108,6 +98,10 @@ class DsirImportanceScorer(Operator):
         self.n_buckets = int(n_buckets)
         self.add_k = float(add_k)
         self.text_col = text_col
+        # id_col on the CONSTRUCTOR so the Pipeline/YAML path (which calls
+        # bare apply(df)) can score corpora not keyed by "doc_id" — the
+        # same surface every Deduplicator exposes
+        self.id_col = id_col
         self.bigrams = bigrams
         self.ratio_path = ratio_path
         self._buckets = None  # numpy int64[<=n_buckets]
@@ -120,8 +114,9 @@ class DsirImportanceScorer(Operator):
         """One (doc id?, bucket) row per feature OCCURRENCE (counts are
         multiplicities, as in the paper). ONE definition for fit and
         score, so semantics cannot drift (the lm.py discipline)."""
-        words = _doc_words(self.text_col)
-        feats = F.concat(words, _doc_bigrams(words)) if self.bigrams else words
+        # the SHARED unigram(+bigram) definition (functions/text.py) —
+        # identical to the QualityClassifier's feature space by construction
+        feats = word_ngram_array(self.text_col, bigrams=self.bigrams)
         ids = [F.col(id_col).alias("__id")] if id_col else []
         keep = ["__id"] if id_col else []
         exploded = df.select(*ids, F.explode(feats).alias("__g"))
@@ -170,7 +165,9 @@ class DsirImportanceScorer(Operator):
             path if path.endswith(".npz") else path + ".npz",
             buckets=self._buckets,
             ratios=self._ratios,
-            meta=np.array([self._default_lr, float(self.n_buckets), self.add_k]),
+            meta=np.array(
+                [self._default_lr, float(self.n_buckets), self.add_k, float(self.bigrams)]
+            ),
         )
 
     def _require_fitted(self) -> None:
@@ -188,6 +185,16 @@ class DsirImportanceScorer(Operator):
                         f"ratio table at {p} was fit with n_buckets={int(meta[1])}, "
                         f"scorer constructed with {self.n_buckets} — hashes won't align"
                     )
+                # bigrams must match too: unigram-only features summed
+                # against ratios fit on unigram+bigram counts mis-score
+                # silently — the exact drift class the n_buckets guard
+                # exists for
+                if len(meta) > 3 and bool(meta[3]) != self.bigrams:
+                    raise ValueError(
+                        f"ratio table at {p} was fit with bigrams={bool(meta[3])}, "
+                        f"scorer constructed with bigrams={self.bigrams} — "
+                        "feature spaces won't align"
+                    )
                 return
             raise ValueError("call fit(target, raw) first, or construct with ratio_path=")
 
@@ -201,8 +208,9 @@ class DsirImportanceScorer(Operator):
             "__bucket long, __lr double",
         )
 
-    def apply(self, df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    def apply(self, df: DataFrame, *, id_col: str | None = None) -> DataFrame:
         self._require_fitted()
+        id_col = id_col or self.id_col
         feats = self._features(df, id_col=id_col)
         # the ratio table is ≤ n_buckets rows — always broadcastable
         scored = feats.join(F.broadcast(self._ratio_df(df.sparkSession)), on="__bucket", how="left")

@@ -894,8 +894,8 @@ WITH {dsir_feats_ctes(pred).strip()},
 adj AS (
   SELECT d.doc_id, d.source, per_doc.dsir_logweight,
          per_doc.dsir_logweight + (-ln(-ln(
-           (((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#dsir-gumbel'), 1, 15))::BIGINT >> 7)
-             + 0.5) / 9007199254740992.0)))) AS a
+           (((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#dsir-gumbel'), 1, 15))::BIGINT >> 8)
+             + 0.5) / 4503599627370496.0)))) AS a
   FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 ),
 ranked AS (

@@ -507,6 +507,36 @@ def test_semantic_decontamination_behavior(spark):
         SemanticDecontaminationFilter(bench, max_benchmark_rows=1).apply(train).count()
 
 
+def test_semantic_decontamination_ignores_bad_benchmark_rows(spark):
+    """A NaN benchmark embedding must not poison the argmax (Spark orders
+    NaN above every number, so the norm filter alone passes it; numpy's
+    argmax then prefers the NaN column for EVERY training row, silently
+    disabling the filter). NULL benchmark ids likewise must not reach
+    np.argsort. Both are dropped; clean benchmark rows still cut."""
+    from mega_data_factory_spark.operators.dedup import SemanticDecontaminationFilter
+
+    bench = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [float("nan"), 1.0, 0.0]),   # NaN row: dropped, not poisonous
+            (3, [float("inf"), 0.0, 0.0]),   # inf row: dropped
+            (None, [0.0, 1.0, 0.0]),         # NULL id: dropped (np.argsort)
+        ],
+        "bench_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),            # exact copy of benchmark 1 -> cut
+            (11, [0.0, 1.0, 0.0]),            # matches only the NULL-id row -> survives
+            (12, [0.0, 0.0, 1.0]),            # orthogonal -> survives
+            (13, [float("nan"), 0.0, 0.0]),   # NaN training vector -> survives
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    d = SemanticDecontaminationFilter(bench, threshold=0.9, benchmark_id_col="bench_id")
+    assert {r.doc_id for r in d.apply(train).collect()} == {11, 12, 13}
+
+
 def test_semantic_decontamination_in_pipeline(spark, tmp_path):
     """YAML stage with the benchmark passed by table name: contaminated
     rows land in the rejected sink tagged 'contaminated'."""

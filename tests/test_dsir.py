@@ -63,8 +63,8 @@ WITH {_feats_ctes(pred).strip()},
 adj AS (
   SELECT d.doc_id, per_doc.dsir_logweight,
          per_doc.dsir_logweight + (-ln(-ln(
-           (((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#dsir-gumbel'), 1, 15))::BIGINT >> 7)
-             + 0.5) / 9007199254740992.0)))) AS a
+           (((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#dsir-gumbel'), 1, 15))::BIGINT >> 8)
+             + 0.5) / 4503599627370496.0)))) AS a
   FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 ),
 ranked AS (
@@ -130,6 +130,39 @@ def test_save_load_roundtrip_and_bucket_guard(spark, tmp_path):
     assert a == b
     with pytest.raises(ValueError, match="n_buckets"):
         DsirImportanceScorer(n_buckets=B * 2, ratio_path=path).apply(docs)
+    # bigrams flag must match the fit too: unigram-only features summed
+    # against unigram+bigram ratios would mis-score silently
+    with pytest.raises(ValueError, match="bigrams"):
+        DsirImportanceScorer(n_buckets=B, bigrams=False, ratio_path=path).apply(docs)
+
+
+def test_scorer_id_col_constructor(spark):
+    """id_col is a constructor parameter so the bare Pipeline apply(df)
+    path can score corpora not keyed by doc_id."""
+    from mega_data_factory_spark.operators.dsir import DsirImportanceScorer
+
+    docs, target = _target_raw(spark)
+    renamed = docs.withColumnRenamed("doc_id", "item_id")
+    s = DsirImportanceScorer(n_buckets=B, id_col="item_id").fit(target, renamed)
+    a = {r.item_id: r.dsir_logweight for r in s.apply(renamed).collect()}
+    b = {
+        r.doc_id: r.dsir_logweight
+        for r in DsirImportanceScorer(n_buckets=B).fit(target, docs).apply(docs).collect()
+    }
+    assert a == b
+
+
+def test_gumbel_uniform_strictly_inside_unit_interval():
+    """The 52-bit cut keeps (h + 0.5) / 2^52 exact and < 1.0 even at the
+    maximum hash value — at 53 bits, ties-to-even rounds the top value to
+    u = 1.0 and ln(-ln(u)) blows up (NULL in Spark, an ERROR in DuckDB)."""
+    from mega_data_factory_spark.operators.dsir import _UNIFORM_SHIFT, _UNIFORM_SPACE
+
+    top = (1 << (60 - _UNIFORM_SHIFT)) - 1
+    u = (top + 0.5) / _UNIFORM_SPACE
+    assert 0.0 < u < 1.0
+    # exactness: the float round-trips the integer numerator
+    assert u * _UNIFORM_SPACE == top + 0.5
 
 
 def test_resampler_contract(spark):

@@ -22,18 +22,21 @@ def test_type_stats_matches_oracle(spark):
     driver-covered by q1/events_hourly_agg/column_profile) but the
     differential bar stays: per-type counts, decimal sums, distinct
     users, and exact interpolated percentiles vs DuckDB."""
-    from tests.conftest import assert_df_matches_sql
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
     from mega_data_factory_spark.plans.events import TYPE_STATS_ORACLE, events_type_stats
 
-    out = events_type_stats(spark, "/root/testdata/sf0.01")
+    # SF_DIR_ORACLE on BOTH sides: assert_df_matches_sql registers its
+    # DuckDB views over the same env-overridable dir
+    out = events_type_stats(spark, SF_DIR_ORACLE)
     assert_df_matches_sql(out, TYPE_STATS_ORACLE, name="events_type_stats")
 
 
 def test_approx_distinct_within_tolerance(spark):
     """HLL++ approx_count_distinct at rsd=0.02 stays within 5% of exact."""
+    from tests.conftest import SF_DIR_ORACLE
     from mega_data_factory_spark.plans.events import events_user_approx_distinct
 
-    rows = events_user_approx_distinct(spark, "/root/testdata/sf0.01").collect()
+    rows = events_user_approx_distinct(spark, SF_DIR_ORACLE).collect()
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= 0.05 * r.exact_users, r
