@@ -318,6 +318,171 @@ class AudioMetadataRefiner(Refiner):
         }
 
 
+def _wav_pcm_mono(b: bytes | None, *, max_seconds: float):
+    """Decode RIFF/WAVE PCM bytes to (mono float64 in [-1, 1], sample_rate),
+    or None when the container/codec is unsupported. Real decode, no audio
+    lib: PCM integer (fmt tag 1; 8-bit unsigned / 16- or 32-bit signed) and
+    IEEE-float (tag 3) payloads, multi-channel downmixed by mean. Analysis
+    is capped at ``max_seconds`` of samples — the per-row cost bound that
+    keeps a 3-hour podcast row from stalling its whole Arrow batch."""
+    import struct
+
+    if b is None or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(b)
+    fmt = None
+    data_span = None
+    while pos + 8 <= n:
+        cid, csize = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt " and pos + 8 + 16 <= n:
+            tag, ch, rate = struct.unpack_from("<HHI", b, pos + 8)
+            bits = struct.unpack_from("<H", b, pos + 8 + 14)[0]
+            fmt = (tag, ch, rate, bits)
+        elif cid == b"data":
+            data_span = (pos + 8, min(csize, n - pos - 8))
+        pos += 8 + csize + (csize & 1)
+    if fmt is None or data_span is None:
+        return None
+    tag, ch, rate, bits = fmt
+    if not (ch and rate) or (tag, bits) not in {(1, 8), (1, 16), (1, 32), (3, 32)}:
+        return None
+    start, size = data_span
+    bytes_per_frame = ch * (bits // 8)
+    max_frames = int(max_seconds * rate)
+    size = min(size, max_frames * bytes_per_frame)
+    size -= size % bytes_per_frame  # cut a trailing partial frame
+    if size <= 0:
+        return None
+    raw = np.frombuffer(
+        b,
+        dtype={(1, 8): np.uint8, (1, 16): "<i2", (1, 32): "<i4", (3, 32): "<f4"}[(tag, bits)],
+        count=size // (bits // 8),
+        offset=start,
+    )
+    if tag == 3:
+        x = raw.astype(np.float64)
+    elif bits == 8:  # 8-bit WAV PCM is UNSIGNED, midpoint 128
+        x = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        x = raw.astype(np.float64) / float(1 << (bits - 1))
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+_SPECTRAL_FIELDS = (
+    "rms",
+    "clip_ratio",
+    "zcr_hz",
+    "silence_ratio",
+    "spec_centroid_hz",
+    "spec_bandwidth_hz",
+    "spec_rolloff_hz",
+    "spec_flatness",
+)
+
+
+def audio_spectral_features(x: "np.ndarray", rate: int, *, frame: int = 2048) -> dict:
+    """Standard DSP descriptors of a mono [-1, 1] signal — the audio
+    analog of the image entropy/blockiness kernels (operators/images.py):
+
+    * ``rms`` — overall level; ``clip_ratio`` — fraction of samples at
+      full scale (clipping/loudness-war damage detector);
+    * ``zcr_hz`` — zero crossings per second (a pure f-Hz tone crosses
+      2f times/s — the unit the tests pin);
+    * ``silence_ratio`` — fraction of frames under -60 dBFS (dead air);
+    * spectral centroid / bandwidth / 85% rolloff (Hz) and flatness
+      (geometric/arithmetic power-spectrum mean: ->1 for white noise,
+      ->0 for a tone) over the Hann-windowed mean power spectrum of
+      non-overlapping ``frame``-sample frames.
+
+    Pure numpy (one vectorized rFFT over the frame matrix). All values
+    are plain floats; callers map failure to NULLs, not zeros — a silent
+    clip and an undecodable clip must stay distinguishable."""
+    n = len(x)
+    if n == 0:
+        return {}
+    rms = float(np.sqrt(np.mean(x * x)))
+    clip_ratio = float(np.mean(np.abs(x) >= 0.999))
+    zcr_hz = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])) / n * rate)
+    if n < frame:  # short clip: one zero-padded frame
+        x = np.pad(x, (0, frame - n))
+    frames = x[: len(x) - len(x) % frame].reshape(-1, frame)
+    frame_rms = np.sqrt(np.mean(frames * frames, axis=1))
+    silence_ratio = float(np.mean(frame_rms < 1e-3))  # -60 dBFS
+    win = np.hanning(frame)
+    spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+    s = spec.mean(axis=0)
+    freqs = np.fft.rfftfreq(frame, 1.0 / rate)
+    tot = float(s.sum())
+    if tot <= 0.0:  # digital silence: level stats are real, spectrum undefined
+        centroid = bandwidth = rolloff = flatness = None
+    else:
+        centroid = float((freqs * s).sum() / tot)
+        bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * s).sum() / tot))
+        rolloff = float(freqs[np.searchsorted(np.cumsum(s), 0.85 * tot)])
+        flatness = float(np.exp(np.mean(np.log(s + 1e-30))) / (s.mean() + 1e-30))
+    return {
+        "rms": rms,
+        "clip_ratio": clip_ratio,
+        "zcr_hz": zcr_hz,
+        "silence_ratio": silence_ratio,
+        "spec_centroid_hz": centroid,
+        "spec_bandwidth_hz": bandwidth,
+        "spec_rolloff_hz": rolloff,
+        "spec_flatness": flatness,
+    }
+
+
+class AudioSpectralFeaturesRefiner(Refiner):
+    """Adds ``audio_rms``, ``audio_clip_ratio``, ``audio_zcr_hz``,
+    ``audio_silence_ratio``, ``audio_spec_centroid_hz``,
+    ``audio_spec_bandwidth_hz``, ``audio_spec_rolloff_hz``,
+    ``audio_spec_flatness`` (all float, NULL when the clip can't be
+    decoded) from an opaque ``binary`` WAV column — REAL signal
+    processing (PCM decode + vectorized rFFT), the audio counterpart of
+    ``ImageTechnicalQualityRefiner``'s entropy/blockiness kernels. No
+    reference analog (its multimodal surface is image/video only) —
+    beyond-reference per the build brief's multimodal mandate, with the
+    same posture: the Spark plumbing, batching, and failure contract are
+    first-class; compressed codecs (MP3/OGG/FLAC) are out of scope until
+    a decoder dependency exists (rows report NULLs, never crash a batch).
+
+    Scale shape: one Arrow crossing per batch, bytes touched once and
+    never returned to the JVM; ``max_seconds`` (default 30) caps per-row
+    decode+FFT cost so one pathological row cannot stall its task; no
+    shuffle anywhere. Curation use: ``silence_ratio``/``rms`` cut dead
+    or near-silent clips, ``clip_ratio`` flags distorted ones,
+    ``spec_flatness`` separates noise from tonal content.
+    """
+
+    def __init__(self, *, audio_col: str = "audio", max_seconds: float = 30.0, name: str | None = None):
+        super().__init__(name)
+        self.audio_col = audio_col
+        self.max_seconds = float(max_seconds)
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        import pandas as pd
+
+        max_seconds = self.max_seconds
+        fields = _SPECTRAL_FIELDS
+
+        @F.pandas_udf(", ".join(f"{f} float" for f in fields))
+        def feats_udf(blobs):
+            rows = []
+            for b in blobs:
+                dec = _wav_pcm_mono(bytes(b) if b is not None else None, max_seconds=max_seconds)
+                feats = audio_spectral_features(*dec) if dec is not None else {}
+                rows.append({f: feats.get(f) for f in fields})
+            return pd.DataFrame(rows, dtype="float32")
+
+        # asNondeterministic: the AudioMetadataRefiner rationale — without
+        # it a downstream filter substitutes the struct UDF into its
+        # predicate and decodes every clip twice
+        m = feats_udf.asNondeterministic()(_bytes_col(df, self.audio_col))
+        return {f"audio_{f}": m[f] for f in fields}
+
+
 class VisualDegradationsRefiner(Refiner):
     """Adds the multi-head degradation scores ``img_vd_color_cast``,
     ``img_vd_blurriness``, ``img_vd_watermark``, ``img_vd_noise`` and

@@ -86,6 +86,7 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.multimodal import (
         AestheticScoreRefiner,
         AudioMetadataRefiner,
+        AudioSpectralFeaturesRefiner,
         AigcDetectorRefiner,
         ImageEmbeddingRefiner,
         ImageResizeRefiner,
@@ -154,6 +155,7 @@ def _register_builtins() -> None:
         VideoFrameSampleRefiner,
         VisualDegradationsRefiner,
         AudioMetadataRefiner,
+        AudioSpectralFeaturesRefiner,
         SemanticDeduplicator,
         SequencePacker,
         ClusterDeduplicator,

@@ -132,6 +132,108 @@ def test_audio_metadata_wav_headers(spark):
     assert out[4].audio_format == "ERROR"
 
 
+def _pcm16_wav(samples, rate, ch=1):
+    """Pack a float [-1,1] numpy signal as a 16-bit PCM WAV blob."""
+    import struct
+
+    import numpy as np
+
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+
+
+def test_audio_spectral_features(spark):
+    """Real DSP, pinned to physics: a 440 Hz tone's spectral centroid and
+    half its zero-crossing rate both land on 440 Hz and its flatness is
+    ~0; white noise has flatness near 1 and centroid ~ rate/4; a clipped
+    tone trips clip_ratio; digital silence has silence_ratio 1 with NULL
+    spectral stats; undecodable rows are all-NULL, never a crash."""
+    import numpy as np
+
+    from mega_data_factory_spark.operators.multimodal import AudioSpectralFeaturesRefiner
+
+    rate = 16000
+    t = np.arange(rate * 2) / rate  # 2 s
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    rng = np.random.default_rng(7)
+    noise = 0.3 * rng.standard_normal(rate * 2).clip(-1, 1)
+    rows = [
+        (1, _pcm16_wav(tone, rate)),
+        (2, _pcm16_wav(noise, rate)),
+        (3, _pcm16_wav(np.clip(tone * 10, -1, 1), rate)),  # hard-clipped
+        (4, _pcm16_wav(np.zeros(rate), rate)),             # digital silence
+        (5, b"not audio"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, audio binary")
+    out = {r.id: r for r in AudioSpectralFeaturesRefiner().apply(df).collect()}
+
+    # tone: centroid within one FFT bin (rate/2048 ~ 7.8 Hz) of 440
+    assert abs(out[1].audio_spec_centroid_hz - 440.0) < 10.0
+    assert abs(out[1].audio_zcr_hz / 2.0 - 440.0) < 5.0
+    assert out[1].audio_spec_flatness < 0.01
+    assert abs(out[1].audio_rms - 0.5 / np.sqrt(2)) < 0.01
+    assert out[1].audio_clip_ratio == 0.0 and out[1].audio_silence_ratio == 0.0
+    # white noise: flat spectrum, centroid near rate/4
+    assert out[2].audio_spec_flatness > 0.5
+    assert abs(out[2].audio_spec_centroid_hz - rate / 4) < rate * 0.05
+    assert out[2].audio_spec_rolloff_hz > out[1].audio_spec_rolloff_hz
+    # clipped tone: a third of samples pinned at full scale
+    assert out[3].audio_clip_ratio > 0.2
+    # silence: level stats real, spectral stats NULL
+    assert out[4].audio_rms == 0.0 and out[4].audio_silence_ratio == 1.0
+    assert out[4].audio_spec_centroid_hz is None
+    # failure rows: all-NULL
+    for rid in (5, 6):
+        assert all(
+            out[rid][f"audio_{f}"] is None
+            for f in ("rms", "zcr_hz", "spec_centroid_hz", "spec_flatness")
+        )
+
+
+def test_audio_spectral_formats_and_cap():
+    """Decoder unit coverage pytest can't see through Spark: stereo
+    downmix, 8-bit unsigned and float32 payloads, and the max_seconds
+    cap (a long clip decodes only its head)."""
+    import struct
+
+    import numpy as np
+
+    from mega_data_factory_spark.operators.multimodal import _wav_pcm_mono
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    tone = 0.5 * np.sin(2 * np.pi * 100.0 * t)
+
+    # stereo: L = tone, R = -tone -> mean downmix is (near) silence
+    inter = np.empty(2 * len(tone))
+    inter[0::2], inter[1::2] = tone, -tone
+    x, r = _wav_pcm_mono(_pcm16_wav(inter, rate, ch=2), max_seconds=30)
+    assert r == rate and np.abs(x).max() < 1e-3
+
+    def wav_raw(payload, tag, bits, ch=1):
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        fmt = b"fmt " + struct.pack(
+            "<IHHIIHH", 16, tag, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits
+        )
+        return hdr + fmt + b"data" + struct.pack("<I", len(payload)) + payload
+
+    # 8-bit unsigned: 128 is the midpoint (decodes to 0.0)
+    x8, _ = _wav_pcm_mono(wav_raw(bytes([128, 255, 0, 128]), 1, 8), max_seconds=30)
+    assert np.allclose(x8, [0.0, 127 / 128, -1.0, 0.0])
+    # float32 passthrough
+    xf, _ = _wav_pcm_mono(wav_raw(tone.astype("<f4").tobytes(), 3, 32), max_seconds=30)
+    assert np.allclose(xf, tone, atol=1e-7)
+    # 24-bit (unsupported width) -> None, not garbage
+    assert _wav_pcm_mono(wav_raw(b"\x00" * 300, 1, 24), max_seconds=30) is None
+    # cap: 1 s decoded from a 2 s clip
+    long_clip = _pcm16_wav(np.tile(tone, 2), rate)
+    xc, _ = _wav_pcm_mono(long_clip, max_seconds=1.0)
+    assert len(xc) == rate
+
+
 def test_model_numpy_torch_parity():
     """The torch backend must compute the same projection as numpy (same
     seeded weights, fp32 on CPU). Skips where torch isn't installed — the
