@@ -87,6 +87,83 @@ def asof_join(
     return out.select(*lcols, *[f"{c}{suffix}" for c in right_payload])
 
 
+def skew_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    hot_threshold: int = 1_000_000,
+    max_hot_keys: int = 10_000,
+    max_hot_right_rows: int = 5_000_000,
+) -> DataFrame:
+    """Hybrid hot/cold join for POWER-LAW keys (whale users, megadomains —
+    the distribution every web corpus has): rows whose key is "hot" take a
+    broadcast hash join against just the hot sliver of ``right``; everything
+    else takes the ordinary shuffle join with the hot keys REMOVED from both
+    shuffled sides. The branches partition the left rows by key, so their
+    union is exactly the plain join's result (differentially tested).
+
+    Why this beats leaning on AQE alone at 100 TB: AQE's skew-join rule
+    (OptimizeSkewedJoin) splits an oversized post-shuffle partition into
+    finer tasks, but every hot-key row of BOTH sides still rides the full
+    shuffle — a key owning 5% of a 100 TB fact table is 5 TB of network no
+    matter how the reducers are split (and for LEFT joins AQE may not split
+    the non-preserved side at all). Here hot-key rows never shuffle: the
+    hot branch is a map-side broadcast hash join, and the residual shuffle
+    is lighter by exactly the skew. The price is one extra key-frequency
+    pass — map-side combined, so its shuffle carries at most
+    ``distinct-keys-per-partition`` rows, never the data.
+
+    ``hot_keys``: pass the known whales to skip the frequency pass.
+    Otherwise keys with > ``hot_threshold`` left rows are discovered with
+    one ``groupBy(key).count()``. Guards fail loud rather than degrade:
+    more than ``max_hot_keys`` hot keys (isin/broadcast list must stay
+    driver-small) or more than ``max_hot_right_rows`` hot-side right rows
+    (the broadcast build side must fit executors) raise with the measured
+    number. ``how`` is ``inner`` or ``left``; NULL left keys never match
+    and route through the cold branch (preserved under ``left``, dropped
+    under ``inner`` — plain-join semantics either way).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_split_join supports how='inner'|'left', got {how!r}")
+    key = F.col(on)
+    if hot_keys is None:
+        hot_rows = (
+            left.groupBy(on).agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > hot_threshold)
+            .select(on)
+            .limit(max_hot_keys + 1)
+            .collect()
+        )
+        hot_keys = [r[on] for r in hot_rows if r[on] is not None]
+    if len(hot_keys) > max_hot_keys:
+        raise ValueError(
+            f"{len(hot_keys)}+ keys exceed hot_threshold={hot_threshold} — "
+            f"past max_hot_keys={max_hot_keys} the 'hot sliver' IS the table; "
+            "raise hot_threshold (skew salting wants a handful of whales)"
+        )
+    if not hot_keys:
+        return left.join(right, on=on, how=how)
+    right_hot = right.filter(key.isin(hot_keys))
+    n_hot_right = right_hot.count()
+    if n_hot_right > max_hot_right_rows:
+        raise ValueError(
+            f"hot keys match {n_hot_right} right rows > max_hot_right_rows="
+            f"{max_hot_right_rows}; the broadcast build side would not fit — "
+            "raise hot_threshold or pre-aggregate the right side"
+        )
+    # NULL-safe cold predicate: isin(NULL) is NULL, and a bare ~isin would
+    # silently drop NULL-keyed left rows from a LEFT join
+    cold_pred = key.isNull() | ~key.isin(hot_keys)
+    hot_branch = left.filter(key.isin(hot_keys)).join(F.broadcast(right_hot), on=on, how=how)
+    # ~isin drops NULL right keys too (NULL predicate -> filtered): correct,
+    # since a NULL key matches nothing under inner/left join semantics
+    cold_branch = left.filter(cold_pred).join(right.filter(~key.isin(hot_keys)), on=on, how=how)
+    return hot_branch.unionByName(cold_branch)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
