@@ -245,6 +245,90 @@ class SequencePacker(Operator):
         )
 
 
+class DocumentChunker(Operator):
+    """Split documents into overlapping ``chunk_tokens``-word windows, one
+    OUTPUT ROW per chunk — the context-window preparation step (long-doc
+    training prep, retrieval corpora): a 200k-word book becomes ~400
+    512-word chunks whose ``overlap_tokens``-word overlap preserves
+    cross-boundary context.
+
+    Chunking is whitespace-token based and re-joins words with single
+    spaces (exact inter-word whitespace is not preserved — documented, and
+    what makes the operator a pure Column expression mirrorable in ANSI
+    SQL: tests/test_packing.py runs the DuckDB differential). Output adds
+    ``chunk_index`` (0-based), ``chunk_id`` (``{doc id}#{index}``),
+    ``chunk_text`` and ``chunk_n_tokens`` next to every input column; the
+    final window is the (possibly shorter) tail unless it would START past
+    the text — start positions are ``0, stride, 2*stride, ...`` for
+    ``stride = chunk_tokens - overlap_tokens``, kept while ``start <
+    n_words`` and (for non-first chunks) ``start + overlap < n_words`` so
+    a window containing ONLY re-seen overlap words is never emitted.
+    Empty/NULL text yields one chunk with empty text (row accounting: a
+    cardinality-changing operator must not silently drop documents —
+    filter upstream).
+
+    Scale shape: ``split`` + ``sequence`` + ``transform`` + ``posexplode``
+    — zero Python, zero shuffle, codegen end to end; output rows carry
+    only their own window's words (the full word array never leaves the
+    expression), so memory per task is input-partition-sized regardless
+    of document length.
+    """
+
+    def __init__(
+        self,
+        chunk_tokens: int = 512,
+        *,
+        overlap_tokens: int = 64,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        if chunk_tokens < 1:
+            raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+        if not 0 <= overlap_tokens < chunk_tokens:
+            raise ValueError(
+                f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
+            )
+        self.chunk_tokens = int(chunk_tokens)
+        self.overlap_tokens = int(overlap_tokens)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        chunk, overlap = self.chunk_tokens, self.overlap_tokens
+        stride = chunk - overlap
+        # coalesce first: split(NULL) is NULL and size(NULL) = -1, which
+        # would silently emit no chunk row for a NULL-text document
+        words = F.filter(
+            F.split(F.coalesce(F.col(self.text_col), F.lit("")), r"\s+"), lambda w: w != ""
+        )
+        n = F.size(words)
+        # last valid start: the largest multiple of stride that still adds
+        # unseen words — start <= n-1 and (start == 0 or start + overlap <= n-1)
+        last_start = F.greatest(
+            F.floor((n - F.lit(overlap + 1)) / F.lit(stride)) * F.lit(stride), F.lit(0)
+        )
+        starts = F.sequence(F.lit(0), last_start.cast("int"), F.lit(stride))
+        chunks = F.transform(
+            starts, lambda s: F.array_join(F.slice(words, s + 1, chunk), " ")
+        )
+        pos = F.posexplode(chunks)
+        out = df.select("*", pos.alias("chunk_index", "chunk_text"))
+        return (
+            out.withColumn(
+                "chunk_id",
+                F.concat_ws("#", F.col(self.id_col).cast("string"), F.col("chunk_index")),
+            )
+            .withColumn(
+                "chunk_n_tokens",
+                F.when(F.col("chunk_text") == "", F.lit(0)).otherwise(
+                    F.size(F.split(F.col("chunk_text"), " "))
+                ),
+            )
+        )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     *,

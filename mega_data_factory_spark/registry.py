@@ -94,6 +94,7 @@ def _register_builtins() -> None:
         VisualDegradationsRefiner,
     )
     from mega_data_factory_spark.operators.bpe import BpeTokenizer
+    from mega_data_factory_spark.operators.packing import DocumentChunker
     from mega_data_factory_spark.operators.classifier import QualityClassifier
     from mega_data_factory_spark.operators.dsir import DsirImportanceScorer, DsirResampler
     from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
@@ -164,6 +165,7 @@ def _register_builtins() -> None:
         DsirImportanceScorer,
         DsirResampler,
         BpeTokenizer,
+        DocumentChunker,
     ):
         OPERATORS.register(cls)
     # reference acronym-quirk aliases (framework/config.py:21-28)

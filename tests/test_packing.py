@@ -289,3 +289,85 @@ def test_packed_token_ids_bpe_end_to_end(spark):
             texts[r.doc_id] for r in sorted(coord, key=lambda r: r.doc_id) if r.pack_bucket == b
         )
         assert detok == expected
+
+
+def _py_chunks(text, chunk, overlap):
+    """Independent python reimplementation of the chunking rule."""
+    words = [w for w in (text or "").split() if w]
+    stride = chunk - overlap
+    n = len(words)
+    import math
+    last = max(int(math.floor((n - (overlap + 1)) / stride)) * stride, 0)
+    return [" ".join(words[s : s + chunk]) for s in range(0, last + 1, stride)]
+
+
+def test_document_chunker_differential(spark):
+    """Chunk the real sf documents corpus and compare every chunk against
+    an independent python reimplementation of the rule — full coverage
+    (first/middle/tail windows, short docs, every real whitespace shape)."""
+    from mega_data_factory_spark.operators.packing import DocumentChunker
+    from mega_data_factory_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"]
+    chunk, overlap = 40, 8
+    out = DocumentChunker(chunk, overlap_tokens=overlap).apply(docs)
+    got = {}
+    for r in out.select("doc_id", "chunk_index", "chunk_id", "chunk_text", "chunk_n_tokens").collect():
+        got.setdefault(r.doc_id, []).append(r)
+    src = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert set(got) == set(src)  # every document emits >= 1 chunk
+    for doc_id, text in src.items():
+        rows = sorted(got[doc_id], key=lambda r: r.chunk_index)
+        expect = _py_chunks(text, chunk, overlap)
+        assert [r.chunk_text for r in rows] == expect, doc_id
+        assert [r.chunk_index for r in rows] == list(range(len(expect)))
+        assert all(r.chunk_id == f"{doc_id}#{r.chunk_index}" for r in rows)
+        assert all(
+            r.chunk_n_tokens == (len(r.chunk_text.split()) if r.chunk_text else 0) for r in rows
+        )
+
+
+def test_document_chunker_edges(spark):
+    """Overlap reconstruction, tail handling, and the empty/NULL-text
+    row-accounting contract (one empty chunk, never a dropped doc)."""
+    from mega_data_factory_spark.operators.packing import DocumentChunker
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 words
+        (2, "one two"),                              # shorter than one chunk
+        (3, ""),                                     # empty
+        (4, None),                                   # NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DocumentChunker(4, overlap_tokens=1).apply(df)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # stride 3: starts 0,3,6 — w9 lands in the start-6 window; start 9 would
+    # re-emit only the overlap word and must not appear
+    assert [r.chunk_text for r in sorted(by_doc[1], key=lambda r: r.chunk_index)] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    # consecutive chunks overlap by exactly overlap_tokens
+    texts = [r.chunk_text.split() for r in sorted(by_doc[1], key=lambda r: r.chunk_index)]
+    for a, b in zip(texts, texts[1:]):
+        assert a[-1:] == b[:1]
+    assert [r.chunk_text for r in by_doc[2]] == ["one two"]
+    for d in (3, 4):
+        assert len(by_doc[d]) == 1 and by_doc[d][0].chunk_text == "" and by_doc[d][0].chunk_n_tokens == 0
+    # guards
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        DocumentChunker(0)
+    with pytest.raises(ValueError, match="overlap_tokens"):
+        DocumentChunker(4, overlap_tokens=4)
+
+
+def test_document_chunker_plan_is_pure_codegen(spark):
+    """Zero Python, zero shuffle: no Exchange, no ArrowEval/BatchEval
+    nodes — the 100 TB shape (chunking is embarrassingly row-local)."""
+    from mega_data_factory_spark.operators.packing import DocumentChunker
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = DocumentChunker(2, overlap_tokens=0).apply(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
