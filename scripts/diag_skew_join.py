@@ -1,0 +1,103 @@
+"""Diagnostic: hybrid hot/cold skew_split_join vs plain join at volume.
+
+The claim under test (operators/joins.py:skew_split_join): on a power-law
+key distribution, routing whale keys through a broadcast hash join means
+hot rows never ride a shuffle, and the residual exchange is lighter by
+exactly the skew. AQE's OptimizeSkewedJoin splits oversized reducer
+partitions but still shuffles every hot row of both sides.
+
+Synthetic shape mirrors a crawl corpus joined to a per-domain dim table:
+LEFT_N fact rows where one "megadomain" key owns HOT_SHARE of them and the
+rest spread over DIM_N uniform keys; the right side is one row per key.
+(The right side here fits the broadcast threshold for the PLAIN join too —
+local-mode Spark would broadcast it and hide the shuffle — so the plain
+join is measured with auto-broadcast DISABLED, the regime the operator
+exists for: a right side too big to broadcast whole, with a hot sliver
+that is not.) Prints min-of-2 walls for both paths plus the plan audit.
+
+Run: python scripts/diag_skew_join.py  (redirect to scripts/diag_skew_join.out)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mega_data_factory_spark.operators.joins import skew_split_join
+from mega_data_factory_spark.session import get_spark
+
+LEFT_N = 20_000_000
+DIM_N = 200_000
+HOT_SHARE = 0.30  # the whale key owns 30% of the fact rows
+
+spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+spark.sparkContext.setLogLevel("WARN")
+
+hot_cut = int(LEFT_N * HOT_SHARE)
+left = (
+    spark.range(LEFT_N)
+    .select(
+        F.when(F.col("id") < hot_cut, F.lit("megadomain"))
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % DIM_N).cast("string")))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    .cache()
+)
+right = (
+    spark.range(DIM_N)
+    .select(F.concat(F.lit("d"), F.col("id").cast("string")).alias("k"), (F.col("id") % 7).alias("w"))
+    .unionByName(spark.range(1).select(F.lit("megadomain").alias("k"), F.lit(99).alias("w")))
+    .cache()
+)
+print(f"left={left.count():,} (hot key owns {HOT_SHARE:.0%}) right={right.count():,}")
+
+
+def timed(label, fn):
+    walls = []
+    for _ in range(3):  # warm + 2
+        t0 = time.time()
+        n = fn()
+        walls.append(time.time() - t0)
+    print(f"{label}: {min(walls[1:]):.3f}s (rows: {n:,})")
+    return min(walls[1:])
+
+
+# the operator's regime: the full right side must NOT be broadcastable
+# (otherwise the plain join is already shuffle-free and skew is moot)
+prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+prev_adapt = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+try:
+    plain = timed(
+        "plain shuffle join (AQE skew-split ON)",
+        lambda: left.join(right, on="k").count(),
+    )
+    split = timed(
+        "skew_split_join (hot broadcast + cold shuffle)",
+        lambda: skew_split_join(left, right, "k", hot_threshold=1_000_000).count(),
+    )
+    print(f"speedup: {plain / split:.2f}x at {HOT_SHARE:.0%} skew on local[32] RAM shuffle")
+
+    def audit(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return s.count("Exchange hashpartitioning"), "BroadcastHashJoin" in s
+
+    pe, pb = audit(left.join(right, on="k"))
+    se, sb = audit(skew_split_join(left, right, "k", hot_threshold=1_000_000))
+    print(f"plain-join exchanges: {pe} (both sides staged to shuffle, hot rows included), broadcast={pb}")
+    print(f"split-join exchanges: {se} (cold residual only), broadcast={sb} (the hot branch)")
+finally:
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    if prev_adapt:
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_adapt)
+
+print()
+print("verdict: on local[32] the shuffle rides RAM, so the wall-clock gap")
+print("understates the cluster gap — there the plain join moves the hot key's")
+print(f"share of the fact table ({HOT_SHARE:.0%} here) over the network into ONE")
+print("reducer partition family, while the split plan never shuffles those rows")
+print("at all. The frequency pass costs one map-side-combined count per apply.")
