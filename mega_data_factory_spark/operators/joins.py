@@ -118,7 +118,11 @@ def skew_split_join(
 
     ``hot_keys``: pass the known whales to skip the frequency pass.
     Otherwise keys with > ``hot_threshold`` left rows are discovered with
-    one ``groupBy(key).count()``. Guards fail loud rather than degrade:
+    one ``groupBy(key).count()``. The left plan is evaluated by the
+    frequency pass AND by each branch's filter — persist an expensive
+    upstream left before calling (the cost note every multi-action
+    operator here carries); the right side's hot sliver is cached
+    internally. Guards fail loud rather than degrade:
     more than ``max_hot_keys`` hot keys (isin/broadcast list must stay
     driver-small) or more than ``max_hot_right_rows`` hot-side right rows
     (the broadcast build side must fit executors) raise with the measured
@@ -130,14 +134,24 @@ def skew_split_join(
         raise ValueError(f"skew_split_join supports how='inner'|'left', got {how!r}")
     key = F.col(on)
     if hot_keys is None:
+        # isNotNull BEFORE the limit: a hot NULL key (routinely the most
+        # skewed key in crawl data) must not consume an overflow-guard slot
+        # and let real hot keys truncate silently past max_hot_keys
         hot_rows = (
-            left.groupBy(on).agg(F.count(F.lit(1)).alias("__c"))
+            left.filter(key.isNotNull())
+            .groupBy(on).agg(F.count(F.lit(1)).alias("__c"))
             .filter(F.col("__c") > hot_threshold)
             .select(on)
             .limit(max_hot_keys + 1)
             .collect()
         )
-        hot_keys = [r[on] for r in hot_rows if r[on] is not None]
+        hot_keys = [r[on] for r in hot_rows]
+    else:
+        # a None in a caller-supplied list poisons BOTH branch predicates
+        # (NOT-IN-with-NULL: ~isin([..None..]) is NULL for every
+        # non-member), silently dropping all cold rows — strip it; NULL
+        # keys always route cold
+        hot_keys = [k for k in hot_keys if k is not None]
     if len(hot_keys) > max_hot_keys:
         raise ValueError(
             f"{len(hot_keys)}+ keys exceed hot_threshold={hot_threshold} — "
@@ -146,7 +160,10 @@ def skew_split_join(
         )
     if not hot_keys:
         return left.join(right, on=on, how=how)
-    right_hot = right.filter(key.isin(hot_keys))
+    # right_hot is guard-bounded small — cache it so the count guard, the
+    # broadcast build, and any downstream action reuse one computation of
+    # the (possibly expensive) right plan's hot sliver
+    right_hot = right.filter(key.isin(hot_keys)).cache()
     n_hot_right = right_hot.count()
     if n_hot_right > max_hot_right_rows:
         raise ValueError(

@@ -284,10 +284,19 @@ class AudioMetadataRefiner(Refiner):
         frames = data_size // (ch * (bits // 8)) if bits >= 8 else 0
         return ch, rate, bits, frames / rate
 
-    def columns(self, df: DataFrame) -> dict[str, Column]:
+    _FIELDS = {
+        "audio_sample_rate": "sample_rate",
+        "audio_channels": "channels",
+        "audio_bits": "bits",
+        "audio_duration_sec": "duration_sec",
+        "audio_format": "format",
+    }
+
+    @classmethod
+    def _udf(cls):
         import pandas as pd
 
-        parse = self._parse_wav
+        parse = cls._parse_wav
 
         @F.pandas_udf(
             "sample_rate int, channels int, bits int, duration_sec float, format string"
@@ -305,17 +314,27 @@ class AudioMetadataRefiner(Refiner):
                     )
             return pd.DataFrame(rows)
 
-        # asNondeterministic: a downstream filter on a metadata field
-        # would otherwise substitute the struct UDF into its predicate and
-        # parse every WAV twice (verified: 2 ArrowEvalPython nodes)
-        m = meta_udf.asNondeterministic()(_bytes_col(df, self.audio_col))
-        return {
-            "audio_sample_rate": m["sample_rate"],
-            "audio_channels": m["channels"],
-            "audio_bits": m["bits"],
-            "audio_duration_sec": m["duration_sec"],
-            "audio_format": m["format"],
-        }
+        return meta_udf
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        # _project_struct_once (images.py): ONE UDF evaluation, fields
+        # extracted above it — a bare asNondeterministic columns() dict
+        # would evaluate the parse once PER FIELD (nondeterministic
+        # expressions are never CSE'd; measured 5x with an accumulator),
+        # while a deterministic one gets substituted into downstream
+        # filter predicates (the 2x the old comment measured)
+        from mega_data_factory_spark.operators.images import _project_struct_once
+
+        return _project_struct_once(df, self._udf(), _bytes_col(df, self.audio_col), dict(self._FIELDS))
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        """Column-expression form for Pipeline's single-pass alive-row
+        tagging: no Filter nodes exist in that plan, so the DETERMINISTIC
+        UDF cannot be substituted into a predicate, and equal deterministic
+        UDF expressions are CSE'd into one ArrowEvalPython (the
+        ImageMetadataRefiner discipline)."""
+        m = self._udf()(_bytes_col(df, self.audio_col))
+        return {dst: m[src] for dst, src in self._FIELDS.items()}
 
 
 def _wav_pcm_mono(b: bytes | None, *, max_seconds: float):
@@ -403,7 +422,10 @@ def audio_spectral_features(x: "np.ndarray", rate: int, *, frame: int = 2048) ->
     if n == 0:
         return {}
     rms = float(np.sqrt(np.mean(x * x)))
-    clip_ratio = float(np.mean(np.abs(x) >= 0.999))
+    # 0.99, not 0.999: 8-bit PCM's positive rail decodes to 127/128 =
+    # 0.9921875 — a stricter cut would miss positive-side clipping
+    # entirely for 8-bit audio (16-bit rails sit at 0.99997/1.0)
+    clip_ratio = float(np.mean(np.abs(x) >= 0.99))
     zcr_hz = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])) / n * rate)
     if n < frame:  # short clip: one zero-padded frame
         x = np.pad(x, (0, frame - n))
@@ -461,7 +483,7 @@ class AudioSpectralFeaturesRefiner(Refiner):
         self.audio_col = audio_col
         self.max_seconds = float(max_seconds)
 
-    def columns(self, df: DataFrame) -> dict[str, Column]:
+    def _udf(self):
         import pandas as pd
 
         max_seconds = self.max_seconds
@@ -476,11 +498,27 @@ class AudioSpectralFeaturesRefiner(Refiner):
                 rows.append({f: feats.get(f) for f in fields})
             return pd.DataFrame(rows, dtype="float32")
 
-        # asNondeterministic: the AudioMetadataRefiner rationale — without
-        # it a downstream filter substitutes the struct UDF into its
-        # predicate and decodes every clip twice
-        m = feats_udf.asNondeterministic()(_bytes_col(df, self.audio_col))
-        return {f"audio_{f}": m[f] for f in fields}
+        return feats_udf
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        # ONE decode+FFT per row: _project_struct_once materializes the
+        # struct before field extraction (a nondeterministic columns()
+        # dict measured 8 evaluations per row — one per field)
+        from mega_data_factory_spark.operators.images import _project_struct_once
+
+        return _project_struct_once(
+            df,
+            self._udf(),
+            _bytes_col(df, self.audio_col),
+            {f"audio_{f}": f for f in _SPECTRAL_FIELDS},
+        )
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        """Pipeline tagging path: deterministic UDF, CSE'd to one
+        evaluation (no Filter nodes there to substitute into — the
+        ImageMetadataRefiner discipline)."""
+        m = self._udf()(_bytes_col(df, self.audio_col))
+        return {f"audio_{f}": m[f] for f in _SPECTRAL_FIELDS}
 
 
 class VisualDegradationsRefiner(Refiner):
@@ -503,7 +541,7 @@ class VisualDegradationsRefiner(Refiner):
         self.emb_col = emb_col
         self.dim = dim
 
-    def columns(self, df: DataFrame) -> dict[str, Column]:
+    def _udf(self):
         import pandas as pd
 
         dim = self.dim
@@ -524,13 +562,29 @@ class VisualDegradationsRefiner(Refiner):
                 vi += r is not None
             return pd.DataFrame(out, dtype="float32")
 
-        # asNondeterministic: stops the optimizer substituting the struct
-        # UDF into downstream filters (which would re-evaluate the heads
-        # per predicate — the images.py _project_struct_once hazard);
-        # within THIS projection the four field extracts share one
-        # evaluation (ExtractPythonUDFs dedups equal UDF expressions)
-        h = heads_udf.asNondeterministic()(F.col(self.emb_col))
-        return {f"img_vd_{k}": h[k] for k in seeds}
+        return heads_udf
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        # ONE evaluation of the four heads: _project_struct_once
+        # materializes the struct before field extraction. The old
+        # asNondeterministic columns() form evaluated the UDF once PER
+        # FIELD (4x) — nondeterministic expressions are never CSE'd
+        # (measured with an accumulator; the previous comment claiming
+        # ExtractPythonUDFs dedups them was wrong for nondeterministic)
+        from mega_data_factory_spark.operators.images import _project_struct_once
+
+        out = _project_struct_once(
+            df, self._udf(), F.col(self.emb_col), {f"img_vd_{k}": k for k in self.HEAD_SEEDS}
+        )
+        derived = self.derived_columns(out)
+        return out.withColumns(derived) if derived else out
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        """Pipeline tagging path: deterministic UDF, CSE'd to one
+        evaluation (no Filter nodes there — the ImageMetadataRefiner
+        discipline)."""
+        h = self._udf()(F.col(self.emb_col))
+        return {f"img_vd_{k}": h[k] for k in self.HEAD_SEEDS}
 
     def derived_columns(self, df: DataFrame) -> dict[str, Column]:
         # derives from the score COLUMNS by name (derived hook, so the

@@ -252,10 +252,13 @@ class DocumentChunker(Operator):
     512-word chunks whose ``overlap_tokens``-word overlap preserves
     cross-boundary context.
 
-    Chunking is whitespace-token based and re-joins words with single
-    spaces (exact inter-word whitespace is not preserved — documented, and
-    what makes the operator a pure Column expression mirrorable in ANSI
-    SQL: tests/test_packing.py runs the DuckDB differential). Output adds
+    Chunking is ASCII-whitespace-token based (Java regex ``\\s+`` — the
+    engine-wide BPE/token-count convention; NBSP and other Unicode spaces
+    are word characters) and re-joins words with single spaces (exact
+    inter-word whitespace is not preserved — documented, and what makes
+    the operator a pure Column expression mirrorable in ANSI SQL:
+    tests/test_packing.py runs an independent-reimplementation
+    differential). Output adds
     ``chunk_index`` (0-based), ``chunk_id`` (``{doc id}#{index}``),
     ``chunk_text`` and ``chunk_n_tokens`` next to every input column; the
     final window is the (possibly shorter) tail unless it would START past
@@ -314,11 +317,24 @@ class DocumentChunker(Operator):
             starts, lambda s: F.array_join(F.slice(words, s + 1, chunk), " ")
         )
         pos = F.posexplode(chunks)
-        out = df.select("*", pos.alias("chunk_index", "chunk_text"))
+        # replace, don't append (the images.py _project_struct_once rule):
+        # re-applying to a frame already carrying chunk_* columns must not
+        # create duplicate names -> ambiguous-reference AnalysisException
+        produced = {"chunk_index", "chunk_text", "chunk_id", "chunk_n_tokens"}
+        base = df.drop(*[c for c in df.columns if c in produced])
+        out = base.select("*", pos.alias("chunk_index", "chunk_text"))
         return (
             out.withColumn(
                 "chunk_id",
-                F.concat_ws("#", F.col(self.id_col).cast("string"), F.col("chunk_index")),
+                # coalesce: concat_ws SKIPS a NULL id, which would collide
+                # chunk ids across every NULL-id document ("0" == "0");
+                # NULL-id docs still collide with each other — ids are the
+                # caller's identity contract (the dedup id_col caveat)
+                F.concat_ws(
+                    "#",
+                    F.coalesce(F.col(self.id_col).cast("string"), F.lit("null")),
+                    F.col("chunk_index"),
+                ),
             )
             .withColumn(
                 "chunk_n_tokens",

@@ -94,6 +94,8 @@ finally:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     if prev_adapt:
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_adapt)
+    else:
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 print()
 print("verdict: on local[32] the shuffle rides RAM, so the wall-clock gap")

@@ -292,8 +292,13 @@ def test_packed_token_ids_bpe_end_to_end(spark):
 
 
 def _py_chunks(text, chunk, overlap):
-    """Independent python reimplementation of the chunking rule."""
-    words = [w for w in (text or "").split() if w]
+    """Independent python reimplementation of the chunking rule.
+    ASCII-whitespace split (re, not str.split): Java's \\s is ASCII-only,
+    and the operator documents NBSP etc. as word characters — the
+    engine-wide BPE/token-count convention."""
+    import re as _re
+
+    words = [w for w in _re.split(r"[ \t\n\r\f\x0b]+", text or "") if w]
     stride = chunk - overlap
     n = len(words)
     import math
@@ -360,6 +365,30 @@ def test_document_chunker_edges(spark):
         DocumentChunker(0)
     with pytest.raises(ValueError, match="overlap_tokens"):
         DocumentChunker(4, overlap_tokens=4)
+
+
+def test_document_chunker_unicode_ws_and_reapply(spark):
+    """NBSP is a WORD character (ASCII-whitespace tokenization, the BPE
+    parity convention) on both sides of the differential; re-applying the
+    chunker replaces its own columns instead of raising on duplicates;
+    NULL doc ids get an explicit 'null#idx' chunk id, not a bare index."""
+    from mega_data_factory_spark.operators.packing import DocumentChunker
+
+    df = spark.createDataFrame(
+        [(1, "foo\u00a0bar baz qux quux corge"), (None, "a b")],
+        "doc_id long, text string",
+    )
+    out = DocumentChunker(2, overlap_tokens=0).apply(df)
+    rows = {(r.doc_id, r.chunk_index): r for r in out.collect()}
+    # NBSP keeps foo+bar one token -> chunks of 2 ASCII-ws tokens
+    assert rows[(1, 0)].chunk_text == "foo\u00a0bar baz"
+    assert rows[(1, 0)].chunk_n_tokens == 2
+    assert _py_chunks("foo\u00a0bar baz qux quux corge", 2, 0)[0] == "foo\u00a0bar baz"
+    assert rows[(None, 0)].chunk_id == "null#0"
+    # re-apply: chunk_* columns are REPLACED (no ambiguous references)
+    again = DocumentChunker(1, overlap_tokens=0).apply(out)
+    assert again.columns.count("chunk_text") == 1
+    assert again.filter(again.chunk_n_tokens > 1).count() == 0
 
 
 def test_document_chunker_plan_is_pure_codegen(spark):

@@ -143,3 +143,21 @@ def test_skew_split_join_guards(spark):
     # broadcast build side too big -> fail loud with the measured count
     with _pytest.raises(ValueError, match="max_hot_right_rows"):
         skew_split_join(left, right, "k", hot_keys=["whale"], max_hot_right_rows=1)
+
+
+def test_skew_split_join_null_in_hot_keys(spark):
+    """A None inside a caller-supplied hot_keys list must not poison the
+    NOT-IN cold predicate (which would silently drop every cold row from
+    a LEFT join)."""
+    from mega_data_factory_spark.operators.joins import skew_split_join
+
+    left, right = _skew_fixture(spark)
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    for how in ("inner", "left"):
+        assert rows(skew_split_join(left, right, "k", how=how, hot_keys=["whale", None])) == rows(
+            left.join(right, on="k", how=how)
+        ), how
