@@ -107,9 +107,13 @@ class IncrementalExactDeduplicator(JoinDeduplicator, TextExactDeduplicator):
 
         _recover_store(self.store_path)  # crashed-compaction fallback
         try:
-            return spark.read.parquet(self.store_path).select("content_key", "representative_id")
+            raw = spark.read.parquet(self.store_path)
         except AnalysisException:  # first run: empty store
             return spark.createDataFrame([], "content_key string, representative_id string")
+        # OUTSIDE the try: a store with the wrong schema (e.g. pointed at a
+        # band store) must raise UNRESOLVED_COLUMN, not silently read as
+        # first-run-empty and re-admit every historical duplicate
+        return raw.select("content_key", "representative_id")
 
     def _memo_token(self) -> object:
         # the pairs plan snapshots the store's file listing (and, bloom
@@ -126,13 +130,15 @@ class IncrementalExactDeduplicator(JoinDeduplicator, TextExactDeduplicator):
         ranked = keyed.withColumn("__rn", F.row_number().over(w)).withColumn(
             "__first", F.min("__id").over(w)
         )
-        # dropDuplicates guards against concurrent/replayed appends leaving
-        # the same key twice in the store — without it the left join would
-        # fan rejected rows out per store row
+        # deterministic collapse of replayed/duplicate appends (min, the
+        # same pick compact_store materializes — a dropDuplicates here
+        # picked an arbitrary row per run, so rejection audits were not
+        # reproducible and compaction could flip the served representative)
         store = (
             self._store_keys(df.sparkSession)
             .withColumnRenamed("content_key", "__k")
-            .dropDuplicates(["__k"])
+            .groupBy("__k")
+            .agg(F.min("representative_id").alias("representative_id"))
         )
         if self.bloom_fpp:
             from mega_data_factory_spark.operators.bloom import bloom_pruned_left_join
@@ -364,36 +370,6 @@ def minhash_hash_family(base_hash: Column, i: int) -> Column:
     return (F.lit(MINHASH_A[i]) * (base_hash % MINHASH_P) + F.lit(MINHASH_B[i])) % MINHASH_P
 
 
-def minhash_base_hashes(text_col: Column | str, *, shingle_n: int = 3) -> Column:
-    """One 60-bit md5-derived base hash per distinct word shingle — the
-    expensive step, evaluated once and materialized as a column before the
-    signature is built."""
-    return F.transform(F.array_distinct(word_shingles(text_col, shingle_n)), lambda s: hash64_from_md5(s))
-
-
-def _perm(i: int):
-    # NB: must be a ONE-argument lambda — PySpark treats a two-parameter
-    # transform lambda as (element, index), which would silently replace
-    # the family index with the array position.
-    return lambda h: minhash_hash_family(h, i)
-
-
-def minhash_signature(hashes: Column, *, num_hashes: int = 16) -> Column:
-    """MinHash signature (``array<bigint>``) over a *materialized* base-hash
-    array column (see ``minhash_base_hashes``).
-
-    The ``num_hashes`` permutations are cheap modular arithmetic over the
-    base hashes. Pass real columns, not inline expressions — Catalyst does
-    not share subtrees across the signature's array elements, so an inline
-    shingle/hash expression is evaluated ``num_hashes`` times (a measured
-    16x slowdown at sf0.1).
-
-    Scale path: at 100 TB precompute (explode -> base-hash -> groupBy-min
-    per seed) so text never enters the shuffle; semantics identical.
-    """
-    return F.array(*[F.array_min(F.transform(hashes, _perm(i))) for i in range(num_hashes)])
-
-
 class MinHashLSHDeduplicator(JoinDeduplicator):
     """Near-dedup via MinHash + banded LSH.
 
@@ -426,7 +402,10 @@ class MinHashLSHDeduplicator(JoinDeduplicator):
         name: str | None = None,
     ):
         super().__init__(name, order_col=id_col, id_col=id_col)
-        assert num_hashes % bands == 0, "bands must divide num_hashes"
+        if num_hashes % bands != 0:
+            # ValueError, not assert: under python -O an assert vanishes and
+            # rows_per_band silently truncates, changing the LSH S-curve
+            raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
         if num_hashes > len(MINHASH_A):
             raise ValueError(
                 f"num_hashes={num_hashes} exceeds the fixed universal-hash family "
@@ -527,9 +506,12 @@ class IncrementalMinHashDeduplicator(MinHashLSHDeduplicator):
 
         _recover_store(self.store_path)  # crashed-compaction fallback
         try:
-            return spark.read.parquet(self.store_path).select("band_key", "representative_id")
+            raw = spark.read.parquet(self.store_path)
         except AnalysisException:  # first run: empty store
             return spark.createDataFrame([], "band_key string, representative_id string")
+        # outside the try — wrong-schema stores must raise, not read empty
+        # (the IncrementalExactDeduplicator._store_keys rationale)
+        return raw.select("band_key", "representative_id")
 
     def _memo_token(self) -> object:
         # see IncrementalExactDeduplicator._memo_token: the pairs-plan memo
@@ -683,10 +665,15 @@ class SimHashNearDeduplicator(JoinDeduplicator):
         return start, width
 
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        # NULL signatures (NULL/empty text) must not band: concat_ws skips
+        # the NULL bits so EVERY such row would share band keys "0".."k-1",
+        # blowing an O(n_null^2 x bands) self-join that the hamming verify
+        # then filters to nothing (bit_count(NULL xor NULL) is NULL). No
+        # semantics change: NULL rows can never pass the verify filter.
         sim = df.select(
             F.col(self.id_col).alias("__id"),
             simhash64(self.text_col, shingle_n=self.shingle_n).alias("__sim"),
-        )
+        ).filter(F.col("__sim").isNotNull())
         band_keys = []
         for b in range(self.bands):
             start, width = self._band_width(b)
@@ -801,6 +788,24 @@ class NgramJaccardDeduplicator(JoinDeduplicator):
         return pairs.groupBy(F.col("__idb").alias(self.id_col)).agg(F.min("__ida").alias("__rep"))
 
 
+def span_hash_index(df: DataFrame, text_col: str, span_tokens: int, id_col: str | None = None) -> DataFrame:
+    """Exploded 8-byte span hashes (optionally id-keyed): distinct
+    ``span_tokens``-word shingles -> xxhash64. Docs under ``span_tokens``
+    words contribute nothing (word_shingles' whole-text fallback is
+    Jaccard-only — wrong for exact-span semantics). ONE definition for
+    every span consumer (:class:`SharedSpanDeduplicator` self-join, both
+    corpus sides of :class:`DecontaminationFilter`) so the under-length
+    convention can never desynchronize between them."""
+    ids = [F.col(id_col).alias("__id")] if id_col else []
+    sh = df.select(*ids, F.array_distinct(word_shingles(text_col, span_tokens)).alias("__sh"))
+    n_words = F.size(F.split(F.col("__sh").getItem(0), " "))
+    sh = sh.filter(F.size("__sh").isNotNull() & (n_words >= span_tokens))
+    keep = ["__id"] if id_col else []
+    return sh.select(*keep, F.explode("__sh").alias("__s")).select(
+        *keep, F.xxhash64("__s").alias("__h")
+    )
+
+
 class SharedSpanDeduplicator(JoinDeduplicator):
     """Exact substring dedup at span granularity (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better": documents
@@ -837,18 +842,7 @@ class SharedSpanDeduplicator(JoinDeduplicator):
 
 
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
-        sh = df.select(
-            F.col(self.id_col).alias("__id"),
-            F.array_distinct(word_shingles(self.text_col, self.span_tokens)).alias("__sh"),
-        )
-        # docs shorter than the span can never share one: drop them before
-        # the explode (word_shingles falls back to [whole text] under k —
-        # correct for Jaccard, wrong here)
-        n_words = F.size(F.split(F.col("__sh").getItem(0), " "))
-        sh = sh.filter(F.size("__sh").isNotNull() & (n_words >= self.span_tokens))
-        inv = sh.select("__id", F.explode("__sh").alias("__s")).select(
-            "__id", F.xxhash64("__s").alias("__h")
-        )
+        inv = span_hash_index(df, self.text_col, self.span_tokens, id_col=self.id_col)
         if self.max_doc_freq is not None:
             keep = (
                 inv.groupBy("__h")
@@ -913,18 +907,7 @@ class DecontaminationFilter(JoinDeduplicator):
 
 
     def _span_index(self, df: DataFrame, text_col: str, id_col: str | None = None) -> DataFrame:
-        """Exploded 8-byte span hashes, optionally id-keyed; docs under
-        span_tokens words contribute nothing (the whole-text fallback is
-        Jaccard-only). ONE definition for both corpus sides so the
-        under-length convention can never desynchronize between them."""
-        ids = [F.col(id_col).alias("__id")] if id_col else []
-        sh = df.select(*ids, F.array_distinct(word_shingles(text_col, self.span_tokens)).alias("__sh"))
-        n_words = F.size(F.split(F.col("__sh").getItem(0), " "))
-        sh = sh.filter(F.size("__sh").isNotNull() & (n_words >= self.span_tokens))
-        keep = ["__id"] if id_col else []
-        return sh.select(*keep, F.explode("__sh").alias("__s")).select(
-            *keep, F.xxhash64("__s").alias("__h")
-        )
+        return span_hash_index(df, text_col, self.span_tokens, id_col=id_col)
 
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         bench_df = (
@@ -1039,22 +1022,43 @@ class SemanticDecontaminationFilter(JoinDeduplicator):
         keep = is_finite_vector("__bv") & (l2_norm("__bv") > 0)
         if bid:
             keep = keep & F.col("__bid").isNotNull()
-        bench = bench_df.select(*cols).filter(keep)
-        n = bench.count()
+        # cache: the dim-census job and the collect would otherwise
+        # evaluate the (possibly expensive) benchmark plan twice
+        bench = bench_df.select(*cols).filter(keep).persist()
+        dims = bench.groupBy(F.size("__bv").alias("__d")).agg(F.count(F.lit(1)).alias("__c")).collect()
+        n = sum(r["__c"] for r in dims)
         id_dt = df.schema[self.id_col].dataType.simpleString()
         if n == 0:
+            bench.unpersist()
             return df.sparkSession.createDataFrame([], f"{self.id_col} {id_dt}, __rep string")
+        if len(dims) > 1:
+            # mixed benchmark dims = two different embedding models in one
+            # benchmark table: a matmul against either is wrong for the
+            # other, and contamination scrubbing must not silently miss —
+            # fail loud (the max_benchmark_rows tripwire philosophy)
+            bench.unpersist()
+            raise ValueError(
+                f"benchmark mixes embedding dims {sorted(r['__d'] for r in dims)}; "
+                "decontaminate one embedding space per pass"
+            )
         if n > self.max_benchmark_rows:
+            bench.unpersist()
             raise ValueError(
                 f"benchmark has {n} embeddings > max_benchmark_rows="
                 f"{self.max_benchmark_rows}; shard the benchmark into multiple "
                 "decontamination passes (no approximate fallback by design)"
             )
+        bench_dim = dims[0]["__d"]
         bc = _broadcast_unit_matrix(bench, "__bid" if bid else None, "__bv")
+        bench.unpersist()
         threshold, id_col = self.threshold, self.id_col
 
+        # size(__v) == bench_dim: a training row embedded by a different
+        # model (wrong dim) has no comparable evidence against THIS
+        # benchmark — it survives rather than crashing the block matmul
+        # with a ragged np.array
         base = df.select(F.col(self.id_col).alias("__id"), F.col(self.vec_col).alias("__v")).filter(
-            is_finite_vector("__v") & (l2_norm("__v") > 0)
+            is_finite_vector("__v") & (l2_norm("__v") > 0) & (F.size("__v") == F.lit(bench_dim))
         )
 
         def block(pdf_iter):
@@ -1141,11 +1145,36 @@ class EmbeddingCosineDeduplicator(JoinDeduplicator):
         base = df.select(F.col(self.id_col).alias("__id"), F.col(self.vec_col).alias("__v")).filter(
             is_finite_vector("__v") & (l2_norm("__v") > 0)
         )
-        # Count before collecting: past the cap, no (id, vector) row ever
-        # reaches the driver — we either shuffle-bucket or fail fast.
-        n = base.count()
+        # Persist: the sizing agg below, the driver collect, and the probe
+        # scan would otherwise each re-execute the upstream plan (a
+        # model-UDF embedding refiner = 3x inference). Released after the
+        # collect; the probe pays the one remaining necessary pass.
+        cached = base.persist()
+        base = cached
+        # Size HISTOGRAM before collecting (same single job the old bare
+        # count was): yields n for the cap check AND the dim census —
+        # mixed-dim corpora (old-refiner shards beside current ones) would
+        # otherwise crash np.array with an inhomogeneous-shape error in the
+        # executor. Minority-dim rows carry another model's geometry: no
+        # comparable evidence -> they survive, loudly.
+        dims = base.groupBy(F.size("__v").alias("__d")).agg(F.count(F.lit(1)).alias("__c")).collect()
+        n = sum(r["__c"] for r in dims)
         if n == 0:  # empty (or all-NULL/zero-norm) input: no pairs, no matmul
+            cached.unpersist()
             return df.sparkSession.createDataFrame([], f"{self.id_col} {id_dt}, __rep {id_dt}")
+        dim = max(dims, key=lambda r: (r["__c"], r["__d"]))["__d"]
+        if len(dims) > 1:
+            import warnings
+
+            warnings.warn(
+                f"EmbeddingCosineDeduplicator: mixed embedding dims "
+                f"{sorted(r['__d'] for r in dims)}; deduping the modal dim {dim} "
+                f"({max(r['__c'] for r in dims)} rows) — other-dim rows survive "
+                "(no comparable evidence)",
+                stacklevel=2,
+            )
+            base = base.filter(F.size("__v") == dim)
+            n = next(r["__c"] for r in dims if r["__d"] == dim)
         if n > self.max_broadcast_rows:
             if self.auto_bucket:
                 import warnings
@@ -1161,12 +1190,16 @@ class EmbeddingCosineDeduplicator(JoinDeduplicator):
                     "auto_bucket=False for strict exact-or-fail.",
                     stacklevel=2,
                 )
-                return self._bucketed_dup_pairs(base, id_dt)
+                pairs = self._bucketed_dup_pairs(base, id_dt, dim)
+                cached.unpersist()  # the bucketed shuffle re-reads the source once
+                return pairs
+            cached.unpersist()
             raise ValueError(
                 f"{n} vectors exceed max_broadcast_rows={self.max_broadcast_rows}; "
                 "bucket first (LSH / k-means) and dedup per bucket, or pass auto_bucket=True"
             )
         bc = _broadcast_unit_matrix(base, "__id", "__v")
+        cached.unpersist()  # the probe below is the one remaining pass
         threshold = self.threshold
         id_col = self.id_col
 
@@ -1193,7 +1226,7 @@ class EmbeddingCosineDeduplicator(JoinDeduplicator):
 
         return base.mapInPandas(block, schema=f"{id_col} {id_dt}, __rep {id_dt}")
 
-    def _bucketed_dup_pairs(self, base: DataFrame, id_dt: str) -> DataFrame:
+    def _bucketed_dup_pairs(self, base: DataFrame, id_dt: str, dim: int) -> DataFrame:
         """Scale path past the broadcast cap: sign-LSH bucket assignment
         (codegen'd JVM expression), ONE shuffle on the compact bucket id,
         then the exact block matmul within each bucket via ``applyInPandas``.
@@ -1214,9 +1247,9 @@ class EmbeddingCosineDeduplicator(JoinDeduplicator):
         # than that, ANSI mode throws INVALID_ARRAY_INDEX exactly when this
         # fallback engages, and non-ANSI silently zeroes the high bits
         # (collapsing rows into few buckets and reinstating the O(n^2)
-        # pathology the cap exists to prevent). Derive bits/stride from the
-        # ACTUAL vector length (one limit-1 job on the already-counted base).
-        dim = base.select(F.size("__v").alias("__d")).first()["__d"]
+        # pathology the cap exists to prevent). ``dim`` is the caller's
+        # censused modal dim (every base row matches it — a single-row
+        # sniff here could read a minority-dim row and mis-derive bits).
         if dim is None or dim < 2:
             raise ValueError(
                 f"cannot sign-bucket {dim}-dim vectors past max_broadcast_rows: "

@@ -170,7 +170,11 @@ class Pipeline:
 
     def _apply_key_dedup(self, df: DataFrame, op: Deduplicator) -> DataFrame:
         alive = self._alive()
-        key = F.when(alive, op.key(df).cast("string")).otherwise(
+        # _effective_key, not key(): the null_keys="distinct" contract
+        # (rows with no dedup identity each survive) must hold on the
+        # pipeline path too — op.key() alone would collapse every NULL-key
+        # row into one window partition and mass-reject all but one
+        key = F.when(alive, op._effective_key(df).cast("string")).otherwise(
             F.concat(F.lit("__dead__:"), F.col(op.id_col).cast("string"))
         )
         w = Window.partitionBy(F.col("__dk")).orderBy(F.col(op.order_col))

@@ -396,3 +396,131 @@ def test_rejected_sink_carries_run_id(spark, tmp_path):
     res = Pipeline(cfg).run(spark)
     rej = spark.read.parquet(str(tmp_path / "rej"))
     assert [r.run_id for r in rej.collect()] == [res.run_id]
+
+
+def test_pipeline_key_dedup_respects_null_keys_distinct(spark, tmp_path):
+    """The PIPELINE tagging path must honor null_keys='distinct' too: it
+    builds the window key itself (_apply_key_dedup), and using op.key()
+    instead of op._effective_key() silently collapsed every NULL-key row
+    into one window partition — all but one URL-less document in the
+    corpus rejected as 'duplicates'."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "a"), (5, None), (6, "b")],
+        "doc_id long, k string",
+    ).write.parquet(src)
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "p",
+                "id_col": "doc_id",
+                "source": {"path": src},
+                "operators": [
+                    {
+                        "name": "KeyDeduplicator",
+                        "params": {"key_cols": ["k"], "order_col": "doc_id", "null_keys": "distinct"},
+                    }
+                ],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"), mode="overwrite")
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rej"), mode="overwrite")
+    result = Pipeline(cfg).run(spark)
+    passed = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert passed == {1, 2, 3, 5, 6}
+    assert result.output_records == 5
+
+
+def test_wrong_schema_store_raises_not_empty(spark, tmp_path):
+    """A store directory with the WRONG schema must raise, not silently
+    read as first-run-empty (which would re-admit every historical
+    duplicate and corrupt the store with mixed-schema appends)."""
+    from pyspark.errors import AnalysisException
+
+    from mega_data_factory_spark.operators.dedup import (
+        IncrementalExactDeduplicator,
+        IncrementalMinHashDeduplicator,
+    )
+
+    exact_store = str(tmp_path / "exact")
+    band_store = str(tmp_path / "bands")
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    IncrementalExactDeduplicator(store_path=exact_store).update_store(df)
+    IncrementalMinHashDeduplicator(store_path=band_store).update_store(df)
+    # point each at the OTHER's store: schema mismatch must surface
+    with pytest.raises(AnalysisException):
+        IncrementalExactDeduplicator(store_path=band_store).apply(df).count()
+    with pytest.raises(AnalysisException):
+        IncrementalMinHashDeduplicator(store_path=exact_store).apply(df).count()
+
+
+def test_simhash_near_ignores_null_text(spark):
+    """NULL/empty-text rows have NULL signatures: they must not enter the
+    banded self-join (all of them would share band keys '0'..'k-1',
+    an O(n_null^2 x bands) blow-up filtered to nothing) — and they all
+    survive (no evidence)."""
+    from mega_data_factory_spark.operators.dedup import SimHashNearDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    d = SimHashNearDeduplicator(max_hamming=3)
+    assert {r.doc_id for r in d.apply(df).collect()} == {1, 3, 4, 5}
+    # the pairs plan contains no NULL-signature rows at all
+    pairs = d._dup_pairs(df)
+    assert pairs.count() == 1
+
+
+def test_embedding_dedup_mixed_dims_survive(spark):
+    """Mixed embedding dims (old-refiner shards beside current ones) must
+    not crash the block matmul with a ragged np.array: the modal dim is
+    deduped, minority-dim rows survive with a warning."""
+    import warnings as _warnings
+
+    from mega_data_factory_spark.operators.dedup import EmbeddingCosineDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0]),
+         (4, [1.0, 0.0]), (5, [1.0, 0.0])],  # minority dim: survive, even as exact copies
+        "vec_id long, embedding array<double>",
+    )
+    d = EmbeddingCosineDeduplicator(threshold=0.95)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        out = {r.vec_id for r in d.apply(df).collect()}
+    assert out == {1, 3, 4, 5}
+    assert any("mixed embedding dims" in str(x.message) for x in w)
+
+
+def test_semantic_decontamination_dim_contracts(spark):
+    """Mixed-dim BENCHMARK fails loud (two embedding models in one
+    benchmark = silent misses otherwise); wrong-dim TRAINING rows survive
+    (no comparable evidence against this benchmark)."""
+    from mega_data_factory_spark.operators.dedup import SemanticDecontaminationFilter
+
+    bench_mixed = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])], "bench_id long, embedding array<double>"
+    )
+    train = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [1.0, 0.0])], "doc_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="mixes embedding dims"):
+        SemanticDecontaminationFilter(bench_mixed, benchmark_id_col="bench_id").apply(train).count()
+    bench = bench_mixed.filter("bench_id = 2")  # 3-dim only
+    d = SemanticDecontaminationFilter(bench, threshold=0.9, benchmark_id_col="bench_id")
+    # 10 is an exact copy (cut); 11 is 2-dim (no comparable evidence: survives)
+    assert {r.doc_id for r in d.apply(train).collect()} == {11}
+
+
+def test_minhash_bands_guard_is_valueerror(spark):
+    from mega_data_factory_spark.operators.dedup import MinHashLSHDeduplicator
+
+    with pytest.raises(ValueError, match="divide"):
+        MinHashLSHDeduplicator(num_hashes=16, bands=5)
