@@ -22,8 +22,8 @@ Spark-first design decisions:
     seen-set (backend.py:134-143), with a deterministic ``min(order_col)``
     tie-break replacing the reference's racy arrival order (backend.py:39-47);
   * the rejected side output is computed by tagging rows in a single pass
-    (``with_keep_flag``), so a pipeline can split passed/rejected without
-    scanning the source twice.
+    (``Pipeline._apply``'s ``_rejection_details`` when-tagging), so a
+    pipeline can split passed/rejected without scanning the source twice.
 
 At 100 TB: refiner/filter chains are narrow (no shuffle at all); each
 deduplicator contributes exactly one shuffle keyed on its dedup key, and AQE
@@ -179,10 +179,30 @@ class Deduplicator(Operator):
 
     def _effective_key(self, df: DataFrame) -> Column:
         k = self.key(df)
+        order = F.col(self.order_col)
+        # concat_ws (never NULL) + a monotonic fallback: the old bare
+        # concat yielded NULL whenever order_col was NULL, collapsing
+        # identity-less rows back into ONE group — the exact mass-drop
+        # "distinct" exists to prevent. monotonically_increasing_id is not
+        # stable across runs, but this key never surfaces: every row that
+        # gets one survives by construction.
+        unique = F.concat_ws(
+            "",
+            F.lit("\x00N\x1f"),
+            F.coalesce(
+                order.cast("string"),
+                F.concat_ws("", F.lit("mi:"), F.monotonically_increasing_id().cast("string")),
+            ),
+        )
+        # a NULL order_col row has NO position in the dedup order: it can
+        # be neither a representative (it would win every NULLS FIRST
+        # window) nor a duplicate (of what?) — it always survives, in
+        # every null_keys mode (documented contract; order_col is ids in
+        # practice, so this is a malformed-row escape hatch, not a mode)
+        no_position = order.isNull()
         if self.null_keys == "distinct":
-            unique = F.concat(F.lit("\x00N\x1f"), F.col(self.order_col).cast("string"))
-            return F.when(self._missing_key(df), unique).otherwise(k)
-        return k
+            return F.when(self._missing_key(df) | no_position, unique).otherwise(k)
+        return F.when(no_position, unique).otherwise(k)
 
     def _ranked(self, df: DataFrame) -> DataFrame:
         w = Window.partitionBy(F.col("__dedup_key")).orderBy(F.col(self.order_col))
@@ -192,36 +212,53 @@ class Deduplicator(Operator):
             .withColumn("__rep", F.first(F.col(self.id_col)).over(w))
         )
 
+    # NULL-group join sentinel: groupBy/Window treat NULL keys as one
+    # group, but an equi-JOIN on the key never matches NULL — the wide
+    # path's rejected() would silently lose every NULL-key duplicate.
+    # Control chars make a collision with a real key practically
+    # impossible (keys here are md5 hex / urls / column values).
+    _NULL_GROUP = "\x00G\x1f"
+
     def _winners(self, df: DataFrame) -> DataFrame:
-        """(winner order value, key) per dedup key — the compact election."""
+        """(winner order value, join key) per dedup key — the compact
+        election. Grouped on the NULL-safe ``__jk``."""
         return (
-            df.withColumn("__dedup_key", self._effective_key(df))
-            .groupBy("__dedup_key")
+            df.withColumn("__jk", F.coalesce(self._effective_key(df), F.lit(self._NULL_GROUP)))
+            .groupBy("__jk")
             .agg(F.min(F.col(self.order_col)).alias("__win_order"))
         )
 
     def apply(self, df: DataFrame) -> DataFrame:
         if self.wide_payload:
             win = self._winners(df).select(F.col("__win_order").alias(self.order_col))
-            return df.join(win, on=self.order_col, how="left_semi")
+            survivors = df.join(win, on=self.order_col, how="left_semi")
+            # NULL-order rows always survive (_effective_key contract) but
+            # a semi-join on order_col can never match their NULL — union
+            # them back rather than silently dropping them from BOTH sides
+            return survivors.unionByName(df.filter(F.col(self.order_col).isNull()))
         return self._ranked(df).filter(F.col("__rn") == 1).drop("__dedup_key", "__rn", "__rep")
 
     def rejected(self, df: DataFrame) -> DataFrame:
         if self.wide_payload:
-            win = self._winners(df)
-            keyed = df.withColumn("__dedup_key", self._effective_key(df))
-            dups = keyed.join(win, on="__dedup_key", how="inner").filter(
-                F.col(self.order_col) != F.col("__win_order")
-            )
-            # representative id == winner's id when id_col is order_col
-            # (the common case); otherwise fall back to the window path to
-            # recover the representative's id column.
-            if self.id_col != self.order_col:
+            # representative id == winner's order value only when id_col IS
+            # order_col (the common case); otherwise the winner election
+            # cannot recover the representative's id and the window path
+            # (which shuffles the payload) is the only correct plan — the
+            # wide-payload saving is silently unavailable there.
+            if self.id_col == self.order_col:
+                win = self._winners(df)
+                keyed = df.withColumn("__dedup_key", self._effective_key(df)).withColumn(
+                    "__jk", F.coalesce(F.col("__dedup_key"), F.lit(self._NULL_GROUP))
+                )
+                dups = keyed.join(win, on="__jk", how="inner").filter(
+                    F.col(self.order_col) != F.col("__win_order")
+                )
+            else:
                 dups = self._ranked(df).filter(F.col("__rn") > 1).withColumnRenamed("__rep", "__win_order")
             return dups.withColumn(
                 REJECTION_DETAILS_COL,
                 rejection_details("duplicate", self.name, F.col("__dedup_key"), F.col("__win_order").cast("string")),
-            ).drop("__dedup_key", "__win_order", "__rn", "__rep")
+            ).drop("__dedup_key", "__jk", "__win_order", "__rn", "__rep")
         dups = self._ranked(df).filter(F.col("__rn") > 1)
         return dups.withColumn(
             REJECTION_DETAILS_COL,
@@ -262,7 +299,8 @@ class JoinDeduplicator(Deduplicator):
         docstrings make); DataFrames are immutable, so reuse is safe.
 
         ``_memo_token`` guards EXTERNAL state: pure dedups are functions
-        of df alone (token None, always equal), but the store-backed
+        of df alone (the base token is a constant ``()`` that always
+        matches; returning None DISABLES reuse), but the store-backed
         incrementals capture the seen-store's file listing at plan-build
         time — reusing that plan after ``update_store``/``compact_store``
         rewrote the directory would miss new keys or crash on deleted

@@ -174,9 +174,44 @@ class Pipeline:
         # (rows with no dedup identity each survive) must hold on the
         # pipeline path too — op.key() alone would collapse every NULL-key
         # row into one window partition and mass-reject all but one
+        # concat_ws, never NULL: a bare concat made a dead NULL-id row's
+        # sentinel NULL, landing it in the alive NULL-key window partition
+        # where it (sorting NULLS FIRST on order_col) absorbed every alive
+        # NULL-key row as a "duplicate" of a dead representative
         key = F.when(alive, op._effective_key(df).cast("string")).otherwise(
-            F.concat(F.lit("__dead__:"), F.col(op.id_col).cast("string"))
+            F.concat_ws("", F.lit("\x00D\x1f"), F.coalesce(F.col(op.id_col).cast("string"), F.lit("")))
         )
+        if op.wide_payload:
+            # winner election on a NARROW projection (the base.apply
+            # geometry): the full-row window below would shuffle the heavy
+            # payload bytes the flag exists to keep out of the exchange.
+            # Losers (order value + representative id) join back on the
+            # unique order_col — AQE broadcasts the loser set when small.
+            # __jk: NULL-safe join key — groupBy treats NULL keys as one
+            # group but the equi-join back would never match them, silently
+            # letting every NULL-key duplicate survive (base.Deduplicator's
+            # _NULL_GROUP rationale); __dk keeps the REAL key for the tag
+            keyed = df.withColumn("__dk", key).withColumn(
+                "__jk", F.coalesce(F.col("__dk"), F.lit(Deduplicator._NULL_GROUP))
+            )
+            narrow = keyed.select("__jk", F.col("__dk"), F.col(op.order_col).alias("__o"), F.col(op.id_col).alias("__i"))
+            win = narrow.groupBy("__jk").agg(
+                F.min("__o").alias("__win_o"), F.min_by("__i", "__o").alias("__win_rep")
+            )
+            losers = (
+                narrow.join(win, on="__jk")
+                .filter(F.col("__o") != F.col("__win_o"))
+                .select(F.col("__o").alias(op.order_col), "__dk", F.col("__win_rep").alias("__rep"))
+            )
+            out = df.join(losers, on=op.order_col, how="left")  # losers carry __dk for the tag
+            tagged = out.withColumn(
+                _R,
+                F.when(
+                    self._alive() & F.col("__rep").isNotNull(),
+                    rejection_details("duplicate", op.name, F.col("__dk"), F.col("__rep").cast("string")),
+                ).otherwise(F.col(_R)),
+            )
+            return tagged.drop("__dk", "__rep")
         w = Window.partitionBy(F.col("__dk")).orderBy(F.col(op.order_col))
         out = (
             df.withColumn("__dk", key)
@@ -271,6 +306,21 @@ class Pipeline:
                 )
                 seen_names.add(op.name)
                 obs_exprs.append(expr.alias(f"rej_{i}"))
+            # input may already carry tags (chained recipes re-running over
+            # a tagged table): rows rejected by an operator NOT in this run
+            # would otherwise count in total but in no rej_i, inflating
+            # output_records past what the passed sink writes. (A pre-tag
+            # whose operator name collides with one of this run's ops is
+            # attributed to that op — accepted.)
+            obs_exprs.append(
+                F.sum(
+                    F.when(
+                        F.col(f"{_R}.operator").isNotNull()
+                        & ~F.col(f"{_R}.operator").isin([o.name for _s2, o in self._ops]),
+                        1,
+                    ).otherwise(0)
+                ).alias("pre_rejected")
+            )
             observed = tagged.observe(obs, *obs_exprs)
             passed = observed.filter(self._alive()).drop(_R)
             if self.config.sink:
@@ -300,9 +350,11 @@ class Pipeline:
             got = obs.get
             total = got["total"]
             rejected_by_idx = [got[f"rej_{i}"] or 0 for i in range(len(self._ops))]
-            passed_n = total - sum(rejected_by_idx)
+            pre_rejected = got["pre_rejected"] or 0
+            passed_n = total - sum(rejected_by_idx) - pre_rejected
             ops_metrics: list[OperatorMetrics] = []
-            remaining = total
+            # the funnel starts from the rows THIS run could pass
+            remaining = total - pre_rejected
             for (stage, op), rejected_here in zip(self._ops, rejected_by_idx):
                 ops_metrics.append(OperatorMetrics(stage, op.name, remaining, remaining - rejected_here))
                 remaining -= rejected_here
@@ -342,11 +394,14 @@ class Pipeline:
                         # plan (a second action must not refire the
                         # Observation)
                         op.update_store(tagged.filter(self._alive()).drop(_R), survivors=True)
-            if pending is not None and (self.config.sink or self.config.rejected_sink):
-                # checkpoint ONLY when something durable landed: a
-                # metrics-only preview run must not mark its input files
-                # processed, or a later run WITH a sink would skip them
-                # and their records would silently never ship
+            if pending is not None and self.config.sink and self.config.max_samples is None:
+                # checkpoint ONLY when every record of the pending files
+                # could have durably landed: needs the PASSED sink (a
+                # rejected-only audit ships survivors nowhere — marking
+                # its files processed would lose them the same way a
+                # metrics-only preview would) and no max_samples cap (a
+                # truncated read marking whole files processed would drop
+                # every record past the sample from all future runs)
                 from mega_data_factory_spark.sources.manifest import mark_processed
 
                 mark_processed(src.resume_manifest, pending, run_id)

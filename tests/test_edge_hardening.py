@@ -524,3 +524,181 @@ def test_minhash_bands_guard_is_valueerror(spark):
 
     with pytest.raises(ValueError, match="divide"):
         MinHashLSHDeduplicator(num_hashes=16, bands=5)
+
+
+def test_pipeline_wide_payload_dedup_avoids_row_window(spark, tmp_path):
+    """The pipeline path must honor wide_payload: winner election on a
+    narrow projection instead of windowing full (payload-heavy) rows.
+    Tag semantics stay identical to the window path."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", b"\x00" * 64), (2, "a", b"\x01" * 64), (3, "b", b"\x02" * 64), (4, None, b"x"), (5, None, b"y")],
+        "doc_id long, k string, payload binary",
+    ).write.parquet(src)
+
+    def cfg(wide):
+        c = PipelineConfig.from_dict(
+            {
+                "pipeline": {
+                    "name": "p",
+                    "id_col": "doc_id",
+                    "source": {"path": src},
+                    "operators": [
+                        {"name": "KeyDeduplicator",
+                         "params": {"key_cols": ["k"], "order_col": "doc_id"}}
+                    ],
+                }
+            }
+        )
+        c.sink = SinkConfig(path=str(tmp_path / f"out{wide}"), mode="overwrite")
+        return c
+
+    plain = Pipeline(cfg(False))
+    wide = Pipeline(cfg(True))
+    wide._ops[0][1].wide_payload = True
+    try:
+        r1, r2 = plain.run(spark), wide.run(spark)
+        a = {r.doc_id for r in spark.read.parquet(str(tmp_path / "outFalse")).collect()}
+        b = {r.doc_id for r in spark.read.parquet(str(tmp_path / "outTrue")).collect()}
+        assert a == b == {1, 3, 4}  # NULL keys group (default mode): 4 wins over 5
+        assert r1.output_records == r2.output_records == 3
+        # plan shape: the wide path has no row_number window over the rows
+        plan = wide.explain(spark)
+        assert "row_number" not in plan
+    finally:
+        plain.release_intermediates()
+        wide.release_intermediates()
+
+
+def test_null_order_rows_always_survive(spark):
+    """A NULL order_col row has no position: it must survive in every
+    mode and never become a representative (it used to WIN every
+    NULLS FIRST window partition it shared), and the wide-payload
+    semi-join must not silently drop it from both outputs."""
+    from mega_data_factory_spark.operators.dedup import KeyDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "a"), (None, "b"), (3, None)],
+        "id long, k string",
+    )
+    d = KeyDeduplicator(["k"], order_col="id")
+    out = {(r.id, r.k) for r in d.apply(df).collect()}
+    # id=1 wins group a (not the NULL-order row); NULL-order rows survive
+    assert out == {(1, "a"), (None, "a"), (None, "b"), (3, None)}
+    rej = {(r.id, r.k) for r in d.rejected(df).collect()}
+    assert rej == {(2, "a")}
+    dw = KeyDeduplicator(["k"], order_col="id")
+    dw.wide_payload = True
+    assert {(r.id, r.k) for r in dw.apply(df).collect()} == out
+    assert {(r.id, r.k) for r in dw.rejected(df).collect()} == rej
+
+
+def test_resume_manifest_not_marked_on_truncated_or_auditonly_runs(spark, tmp_path):
+    """mark_processed must NOT fire when max_samples truncated the read or
+    when only a rejected sink landed — both would permanently skip
+    unshipped records on the next real run."""
+    import json
+    import os
+
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(i, "x" * 200) for i in range(100)], "doc_id long, text string").write.parquet(src)
+
+    def base_cfg(manifest):
+        return {
+            "pipeline": {
+                "name": "p",
+                "id_col": "doc_id",
+                "source": {"path": src, "resume_manifest": manifest},
+                "operators": [{"name": "TextLengthFilter", "params": {"min_length": 1}}],
+            }
+        }
+
+    def processed(manifest):
+        if not os.path.exists(manifest):
+            return 0
+        with open(manifest) as f:
+            return sum(1 for _ in f)
+
+    # truncated read: files must stay pending
+    m1 = str(tmp_path / "m1.jsonl")
+    c = PipelineConfig.from_dict(base_cfg(m1))
+    c.max_samples = 10
+    c.sink = SinkConfig(path=str(tmp_path / "o1"), mode="overwrite")
+    Pipeline(c).run(spark)
+    assert processed(m1) == 0
+
+    # rejected-sink-only audit: files must stay pending
+    m2 = str(tmp_path / "m2.jsonl")
+    c2 = PipelineConfig.from_dict(base_cfg(m2))
+    c2.rejected_sink = SinkConfig(path=str(tmp_path / "o2"), mode="overwrite")
+    Pipeline(c2).run(spark)
+    assert processed(m2) == 0
+
+    # full run with a passed sink: files checkpoint
+    m3 = str(tmp_path / "m3.jsonl")
+    c3 = PipelineConfig.from_dict(base_cfg(m3))
+    c3.sink = SinkConfig(path=str(tmp_path / "o3"), mode="overwrite")
+    Pipeline(c3).run(spark)
+    assert processed(m3) > 0
+
+
+def test_pretagged_input_metrics(spark, tmp_path):
+    """Rows arriving ALREADY tagged (chained recipes) must not inflate
+    output_records: they count in the input but in no operator's
+    rejections."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.operators.base import REJECTION_STRUCT_DDL
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(1, "x" * 200, "earlier_op"), (2, "x" * 200, None), (3, "y", None)],
+        "doc_id long, text string, pre string",
+    ).withColumn(
+        "_rejection_details",
+        F.when(
+            F.col("pre").isNotNull(),
+            F.expr("named_struct('reason', 'filtered', 'operator', pre, 'dedup_key', NULL, 'representative_id', NULL)").cast(REJECTION_STRUCT_DDL),
+        ),
+    ).drop("pre")
+    df.write.parquet(src)
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "p",
+                "id_col": "doc_id",
+                "source": {"path": src},
+                "operators": [{"name": "TextLengthFilter", "params": {"min_length": 100}}],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"), mode="overwrite")
+    result = Pipeline(cfg).run(spark)
+    written = spark.read.parquet(str(tmp_path / "out")).count()
+    assert result.input_records == 3
+    assert result.output_records == written == 1  # doc 2 only
+    # the funnel starts from the 2 rows this run could pass
+    assert result.operators[0].input_records == 2
+    assert result.operators[0].output_records == 1
+
+
+def test_wide_payload_null_key_duplicates_are_rejected(spark):
+    """Standalone wide path: NULL keys form ONE group (default mode) and
+    their duplicates must appear in rejected() — the equi-join on the key
+    used to silently lose them (NULL never equi-joins)."""
+    from mega_data_factory_spark.operators.dedup import KeyDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a")], "id long, k string"
+    )
+    d = KeyDeduplicator(["k"], order_col="id")
+    d.wide_payload = True
+    assert {r.id for r in d.apply(df).collect()} == {1, 3}
+    assert {r.id for r in d.rejected(df).collect()} == {2}
