@@ -232,3 +232,24 @@ class NumericRangeFilter(Filter):
         if self.hi is not None:
             cond = cond & (c <= self.hi)
         return cond
+
+
+class C4PageFilter(Filter):
+    """Page-level C4 drop rules (Raffel et al. 2020, §2.2) over
+    ``C4HeuristicRefiner`` columns: reject pages flagged for code (``{``),
+    "lorem ipsum" placeholder text, or blocklist words, and pages whose
+    cleaned text carries fewer than ``min_sentences`` sentences (C4: 5).
+    Missing/NULL columns count as failing, the ImageQualityFilter rule —
+    a page that never went through the refiner must not silently pass."""
+
+    def __init__(self, min_sentences: int = 5, *, name: str | None = None):
+        super().__init__(name)
+        self.min_sentences = min_sentences
+
+    def predicate(self, df: DataFrame) -> Column:
+        return (
+            ~F.coalesce(F.col("c4_flag_brace"), F.lit(True))
+            & ~F.coalesce(F.col("c4_flag_lorem"), F.lit(True))
+            & ~F.coalesce(F.col("c4_flag_badword"), F.lit(True))
+            & (F.coalesce(F.col("c4_sentences"), F.lit(0)) >= self.min_sentences)
+        )

@@ -71,6 +71,7 @@ def _register_builtins() -> None:
         WeightedSourceSampler,
     )
     from mega_data_factory_spark.operators.filters import (
+        C4PageFilter,
         DomainBlocklistFilter,
         ImageQualityFilter,
         NumericRangeFilter,
@@ -103,6 +104,7 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.selection import TokenBudgetSelector
     from mega_data_factory_spark.operators.refiners import (
         BoilerplateLineRefiner,
+        C4HeuristicRefiner,
         IntraDocDedupRefiner,
         UnicodeNormalizeRefiner,
         UrlCanonicalizeRefiner,
@@ -126,6 +128,8 @@ def _register_builtins() -> None:
         RepetitionStatsRefiner,
         PiiRedactRefiner,
         BoilerplateLineRefiner,
+        C4HeuristicRefiner,
+        C4PageFilter,
         IntraDocDedupRefiner,
         UnicodeNormalizeRefiner,
         UrlCanonicalizeRefiner,

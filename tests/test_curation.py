@@ -754,3 +754,124 @@ def test_boilerplate_null_group_not_exempt(spark):
         assert chrome not in out[i].text_cleaned
     # a.com group has only 1 doc with it -> kept there
     assert chrome in out[10].text_cleaned
+
+
+def test_c4_heuristic_refiner_behavior(spark):
+    """Published C4 line rules: terminal punctuation, >= 3 words, no
+    'javascript'; page flags for braces / lorem ipsum / blocklist words;
+    sentence proxy counts terminal marks in the CLEANED text; NULL text
+    stays NULL with zeroed counts and false flags."""
+    from mega_data_factory_spark.operators.refiners import C4HeuristicRefiner
+
+    rows = [
+        (1, 'Good prose line one.\nEnable JavaScript to continue.\nshort.\nno terminal punctuation here\nAnother fine sentence! Really.\nQuoted line ends right."'),
+        (2, 'function f() { return 1; }\nA real sentence with words.'),
+        (3, 'Lorem Ipsum dolor sit amet.\nMore filler text follows here.'),
+        (4, 'This page mentions badword openly.\nClean second line here.'),
+        (5, None),
+        (6, ''),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in C4HeuristicRefiner(bad_words=("badword",)).apply(df).collect()}
+
+    # doc 1: js line, <3-word line, no-punct line all drop; 3 lines survive
+    assert out[1].c4_text == 'Good prose line one.\nAnother fine sentence! Really.\nQuoted line ends right."'
+    assert out[1].c4_lines_removed == 3
+    assert out[1].c4_sentences == 4  # . ! . and the period inside the quoted line
+    assert not out[1].c4_flag_brace and not out[1].c4_flag_lorem and not out[1].c4_flag_badword
+    # doc 2: brace flag set page-wide; the code line also fails the line rules
+    assert out[2].c4_flag_brace and out[2].c4_text == "A real sentence with words."
+    # doc 3: lorem flag is case-insensitive
+    assert out[3].c4_flag_lorem
+    # doc 4: whole-word blocklist hit
+    assert out[4].c4_flag_badword and not out[4].c4_flag_lorem
+    # NULL text
+    assert out[5].c4_text is None and out[5].c4_lines_removed == 0
+    assert out[5].c4_sentences == 0 and not out[5].c4_flag_badword
+    # empty text: the single empty line fails the rules
+    assert out[6].c4_text == "" and out[6].c4_lines_removed == 1 and out[6].c4_sentences == 0
+
+
+def test_c4_page_filter_behavior(spark):
+    """Page drops: any flag or < min_sentences rejects; rows that never saw
+    the refiner (NULL columns) fail closed."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.filters import C4PageFilter
+    from mega_data_factory_spark.operators.refiners import C4HeuristicRefiner
+
+    five = " ".join(f"Sentence number {i} is here." for i in range(5))
+    rows = [
+        (1, five),                            # passes
+        (2, "Only one real sentence here."),  # too few sentences
+        (3, five + "\nlorem ipsum"),          # lorem page flag
+        (4, five + " extra { brace"),         # brace flag
+    ]
+    df = C4HeuristicRefiner().apply(spark.createDataFrame(rows, "doc_id long, text string"))
+    f = C4PageFilter(min_sentences=5)
+    assert [r.doc_id for r in f.apply(df).collect()] == [1]
+    rej = {r.doc_id for r in f.rejected(df).collect()}
+    assert rej == {2, 3, 4}
+    # fail-closed on frames missing the refiner columns' values
+    bare = df.select("doc_id", "text").withColumn("c4_flag_brace", F.lit(None).cast("boolean")) \
+        .withColumn("c4_flag_lorem", F.lit(None).cast("boolean")) \
+        .withColumn("c4_flag_badword", F.lit(None).cast("boolean")) \
+        .withColumn("c4_sentences", F.lit(None).cast("int"))
+    assert f.apply(bare).count() == 0
+
+
+def test_c4_heuristic_matches_oracle(spark):
+    """Value-for-value DuckDB mirror over the real documents corpus plus
+    planted multi-line C4-shaped rows (the synthetic corpus is single-line
+    and unpunctuated, so the planted rows make every rule observable)."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    from mega_data_factory_spark.operators.refiners import C4HeuristicRefiner
+    from mega_data_factory_spark.session import load_tables
+
+    planted = [
+        (100001, 'Opening sentence stands alone.\nEnable JavaScript now please.\ntiny.\nA second good sentence follows!\nbare words without ending'),
+        (100002, 'Code sample { x = 1; }\nReadable prose sentence here.'),
+        (100003, 'Lorem ipsum placeholder page.\nReal content sentence too.'),
+        (100004, None),
+        (100005, ''),
+    ]
+    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"].select("doc_id", "text")
+    df = docs.unionByName(spark.createDataFrame(planted, "doc_id long, text string"))
+    out = (
+        C4HeuristicRefiner()
+        .apply(df)
+        .select("doc_id", "c4_text", "c4_lines_removed", "c4_sentences",
+                "c4_flag_brace", "c4_flag_lorem")
+        .orderBy("doc_id")
+    )
+    values = ", ".join(
+        "({}, {})".format(i, "NULL" if t is None else "'" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "'")
+        for i, t in planted
+    )
+    ws = r"[ \t\x0B\f\r]+"
+    sql = f"""
+WITH corpus(doc_id, text) AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {values})
+),
+kept AS (
+  SELECT doc_id, text,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      list_filter(string_split(text, chr(10)), u ->
+        regexp_matches(trim(u), '[.!?"]$')
+        AND len(list_filter(regexp_split_to_array(trim(u), '{ws}'), w -> w <> '')) >= 3
+        AND NOT contains(lower(u), 'javascript'))
+    END AS ks
+  FROM corpus
+)
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL ELSE COALESCE(array_to_string(ks, chr(10)), '') END AS c4_text,
+  CAST(CASE WHEN text IS NULL THEN 0
+       ELSE len(string_split(text, chr(10))) - len(ks) END AS INT) AS c4_lines_removed,
+  CAST(COALESCE(len(regexp_extract_all(array_to_string(ks, chr(10)), '[.!?]')), 0) AS INT) AS c4_sentences,
+  COALESCE(contains(text, '{{'), FALSE) AS c4_flag_brace,
+  COALESCE(contains(lower(text), 'lorem ipsum'), FALSE) AS c4_flag_lorem
+FROM kept ORDER BY doc_id
+"""
+    assert_df_matches_sql(out, sql, name="c4_heuristic")
