@@ -594,3 +594,59 @@ def test_overwrite_partitions_sink_mode(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="partition_by"):
         write_sink(b1, SinkConfig(path=out, mode="overwrite_partitions"))
+
+
+def test_c4_recipe_config(spark, tmp_path):
+    """The shipped C4-style recipe builds and runs end to end over a
+    C4-shaped corpus: the funnel balances, each published rule cuts the
+    pages planted to trip it, the js line is removed WITHOUT dropping its
+    page, and the span dedup collapses the planted shared-span pair on the
+    CLEANED text."""
+    from mega_data_factory_spark.config import SinkConfig
+
+    mk = "the quick result and the finding held up well"  # en markers: the/and
+    sent = [f"Sentence {i} about {mk} number {i}." for i in range(4)]
+    body = "\n".join(sent)
+    span = " ".join(f"shared{i}" for i in range(20))  # 20-word verbatim span
+    rows = []
+    for i in range(40):  # clean pages, unique content
+        rows.append((i, body.replace("quick", f"unique{i}")))
+    rows += [
+        (100, body + "\nPlease enable javascript to view this page."),  # line cut only
+        (101, body + "\ncode sample { x }"),                            # brace page cut
+        (102, body + "\nlorem ipsum dolor sit amet."),                  # lorem page cut
+        (103, body + "\nthis page mentions badword sadly."),            # blocklist page cut
+        (104, f"Too short page about {mk}."),                           # < 3 sentences
+        (105, "aucun marqueur anglais ici vraiment rien du tout."),     # language cut
+        (200, body.replace("quick", "span-a") + f"\nThe {span} appears here in prose."),
+        (201, body.replace("quick", "span-b") + f"\nThe {span} appears here in prose."),
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    with open("configs/c4_style_recipe.yaml") as f:
+        cfg = PipelineConfig.from_yaml(f.read())
+    cfg.source.path = src
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"), mode="overwrite")
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rej"), mode="overwrite")
+    cfg.metrics_path = str(tmp_path / "metrics")
+    result = Pipeline(cfg).run(spark)
+
+    rejected_total = sum(m.input_records - m.output_records for m in result.operators)
+    assert result.output_records + rejected_total == result.input_records == len(rows)
+
+    passed = spark.read.parquet(str(tmp_path / "out"))
+    ids = {r.doc_id for r in passed.select("doc_id").collect()}
+    # 40 clean + js-line page (survives, line stripped) + span winner 200
+    assert ids == set(range(40)) | {100, 200}
+    js = passed.filter(F.col("doc_id") == 100).first()
+    assert "javascript" not in js.c4_text.lower() and js.c4_lines_removed == 1
+
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    cut_by = {r.doc_id: r.operator for r in rej.select("doc_id", "operator").collect()}
+    assert cut_by[105] == "LanguageCut"
+    assert cut_by[101] == cut_by[102] == cut_by[103] == cut_by[104] == "C4PageFilter"
+    assert cut_by[201] == "SharedSpanDeduplicator"
+    # dedup attribution carries the representative (the smaller-id winner)
+    rep = rej.filter(F.col("doc_id") == 201).first()["_rejection_details"]["representative_id"]
+    assert rep == "200"
