@@ -89,3 +89,80 @@ def test_unfitted_and_bad_params_raise(spark):
         NgramPerplexityScorer(add_k=0.0)
     with pytest.raises(ValueError, match="min_count"):
         NgramPerplexityScorer(min_count=0)
+
+
+def test_perplexity_buckets_match_oracle(spark):
+    """Per-group head/middle/tail thresholds mirrored value-for-value by
+    DuckDB quantile_cont (same p*(n-1) linear interpolation on identical
+    doubles) over the real documents corpus, grouped by language."""
+    from tests.conftest import assert_df_matches_sql
+    from mega_data_factory_spark.operators.lm import PerplexityBucketRefiner
+    from mega_data_factory_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"]
+    r = PerplexityBucketRefiner(score_col="n_chars", group_col="lang")
+    out = r.apply(docs).select("doc_id", "ppl_bucket").orderBy("doc_id")
+    sql = """
+WITH t AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS s FROM documents),
+q AS (SELECT lang, quantile_cont(s, 1.0/3.0) AS c1, quantile_cont(s, 2.0/3.0) AS c2
+      FROM t WHERE s IS NOT NULL GROUP BY lang)
+SELECT doc_id,
+  CASE WHEN s IS NULL THEN NULL
+       WHEN s <= c1 THEN 'head' WHEN s <= c2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM t LEFT JOIN q USING (lang) ORDER BY doc_id
+"""
+    assert_df_matches_sql(out, sql, name="perplexity_buckets")
+
+
+def test_perplexity_buckets_behavior(spark):
+    """Ungrouped thirds split ~N/3; NULL scores get NULL buckets; custom
+    cuts/labels; all-NULL corpus keeps every row with NULL bucket; bad
+    params raise; approx mode agrees on a well-separated corpus."""
+    from mega_data_factory_spark.operators.lm import PerplexityBucketRefiner
+
+    rows = [(i, float(i)) for i in range(90)] + [(900, None), (901, None)]
+    df = spark.createDataFrame(rows, "doc_id long, perplexity double")
+    out = PerplexityBucketRefiner().apply(df)
+    counts = {r["ppl_bucket"]: r["n"] for r in out.groupBy("ppl_bucket").count().withColumnRenamed("count", "n").collect()}
+    assert counts["head"] == 30 and counts["middle"] == 30 and counts["tail"] == 30
+    assert counts.get(None) == 2
+    # well-separated scores: the sketch picks the same thresholds
+    approx = PerplexityBucketRefiner(approx=True).apply(df)
+    diff = out.withColumnRenamed("ppl_bucket", "a").join(
+        approx.withColumnRenamed("ppl_bucket", "b"), on="doc_id"
+    ).filter("a IS DISTINCT FROM b").count()
+    assert diff == 0
+
+    empty = spark.createDataFrame([(1, None), (2, None)], "doc_id long, perplexity double")
+    kept = PerplexityBucketRefiner().apply(empty).collect()
+    assert len(kept) == 2 and all(r.ppl_bucket is None for r in kept)
+
+    two = PerplexityBucketRefiner(cuts=(0.5,), labels=("keep", "drop"), out_col="cut")
+    got = {r.doc_id: r.cut for r in two.apply(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)], "doc_id long, perplexity double")).collect()}
+    assert got == {1: "keep", 2: "keep", 3: "drop", 4: "drop"}
+
+    with pytest.raises(ValueError, match="labels"):
+        PerplexityBucketRefiner(cuts=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="cuts"):
+        PerplexityBucketRefiner(cuts=(0.9, 0.1))
+
+
+def test_perplexity_buckets_pipeline_voting(spark):
+    """Pipeline semantics: dead rows neither vote on thresholds nor get a
+    bucket. Planted: 6 alive scores 1..6 (median cut at 3.5) plus two dead
+    outliers that would drag the cut to 35 if they voted."""
+    from mega_data_factory_spark.operators.base import REJECTION_DETAILS_COL, rejection_details
+    from mega_data_factory_spark.operators.lm import PerplexityBucketRefiner
+
+    alive = [(i, float(i)) for i in range(1, 7)]
+    df = spark.createDataFrame(alive + [(98, 100.0), (99, 101.0)], "doc_id long, perplexity double")
+    tagged = df.withColumn(
+        REJECTION_DETAILS_COL,
+        F.when(F.col("doc_id") >= 98, rejection_details("filtered", "SomeCut")).otherwise(
+            F.lit(None).cast("struct<reason:string,operator:string,dedup_key:string,representative_id:string>")
+        ),
+    )
+    r = PerplexityBucketRefiner(cuts=(0.5,), labels=("good", "bad"), out_col="cut")
+    got = {x.doc_id: x.cut for x in r.apply(tagged).collect()}
+    assert got == {1: "good", 2: "good", 3: "good", 4: "bad", 5: "bad", 6: "bad", 98: None, 99: None}
