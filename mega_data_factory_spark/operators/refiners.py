@@ -649,13 +649,19 @@ class C4HeuristicRefiner(Refiner):
         return F.filter(F.split(t, "\n"), keep)
 
     def columns(self, df: DataFrame) -> dict[str, Column]:
+        import re as _re
+
         t = F.col(self.text_col)
         kept = self._kept_lines(t)
-        badword = reduce(
-            lambda a, b: a | b,
-            [word_occurrences(self.text_col, w) > 0 for w in self.bad_words],
-            F.lit(False),
-        )
+        if self.bad_words:
+            # ONE alternation regex, not a scan per word: the published
+            # LDNOOBW list is ~400 entries, and 400 regexp passes per row
+            # would dominate the refiner. Escaped words + \b are in the
+            # Java/RE2 common subset (the word_occurrences discipline).
+            pat = r"\b(" + "|".join(_re.escape(w.lower()) for w in self.bad_words) + r")\b"
+            badword = F.lower(t).rlike(pat)
+        else:
+            badword = F.lit(False)
         return {
             self.out_col: F.when(t.isNotNull(), F.array_join(kept, "\n")),
             "c4_lines_removed": F.when(t.isNotNull(), F.size(F.split(t, "\n")) - F.size(kept))
