@@ -400,3 +400,159 @@ def test_document_chunker_plan_is_pure_codegen(spark):
     plan = DocumentChunker(2, overlap_tokens=0).apply(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _py_mix64(x: int) -> int:
+    """Independent pure-int reimplementation of the splitmix64 finalizer."""
+    M = (1 << 64) - 1
+    z = (x + 0x9E3779B97F4A7C15) & M
+    z ^= z >> 30
+    z = (z * 0xBF58476D1CE4E5B9) & M
+    z ^= z >> 27
+    z = (z * 0x94D049BB133111EB) & M
+    z ^= z >> 31
+    return z
+
+
+def _py_segment(total: int, parts: int, seed: int, tag: int) -> list[int]:
+    if parts <= 1:
+        return [total]
+    M = (1 << 64) - 1
+    pos = list(range(1, total))
+    ranked = sorted(pos, key=lambda p: (_py_mix64(seed ^ ((p * 0xC2B2AE3D27D4EB4F + tag) & M)), p))
+    breaks = sorted(ranked[: parts - 1])
+    edges = [0, *breaks, total]
+    return [edges[i + 1] - edges[i] for i in range(len(edges) - 1)]
+
+
+def _py_corrupt(tokens, seed: int, density=0.15, mean_span=3.0, start=1000):
+    n = len(tokens)
+    if n < 2:
+        return list(tokens), []
+    num_noise = int(min(max(round(n * density), 1), n - 1))
+    num_spans = int(max(1, round(num_noise / mean_span)))
+    num_spans = min(num_spans, num_noise, n - num_noise)
+    noise = _py_segment(num_noise, num_spans, seed, 1)
+    plain = _py_segment(n - num_noise, num_spans, seed, 2)
+    inp, tgt, at = [], [], 0
+    for k in range(num_spans):
+        inp += tokens[at : at + plain[k]] + [start - k]
+        at += plain[k]
+        tgt += [start - k] + tokens[at : at + noise[k]]
+        at += noise[k]
+    return inp, tgt + [start - num_spans]
+
+
+def test_span_corruption_matches_independent_reimplementation(spark):
+    """Value-for-value agreement with a pure-python reimplementation of the
+    hash-rank segmentation (the non-SQL-expressible operators' differential
+    bar), across varied lengths including the <2-token and NULL edges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.packing import SpanCorruptionBuilder
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        n = [0, 1, 2, 3, 7, 20, 64, 257][i % 8]
+        rows.append((i % 5, i, [rng.randrange(0, 900) for _ in range(n)]))
+    rows.append((0, 999, None))
+    df = spark.createDataFrame(rows, "pack_bucket int, seq_id long, tokens array<int>")
+    b = SpanCorruptionBuilder(sentinel_start=1000)
+    got = {r.seq_id: r for r in b.apply(df).collect()}
+
+    seeds = {
+        r.seq_id: r.s
+        for r in df.select("seq_id", F.xxhash64("pack_bucket", "seq_id", F.lit("span")).alias("s")).collect()
+    }
+    for bk, sid, toks in rows:
+        if toks is None:
+            assert got[sid].input_ids is None and got[sid].target_ids is None
+            continue
+        ei, et = _py_corrupt(toks, seeds[sid] & ((1 << 64) - 1))
+        assert got[sid].input_ids == ei, f"seq {sid} input"
+        assert got[sid].target_ids == et, f"seq {sid} target"
+
+
+def test_span_corruption_properties(spark):
+    """The t5 invariants: interleaving reconstructs the original sequence
+    exactly; noise fraction tracks the density; sentinels descend from
+    sentinel_start and close the target; deterministic across repartition;
+    bad params raise."""
+    import random
+
+    import pytest as _pytest
+
+    from mega_data_factory_spark.operators.packing import SpanCorruptionBuilder
+
+    rng = random.Random(11)
+    rows = [(i % 3, i, [rng.randrange(0, 900) for _ in range(rng.randrange(50, 400))]) for i in range(30)]
+    df = spark.createDataFrame(rows, "pack_bucket int, seq_id long, tokens array<int>")
+    b = SpanCorruptionBuilder(sentinel_start=1000, noise_density=0.15, mean_span=3.0)
+    out = {r.seq_id: r for r in b.apply(df).collect()}
+    orig = {sid: t for _, sid, t in rows}
+
+    total = noise = 0
+    for sid, r in out.items():
+        inp, tgt = r.input_ids, r.target_ids
+        # split target on sentinels -> spans; splice back into input
+        spans, cur = {}, None
+        for t in tgt:
+            if t > 900:
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in inp:
+            rebuilt.extend(spans[t] if t > 900 else [t])
+        assert rebuilt == orig[sid], f"seq {sid} reconstruction"
+        n = len(orig[sid])
+        masked = sum(len(v) for v in spans.values())
+        total += n
+        noise += masked
+        sentinels = [t for t in inp if t > 900]
+        k = len(sentinels)
+        assert sentinels == [1000 - i for i in range(k)]
+        assert tgt[-1] == 1000 - k or spans[1000 - k] == []  # closing sentinel, empty span
+    assert 0.10 <= noise / total <= 0.20
+
+    re = {r.seq_id: (r.input_ids, r.target_ids) for r in b.apply(df.repartition(13)).collect()}
+    assert re == {sid: (r.input_ids, r.target_ids) for sid, r in out.items()}
+
+    with _pytest.raises(ValueError, match="sentinel_start"):
+        SpanCorruptionBuilder()
+    with _pytest.raises(ValueError, match="noise_density"):
+        SpanCorruptionBuilder(sentinel_start=10, noise_density=1.5)
+    with _pytest.raises(ValueError, match="mean_span"):
+        SpanCorruptionBuilder(sentinel_start=10, mean_span=0.5)
+
+
+def test_span_corruption_single_udf_evaluation(spark):
+    """The struct UDF is materialized once (ArrowEvalPython appears once in
+    the plan), and the export path composes: packed_token_ids -> spans."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.bpe import BpeTokenizer
+    from mega_data_factory_spark.operators.packing import SequencePacker, SpanCorruptionBuilder
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * (i + 1)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    tok = BpeTokenizer(vocab_size=300).fit(docs)
+    with_ids = tok.encode_ids(docs)
+    packed = SequencePacker(seq_len=64, buckets=2).packed_token_ids(with_ids, "bpe_token_ids")
+    vocab_top = len(tok.vocab()) + 100
+    out = SpanCorruptionBuilder(sentinel_start=vocab_top).apply(packed)
+    rows = out.collect()
+    assert rows and all(r.input_ids and r.target_ids for r in rows)
+    # single evaluation: count the span UDF's Arrow node over a plain
+    # materialized input (the composed plan also carries the BPE encode UDF)
+    plain = spark.createDataFrame(
+        [(0, 1, list(range(64)))], "pack_bucket int, seq_id long, tokens array<int>"
+    )
+    plan = SpanCorruptionBuilder(sentinel_start=1000).apply(plain)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
