@@ -454,6 +454,43 @@ def main() -> None:
         print(f"# token_shard_export: FAILED ({errors['token_shard_export']})", file=sys.stderr)
 
     try:
+        # Span-corruption datapoint: T5 denoising examples over the shards
+        # the export line just built (operator isolated — encode+pack cost
+        # is token_shard_export's; the shard frame is materialized untimed,
+        # so this measures one Arrow crossing of hash-rank segmentation +
+        # splice over exact-2048-token rows). Reuses bpe_tok/tok_corpus
+        # from the export block; if that block failed this records the
+        # same failure.
+        from mega_data_factory_spark.operators.packing import SpanCorruptionBuilder
+
+        shards_mat = shard_packer.packed_token_ids(bpe_tok.encode_ids(tok_corpus)).persist()
+        n_sh = shards_mat.count()
+        builder = SpanCorruptionBuilder(sentinel_start=len(bpe_tok.vocab()) + 199)
+        dt = float("inf")
+        n_out = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            agg = (
+                builder.apply(shards_mat)
+                .agg(F2.sum(F2.size("input_ids")) + F2.sum(F2.size("target_ids")))
+                .first()
+            )
+            if time.perf_counter() - t0 < dt:
+                dt = time.perf_counter() - t0
+                n_out = int(agg[0] or 0)
+        shards_mat.unpersist()
+        timings["span_corruption_export"] = round(dt, 4)
+        total += dt
+        print(
+            f"# span_corruption_export: {dt:.3f}s ({n_sh} seqs -> {n_out:,} example ids, "
+            f"{n_out/dt:,.0f} ids/s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["span_corruption_export"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# span_corruption_export: FAILED ({errors['span_corruption_export']})", file=sys.stderr)
+
+    try:
         # Dataset-profiling datapoint: full column profile of the two widest
         # tables (lineitem + orders) in sketch mode — HLL cardinalities +
         # approx_percentile, the bounded-memory 100 TB configuration. Each
@@ -636,6 +673,7 @@ def main() -> None:
                     "quality_classifier_1m",
                     "pq_ann_500k",
                     "token_shard_export",
+                    "span_corruption_export",
                 ],
                 **({"streaming": stream_detail} if stream_detail else {}),
                 # a run with failed queries reports a smaller total than a

@@ -485,3 +485,54 @@ def test_streaming_store_not_updated_without_sinks(spark, tmp_path):
     import os
 
     assert not os.path.exists(store)  # nothing shipped -> nothing remembered
+
+
+def test_streaming_c4_cleaning_composes(spark, tmp_path):
+    """The C4 refiner + page filter flow through the foreachBatch runner:
+    line rules rewrite c4_text per micro-batch, flagged pages land in the
+    rejected sink attributed to C4PageFilter."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.streaming import StreamingPipeline
+
+    good = "\n".join(f"A clean and solid sentence number {i}." for i in range(4))
+    src = tmp_path / "c4_in"
+    write_events(
+        src,
+        [
+            {"doc_id": 1, "text": good + "\nenable javascript to proceed"},
+            {"doc_id": 2, "text": good + "\ncode { sample }"},
+            {"doc_id": 3, "text": "Too short to keep honestly."},
+        ],
+        "a",
+    )
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "stream_c4",
+                "id_col": "doc_id",
+                "source": {"table": "unused"},
+                "stages": [
+                    {
+                        "name": "c4",
+                        "operators": [
+                            {"name": "C4HeuristicRefiner"},
+                            {"name": "C4PageFilter", "params": {"min_sentences": 3}},
+                        ],
+                    }
+                ],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "c4_out"))
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "c4_rej"))
+
+    sp = StreamingPipeline(cfg, checkpoint_dir=str(tmp_path / "c4_ckpt"))
+    q = sp.start(spark.readStream.schema("doc_id long, text string").json(str(src)))
+    q.awaitTermination(120)
+
+    out = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "c4_out")).collect()}
+    assert set(out) == {1}
+    assert "javascript" not in out[1].c4_text and out[1].c4_sentences == 4
+    rej = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "c4_rej")).collect()}
+    assert set(rej) == {2, 3}
+    assert all(r._rejection_details.operator == "C4PageFilter" for r in rej.values())
