@@ -88,6 +88,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     tokp.add_argument("--id-col", default="doc_id")
     tokp.add_argument("--text-col", default="text")
+    tokp.add_argument(
+        "--spans",
+        type=int,
+        default=None,
+        metavar="SENTINEL_START",
+        help="also emit T5 span-corruption input_ids/target_ids per sequence, "
+        "sentinels descending from this id (pick >= vocab size + span budget)",
+    )
+    tokp.add_argument("--noise-density", type=float, default=0.15)
+    tokp.add_argument("--mean-span", type=float, default=3.0)
     tokp.add_argument("--cpus", type=int, default=None)
     pdp = sub.add_parser(
         "profile-diff",
@@ -207,6 +217,14 @@ def main(argv: list[str] | None = None) -> int:
         shards = packer.packed_token_ids(
             tok.encode_ids(spark.read.parquet(args.input)), eos_id=args.eos_id
         )
+        if args.spans is not None:
+            from mega_data_factory_spark.operators.packing import SpanCorruptionBuilder
+
+            shards = SpanCorruptionBuilder(
+                sentinel_start=args.spans,
+                noise_density=args.noise_density,
+                mean_span=args.mean_span,
+            ).apply(shards)
         # one file per pack bucket, sequences in order inside it — the
         # layout a trainer streams shard-by-shard
         (

@@ -629,6 +629,10 @@ class C4HeuristicRefiner(Refiner):
         super().__init__(name)
         if min_words < 1:
             raise ValueError(f"min_words must be >= 1, got {min_words}")
+        if any(not w or not w.strip() for w in bad_words):
+            # an empty entry would compile to an empty alternation branch
+            # (\b()\b) that matches every page
+            raise ValueError("bad_words entries must be non-blank")
         self.text_col = text_col
         self.min_words = min_words
         self.bad_words = tuple(bad_words)

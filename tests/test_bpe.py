@@ -188,3 +188,35 @@ def test_bpe_tie_break_is_lexicographic_on_joined_key(spark):
     # every initial pair has count 3; "x\0y" < "x\0z" < the EOW pairs
     assert tok.merges[0] == ("x", "y")
     assert tok.merges[1] == ("x", "z")
+
+
+def test_cli_export_tokens_with_spans(spark, corpus, tmp_path, capsys):
+    """--spans adds T5 denoising columns to the exported shards, and the
+    sentinel splice reconstructs each packed sequence exactly."""
+    import json
+
+    from mega_data_factory_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    corpus.write.parquet(src)
+    model = str(tmp_path / "bpe.json")
+    out = str(tmp_path / "span_shards")
+    assert main(["fit-bpe", "-i", src, "-o", model, "--vocab-size", "40"]) == 0
+    capsys.readouterr()
+    assert main([
+        "export-tokens", "-i", src, "-m", model, "-o", out,
+        "--seq-len", "16", "--buckets", "2", "--spans", "500",
+    ]) == 0
+    shards = spark.read.parquet(out)
+    assert {"tokens", "input_ids", "target_ids"} <= set(shards.columns)
+    for r in shards.collect():
+        spans, cur = {}, None
+        for t in r.target_ids:
+            if t > 400:
+                cur, spans[cur] = t, []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in r.input_ids:
+            rebuilt.extend(spans[t] if t > 400 else [t])
+        assert rebuilt == list(r.tokens)
