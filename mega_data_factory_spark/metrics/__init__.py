@@ -114,3 +114,56 @@ def write_metrics(spark: SparkSession, result, base_path: str) -> None:
     ops.select([f.name for f in OPERATOR_METRICS_SCHEMA.fields]).write.mode("append").parquet(f"{base_path}/operators")
     stages.select([f.name for f in STAGE_METRICS_SCHEMA.fields]).write.mode("append").parquet(f"{base_path}/stages")
     runs.select([f.name for f in RUN_METRICS_SCHEMA.fields]).write.mode("append").parquet(f"{base_path}/runs")
+
+
+def training_mix_manifest(
+    df,
+    group_cols: tuple[str, ...] = ("source",),
+    *,
+    token_col: str | None = None,
+    text_col: str = "text",
+):
+    """The "data card" accounting every released training corpus ships:
+    docs / tokens / bytes and corpus share per group (source, language,
+    split, ...), as ONE aggregate over the final curated frame. Pair with
+    the curated sink write so the manifest is produced from the exact
+    frame that became the training set. Beyond the reference's metrics
+    surface — first-class per the build brief.
+
+    ``token_col`` uses a precomputed count (e.g. ``bpe_token_count``);
+    otherwise whitespace tokens via the shared ``token_count`` definition.
+    NULL group values are reported as their own row (a NULL source is a
+    provenance bug worth seeing, not collapsing). Shares are exact
+    (decimal-summed totals, double division). SQL-mirrorable; the
+    differential test holds the driver-gate bar.
+
+    Scale shape: one groupBy over ≤ a few thousand groups — partial
+    aggregation map-side, one compact shuffle; the share join is a
+    broadcast of a one-row total.
+    """
+    from mega_data_factory_spark.functions.text import token_count
+
+    toks = F.col(token_col).cast("long") if token_col else token_count(text_col)
+    per = (
+        df.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(toks).alias("tokens"),
+            F.sum(F.octet_length(F.col(text_col))).alias("bytes"),
+        )
+    )
+    totals = per.agg(
+        F.sum("docs").alias("__td"), F.sum("tokens").alias("__tt")
+    )
+    return (
+        per.join(F.broadcast(totals))
+        .select(
+            *group_cols,
+            "docs",
+            "tokens",
+            "bytes",
+            F.round(F.col("docs").cast("double") / F.col("__td"), 6).alias("doc_share"),
+            F.round(F.col("tokens").cast("double") / F.col("__tt"), 6).alias("token_share"),
+        )
+        .orderBy(*[F.col(c).asc_nulls_first() for c in group_cols])
+    )

@@ -650,3 +650,58 @@ def test_c4_recipe_config(spark, tmp_path):
     # dedup attribution carries the representative (the smaller-id winner)
     rep = rej.filter(F.col("doc_id") == 201).first()["_rejection_details"]["representative_id"]
     assert rep == "200"
+
+
+def test_training_mix_manifest_matches_oracle(spark):
+    """Data-card accounting (docs/tokens/bytes/shares per source+lang)
+    mirrored value-for-value in DuckDB over the real documents corpus
+    plus a planted NULL-source row (NULL groups must surface, not
+    collapse or vanish)."""
+    from tests.conftest import assert_df_matches_sql
+    from mega_data_factory_spark.metrics import training_mix_manifest
+    from mega_data_factory_spark.plans.curation import _token_count
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text", "lang", "source")
+    planted = spark.createDataFrame(
+        [(90001, "planted text with five tokens", "en", None)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = training_mix_manifest(docs.unionByName(planted), ("source", "lang"))
+    tc = _token_count("text")
+    sql = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL SELECT 90001, 'planted text with five tokens', 'en', NULL
+),
+per AS (
+  SELECT source, lang, count(*) AS docs,
+         sum(CAST({tc} AS BIGINT)) AS tokens,
+         sum(octet_length(CAST(text AS BLOB))) AS bytes
+  FROM corpus GROUP BY source, lang
+),
+tot AS (SELECT sum(docs) AS td, sum(tokens) AS tt FROM per)
+SELECT source, lang, docs, tokens, bytes,
+       round(CAST(docs AS DOUBLE) / td, 6) AS doc_share,
+       round(CAST(tokens AS DOUBLE) / tt, 6) AS token_share
+FROM per, tot ORDER BY source NULLS FIRST, lang NULLS FIRST
+"""
+    assert_df_matches_sql(out, sql, name="training_mix_manifest")
+    # shares sum to ~1
+    import math
+
+    rows = out.collect()
+    assert math.isclose(sum(r.doc_share for r in rows), 1.0, abs_tol=1e-4)
+
+
+def test_training_mix_manifest_token_col(spark):
+    """token_col uses the precomputed count (the post-BPE accounting path)."""
+    from mega_data_factory_spark.metrics import training_mix_manifest
+
+    df = spark.createDataFrame(
+        [(1, "a b", "s1", 10), (2, "c", "s1", 30), (3, "d e f", "s2", 60)],
+        "doc_id long, text string, source string, bpe_token_count int",
+    )
+    rows = {r.source: r for r in training_mix_manifest(df, ("source",), token_col="bpe_token_count").collect()}
+    assert rows["s1"].tokens == 40 and rows["s2"].tokens == 60
+    assert rows["s1"].token_share == 0.4 and rows["s2"].token_share == 0.6
+    assert rows["s1"].docs == 2 and rows["s2"].doc_share == round(1 / 3, 6)
