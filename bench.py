@@ -458,27 +458,31 @@ def main() -> None:
         # the export line just built (operator isolated — encode+pack cost
         # is token_shard_export's; the shard frame is materialized untimed,
         # so this measures one Arrow crossing of hash-rank segmentation +
-        # splice over exact-2048-token rows). Reuses bpe_tok/tok_corpus
-        # from the export block; if that block failed this records the
-        # same failure.
+        # splice over exact-2048-token rows). Depends on the export block's
+        # bpe_tok/tok_corpus; if that block failed, this records a
+        # dependency-skipped error, not a fake failure of its own.
         from mega_data_factory_spark.operators.packing import SpanCorruptionBuilder
 
+        if "token_shard_export" in errors:
+            raise RuntimeError("skipped: token_shard_export failed upstream")
         shards_mat = shard_packer.packed_token_ids(bpe_tok.encode_ids(tok_corpus)).persist()
-        n_sh = shards_mat.count()
-        builder = SpanCorruptionBuilder(sentinel_start=len(bpe_tok.vocab()) + 199)
-        dt = float("inf")
-        n_out = 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            agg = (
-                builder.apply(shards_mat)
-                .agg(F2.sum(F2.size("input_ids")) + F2.sum(F2.size("target_ids")))
-                .first()
-            )
-            if time.perf_counter() - t0 < dt:
-                dt = time.perf_counter() - t0
-                n_out = int(agg[0] or 0)
-        shards_mat.unpersist()
+        try:
+            n_sh = shards_mat.count()
+            builder = SpanCorruptionBuilder(sentinel_start=len(bpe_tok.vocab()) + 199)
+            dt = float("inf")
+            n_out = 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                agg = (
+                    builder.apply(shards_mat)
+                    .agg(F2.sum(F2.size("input_ids")) + F2.sum(F2.size("target_ids")))
+                    .first()
+                )
+                if time.perf_counter() - t0 < dt:
+                    dt = time.perf_counter() - t0
+                    n_out = int(agg[0] or 0)
+        finally:
+            shards_mat.unpersist()
         timings["span_corruption_export"] = round(dt, 4)
         total += dt
         print(

@@ -220,11 +220,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.spans is not None:
             from mega_data_factory_spark.operators.packing import SpanCorruptionBuilder
 
+            if args.spans <= len(tok.vocab()):
+                p.error(
+                    f"--spans {args.spans} collides with the model's token ids "
+                    f"(vocab size {len(tok.vocab())}); pick sentinel headroom above it"
+                )
             shards = SpanCorruptionBuilder(
                 sentinel_start=args.spans,
                 noise_density=args.noise_density,
                 mean_span=args.mean_span,
             ).apply(shards)
+        elif args.noise_density != 0.15 or args.mean_span != 3.0:
+            p.error("--noise-density/--mean-span require --spans")
         # one file per pack bucket, sequences in order inside it — the
         # layout a trainer streams shard-by-shard
         (

@@ -164,9 +164,14 @@ class PerplexityBucketRefiner(Refiner):
 
     Pipeline semantics: full-frame (thresholds are corpus statistics);
     only alive rows with a non-NULL score vote, dead rows and NULL scores
-    get a NULL bucket. Exact mode is SQL-mirrorable (DuckDB
+    get a NULL bucket. NULL group values form their OWN group (the
+    BoilerplateLineRefiner NUL-sentinel rule) and get real buckets — a
+    missing language tag must not exempt documents from the cut; an SQL
+    mirror must therefore group on ``COALESCE(g, chr(0))`` too, not a
+    bare equi-join. Exact mode is SQL-mirrorable under that rule (DuckDB
     ``quantile_cont`` computes the same ``p*(n-1)`` linear interpolation
-    on identical doubles); tests/test_lm.py holds the driver-gate bar.
+    on identical doubles); tests/test_lm.py holds the driver-gate bar
+    including planted NULL-group rows.
     """
 
     pipeline_full_frame = True
@@ -226,14 +231,11 @@ class PerplexityBucketRefiner(Refiner):
         if grp:
             with_t = df.select("*", *gexpr).join(thresholds, on=gkeys, how="left").drop(*gkeys)
         else:
-            # LEFT join on a constant key, not a crossJoin: an all-dead /
-            # all-NULL-score corpus yields an EMPTY threshold frame, and a
-            # cross join against it would erase every input row
-            with_t = (
-                df.withColumn("__one", F.lit(1))
-                .join(thresholds.withColumn("__one", F.lit(1)), on="__one", how="left")
-                .drop("__one")
-            )
+            # ungrouped: the global aggregate always yields exactly ONE row
+            # (with NULL __cuts when no row voted — Spark global aggs never
+            # return an empty frame), so a cross join is safe and AQE
+            # broadcasts the single-row side
+            with_t = df.crossJoin(thresholds)
         bucket = F.lit(self.labels[-1])
         for i in reversed(range(len(self.cuts))):
             bucket = F.when(s <= F.element_at(F.col("__cuts"), i + 1), F.lit(self.labels[i])).otherwise(bucket)

@@ -468,6 +468,10 @@ class SpanCorruptionBuilder(Refiner):
         super().__init__(name)
         if sentinel_start is None:
             raise ValueError("sentinel_start is required (t5 convention: vocab top — e.g. vocab_size + 99)")
+        if int(sentinel_start) <= 0:
+            # sentinels descend from here; 0/negative ids guarantee
+            # collision with real token ids and an unspliceable target
+            raise ValueError(f"sentinel_start must be positive, got {sentinel_start}")
         if not 0.0 < noise_density < 1.0:
             raise ValueError(f"noise_density must be in (0, 1), got {noise_density}")
         if mean_span < 1.0:

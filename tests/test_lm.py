@@ -99,17 +99,28 @@ def test_perplexity_buckets_match_oracle(spark):
     from mega_data_factory_spark.operators.lm import PerplexityBucketRefiner
     from mega_data_factory_spark.session import load_tables
 
-    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"]
+    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    # planted NULL-group rows: NULL lang forms its OWN group and gets real
+    # buckets (the documented sentinel rule), mirrored via COALESCE grouping
+    planted = spark.createDataFrame(
+        [(90001, None, 10), (90002, None, 20), (90003, None, 30)],
+        "doc_id long, lang string, n_chars long",
+    )
     r = PerplexityBucketRefiner(score_col="n_chars", group_col="lang")
-    out = r.apply(docs).select("doc_id", "ppl_bucket").orderBy("doc_id")
+    out = r.apply(docs.unionByName(planted)).select("doc_id", "ppl_bucket").orderBy("doc_id")
     sql = """
-WITH t AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS s FROM documents),
-q AS (SELECT lang, quantile_cont(s, 1.0/3.0) AS c1, quantile_cont(s, 2.0/3.0) AS c2
-      FROM t WHERE s IS NOT NULL GROUP BY lang)
+WITH t AS (
+  SELECT doc_id, COALESCE(lang, chr(0)) AS g, CAST(n_chars AS DOUBLE) AS s FROM documents
+  UNION ALL SELECT * FROM (VALUES (90001, chr(0), 10.0), (90002, chr(0), 20.0), (90003, chr(0), 30.0))
+),
+q AS (SELECT g, quantile_cont(s, 1.0/3.0) AS c1, quantile_cont(s, 2.0/3.0) AS c2
+      FROM t WHERE s IS NOT NULL GROUP BY g)
 SELECT doc_id,
   CASE WHEN s IS NULL THEN NULL
        WHEN s <= c1 THEN 'head' WHEN s <= c2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
-FROM t LEFT JOIN q USING (lang) ORDER BY doc_id
+FROM t LEFT JOIN q USING (g) ORDER BY doc_id
 """
     assert_df_matches_sql(out, sql, name="perplexity_buckets")
 
