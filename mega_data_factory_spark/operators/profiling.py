@@ -263,3 +263,72 @@ class ColumnProfiler:
             "text_before",
             "text_after",
         )
+
+
+    def top_values(self, df: DataFrame, *, k: int = 10, support: float = 0.01) -> DataFrame:
+        """Heavy hitters per profiled column — the skew question the flat
+        ``profile()`` stats can't answer ("which keys are hot?"), and the
+        direct input to the salting/skew-join levers
+        (events_salted_user_totals, operators/joins.skew_split_join).
+
+        Output is long-form ``(column, rank, text, count)``; values are
+        stringified so one frame carries every column's hitters (the
+        ``profile()`` posture).
+
+        Two modes, the profiler's exact/sketch split:
+
+        * ``approx=False`` — exact top-``k`` by count with a
+          deterministic tie-break (count desc, value asc): ONE stacked
+          scan (inline posexplode of (column, value) pairs — no
+          per-column jobs), one groupBy(column, value) shuffle, and a
+          top-k window over the grouped counts. Fully SQL-mirrorable;
+          the differential test holds the driver-gate bar. At 100 TB
+          this is for columns whose distinct count fits a shuffle
+          (sources, langs, domains, status codes) — the groupBy
+          cardinality is the SUM of per-column distincts, so profile
+          high-cardinality id columns in sketch mode instead.
+        * ``approx=True`` (constructor default) — single-pass
+          ``DataFrame.stat.freqItems`` (Karp-Papadimitriou-Shenker):
+          bounded memory, NO shuffle, returns the candidate superset of
+          values with frequency > ``support`` (unordered, counts not
+          estimated -> ``rank``/``count`` are NULL). The 100 TB screen:
+          run it first, then count ONLY the screened candidates exactly
+          (a broadcast semi-join) if ranks are needed.
+        """
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        cols = [c for c, _ in self._selected(df)]
+        if not cols:
+            raise ValueError("no profilable columns selected")
+        if self.approx:
+            row = df.stat.freqItems(cols, support)
+            first = row.first()
+            entries = []
+            for c in cols:
+                for v in sorted(str(x) for x in (first[f"{c}_freqItems"] or []) if x is not None):
+                    entries.append((c, None, v, None))
+            schema = "column string, rank int, text string, count long"
+            return df.sparkSession.createDataFrame(entries, schema)
+        pairs = df.select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("string").alias("text"),
+                        )
+                        for c in cols
+                    ]
+                )
+            )
+        ).filter(F.col("text").isNotNull())
+        counts = pairs.groupBy("column", "text").agg(F.count(F.lit(1)).alias("count"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("column").orderBy(F.col("count").desc(), F.col("text").asc())
+        return (
+            counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("column", "rank", "text", "count")
+            .orderBy("column", "rank")
+        )

@@ -207,3 +207,52 @@ def test_cli_profile_diff(spark, tmp_path, capsys):
     mean = next(x for x in lines if x["column"] == "v" and x["stat"] == "mean")
     assert mean["before"] == 15.0 and mean["after"] == 5.0 and mean["delta"] == -10.0
     assert spark.read.parquet(out).count() == len(lines)
+
+
+def test_top_values_exact_matches_oracle(spark):
+    """Exact heavy hitters (one stacked scan + one groupBy + top-k window,
+    deterministic count-desc/value-asc tie-break) mirrored in DuckDB over
+    the real documents corpus."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    from mega_data_factory_spark.operators.profiling import ColumnProfiler
+
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    p = ColumnProfiler(["lang", "source"], approx=False)
+    out = p.top_values(docs, k=5)
+    sql = """
+WITH pairs AS (
+  SELECT 'lang' AS col, CAST(lang AS VARCHAR) AS text FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT 'source', CAST(source AS VARCHAR) FROM documents WHERE source IS NOT NULL
+),
+c AS (SELECT col, text, count(*) AS count FROM pairs GROUP BY col, text),
+r AS (SELECT col, text, count,
+             row_number() OVER (PARTITION BY col ORDER BY count DESC, text ASC) AS rk
+      FROM c)
+SELECT col AS "column", CAST(rk AS INT) AS rank, text, count
+FROM r WHERE rk <= 5 ORDER BY "column", rk
+"""
+    assert_df_matches_sql(out, sql, name="top_values_exact")
+
+
+def test_top_values_sketch_screens_heavy_hitters(spark):
+    """freqItems mode: single pass, no counts/ranks, but every value above
+    the support threshold is present (KPS guarantees a superset)."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.profiling import ColumnProfiler
+
+    rows = [(i, "hot" if i % 3 else "warm", i % 7) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, key string, small int")
+    out = ColumnProfiler(["key", "small"], approx=True).top_values(df, support=0.2)
+    got = {(r["column"], r.text) for r in out.collect()}
+    assert ("key", "hot") in got and ("key", "warm") in got
+    assert all(r.rank is None and r["count"] is None for r in out.collect())
+    # the exact plan contains no per-column jobs: one scan feeds the stack
+    exact = ColumnProfiler(["key", "small"], approx=False).top_values(df, k=2)
+    top = {r["column"]: r.text for r in exact.filter("rank = 1").collect()}
+    assert top["key"] == "hot"
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        ColumnProfiler(["key"]).top_values(df, k=0)
