@@ -553,3 +553,96 @@ class SpanCorruptionBuilder(Refiner):
     def columns(self, df: DataFrame) -> dict[str, Column]:
         m = self._udf()(self._packed_input())
         return {"input_ids": m["input_ids"], "target_ids": m["target_ids"]}
+
+
+SENT_SEP = "\x1e"  # record separator: the in-plan sentence boundary sentinel
+SENT_WS = "[ \\t\\x0B\\f\\r\\n]+"  # explicit class — Java/RE2 identical
+
+
+class SentenceChunker(Operator):
+    """Sentence-boundary-aware chunking — the RAG/context-window prep that
+    :class:`DocumentChunker`'s fixed word windows can't give: chunks never
+    cut mid-sentence. Sentences split after terminal-punctuation runs
+    (``.!?``) followed by whitespace; each sentence is assigned to chunk
+    ``floor(words_before / chunk_tokens)`` — the SequencePacker
+    "assigned where it starts" closed form, so a chunk holds whole
+    sentences and exceeds the budget by at most its final straddling
+    sentence. One output row per (doc, chunk) with ``chunk_index``,
+    ``chunk_id``, ``chunk_text`` (sentences joined by single spaces),
+    ``chunk_n_sentences``, ``chunk_n_tokens``; empty/NULL/punctuation-free
+    short text yields one chunk (cardinality accounting — a
+    row-multiplying operator must not silently drop documents).
+    Beyond the reference's surface — first-class per the build brief.
+
+    Scale shape: posexplode (narrow) + ONE doc-keyed window for the
+    running word count + one (doc, chunk) groupBy rebuild — two compact
+    shuffles carrying each sentence exactly once (the BoilerplateLine
+    budget), no Python anywhere. A greedy fold-per-document HOF form
+    would be zero-shuffle but quadratic interpreted array copies per
+    document (the repetition-stats lesson); the closed-form assignment
+    keeps it linear and — unlike greedy filling — exactly mirrorable in
+    ANSI SQL window functions: tests/test_packing.py holds the
+    driver-gate differential bar.
+    """
+
+    def __init__(
+        self,
+        chunk_tokens: int = 512,
+        *,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        if chunk_tokens < 1:
+            raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+        self.chunk_tokens = int(chunk_tokens)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        B = self.chunk_tokens
+        marked = F.regexp_replace(
+            F.coalesce(F.col(self.text_col), F.lit("")),
+            f"([.!?]+){SENT_WS}",
+            "$1" + SENT_SEP,
+        )
+        sents = df.select(
+            F.col(self.id_col).alias("__id"),
+            F.posexplode(F.split(marked, SENT_SEP)).alias("__pos", "__sent"),
+        ).withColumn(
+            "__w",
+            F.size(F.filter(F.split(F.col("__sent"), SENT_WS), lambda w: w != "")),
+        ).filter(F.col("__w") > 0)
+        w = Window.partitionBy("__id").orderBy("__pos")
+        assigned = sents.withColumn(
+            "__chunk",
+            F.floor(
+                (F.sum("__w").over(w) - F.col("__w")).cast("double") / F.lit(float(B))
+            ).cast("int"),
+        )
+        chunks = assigned.groupBy("__id", "__chunk").agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__sent"))),
+                    lambda s: s["__sent"],
+                ),
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("int").alias("chunk_n_sentences"),
+            F.sum("__w").cast("long").alias("chunk_n_tokens"),
+        )
+        out = df.join(
+            chunks.withColumnRenamed("__id", self.id_col), on=self.id_col, how="left"
+        )
+        # all-blank documents produced no sentence rows -> one empty chunk
+        return out.select(
+            *[F.col(c) for c in df.columns],
+            F.coalesce(F.col("__chunk"), F.lit(0)).cast("int").alias("chunk_index"),
+            F.concat_ws(
+                "#", F.col(self.id_col).cast("string"), F.coalesce(F.col("__chunk"), F.lit(0)).cast("string")
+            ).alias("chunk_id"),
+            F.coalesce(F.col("chunk_text"), F.lit("")).alias("chunk_text"),
+            F.coalesce(F.col("chunk_n_sentences"), F.lit(0)).cast("int").alias("chunk_n_sentences"),
+            F.coalesce(F.col("chunk_n_tokens"), F.lit(0)).cast("long").alias("chunk_n_tokens"),
+        )

@@ -95,7 +95,7 @@ def _register_builtins() -> None:
         VisualDegradationsRefiner,
     )
     from mega_data_factory_spark.operators.bpe import BpeTokenizer
-    from mega_data_factory_spark.operators.packing import DocumentChunker, SpanCorruptionBuilder
+    from mega_data_factory_spark.operators.packing import DocumentChunker, SentenceChunker, SpanCorruptionBuilder
     from mega_data_factory_spark.operators.classifier import QualityClassifier
     from mega_data_factory_spark.operators.lm import PerplexityBucketRefiner
     from mega_data_factory_spark.operators.dsir import DsirImportanceScorer, DsirResampler
@@ -172,6 +172,7 @@ def _register_builtins() -> None:
         DsirResampler,
         BpeTokenizer,
         DocumentChunker,
+        SentenceChunker,
         SpanCorruptionBuilder,
     ):
         OPERATORS.register(cls)

@@ -556,3 +556,99 @@ def test_span_corruption_single_udf_evaluation(spark):
     )
     plan = SpanCorruptionBuilder(sentinel_start=1000).apply(plain)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_sentence_chunker_matches_oracle(spark):
+    """Closed-form sentence->chunk assignment mirrored in DuckDB window SQL
+    over real docs (punctuation-free -> one sentence, chunk 0) plus planted
+    multi-sentence rows that straddle the word budget."""
+    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
+    from mega_data_factory_spark.operators.packing import SentenceChunker
+    from mega_data_factory_spark.session import load_tables
+
+    planted = [
+        (200001, "One two three four. Five six seven! Eight nine ten eleven twelve? Tail."),
+        (200002, "Single sentence no punct at all"),
+        (200003, None),
+        (200004, "   "),
+        (200005, "A!? Multi mark run.  Double  spaced words here."),
+    ]
+    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"].select("doc_id", "text")
+    df = docs.unionByName(spark.createDataFrame(planted, "doc_id long, text string"))
+    out = (
+        SentenceChunker(8)
+        .apply(df)
+        .select("doc_id", "chunk_index", "chunk_id", "chunk_text", "chunk_n_sentences", "chunk_n_tokens")
+        .orderBy("doc_id", "chunk_index")
+    )
+    values = ", ".join(
+        "({}, {})".format(i, "NULL" if t is None else "'" + t.replace("'", "''") + "'")
+        for i, t in planted
+    )
+    ws = r"[ \t\x0B\f\r\n]+"
+    sql = f"""
+WITH corpus(doc_id, text) AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {values})
+),
+sents AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(COALESCE(text, ''), '([.!?]+){ws}', '\\1' || chr(30), 'g'), chr(30))) AS sent,
+         generate_subscripts(string_split(regexp_replace(COALESCE(text, ''), '([.!?]+){ws}', '\\1' || chr(30), 'g'), chr(30)), 1) AS pos
+  FROM corpus
+),
+wd AS (
+  SELECT doc_id, sent, pos,
+         len(list_filter(regexp_split_to_array(sent, '{ws}'), w -> w <> '')) AS w
+  FROM sents
+),
+assigned AS (
+  SELECT doc_id, sent, pos, w,
+         CAST(floor(CAST(COALESCE(sum(w) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 8.0) AS INT) AS chunk
+  FROM wd WHERE w > 0
+),
+chunks AS (
+  SELECT doc_id, chunk,
+         string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
+         CAST(count(*) AS INT) AS chunk_n_sentences,
+         CAST(sum(w) AS BIGINT) AS chunk_n_tokens
+  FROM assigned GROUP BY doc_id, chunk
+)
+SELECT c.doc_id,
+       CAST(COALESCE(k.chunk, 0) AS INT) AS chunk_index,
+       c.doc_id || '#' || CAST(COALESCE(k.chunk, 0) AS VARCHAR) AS chunk_id,
+       COALESCE(k.chunk_text, '') AS chunk_text,
+       COALESCE(k.chunk_n_sentences, 0) AS chunk_n_sentences,
+       COALESCE(k.chunk_n_tokens, 0) AS chunk_n_tokens
+FROM corpus c LEFT JOIN chunks k ON c.doc_id = k.doc_id
+ORDER BY c.doc_id, chunk_index
+"""
+    assert_df_matches_sql(out, sql, name="sentence_chunker")
+
+
+def test_sentence_chunker_behavior(spark):
+    """Chunks never cut mid-sentence; a chunk exceeds the budget only by
+    its straddling final sentence; NULL/blank docs yield one empty chunk;
+    bad params raise."""
+    import pytest as _pytest
+
+    from mega_data_factory_spark.operators.packing import SentenceChunker
+
+    text = "Alpha beta gamma delta. Epsilon zeta eta theta. Iota kappa. Lambda mu nu xi omicron pi."
+    df = spark.createDataFrame([(1, text), (2, None), (3, " \n ")], "doc_id long, text string")
+    rows = sorted(
+        SentenceChunker(6).apply(df).collect(), key=lambda r: (r.doc_id, r.chunk_index)
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    # words_before: 0,4,8,10 -> chunks 0,0,1,1
+    assert [r.chunk_index for r in d1] == [0, 1]
+    assert d1[0].chunk_text == "Alpha beta gamma delta. Epsilon zeta eta theta."
+    assert d1[0].chunk_n_sentences == 2 and d1[0].chunk_n_tokens == 8
+    assert d1[1].chunk_text == "Iota kappa. Lambda mu nu xi omicron pi."
+    assert d1[1].chunk_id == "1#1"
+    for did in (2, 3):
+        (r,) = [x for x in rows if x.doc_id == did]
+        assert r.chunk_index == 0 and r.chunk_text == "" and r.chunk_n_tokens == 0
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        SentenceChunker(0)
