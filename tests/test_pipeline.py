@@ -705,3 +705,28 @@ def test_training_mix_manifest_token_col(spark):
     assert rows["s1"].tokens == 40 and rows["s2"].tokens == 60
     assert rows["s1"].token_share == 0.4 and rows["s2"].token_share == 0.6
     assert rows["s1"].docs == 2 and rows["s2"].doc_share == round(1 / 3, 6)
+
+
+def test_jsonl_gzip_roundtrip_through_config(spark, tmp_path):
+    """The LLM-interchange format: compressed JSONL flows through the
+    SinkConfig/SourceConfig options passthrough byte-faithfully. gzip is
+    the codec this container's Hadoop build ships (zstd needs the native
+    hadoop lib — same one-line option on clusters that have it)."""
+    import glob
+
+    from mega_data_factory_spark.config import SinkConfig, SourceConfig
+    from mega_data_factory_spark.sinks import write_sink
+    from mega_data_factory_spark.sources import read_source
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text", "lang")
+    out = str(tmp_path / "docs_jsonl")
+    write_sink(docs, SinkConfig(format="json", path=out, mode="overwrite",
+                                options={"compression": "gzip"}))
+    files = glob.glob(f"{out}/*.json.gz")
+    assert files, "expected gzip-compressed jsonl part files"
+    back = read_source(spark, SourceConfig(format="json", path=out,
+                                           schema="doc_id long, text string, lang string"))
+    assert back.count() == docs.count()
+    a = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
+    b = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+    assert a == b
