@@ -429,19 +429,23 @@ def main() -> None:
             .drop("rep")
             .persist()
         )
-        n_tok_docs = tok_corpus.count()
-        bpe_tok = BpeTokenizer(vocab_size=2000, max_distinct_words=100_000).fit(docs_lm)
-        shard_packer = SequencePacker(2048, buckets=64)
-        dt = float("inf")
-        n_seq = n_toks = 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            shards = shard_packer.packed_token_ids(bpe_tok.encode_ids(tok_corpus))
-            agg = shards.agg(F2.count(F2.lit(1)), F2.sum("n_tokens")).first()
-            if time.perf_counter() - t0 < dt:
-                dt = time.perf_counter() - t0
-                n_seq, n_toks = int(agg[0]), int(agg[1] or 0)
-        tok_corpus.unpersist()
+        try:
+            n_tok_docs = tok_corpus.count()
+            bpe_tok = BpeTokenizer(vocab_size=2000, max_distinct_words=100_000).fit(docs_lm)
+            shard_packer = SequencePacker(2048, buckets=64)
+            dt = float("inf")
+            n_seq = n_toks = 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                shards = shard_packer.packed_token_ids(bpe_tok.encode_ids(tok_corpus))
+                agg = shards.agg(F2.count(F2.lit(1)), F2.sum("n_tokens")).first()
+                if time.perf_counter() - t0 < dt:
+                    dt = time.perf_counter() - t0
+                    n_seq, n_toks = int(agg[0]), int(agg[1] or 0)
+        finally:
+            # on failure too: a leaked 100k-row cache would skew every
+            # later datapoint (the shards_mat finally, one block down)
+            tok_corpus.unpersist()
         timings["token_shard_export"] = round(dt, 4)
         total += dt
         print(

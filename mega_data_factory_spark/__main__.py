@@ -220,17 +220,24 @@ def main(argv: list[str] | None = None) -> int:
         if args.spans is not None:
             from mega_data_factory_spark.operators.packing import SpanCorruptionBuilder
 
-            if args.spans <= len(tok.vocab()):
+            # sentinels DESCEND from --spans: the deepest one a full
+            # seq_len sequence can emit is spans - (num_spans + 1), so the
+            # guard needs the whole span budget clear of the vocab, not
+            # just the first id
+            need = max(1, round(round(args.seq_len * args.noise_density) / args.mean_span)) + 1
+            if args.spans - need <= len(tok.vocab()):
                 p.error(
-                    f"--spans {args.spans} collides with the model's token ids "
-                    f"(vocab size {len(tok.vocab())}); pick sentinel headroom above it"
+                    f"--spans {args.spans} leaves sentinel ids colliding with the "
+                    f"model's token ids (vocab {len(tok.vocab())}, up to ~{need} "
+                    f"sentinels per {args.seq_len}-token sequence); use "
+                    f"--spans >= {len(tok.vocab()) + need + 1}"
                 )
             shards = SpanCorruptionBuilder(
                 sentinel_start=args.spans,
                 noise_density=args.noise_density,
                 mean_span=args.mean_span,
             ).apply(shards)
-        elif args.noise_density != 0.15 or args.mean_span != 3.0:
+        elif args.noise_density != tokp.get_default("noise_density") or args.mean_span != tokp.get_default("mean_span"):
             p.error("--noise-density/--mean-span require --spans")
         # one file per pack bucket, sequences in order inside it — the
         # layout a trainer streams shard-by-shard

@@ -567,11 +567,17 @@ class SentenceChunker(Operator):
     ``floor(words_before / chunk_tokens)`` — the SequencePacker
     "assigned where it starts" closed form, so a chunk holds whole
     sentences and exceeds the budget by at most its final straddling
-    sentence. One output row per (doc, chunk) with ``chunk_index``,
-    ``chunk_id``, ``chunk_text`` (sentences joined by single spaces),
-    ``chunk_n_sentences``, ``chunk_n_tokens``; empty/NULL/punctuation-free
-    short text yields one chunk (cardinality accounting — a
-    row-multiplying operator must not silently drop documents).
+    sentence. One output row per (doc, chunk) with ``chunk_index``
+    (DENSE 0-based order — a budget-busting single sentence does not
+    leave index gaps), ``chunk_id``, ``chunk_text`` (sentences joined by
+    single spaces), ``chunk_n_sentences``, ``chunk_n_tokens``;
+    empty/NULL/punctuation-free short text yields one chunk (cardinality
+    accounting — a row-multiplying operator must not silently drop
+    documents). ``id_col`` must identify rows uniquely (the
+    SequencePacker contract): duplicate ids would merge their sentence
+    streams; one NULL-id row is handled (null-safe join back), several
+    merge like any duplicate key. Pre-existing ``\\x1e`` control chars in
+    the text are stripped before use as the in-plan boundary sentinel.
     Beyond the reference's surface — first-class per the build brief.
 
     Scale shape: posexplode (narrow) + ONE doc-keyed window for the
@@ -602,11 +608,12 @@ class SentenceChunker(Operator):
 
     def apply(self, df: DataFrame) -> DataFrame:
         B = self.chunk_tokens
-        marked = F.regexp_replace(
-            F.coalesce(F.col(self.text_col), F.lit("")),
-            f"([.!?]+){SENT_WS}",
-            "$1" + SENT_SEP,
+        # strip any pre-existing sentinel first: uncleaned crawl text can
+        # carry \x1e, which would otherwise split fake sentences mid-phrase
+        cleaned = F.regexp_replace(
+            F.coalesce(F.col(self.text_col), F.lit("")), SENT_SEP, " "
         )
+        marked = F.regexp_replace(cleaned, f"([.!?]+){SENT_WS}", "$1" + SENT_SEP)
         sents = df.select(
             F.col(self.id_col).alias("__id"),
             F.posexplode(F.split(marked, SENT_SEP)).alias("__pos", "__sent"),
@@ -632,15 +639,25 @@ class SentenceChunker(Operator):
             F.count(F.lit(1)).cast("int").alias("chunk_n_sentences"),
             F.sum("__w").cast("long").alias("chunk_n_tokens"),
         )
-        out = df.join(
-            chunks.withColumnRenamed("__id", self.id_col), on=self.id_col, how="left"
+        # DENSE index: a single over-budget sentence advances the raw
+        # floor() id by several — rank the per-doc chunk ids so consumers
+        # can rely on 0..n_chunks-1 (the DocumentChunker contract). The
+        # window runs over the already-grouped chunk rows, not sentences.
+        dw = Window.partitionBy("__id").orderBy("__chunk")
+        chunks = chunks.withColumn(
+            "__dense", (F.row_number().over(dw) - F.lit(1)).cast("int")
         )
+        # null-safe equi-join back: a plain `on=` never matches a NULL id
+        # and would silently blank that document's chunks
+        out = df.join(
+            chunks, on=df[self.id_col].eqNullSafe(chunks["__id"]), how="left"
+        ).drop("__id")
         # all-blank documents produced no sentence rows -> one empty chunk
         return out.select(
             *[F.col(c) for c in df.columns],
-            F.coalesce(F.col("__chunk"), F.lit(0)).cast("int").alias("chunk_index"),
+            F.coalesce(F.col("__dense"), F.lit(0)).cast("int").alias("chunk_index"),
             F.concat_ws(
-                "#", F.col(self.id_col).cast("string"), F.coalesce(F.col("__chunk"), F.lit(0)).cast("string")
+                "#", F.col(self.id_col).cast("string"), F.coalesce(F.col("__dense"), F.lit(0)).cast("string")
             ).alias("chunk_id"),
             F.coalesce(F.col("chunk_text"), F.lit("")).alias("chunk_text"),
             F.coalesce(F.col("chunk_n_sentences"), F.lit(0)).cast("int").alias("chunk_n_sentences"),

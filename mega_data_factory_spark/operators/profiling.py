@@ -294,6 +294,13 @@ class ColumnProfiler:
           estimated -> ``rank``/``count`` are NULL). The 100 TB screen:
           run it first, then count ONLY the screened candidates exactly
           (a broadcast semi-join) if ranks are needed.
+
+        NULL is a value here: a 60%-NULL column's hottest "key" IS NULL,
+        and hiding it would mislead the exact salting decision this
+        report feeds. Exact mode reports it as a ``text IS NULL`` row
+        (ties break count desc, then value asc NULLS FIRST); the sketch
+        cannot (freqItems ignores nulls) — ``profile()``'s ``nulls``
+        stat carries the rate there.
         """
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
@@ -321,11 +328,13 @@ class ColumnProfiler:
                     ]
                 )
             )
-        ).filter(F.col("text").isNotNull())
+        )
         counts = pairs.groupBy("column", "text").agg(F.count(F.lit(1)).alias("count"))
         from pyspark.sql import Window
 
-        w = Window.partitionBy("column").orderBy(F.col("count").desc(), F.col("text").asc())
+        w = Window.partitionBy("column").orderBy(
+            F.col("count").desc(), F.col("text").asc_nulls_first()
+        )
         return (
             counts.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)

@@ -572,6 +572,10 @@ def test_sentence_chunker_matches_oracle(spark):
         (200003, None),
         (200004, "   "),
         (200005, "A!? Multi mark run.  Double  spaced words here."),
+        # over-budget single sentence: raw floor() ids jump 0 -> 3, the
+        # dense index must still be 0, 1
+        (200006, " ".join(f"w{k}" for k in range(20)) + ". Next one here."),
+        (200007, "embedded \x1e sentinel chars. stripped before marking."),
     ]
     docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"].select("doc_id", "text")
     df = docs.unionByName(spark.createDataFrame(planted, "doc_id long, text string"))
@@ -582,7 +586,10 @@ def test_sentence_chunker_matches_oracle(spark):
         .orderBy("doc_id", "chunk_index")
     )
     values = ", ".join(
-        "({}, {})".format(i, "NULL" if t is None else "'" + t.replace("'", "''") + "'")
+        "({}, {})".format(
+            i,
+            "NULL" if t is None else "'" + t.replace("'", "''").replace("\x1e", "' || chr(30) || '") + "'",
+        )
         for i, t in planted
     )
     ws = r"[ \t\x0B\f\r\n]+"
@@ -591,11 +598,14 @@ WITH corpus(doc_id, text) AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT * FROM (VALUES {values})
 ),
+cleaned AS (
+  SELECT doc_id, replace(COALESCE(text, ''), chr(30), ' ') AS t FROM corpus
+),
 sents AS (
   SELECT doc_id,
-         unnest(string_split(regexp_replace(COALESCE(text, ''), '([.!?]+){ws}', '\\1' || chr(30), 'g'), chr(30))) AS sent,
-         generate_subscripts(string_split(regexp_replace(COALESCE(text, ''), '([.!?]+){ws}', '\\1' || chr(30), 'g'), chr(30)), 1) AS pos
-  FROM corpus
+         unnest(string_split(regexp_replace(t, '([.!?]+){ws}', '\\1' || chr(30), 'g'), chr(30))) AS sent,
+         generate_subscripts(string_split(regexp_replace(t, '([.!?]+){ws}', '\\1' || chr(30), 'g'), chr(30)), 1) AS pos
+  FROM cleaned
 ),
 wd AS (
   SELECT doc_id, sent, pos,
@@ -610,14 +620,15 @@ assigned AS (
 ),
 chunks AS (
   SELECT doc_id, chunk,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY chunk) - 1 AS INT) AS dense,
          string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
          CAST(count(*) AS INT) AS chunk_n_sentences,
          CAST(sum(w) AS BIGINT) AS chunk_n_tokens
   FROM assigned GROUP BY doc_id, chunk
 )
 SELECT c.doc_id,
-       CAST(COALESCE(k.chunk, 0) AS INT) AS chunk_index,
-       c.doc_id || '#' || CAST(COALESCE(k.chunk, 0) AS VARCHAR) AS chunk_id,
+       CAST(COALESCE(k.dense, 0) AS INT) AS chunk_index,
+       c.doc_id || '#' || CAST(COALESCE(k.dense, 0) AS VARCHAR) AS chunk_id,
        COALESCE(k.chunk_text, '') AS chunk_text,
        COALESCE(k.chunk_n_sentences, 0) AS chunk_n_sentences,
        COALESCE(k.chunk_n_tokens, 0) AS chunk_n_tokens
@@ -636,9 +647,13 @@ def test_sentence_chunker_behavior(spark):
     from mega_data_factory_spark.operators.packing import SentenceChunker
 
     text = "Alpha beta gamma delta. Epsilon zeta eta theta. Iota kappa. Lambda mu nu xi omicron pi."
-    df = spark.createDataFrame([(1, text), (2, None), (3, " \n ")], "doc_id long, text string")
+    df = spark.createDataFrame(
+        [(1, text), (2, None), (3, " \n "), (None, "Null id doc. Keeps its text.")],
+        "doc_id long, text string",
+    )
     rows = sorted(
-        SentenceChunker(6).apply(df).collect(), key=lambda r: (r.doc_id, r.chunk_index)
+        SentenceChunker(6).apply(df).collect(),
+        key=lambda r: (r.doc_id is None, r.doc_id or 0, r.chunk_index),
     )
     d1 = [r for r in rows if r.doc_id == 1]
     # words_before: 0,4,8,10 -> chunks 0,0,1,1
@@ -650,5 +665,8 @@ def test_sentence_chunker_behavior(spark):
     for did in (2, 3):
         (r,) = [x for x in rows if x.doc_id == did]
         assert r.chunk_index == 0 and r.chunk_text == "" and r.chunk_n_tokens == 0
+    # a NULL-id row keeps its chunk text (null-safe join back)
+    (rn,) = [x for x in rows if x.doc_id is None]
+    assert rn.chunk_text == "Null id doc. Keeps its text." and rn.chunk_n_sentences == 2
     with _pytest.raises(ValueError, match="chunk_tokens"):
         SentenceChunker(0)

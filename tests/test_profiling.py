@@ -216,18 +216,26 @@ def test_top_values_exact_matches_oracle(spark):
     from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
     from mega_data_factory_spark.operators.profiling import ColumnProfiler
 
-    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet").select("lang", "source")
+    # planted NULL-heavy rows: NULL is a reportable hot key, not hidden
+    nulls = spark.createDataFrame([(None, None)] * 30, "lang string, source string")
     p = ColumnProfiler(["lang", "source"], approx=False)
-    out = p.top_values(docs, k=5)
+    out = p.top_values(docs.unionByName(nulls), k=5)
     sql = """
-WITH pairs AS (
-  SELECT 'lang' AS col, CAST(lang AS VARCHAR) AS text FROM documents WHERE lang IS NOT NULL
+WITH corpus AS (
+  SELECT lang, source FROM documents
   UNION ALL
-  SELECT 'source', CAST(source AS VARCHAR) FROM documents WHERE source IS NOT NULL
+  SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM range(30)
+),
+pairs AS (
+  SELECT 'lang' AS col, CAST(lang AS VARCHAR) AS text FROM corpus
+  UNION ALL
+  SELECT 'source', CAST(source AS VARCHAR) FROM corpus
 ),
 c AS (SELECT col, text, count(*) AS count FROM pairs GROUP BY col, text),
 r AS (SELECT col, text, count,
-             row_number() OVER (PARTITION BY col ORDER BY count DESC, text ASC) AS rk
+             row_number() OVER (PARTITION BY col ORDER BY count DESC, text ASC NULLS FIRST) AS rk
       FROM c)
 SELECT col AS "column", CAST(rk AS INT) AS rank, text, count
 FROM r WHERE rk <= 5 ORDER BY "column", rk
