@@ -619,6 +619,47 @@ class SimHashDeduplicator(Deduplicator):
         return F.coalesce(sig, F.concat(F.lit("id:"), F.col(self.id_col).cast("string")))
 
 
+def banded_hamming_pairs(sig: DataFrame, *, bits: int, max_hamming: int, id_out: str) -> DataFrame:
+    """First-wins duplicate pairs over ``bits``-bit integer signatures with
+    hamming distance <= ``max_hamming`` — the pigeonhole banding shared by
+    text SimHash and image phash near-dedup. Input: ``(__id, __sim)`` rows
+    (NULL signatures pre-filtered by the caller). The ``max_hamming + 1``
+    equal bit-segments guarantee zero false negatives (k differing bits
+    can dirty at most k segments); candidates are verified with the exact
+    ``bit_count(a XOR b)`` distance, so banding is pruning only. Output:
+    one row per rejected id (``id_out``) with its smallest-id
+    representative in ``__rep``.
+
+    Scale: only (id, 8-byte sig, band key) rows enter the self-join
+    shuffle; each band bucket is a hash-partitioned equi-join key, AQE
+    handles hot buckets. ``shiftright`` is arithmetic (sign-extending) —
+    the mask keeps the top band exact for full-64-bit signatures, where
+    the sign bit participates like any other bit.
+    """
+    bands = max_hamming + 1
+    if not 0 < bands <= bits:
+        raise ValueError(f"need 1..{bits} bands, got {bands} (max_hamming={max_hamming})")
+    band_keys = []
+    w = bits // bands
+    for b in range(bands):
+        start = b * w
+        width = w if b < bands - 1 else bits - start
+        seg = F.shiftright(F.col("__sim"), start)
+        if width < 64:  # (1 << 64) - 1 overflows a Column literal
+            seg = seg.bitwiseAND(F.lit((1 << width) - 1))
+        band_keys.append(F.concat_ws("_", F.lit(b), seg.cast("string")))
+    banded = sig.select("__id", "__sim", F.explode(F.array(*band_keys)).alias("__bkey"))
+    a = banded.select(F.col("__id").alias("__ida"), F.col("__sim").alias("__sima"), "__bkey")
+    b_ = banded.select(F.col("__id").alias("__idb"), F.col("__sim").alias("__simb"), "__bkey")
+    pairs = (
+        a.join(b_, on="__bkey")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(F.bit_count(F.col("__sima").bitwiseXOR(F.col("__simb"))) <= max_hamming)
+    )
+    # a pair can collide in several bands -> min() also dedups pairs
+    return pairs.groupBy(F.col("__idb").alias(id_out)).agg(F.min("__ida").alias("__rep"))
+
+
 class SimHashNearDeduplicator(JoinDeduplicator):
     """Near-dedup on SimHash hamming distance <= ``max_hamming``.
 
@@ -657,13 +698,6 @@ class SimHashNearDeduplicator(JoinDeduplicator):
         self.shingle_n = shingle_n
 
 
-    def _band_width(self, b: int) -> tuple[int, int]:
-        """(start bit, width) of band b — remainder bits go to the last band."""
-        w = SIMHASH_BITS // self.bands
-        start = b * w
-        width = w if b < self.bands - 1 else SIMHASH_BITS - start
-        return start, width
-
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         # NULL signatures (NULL/empty text) must not band: concat_ws skips
         # the NULL bits so EVERY such row would share band keys "0".."k-1",
@@ -674,21 +708,9 @@ class SimHashNearDeduplicator(JoinDeduplicator):
             F.col(self.id_col).alias("__id"),
             simhash64(self.text_col, shingle_n=self.shingle_n).alias("__sim"),
         ).filter(F.col("__sim").isNotNull())
-        band_keys = []
-        for b in range(self.bands):
-            start, width = self._band_width(b)
-            bits = F.shiftright(F.col("__sim"), start).bitwiseAND(F.lit((1 << width) - 1))
-            band_keys.append(F.concat_ws("_", F.lit(b), bits.cast("string")))
-        banded = sim.select("__id", "__sim", F.explode(F.array(*band_keys)).alias("__bkey"))
-        a = banded.select(F.col("__id").alias("__ida"), F.col("__sim").alias("__sima"), "__bkey")
-        b_ = banded.select(F.col("__id").alias("__idb"), F.col("__sim").alias("__simb"), "__bkey")
-        pairs = (
-            a.join(b_, on="__bkey")
-            .filter(F.col("__ida") < F.col("__idb"))
-            .filter(F.bit_count(F.col("__sima").bitwiseXOR(F.col("__simb"))) <= self.max_hamming)
+        return banded_hamming_pairs(
+            sim, bits=SIMHASH_BITS, max_hamming=self.max_hamming, id_out=self.id_col
         )
-        # a pair can collide in several bands -> min() also dedups pairs
-        return pairs.groupBy(F.col("__idb").alias(self.id_col)).agg(F.min("__ida").alias("__rep"))
 
 
 class NgramJaccardDeduplicator(JoinDeduplicator):

@@ -50,7 +50,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from mega_data_factory_spark.operators.base import Deduplicator, Operator, Refiner
+from mega_data_factory_spark.operators.base import Deduplicator, JoinDeduplicator, Operator, Refiner
 
 # ------------------------------------------------------------ byte parsing
 
@@ -611,6 +611,40 @@ class ImageFeatureExtractor(Operator):
         )
 
 
+def phash_hex_or_null(df: DataFrame, *, image_col: str, phash_col: str) -> Column:
+    """The 16-hex-char perceptual hash, or NULL when the row has neither a
+    precomputed hash nor decodable bytes — the shared signature source for
+    exact (``ImagePhashDeduplicator``) and banded near
+    (``ImagePhashNearDeduplicator``) dedup. Rows that already carry a hash
+    (e.g. from ``ImageFeatureExtractor``) feed NULL bytes into the UDF —
+    the decode is skipped JVM-side, so a fully-precomputed frame pays no
+    Python while a mixed frame still computes the missing hashes; a frame
+    that PRUNED the bytes column entirely must not even reference it."""
+    import pandas as pd
+
+    # NB: no type hints on any pandas-UDF function in this module —
+    # `from __future__ import annotations` stringifies them and Spark's
+    # hint parser rejects the quoted form.
+    @F.pandas_udf(StringType())
+    def phash_udf(data):
+        decoded = [decode_image(b) for b in data]
+        out: list = [None] * len(decoded)
+        for shape, idxs in _group_by_shape(decoded).items():
+            for lo in range(0, len(idxs), _BATCH_CHUNK):
+                chunk = idxs[lo : lo + _BATCH_CHUNK]
+                stack = np.stack([np.atleast_3d(decoded[i]) for i in chunk])
+                for i, hx in zip(chunk, batch_phash(stack)):
+                    out[i] = hx
+        return pd.Series(out)
+
+    pre = F.col(phash_col) if phash_col in df.columns else F.lit(None).cast("string")
+    if image_col in df.columns:
+        computed = phash_udf.asNondeterministic()(F.when(pre.isNull(), _bytes_col(df, image_col)))
+    else:
+        computed = F.lit(None).cast("string")
+    return F.coalesce(pre, computed)
+
+
 class ImagePhashDeduplicator(Deduplicator):
     """First-seen-wins dedup on the perceptual hash; reuses a precomputed
     ``phash`` column when present (reference image_phash_dedup.py:75-76),
@@ -637,35 +671,66 @@ class ImagePhashDeduplicator(Deduplicator):
         self.phash_col = phash_col
 
     def key(self, df: DataFrame) -> Column:
-        import pandas as pd
+        return F.coalesce(
+            phash_hex_or_null(df, image_col=self.image_col, phash_col=self.phash_col),
+            F.concat(F.lit("id:"), F.col(self.id_col).cast("string")),
+        )
 
-        # NB: no type hints on any pandas-UDF function in this module —
-        # `from __future__ import annotations` stringifies them and Spark's
-        # hint parser rejects the quoted form.
-        @F.pandas_udf(StringType())
-        def phash_udf(data):
-            decoded = [decode_image(b) for b in data]
-            out: list = [None] * len(decoded)
-            for shape, idxs in _group_by_shape(decoded).items():
-                for lo in range(0, len(idxs), _BATCH_CHUNK):
-                    chunk = idxs[lo : lo + _BATCH_CHUNK]
-                    stack = np.stack([np.atleast_3d(decoded[i]) for i in chunk])
-                    for i, hx in zip(chunk, batch_phash(stack)):
-                        out[i] = hx
-            return pd.Series(out)
 
-        pre = F.col(self.phash_col) if self.phash_col in df.columns else F.lit(None).cast("string")
-        # rows that already carry a hash (e.g. from ImageFeatureExtractor)
-        # feed NULL bytes into the UDF — the decode is skipped JVM-side, so
-        # a fully-precomputed frame pays no Python at all while a mixed
-        # frame still computes the missing hashes. A frame that PRUNED the
-        # bytes column entirely (the module's advertised pattern after
-        # ImageFeatureExtractor) must not even reference it: dedup then
-        # runs on the precomputed hash + id fallback alone.
-        if self.image_col in df.columns:
-            computed = phash_udf.asNondeterministic()(
-                F.when(pre.isNull(), _bytes_col(df, self.image_col))
-            )
-        else:
-            computed = F.lit(None).cast("string")
-        return F.coalesce(pre, computed, F.concat(F.lit("id:"), F.col(self.id_col).cast("string")))
+class ImagePhashNearDeduplicator(JoinDeduplicator):
+    """NEAR-duplicate image dedup: hamming distance over the full 64-bit
+    perceptual hash <= ``max_hamming`` — what exact phash equality misses
+    (re-encodes, light crops/resizes, watermark stamps typically land at
+    distance 1-10). The banding machinery is the shared pigeonhole
+    construction of ``SimHashNearDeduplicator``
+    (``dedup.banded_hamming_pairs``): ``max_hamming + 1`` bit segments,
+    zero false negatives, exact ``bit_count(xor)`` verify. Beyond the
+    reference's surface (its image_phash_dedup.py is exact-match only) —
+    first-class per the build brief.
+
+    Signatures reuse a precomputed ``phash`` hex column when present
+    (the ImageFeatureExtractor pattern — bytes stay pruned) and fall
+    back to decode+DCT; undecodable/NULL rows never band and are never
+    rejected (no distance is defined for them). The hex -> BIGINT
+    conversion is two 32-bit halves shifted together, so the sign bit is
+    an ordinary hash bit (a single CAST of the unsigned decimal would
+    overflow). First-wins: smaller id is the representative.
+
+    Scale: identical to the text near-dedups — only (id, 8-byte sig,
+    band key) rows shuffle; image bytes never enter the join. Not
+    SQL-expressible end-to-end (the DCT isn't); the survivor-set pytest
+    vs a brute-force python hamming check holds the image family's bar.
+    """
+
+    def __init__(
+        self,
+        max_hamming: int = 6,
+        *,
+        image_col: str = "image",
+        id_col: str = "id",
+        phash_col: str = "phash",
+        name: str | None = None,
+    ):
+        super().__init__(name, order_col=id_col, id_col=id_col)
+        if not 0 <= max_hamming < 64:
+            raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
+        self.max_hamming = max_hamming
+        self.image_col = image_col
+        self.phash_col = phash_col
+
+    def _dup_pairs(self, df: DataFrame) -> DataFrame:
+        from mega_data_factory_spark.operators.dedup import banded_hamming_pairs
+
+        hx = phash_hex_or_null(df, image_col=self.image_col, phash_col=self.phash_col)
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        sig = df.select(
+            F.col(self.id_col).alias("__id"),
+            F.when(
+                hx.rlike("^[0-9a-fA-F]{16}$"),
+                F.shiftleft(hi, 32).bitwiseOR(lo),
+            ).alias("__sim"),
+        ).filter(F.col("__sim").isNotNull())
+        return banded_hamming_pairs(
+            sig, bits=64, max_hamming=self.max_hamming, id_out=self.id_col
+        )

@@ -82,6 +82,7 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.images import (
         ImageMetadataRefiner,
         ImagePhashDeduplicator,
+        ImagePhashNearDeduplicator,
         ImageTechnicalQualityRefiner,
     )
     from mega_data_factory_spark.operators.multimodal import (
@@ -155,6 +156,7 @@ def _register_builtins() -> None:
         ImageMetadataRefiner,
         ImageTechnicalQualityRefiner,
         ImagePhashDeduplicator,
+        ImagePhashNearDeduplicator,
         ImageEmbeddingRefiner,
         AestheticScoreRefiner,
         ImageResizeRefiner,

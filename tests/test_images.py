@@ -246,3 +246,63 @@ def test_png_sub_up_filters_roundtrip():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(dec(png), arr)
+
+
+def test_phash_near_dedup_matches_bruteforce(spark):
+    """Banded 64-bit hamming survivor set == brute-force python check over
+    precomputed phash hexes spanning sign-bit values, near misses at the
+    threshold boundary, exact copies, and undecodable (NULL) rows."""
+    from mega_data_factory_spark.operators.images import ImagePhashNearDeduplicator
+
+    def flip(hex16, *bits):
+        v = int(hex16, 16)
+        for b in bits:
+            v ^= 1 << b
+        return f"{v:016x}"
+
+    base = "f0e1d2c3b4a59687"  # high bit set: sign-bit path exercised
+    far = "0123456789abcdef"
+    rows = [
+        (1, base),                       # winner
+        (2, flip(base, 0, 17, 33)),      # distance 3 -> dup of 1
+        (3, flip(base, 63)),             # distance 1 (sign bit) -> dup of 1
+        (4, flip(base, 1, 2, 3, 40)),    # distance 4 -> boundary dup (k=4)
+        (5, flip(base, 50, 51, 52, 53, 54)),  # distance 5 from base, >=8 from all dups -> survives at k=4
+        (6, far),                        # unrelated survivor
+        (7, far),                        # exact copy -> dup of 6
+        (8, None),                       # no hash: never banded, never rejected
+    ]
+    df = spark.createDataFrame(rows, "id long, phash string")
+    d = ImagePhashNearDeduplicator(max_hamming=4, id_col="id")
+    survivors = {r.id for r in d.apply(df).collect()}
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    expect = set()
+    for i, h in rows:
+        if h is None:
+            expect.add(i)
+            continue
+        if not any(hj is not None and j < i and ham(h, hj) <= 4 for j, hj in rows):
+            expect.add(i)
+    assert survivors == expect == {1, 5, 6, 8}
+    rej = {r.id: r for r in d.rejected(df).collect()}
+    assert set(rej) == {2, 3, 4, 7}
+    assert all(x._rejection_details.representative_id == "1" for x in (rej[2], rej[3], rej[4]))
+    assert rej[7]._rejection_details.representative_id == "6"
+
+
+def test_phash_near_dedup_from_bytes(spark):
+    """Without a precomputed column the signature falls back to decode+DCT:
+    an exact byte copy is distance 0 and collapses."""
+    from mega_data_factory_spark.operators.images import ImagePhashNearDeduplicator
+
+    rng = np.random.default_rng(3)
+    img = make_png(rng.integers(0, 255, (24, 24, 3), dtype=np.uint8))
+    other = make_png(np.random.default_rng(9).integers(0, 255, (24, 24, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, img), (2, img), (3, other)], "id long, image binary"
+    )
+    out = {r.id for r in ImagePhashNearDeduplicator(max_hamming=2, id_col="id").apply(df).collect()}
+    assert 1 in out and 2 not in out and 3 in out
