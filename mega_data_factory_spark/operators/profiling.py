@@ -265,7 +265,9 @@ class ColumnProfiler:
         )
 
 
-    def top_values(self, df: DataFrame, *, k: int = 10, support: float = 0.01) -> DataFrame:
+    def top_values(
+        self, df: DataFrame, *, k: int = 10, support: float = 0.01, count_candidates: bool = False
+    ) -> DataFrame:
         """Heavy hitters per profiled column — the skew question the flat
         ``profile()`` stats can't answer ("which keys are hot?"), and the
         direct input to the salting/skew-join levers
@@ -291,9 +293,13 @@ class ColumnProfiler:
           ``DataFrame.stat.freqItems`` (Karp-Papadimitriou-Shenker):
           bounded memory, NO shuffle, returns the candidate superset of
           values with frequency > ``support`` (unordered, counts not
-          estimated -> ``rank``/``count`` are NULL). The 100 TB screen:
-          run it first, then count ONLY the screened candidates exactly
-          (a broadcast semi-join) if ranks are needed.
+          estimated -> ``rank``/``count`` are NULL). When ranks ARE
+          needed at scale, ``count_candidates=True`` adds the second
+          pass: the screened candidates (a driver-small list) broadcast
+          semi-join the stacked pairs and ONLY they are counted exactly
+          and ranked — two scans total, no full-cardinality shuffle
+          ever; values at or below the support threshold are absent by
+          construction (ranks are among candidates).
 
         NULL is a value here: a 60%-NULL column's hottest "key" IS NULL,
         and hiding it would mislead the exact salting decision this
@@ -307,15 +313,6 @@ class ColumnProfiler:
         cols = [c for c, _ in self._selected(df)]
         if not cols:
             raise ValueError("no profilable columns selected")
-        if self.approx:
-            row = df.stat.freqItems(cols, support)
-            first = row.first()
-            entries = []
-            for c in cols:
-                for v in sorted(str(x) for x in (first[f"{c}_freqItems"] or []) if x is not None):
-                    entries.append((c, None, v, None))
-            schema = "column string, rank int, text string, count long"
-            return df.sparkSession.createDataFrame(entries, schema)
         pairs = df.select(
             F.inline(
                 F.array(
@@ -329,6 +326,24 @@ class ColumnProfiler:
                 )
             )
         )
+        if self.approx:
+            row = df.stat.freqItems(cols, support)
+            first = row.first()
+            cand = sorted(
+                (c, str(x))
+                for c in cols
+                for x in (first[f"{c}_freqItems"] or [])
+                if x is not None
+            )
+            if not count_candidates:
+                entries = [(c, None, v, None) for c, v in cand]
+                schema = "column string, rank int, text string, count long"
+                return df.sparkSession.createDataFrame(entries, schema)
+            cand_df = df.sparkSession.createDataFrame(cand, "column string, text string")
+            # exact counts for the screened candidates only: the broadcast
+            # semi-join keeps the groupBy cardinality at |candidates|,
+            # never the column's distinct count
+            pairs = pairs.join(F.broadcast(cand_df), ["column", "text"])
         counts = pairs.groupBy("column", "text").agg(F.count(F.lit(1)).alias("count"))
         from pyspark.sql import Window
 

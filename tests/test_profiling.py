@@ -256,6 +256,10 @@ def test_top_values_sketch_screens_heavy_hitters(spark):
     got = {(r["column"], r.text) for r in out.collect()}
     assert ("key", "hot") in got and ("key", "warm") in got
     assert all(r.rank is None and r["count"] is None for r in out.collect())
+    # screen-then-count: exact ranks/counts for the screened candidates only
+    ranked = ColumnProfiler(["key"], approx=True).top_values(df, k=3, support=0.2, count_candidates=True)
+    rk = {r.text: (r.rank, r["count"]) for r in ranked.collect()}
+    assert rk["hot"] == (1, 2000) and rk["warm"] == (2, 1000)
     # the exact plan contains no per-column jobs: one scan feeds the stack
     exact = ColumnProfiler(["key", "small"], approx=False).top_values(df, k=2)
     top = {r["column"]: r.text for r in exact.filter("rank = 1").collect()}
