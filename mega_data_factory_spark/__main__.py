@@ -220,6 +220,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.spans is not None:
             from mega_data_factory_spark.operators.packing import SpanCorruptionBuilder
 
+            # validate BEFORE the headroom arithmetic: --mean-span 0 would
+            # hit the division below as a raw ZeroDivisionError instead of
+            # the builder's clean message
+            if args.mean_span < 1:
+                p.error(f"--mean-span must be >= 1, got {args.mean_span}")
+            if not 0.0 < args.noise_density < 1.0:
+                p.error(f"--noise-density must be in (0, 1), got {args.noise_density}")
             # sentinels DESCEND from --spans: the deepest one a full
             # seq_len sequence can emit is spans - (num_spans + 1), so the
             # guard needs the whole span budget clear of the vocab, not

@@ -721,11 +721,22 @@ class ImagePhashNearDeduplicator(JoinDeduplicator):
     def _dup_pairs(self, df: DataFrame) -> DataFrame:
         from mega_data_factory_spark.operators.dedup import banded_hamming_pairs
 
-        hx = phash_hex_or_null(df, image_col=self.image_col, phash_col=self.phash_col)
+        # materialize the hex ONCE in its own projection, then derive the
+        # rlike + two substrings from it BY NAME: inlining the expression
+        # three times would plant three copies of the nondeterministic
+        # decode+DCT UDF — measured as phash_udf evaluated 3x per row per
+        # join side (the _project_struct_once rule, images.py docstring)
+        hexed = df.select(
+            F.col(self.id_col).alias("__id"),
+            phash_hex_or_null(df, image_col=self.image_col, phash_col=self.phash_col).alias(
+                "__hex"
+            ),
+        )
+        hx = F.col("__hex")
         hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
         lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
-        sig = df.select(
-            F.col(self.id_col).alias("__id"),
+        sig = hexed.select(
+            "__id",
             F.when(
                 hx.rlike("^[0-9a-fA-F]{16}$"),
                 F.shiftleft(hi, 32).bitwiseOR(lo),

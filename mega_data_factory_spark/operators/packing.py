@@ -656,8 +656,13 @@ class SentenceChunker(Operator):
         return out.select(
             *[F.col(c) for c in df.columns],
             F.coalesce(F.col("__dense"), F.lit(0)).cast("int").alias("chunk_index"),
+            # coalesce the id half: concat_ws SKIPS a NULL id, which would
+            # collapse a NULL-id doc's chunk_id to a bare index ('0') that
+            # no longer parses as id#index
             F.concat_ws(
-                "#", F.col(self.id_col).cast("string"), F.coalesce(F.col("__dense"), F.lit(0)).cast("string")
+                "#",
+                F.coalesce(F.col(self.id_col).cast("string"), F.lit("")),
+                F.coalesce(F.col("__dense"), F.lit(0)).cast("string"),
             ).alias("chunk_id"),
             F.coalesce(F.col("chunk_text"), F.lit("")).alias("chunk_text"),
             F.coalesce(F.col("chunk_n_sentences"), F.lit(0)).cast("int").alias("chunk_n_sentences"),

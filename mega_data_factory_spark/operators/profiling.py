@@ -298,8 +298,11 @@ class ColumnProfiler:
           pass: the screened candidates (a driver-small list) broadcast
           semi-join the stacked pairs and ONLY they are counted exactly
           and ranked — two scans total, no full-cardinality shuffle
-          ever; values at or below the support threshold are absent by
-          construction (ranks are among candidates).
+          ever. KPS admits FALSE POSITIVES below the support threshold
+          (never false negatives above it), so a returned row's exact
+          count can sit under support*n — filter on ``count`` if the
+          decision needs the threshold strictly; ranks are among
+          candidates only.
 
         NULL is a value here: a 60%-NULL column's hottest "key" IS NULL,
         and hiding it would mislead the exact salting decision this
@@ -313,37 +316,55 @@ class ColumnProfiler:
         cols = [c for c, _ in self._selected(df)]
         if not cols:
             raise ValueError("no profilable columns selected")
-        pairs = df.select(
-            F.inline(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("column"),
-                            F.col(c).cast("string").alias("text"),
-                        )
-                        for c in cols
-                    ]
+        def stacked_pairs():
+            return df.select(
+                F.inline(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("column"),
+                                F.col(c).cast("string").alias("text"),
+                            )
+                            for c in cols
+                        ]
+                    )
                 )
             )
-        )
+
         if self.approx:
+            types = dict(self._selected(df))
             row = df.stat.freqItems(cols, support)
             first = row.first()
+            # stringify candidates through SPARK's cast, not Python str():
+            # str(True)='True' but Spark casts to 'true' (doubles diverge
+            # in exponent form too) — a str() list would silently match
+            # nothing in the join below for non-string columns
+            def spark_str(c, vals):
+                if not vals:
+                    return []
+                one = df.sparkSession.createDataFrame(
+                    [(v,) for v in vals], T.StructType([T.StructField("v", types[c])])
+                )
+                return [(c, r.t) for r in one.select(F.col("v").cast("string").alias("t")).collect()]
+
             cand = sorted(
-                (c, str(x))
+                pair
                 for c in cols
-                for x in (first[f"{c}_freqItems"] or [])
-                if x is not None
+                for pair in spark_str(c, [x for x in (first[f"{c}_freqItems"] or []) if x is not None])
             )
             if not count_candidates:
                 entries = [(c, None, v, None) for c, v in cand]
                 schema = "column string, rank int, text string, count long"
                 return df.sparkSession.createDataFrame(entries, schema)
-            cand_df = df.sparkSession.createDataFrame(cand, "column string, text string")
+            cand_df = df.sparkSession.createDataFrame(
+                cand or [("", "")], "column string, text string"
+            )
             # exact counts for the screened candidates only: the broadcast
             # semi-join keeps the groupBy cardinality at |candidates|,
             # never the column's distinct count
-            pairs = pairs.join(F.broadcast(cand_df), ["column", "text"])
+            pairs = stacked_pairs().join(F.broadcast(cand_df), ["column", "text"])
+        else:
+            pairs = stacked_pairs()
         counts = pairs.groupBy("column", "text").agg(F.count(F.lit(1)).alias("count"))
         from pyspark.sql import Window
 

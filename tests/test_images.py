@@ -306,3 +306,20 @@ def test_phash_near_dedup_from_bytes(spark):
     )
     out = {r.id for r in ImagePhashNearDeduplicator(max_hamming=2, id_col="id").apply(df).collect()}
     assert 1 in out and 2 not in out and 3 in out
+
+
+def test_phash_near_dedup_single_udf_evaluation(spark):
+    """The decode+DCT UDF appears exactly once per join side in the
+    physical plan (inlining the hex expression three times planted three
+    UDF copies — the _project_struct_once rule)."""
+    from mega_data_factory_spark.operators.images import ImagePhashNearDeduplicator
+
+    df = spark.createDataFrame(
+        [(1, make_png(SOLID)), (2, make_png(NOISE))], "id long, image binary"
+    )
+    pairs = ImagePhashNearDeduplicator(max_hamming=2, id_col="id")._dup_pairs(df)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for node in _re.findall(r"ArrowEvalPython \[[^\]]*\]", plan):
+        assert node.count("phash_udf") == 1, node
