@@ -296,3 +296,69 @@ def test_packed_token_ids_invariants(spark, lens, seq_len, eos):
         assert all(len(r.tokens) == seq_len for r in rs[:-1])
         assert 1 <= len(rs[-1].tokens) <= seq_len
         assert [t for r in rs for t in r.tokens] == expected[b]
+
+
+_PUNCT_TEXT = st.lists(
+    st.tuples(st.lists(_WORD, min_size=1, max_size=6), st.sampled_from([".", "!", "?", ""])),
+    min_size=0,
+    max_size=8,
+).map(lambda parts: " ".join(" ".join(ws) + p for ws, p in parts))
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_PUNCT_TEXT, min_size=1, max_size=12), budget=st.integers(1, 20))
+def test_sentence_chunker_invariants(spark, texts, budget):
+    """For any corpus/budget: chunk indices are dense from 0; re-joined
+    chunk text equals the whitespace-normalized original; token counts
+    total the document's word count; every doc yields >= 1 row."""
+    from mega_data_factory_spark.operators.packing import SentenceChunker
+
+    out = SentenceChunker(budget).apply(_df(spark, texts)).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_index)
+        assert [r.chunk_index for r in rows] == list(range(len(rows)))
+        words = [w for w in t.split() if w]
+        rebuilt = " ".join(r.chunk_text for r in rows if r.chunk_text)
+        assert rebuilt.split() == words
+        assert sum(r.chunk_n_tokens for r in rows) == len(words)
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.lists(st.integers(0, 500), min_size=0, max_size=40), min_size=1, max_size=8),
+    density=st.floats(0.05, 0.5),
+)
+def test_span_corruption_invariants(spark, toks, density):
+    """For any token rows/density: splicing targets back into inputs
+    reconstructs the original; every sentinel in the input appears in the
+    target; rows under 2 tokens pass through with empty targets."""
+    from mega_data_factory_spark.operators.packing import SpanCorruptionBuilder
+
+    df = spark.createDataFrame(
+        [(0, i, t) for i, t in enumerate(toks)], "pack_bucket int, seq_id long, tokens array<int>"
+    )
+    b = SpanCorruptionBuilder(sentinel_start=10_000, noise_density=density)
+    got = {r.seq_id: r for r in b.apply(df).collect()}
+    for i, t in enumerate(toks):
+        inp, tgt = got[i].input_ids, got[i].target_ids
+        if len(t) < 2:
+            assert inp == list(t) and tgt == []
+            continue
+        spans: dict = {}
+        cur = None
+        for x in tgt:
+            if x > 9000:
+                cur, spans[cur] = x, []
+            else:
+                spans[cur].append(x)
+        rebuilt = []
+        for x in inp:
+            rebuilt.extend(spans[x] if x > 9000 else [x])
+        assert rebuilt == list(t)
+        in_sents = [x for x in inp if x > 9000]
+        assert in_sents == sorted(in_sents, reverse=True)  # descending sentinels
+        assert all(x in spans for x in in_sents)
