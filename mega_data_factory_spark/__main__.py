@@ -232,12 +232,16 @@ def main(argv: list[str] | None = None) -> int:
             # guard needs the whole span budget clear of the vocab, not
             # just the first id
             need = max(1, round(round(args.seq_len * args.noise_density) / args.mean_span)) + 1
-            if args.spans - need <= len(tok.vocab()):
+            # the eos delimiter is a token id present in every sequence —
+            # sentinels must clear it too, not just the vocab
+            id_ceiling = max(len(tok.vocab()), (args.eos_id + 1) if args.eos_id is not None else 0)
+            if args.spans - need <= id_ceiling:
                 p.error(
                     f"--spans {args.spans} leaves sentinel ids colliding with the "
-                    f"model's token ids (vocab {len(tok.vocab())}, up to ~{need} "
-                    f"sentinels per {args.seq_len}-token sequence); use "
-                    f"--spans >= {len(tok.vocab()) + need + 1}"
+                    f"shard's token ids (vocab {len(tok.vocab())}"
+                    + (f", eos {args.eos_id}" if args.eos_id is not None else "")
+                    + f"; up to ~{need} sentinels per {args.seq_len}-token sequence); "
+                    f"use --spans >= {id_ceiling + need + 1}"
                 )
             shards = SpanCorruptionBuilder(
                 sentinel_start=args.spans,

@@ -693,7 +693,6 @@ class SimHashNearDeduplicator(JoinDeduplicator):
         if not 0 <= max_hamming < SIMHASH_BITS:
             raise ValueError(f"max_hamming must be in [0, {SIMHASH_BITS})")
         self.max_hamming = max_hamming
-        self.bands = max_hamming + 1
         self.text_col = text_col
         self.shingle_n = shingle_n
 

@@ -239,8 +239,11 @@ class C4PageFilter(Filter):
     ``C4HeuristicRefiner`` columns: reject pages flagged for code (``{``),
     "lorem ipsum" placeholder text, or blocklist words, and pages whose
     cleaned text carries fewer than ``min_sentences`` sentences (C4: 5).
-    Missing/NULL columns count as failing, the ImageQualityFilter rule —
-    a page that never went through the refiner must not silently pass."""
+    NULL values in the flag/sentence columns count as failing, the
+    ImageQualityFilter rule — a row the refiner left unannotated must not
+    silently pass. The columns themselves must EXIST (apply
+    ``C4HeuristicRefiner`` first); a frame without them fails analysis
+    loudly rather than guessing."""
 
     def __init__(self, min_sentences: int = 5, *, name: str | None = None):
         super().__init__(name)

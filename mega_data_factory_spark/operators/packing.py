@@ -608,6 +608,11 @@ class SentenceChunker(Operator):
 
     def apply(self, df: DataFrame) -> DataFrame:
         B = self.chunk_tokens
+        # replace, don't append (the DocumentChunker rule): re-chunking a
+        # frame already carrying chunk_* columns must not leave duplicate
+        # names on both sides of the join-back -> AMBIGUOUS_REFERENCE
+        produced = {"chunk_index", "chunk_id", "chunk_text", "chunk_n_sentences", "chunk_n_tokens"}
+        df = df.drop(*[c for c in df.columns if c in produced])
         # strip any pre-existing sentinel first: uncleaned crawl text can
         # carry \x1e, which would otherwise split fake sentences mid-phrase
         cleaned = F.regexp_replace(
@@ -658,10 +663,11 @@ class SentenceChunker(Operator):
             F.coalesce(F.col("__dense"), F.lit(0)).cast("int").alias("chunk_index"),
             # coalesce the id half: concat_ws SKIPS a NULL id, which would
             # collapse a NULL-id doc's chunk_id to a bare index ('0') that
-            # no longer parses as id#index
+            # no longer parses as id#index; 'null' is DocumentChunker's
+            # sentinel — the two chunkers must agree so chunk streams join
             F.concat_ws(
                 "#",
-                F.coalesce(F.col(self.id_col).cast("string"), F.lit("")),
+                F.coalesce(F.col(self.id_col).cast("string"), F.lit("null")),
                 F.coalesce(F.col("__dense"), F.lit(0)).cast("string"),
             ).alias("chunk_id"),
             F.coalesce(F.col("chunk_text"), F.lit("")).alias("chunk_text"),

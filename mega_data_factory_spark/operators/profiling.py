@@ -338,20 +338,21 @@ class ColumnProfiler:
             # stringify candidates through SPARK's cast, not Python str():
             # str(True)='True' but Spark casts to 'true' (doubles diverge
             # in exponent form too) — a str() list would silently match
-            # nothing in the join below for non-string columns
-            def spark_str(c, vals):
-                if not vals:
-                    return []
-                one = df.sparkSession.createDataFrame(
-                    [(v,) for v in vals], T.StructType([T.StructField("v", types[c])])
-                )
-                return [(c, r.t) for r in one.select(F.col("v").cast("string").alias("t")).collect()]
-
-            cand = sorted(
-                pair
-                for c in cols
-                for pair in spark_str(c, [x for x in (first[f"{c}_freqItems"] or []) if x is not None])
+            # nothing in the join below for non-string columns. ONE job
+            # for every column: a single one-row frame of typed arrays,
+            # each cast to array<string> (element-wise Spark cast), not a
+            # createDataFrame+collect per column.
+            raw = {
+                c: [x for x in (first[f"{c}_freqItems"] or []) if x is not None] for c in cols
+            }
+            one = df.sparkSession.createDataFrame(
+                [tuple(raw[c] for c in cols)],
+                T.StructType([T.StructField(c, T.ArrayType(types[c])) for c in cols]),
             )
+            srow = one.select(
+                *[F.col(c).cast("array<string>").alias(c) for c in cols]
+            ).first()
+            cand = sorted((c, v) for c in cols for v in (srow[c] or []))
             if not count_candidates:
                 entries = [(c, None, v, None) for c, v in cand]
                 schema = "column string, rank int, text string, count long"

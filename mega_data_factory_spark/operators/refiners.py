@@ -660,9 +660,15 @@ class C4HeuristicRefiner(Refiner):
         if self.bad_words:
             # ONE alternation regex, not a scan per word: the published
             # LDNOOBW list is ~400 entries, and 400 regexp passes per row
-            # would dominate the refiner. Escaped words + \b are in the
-            # Java/RE2 common subset (the word_occurrences discipline).
-            pat = r"\b(" + "|".join(_re.escape(w.lower()) for w in self.bad_words) + r")\b"
+            # would dominate the refiner. Boundaries are consuming
+            # (^|\W)...(\W|$) groups rather than \b: list entries that
+            # START or END in a non-word character ('a$$'-style) have no
+            # \b at that edge — \b between two non-word chars never
+            # matches — so the \b form silently un-flags exactly the
+            # entries the list exists for. Consuming groups are fine for
+            # a boolean rlike and stay in the Java/RE2 common subset.
+            words = "|".join(_re.escape(w.lower()) for w in self.bad_words)
+            pat = r"(?:^|[^0-9A-Za-z_])(?:" + words + r")(?:[^0-9A-Za-z_]|$)"
             badword = F.lower(t).rlike(pat)
         else:
             badword = F.lit(False)

@@ -875,3 +875,21 @@ SELECT doc_id,
 FROM kept ORDER BY doc_id
 """
     assert_df_matches_sql(out, sql, name="c4_heuristic")
+
+
+def test_c4_blocklist_nonword_edge_entries(spark):
+    """Entries that start/end in non-word chars (the LDNOOBW shape \\b can
+    never match at) still flag pages; word-char entries keep whole-word
+    semantics (no substring hits)."""
+    from mega_data_factory_spark.operators.refiners import C4HeuristicRefiner
+
+    rows = [
+        (1, "the price a$$ here is fine."),
+        (2, "tall grass waves in the wind."),   # 'ass' must NOT hit inside 'grass'
+        (3, "ends with badword"),                # entry at string end
+        (4, "+sym+ leads the line here."),       # symbol-edged entry
+    ]
+    r = C4HeuristicRefiner(bad_words=("a$$", "ass", "badword", "+sym+"))
+    got = {x.doc_id: x.c4_flag_badword for x in r.apply(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: True}

@@ -670,3 +670,24 @@ def test_sentence_chunker_behavior(spark):
     assert rn.chunk_text == "Null id doc. Keeps its text." and rn.chunk_n_sentences == 2
     with _pytest.raises(ValueError, match="chunk_tokens"):
         SentenceChunker(0)
+
+
+def test_sentence_chunker_reapply_and_chunk_id_sentinel(spark):
+    """Re-chunking a frame that already carries chunk_* columns replaces
+    them (no ambiguous-reference crash), and the NULL-id sentinel matches
+    DocumentChunker's ('null#0')."""
+    from mega_data_factory_spark.operators.packing import DocumentChunker, SentenceChunker
+
+    df = spark.createDataFrame(
+        [(1, "One fine sentence. Two more words here."), (None, "Null id doc.")],
+        "doc_id long, text string",
+    )
+    c = SentenceChunker(4)
+    once = c.apply(df)
+    again = c.apply(once)  # must not raise AMBIGUOUS_REFERENCE
+    assert {r.chunk_id for r in again.collect()} >= {"1#0", "null#0"}
+    mixed = c.apply(DocumentChunker(8, overlap_tokens=0, text_col="text").apply(df))
+    assert "chunk_text" in mixed.columns and mixed.count() >= 2
+    d_null = DocumentChunker(8, overlap_tokens=0).apply(df).filter("doc_id IS NULL").first()
+    s_null = c.apply(df).filter("doc_id IS NULL").first()
+    assert d_null.chunk_id == s_null.chunk_id == "null#0"
