@@ -62,6 +62,7 @@ class NgramPerplexityScorer(Operator):
         add_k: float = 0.1,
         min_count: int = 1,
         text_col: str = "text",
+        model_path: str | None = None,
         name: str | None = None,
     ):
         super().__init__(name)
@@ -72,6 +73,7 @@ class NgramPerplexityScorer(Operator):
         self.add_k = add_k
         self.min_count = min_count
         self.text_col = text_col
+        self.model_path = model_path
         self._bigrams: DataFrame | None = None
         self._contexts: DataFrame | None = None
         self._vocab: int | None = None
@@ -116,9 +118,43 @@ class NgramPerplexityScorer(Operator):
         )
         return self
 
+    # ---------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        """Persist the fitted model as parquet under ``path`` (``bigrams``
+        / ``contexts`` tables + a one-row ``meta``) — train-once /
+        apply-later, the QualityClassifier/BpeTokenizer discipline. The
+        model IS two DataFrames (vocabulary-sized), so parquet-through-
+        Spark keeps save/load cluster-path-safe (no driver-local files)."""
+        if self._bigrams is None or self._contexts is None or self._vocab is None:
+            raise ValueError("call fit(reference_corpus) before save()")
+        self._bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
+        self._contexts.write.mode("overwrite").parquet(f"{path}/contexts")
+        self._bigrams.sparkSession.createDataFrame(
+            [(int(self._vocab), float(self.add_k), int(self.min_count))],
+            "vocab long, add_k double, min_count int",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    def _ensure_fitted(self, spark) -> None:
+        if self._bigrams is not None:
+            return
+        if self.model_path is None:
+            raise ValueError("call fit(reference_corpus) first, or construct with model_path=")
+        meta = spark.read.parquet(f"{self.model_path}/meta").first()
+        # stored add_k/min_count ARE part of the model (the probabilities
+        # they produced were validated together) — loading adopts them so
+        # a default-constructed YAML scorer cannot silently re-smooth a
+        # persisted model differently
+        self._vocab = int(meta["vocab"])
+        self.add_k = float(meta["add_k"])
+        self.min_count = int(meta["min_count"])
+        self._bigrams = spark.read.parquet(f"{self.model_path}/bigrams").persist()
+        self._contexts = spark.read.parquet(f"{self.model_path}/contexts").persist()
+
     # ---------------------------------------------------------------- score
 
     def apply(self, df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+        self._ensure_fitted(df.sparkSession)
         if self._bigrams is None or self._contexts is None or self._vocab is None:
             raise ValueError("call fit(reference_corpus) before apply()")
         k, v = float(self.add_k), int(self._vocab)

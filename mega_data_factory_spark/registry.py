@@ -98,7 +98,7 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.bpe import BpeTokenizer
     from mega_data_factory_spark.operators.packing import DocumentChunker, SentenceChunker, SpanCorruptionBuilder
     from mega_data_factory_spark.operators.classifier import QualityClassifier
-    from mega_data_factory_spark.operators.lm import PerplexityBucketRefiner
+    from mega_data_factory_spark.operators.lm import NgramPerplexityScorer, PerplexityBucketRefiner
     from mega_data_factory_spark.operators.dsir import DsirImportanceScorer, DsirResampler
     from mega_data_factory_spark.operators.clustering import SemanticDeduplicator
     from mega_data_factory_spark.operators.graph import ClusterDeduplicator
@@ -168,6 +168,7 @@ def _register_builtins() -> None:
         SequencePacker,
         ClusterDeduplicator,
         QualityClassifier,
+        NgramPerplexityScorer,
         PerplexityBucketRefiner,
         TokenBudgetSelector,
         DsirImportanceScorer,

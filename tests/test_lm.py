@@ -177,3 +177,78 @@ def test_perplexity_buckets_pipeline_voting(spark):
     r = PerplexityBucketRefiner(cuts=(0.5,), labels=("good", "bad"), out_col="cut")
     got = {x.doc_id: x.cut for x in r.apply(tagged).collect()}
     assert got == {1: "good", 2: "good", 3: "good", 4: "bad", 5: "bad", 6: "bad", 98: None, 99: None}
+
+
+def test_perplexity_scorer_persistence_roundtrip(spark, tmp_path):
+    """fit -> save -> load-by-model_path yields IDENTICAL scores (the
+    train-once/apply-later contract); stored add_k/min_count are adopted
+    on load; unfitted + pathless apply still raises; the registry builds
+    the scorer from params (the YAML path)."""
+    from mega_data_factory_spark.operators.lm import NgramPerplexityScorer
+    from mega_data_factory_spark.registry import OPERATORS
+    from mega_data_factory_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"]
+    probe = docs.limit(50)
+    fitted = NgramPerplexityScorer(add_k=0.5, min_count=2).fit(docs)
+    want = {r.doc_id: (r.doc_logprob, r.perplexity) for r in fitted.apply(probe).collect()}
+    path = str(tmp_path / "ppl_model")
+    fitted.save(path)
+
+    loaded = OPERATORS.create("NgramPerplexityScorer", {"model_path": path})
+    got = {r.doc_id: (r.doc_logprob, r.perplexity) for r in loaded.apply(probe).collect()}
+    assert got == want
+    assert loaded.add_k == 0.5 and loaded.min_count == 2  # adopted from meta
+
+    with pytest.raises(ValueError, match="fit"):
+        NgramPerplexityScorer().apply(probe)
+    with pytest.raises(ValueError, match="before save"):
+        NgramPerplexityScorer().save(str(tmp_path / "nope"))
+
+
+def test_ccnet_recipe_composes_through_pipeline(spark, tmp_path):
+    """The full CCNet shape from CONFIG: persisted scorer (model_path) ->
+    head/middle/tail buckets -> perplexity cut, one tagged plan; funnel
+    balances and survivors carry score + bucket columns."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.operators.lm import NgramPerplexityScorer
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+    from mega_data_factory_spark.session import load_tables
+    from tests.conftest import SF_DIR_ORACLE as _SF
+
+    docs = load_tables(spark, _SF, ("documents",))["documents"]
+    mpath = str(tmp_path / "ppl_model")
+    NgramPerplexityScorer().fit(docs).save(mpath)
+
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "ccnet_style",
+                "id_col": "doc_id",
+                "source": {"format": "parquet", "path": f"{_SF}/documents.parquet"},
+                "stages": [
+                    {
+                        "name": "lm_quality",
+                        "operators": [
+                            {"name": "NgramPerplexityScorer", "params": {"model_path": mpath}},
+                            {"name": "PerplexityBucketRefiner"},
+                            # CCNet trains on head+middle; the tail cut here
+                            # is the numeric form (bucket thresholds are the
+                            # 2/3 quantile by construction)
+                            {"name": "NumericRangeFilter",
+                             "params": {"column": "doc_logprob", "lo": -9.0, "name": "PerplexityTailCut"}},
+                        ],
+                    }
+                ],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"), mode="overwrite")
+    result = Pipeline(cfg).run(spark)
+    rejected = sum(m.input_records - m.output_records for m in result.operators)
+    assert result.output_records + rejected == result.input_records == 500
+    passed = spark.read.parquet(str(tmp_path / "out"))
+    assert {"perplexity", "doc_logprob", "ppl_bucket"} <= set(passed.columns)
+    buckets = {r.ppl_bucket for r in passed.select("ppl_bucket").distinct().collect()}
+    assert buckets <= {"head", "middle", "tail"} and "head" in buckets
+    assert passed.filter("doc_logprob < -9.0").count() == 0
