@@ -54,6 +54,11 @@ class NgramPerplexityScorer(Operator):
     ``min_count`` drops hapax grams from the model (the KenLM pruning
     discipline): web-scale bigram tables are Zipf-tailed, and the cut
     bounds the model size that the score-side join broadcasts.
+
+    Train-once / apply-later: ``save(path)`` persists the fitted model as
+    parquet; ``NgramPerplexityScorer(model_path=path)`` (the YAML form)
+    lazy-loads it on first ``apply`` and ADOPTS the stored
+    ``add_k``/``min_count`` — smoothing params are part of the model.
     """
 
     def __init__(
