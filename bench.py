@@ -499,6 +499,64 @@ def main() -> None:
         print(f"# span_corruption_export: FAILED ({errors['span_corruption_export']})", file=sys.stderr)
 
     try:
+        # Sentence-chunking datapoint: the RAG-prep path at 1M-doc volume
+        # (operators/packing.SentenceChunker — posexplode + one doc-keyed
+        # window + one rebuild groupBy, two compact shuffles). The shared
+        # word-soup generator is shaped into 4 sentences/doc so the
+        # boundary logic has real work; corpus prep is untimed (persisted),
+        # timed = chunk assignment + rebuild + the counting aggregate.
+        from pyspark.sql import functions as F2
+
+        from mega_data_factory_spark.operators.packing import SentenceChunker
+
+        arr_sc = F2.array(*[F2.lit(w) for w in WORDS_1M])
+        sent_parts = []
+        for s_i in range(4):
+            ws = [
+                F2.element_at(
+                    arr_sc,
+                    ((F2.col("id") * (s_i * 8 + w_i + 3)) % len(WORDS_1M) + 1).cast("int"),
+                )
+                for w_i in range(8)
+            ]
+            sent_parts.append(F2.concat_ws(" ", *ws))
+        chunk_corpus = (
+            spark.range(1_000_000)
+            .select(
+                F2.col("id").alias("doc_id"),
+                F2.concat(F2.concat_ws(". ", *sent_parts), F2.lit(".")).alias("text"),
+            )
+            .persist()
+        )
+        try:
+            n_cdocs = chunk_corpus.count()
+            chunker = SentenceChunker(16)  # 32 words/doc -> 2 whole-sentence chunks
+            dt = float("inf")
+            n_chunks = n_ctoks = 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                agg = (
+                    chunker.apply(chunk_corpus)
+                    .agg(F2.count(F2.lit(1)), F2.sum("chunk_n_tokens"))
+                    .first()
+                )
+                if time.perf_counter() - t0 < dt:
+                    dt = time.perf_counter() - t0
+                    n_chunks, n_ctoks = int(agg[0]), int(agg[1] or 0)
+        finally:
+            chunk_corpus.unpersist()
+        timings["sentence_chunk_1m"] = round(dt, 4)
+        total += dt
+        print(
+            f"# sentence_chunk_1m: {dt:.3f}s ({n_cdocs:,} docs -> {n_chunks:,} chunks, "
+            f"{n_ctoks:,} tokens, {n_cdocs/dt:,.0f} docs/s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["sentence_chunk_1m"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# sentence_chunk_1m: FAILED ({errors['sentence_chunk_1m']})", file=sys.stderr)
+
+    try:
         # Dataset-profiling datapoint: full column profile of the two widest
         # tables (lineitem + orders) in sketch mode — HLL cardinalities +
         # approx_percentile, the bounded-memory 100 TB configuration. Each
@@ -682,6 +740,7 @@ def main() -> None:
                     "pq_ann_500k",
                     "token_shard_export",
                     "span_corruption_export",
+                    "sentence_chunk_1m",
                 ],
                 **({"streaming": stream_detail} if stream_detail else {}),
                 # a run with failed queries reports a smaller total than a
