@@ -96,8 +96,13 @@ def main(argv: list[str] | None = None) -> int:
         help="also emit T5 span-corruption input_ids/target_ids per sequence, "
         "sentinels descending from this id (pick >= vocab size + span budget)",
     )
-    tokp.add_argument("--noise-density", type=float, default=0.15)
-    tokp.add_argument("--mean-span", type=float, default=3.0)
+    # default=None so "was the flag passed?" is observable: the
+    # require---spans guard must reject ANY explicit flag without --spans,
+    # including one that restates the default (a value-comparison guard
+    # silently accepted `--noise-density 0.15`). Effective defaults
+    # (0.15 / 3.0) are resolved after the check.
+    tokp.add_argument("--noise-density", type=float, default=None, help="T5 corruption density (default 0.15; requires --spans)")
+    tokp.add_argument("--mean-span", type=float, default=None, help="T5 mean noise-span length (default 3.0; requires --spans)")
     tokp.add_argument("--cpus", type=int, default=None)
     pdp = sub.add_parser(
         "profile-diff",
@@ -220,6 +225,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.spans is not None:
             from mega_data_factory_spark.operators.packing import SpanCorruptionBuilder
 
+            # presence-checked flags resolve to their effective defaults
+            # only once --spans is confirmed
+            if args.noise_density is None:
+                args.noise_density = 0.15
+            if args.mean_span is None:
+                args.mean_span = 3.0
             # validate BEFORE the headroom arithmetic: --mean-span 0 would
             # hit the division below as a raw ZeroDivisionError instead of
             # the builder's clean message
@@ -248,7 +259,7 @@ def main(argv: list[str] | None = None) -> int:
                 noise_density=args.noise_density,
                 mean_span=args.mean_span,
             ).apply(shards)
-        elif args.noise_density != tokp.get_default("noise_density") or args.mean_span != tokp.get_default("mean_span"):
+        elif args.noise_density is not None or args.mean_span is not None:
             p.error("--noise-density/--mean-span require --spans")
         # one file per pack bucket, sequences in order inside it — the
         # layout a trainer streams shard-by-shard

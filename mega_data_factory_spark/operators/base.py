@@ -81,7 +81,13 @@ class Refiner(Operator):
     contract for thresholds over UDF scores (``is_aigc = score >= t``):
     repeating the score expression in ``columns`` would evaluate the UDF
     twice, and overriding ``apply`` alone would be silently bypassed by
-    ``Pipeline._apply``, which routes Refiners through these two hooks."""
+    ``Pipeline._apply``, which routes Refiners through these two hooks.
+
+    A ``columns`` key starting with ``__`` is a refiner-private
+    intermediate: it is visible to ``derived_columns`` (the struct-once
+    geometry for multi-field UDFs — emit the struct once, extract fields
+    by name) and DROPPED from the output by both apply() and the pipeline
+    path."""
 
     @abstractmethod
     def columns(self, df: DataFrame) -> dict[str, Column]:
@@ -92,9 +98,13 @@ class Refiner(Operator):
         return {}
 
     def apply(self, df: DataFrame) -> DataFrame:
-        out = df.withColumns(self.columns(df))
+        cols = self.columns(df)
+        out = df.withColumns(cols)
         derived = self.derived_columns(out)
-        return out.withColumns(derived) if derived else out
+        if derived:
+            out = out.withColumns(derived)
+        tmp = [k for k in cols if k.startswith("__")]
+        return out.drop(*tmp) if tmp else out
 
 
 class Filter(Operator):

@@ -98,11 +98,26 @@ class NgramPerplexityScorer(Operator):
         return df.select(*ids, F.explode(pairs).alias("p")).select(*keep, "p.w1", "p.w2")
 
     def unpersist(self) -> None:
-        """Release the cached model frames (also called on re-fit)."""
+        """Release the cached model frames (also called on re-fit). This is
+        the eviction path for BOTH fit() and ``model_path``-loaded frames —
+        long-lived sessions constructing scorers repeatedly must call it (or
+        use the scorer as a context manager / ``Pipeline.close()``), else
+        each ``_ensure_fitted`` pins another vocabulary-sized pair in
+        executor storage. A later ``apply()`` transparently re-loads from
+        ``model_path``."""
         for cached in (self._bigrams, self._contexts):
             if cached is not None:
                 cached.unpersist()
         self._bigrams = self._contexts = self._vocab = None
+
+    # teardown aliases: `with NgramPerplexityScorer(model_path=p) as s: ...`
+    close = unpersist
+
+    def __enter__(self) -> "NgramPerplexityScorer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
 
     def fit(self, df: DataFrame) -> "NgramPerplexityScorer":
         self.unpersist()

@@ -551,7 +551,17 @@ class SpanCorruptionBuilder(Refiner):
         return F.struct(F.col(self.tokens_col).alias("t"), self._seed().alias("s"))
 
     def columns(self, df: DataFrame) -> dict[str, Column]:
-        m = self._udf()(self._packed_input())
+        # struct-once on the pipeline path too, mirroring apply()'s
+        # _project_struct_once geometry: emit the (nondeterministic-marked)
+        # UDF struct exactly once under a private key; derived_columns
+        # extracts the fields BY NAME. Embedding the UDF expression in both
+        # output columns relied on Catalyst CSE and left it eligible for
+        # substitution into downstream filter predicates — ~2x the apply()
+        # path's Arrow cost in the worst case.
+        return {"__span_once": self._udf().asNondeterministic()(self._packed_input())}
+
+    def derived_columns(self, df: DataFrame) -> dict[str, Column]:
+        m = F.col("__span_once")
         return {"input_ids": m["input_ids"], "target_ids": m["target_ids"]}
 
 

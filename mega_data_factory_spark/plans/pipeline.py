@@ -110,6 +110,19 @@ class Pipeline:
             f.unpersist()
         self._mid_cached = []
 
+    def close(self) -> None:
+        """Full teardown: mid-plan caches AND operator-held model frames
+        (any op exposing ``unpersist()``, e.g. NgramPerplexityScorer's
+        loaded bigrams/contexts). Distinct from ``release_intermediates``,
+        which the streaming runner calls per micro-batch — evicting models
+        there would force a reload every batch; call ``close`` once when a
+        long-lived session is done with the pipeline."""
+        self.release_intermediates()
+        for _stage, op in self._ops:
+            release = getattr(op, "unpersist", None)
+            if callable(release):
+                release()
+
     def build(self, spark: SparkSession, files: list[str] | None = None) -> DataFrame:
         """Source -> tagged DataFrame (one logical plan, no actions — except
         that join-dedup inputs are registered for caching; call
@@ -164,7 +177,11 @@ class Pipeline:
             derived = op.derived_columns(out)
             if derived:
                 out = out.withColumns({k: F.when(alive, v) for k, v in derived.items()})
-            return out
+            # '__'-prefixed columns() keys are refiner-private intermediates
+            # (the struct-once geometry — see Refiner docstring): feed
+            # derived_columns, then drop
+            tmp = [k for k in cols if k.startswith("__")]
+            return out.drop(*tmp) if tmp else out
         # generic operator: full-frame transform (must preserve the tag col)
         return op.apply(df)
 

@@ -220,3 +220,25 @@ def test_cli_export_tokens_with_spans(spark, corpus, tmp_path, capsys):
         for t in r.input_ids:
             rebuilt.extend(spans[t] if t > 400 else [t])
         assert rebuilt == list(r.tokens)
+
+
+def test_cli_span_flags_require_spans_even_at_default_values(spark, corpus, tmp_path):
+    """Presence, not value: explicitly passing --noise-density/--mean-span
+    without --spans errors uniformly — including when the passed value
+    restates the effective default (the value-comparison guard silently
+    accepted `--noise-density 0.15`)."""
+    import pytest
+
+    from mega_data_factory_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    corpus.write.parquet(src)
+    model = str(tmp_path / "bpe.json")
+    assert main(["fit-bpe", "-i", src, "-o", model, "--vocab-size", "40"]) == 0
+    for flags in (["--noise-density", "0.15"], ["--mean-span", "3.0"]):
+        with pytest.raises(SystemExit) as exc:
+            main([
+                "export-tokens", "-i", src, "-m", model,
+                "-o", str(tmp_path / "never_written"), "--seq-len", "16", *flags,
+            ])
+        assert exc.value.code == 2

@@ -206,6 +206,43 @@ def test_perplexity_scorer_persistence_roundtrip(spark, tmp_path):
         NgramPerplexityScorer().save(str(tmp_path / "nope"))
 
 
+def test_scorer_release_paths(spark, tmp_path):
+    """Loaded model frames are evictable: the context manager / close()
+    release the persisted bigrams/contexts (long-lived sessions construct
+    scorers repeatedly — each load pins a vocabulary-sized pair), a later
+    apply transparently re-loads, and Pipeline.close() releases any
+    operator exposing unpersist()."""
+    from mega_data_factory_spark.operators.lm import NgramPerplexityScorer
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+    from mega_data_factory_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"]
+    path = str(tmp_path / "ppl_model")
+    NgramPerplexityScorer(min_count=2).fit(docs).save(path)
+
+    probe = docs.limit(5)
+    with NgramPerplexityScorer(model_path=path) as s:
+        s.apply(probe).collect()
+        assert s._bigrams is not None and s._bigrams.storageLevel.useMemory
+        cached = s._bigrams
+    assert s._bigrams is None and not cached.storageLevel.useMemory  # released on exit
+    # close() alias + transparent re-load after eviction
+    s.apply(probe).collect()
+    assert s._bigrams is not None
+    s.close()
+    assert s._bigrams is None
+
+    # Pipeline.close() reaches operator-held model caches
+    cfg_scorer = NgramPerplexityScorer(model_path=path)
+    pipe = Pipeline.__new__(Pipeline)
+    pipe._mid_cached = []
+    pipe._ops = [("score", cfg_scorer)]
+    cfg_scorer.apply(probe).collect()
+    assert cfg_scorer._bigrams is not None
+    pipe.close()
+    assert cfg_scorer._bigrams is None
+
+
 def test_ccnet_recipe_composes_through_pipeline(spark, tmp_path):
     """The full CCNet shape from CONFIG: persisted scorer (model_path) ->
     head/middle/tail buckets -> perplexity cut, one tagged plan; funnel

@@ -558,6 +558,37 @@ def test_span_corruption_single_udf_evaluation(spark):
     assert plan.count("ArrowEvalPython") == 1
 
 
+def test_span_corruption_pipeline_hooks_single_eval(spark):
+    """The Pipeline refiner path (columns/derived_columns) shares apply()'s
+    struct-once geometry: ONE ArrowEvalPython node, the private struct
+    column dropped, fields populated — columns() embedding the UDF twice
+    relied on Catalyst CSE and risked 2x Arrow cost under downstream
+    predicate substitution."""
+    import pyspark.sql.functions as F
+
+    from mega_data_factory_spark.operators.packing import SpanCorruptionBuilder
+
+    b = SpanCorruptionBuilder(sentinel_start=1000)
+    plain = spark.createDataFrame(
+        [(0, 1, list(range(64)))], "pack_bucket int, seq_id long, tokens array<int>"
+    )
+    alive = F.lit(True)  # the pipeline wraps every hook column in when(alive, ...)
+    cols = b.columns(plain)
+    out = plain.withColumns({k: F.when(alive, v) for k, v in cols.items()})
+    out = out.withColumns({k: F.when(alive, v) for k, v in b.derived_columns(out).items()})
+    out = out.drop(*[k for k in cols if k.startswith("__")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "__span_once" not in out.columns
+    r = out.collect()[0]
+    assert r.input_ids and r.target_ids
+    # base-class apply() honors the same private-key drop contract
+    base_out = super(SpanCorruptionBuilder, b).apply(plain)
+    assert "__span_once" not in base_out.columns
+    rb = base_out.collect()[0]
+    assert rb.input_ids == r.input_ids and rb.target_ids == r.target_ids
+
+
 def test_sentence_chunker_matches_oracle(spark):
     """Closed-form sentence->chunk assignment mirrored in DuckDB window SQL
     over real docs (punctuation-free -> one sentence, chunk 0) plus planted
