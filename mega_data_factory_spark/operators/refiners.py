@@ -684,11 +684,14 @@ class C4HeuristicRefiner(Refiner):
 
     def derived_columns(self, df: DataFrame) -> dict[str, Column]:
         # sentence proxy over the CLEANED text by name (no re-evaluation of
-        # the keep HOF): count of terminal marks, the same deterministic
-        # proxy both engines compute identically
+        # the keep HOF): count of terminal-punctuation RUNS — '[.!?]+' not
+        # '[.!?]', so an ellipsis "..." is one sentence boundary, not three
+        # (a page with fewer real sentences than C4PageFilter's
+        # min_sentences must not spuriously pass the >=5 gate) — the same
+        # deterministic proxy both engines compute identically
         return {
             "c4_sentences": F.coalesce(
-                F.regexp_count(F.col(self.out_col), F.lit("[.!?]")), F.lit(0)
+                F.regexp_count(F.col(self.out_col), F.lit("[.!?]+")), F.lit(0)
             ).cast("int")
         }
 

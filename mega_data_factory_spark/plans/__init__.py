@@ -40,6 +40,24 @@ def all_oracles() -> dict[str, str]:
     return out
 
 
+def retired_queries() -> dict[str, QueryFn]:
+    """Queries rotated OUT of the 50-row driver window (their family stays
+    covered by a surviving member) but kept runnable so their pytest
+    differential bar never lapses. Not merged into ``all_queries`` — the
+    driver records rows for the first 50 registered queries only."""
+    out: dict[str, QueryFn] = {}
+    for m in _modules():
+        out.update(getattr(m, "RETIRED_QUERIES", {}))
+    return out
+
+
+def retired_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _modules():
+        out.update(getattr(m, "RETIRED_ORACLE", {}))
+    return out
+
+
 def _modules():
     from mega_data_factory_spark.plans import (
         curation,

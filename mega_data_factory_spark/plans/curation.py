@@ -908,6 +908,196 @@ FROM ranked WHERE rn <= {DSIR_N} ORDER BY doc_id
 """
 
 
+def _planted_values_sql(rows: list[tuple[int, str | None]]) -> str:
+    """Render planted (id, text) rows as a SQL VALUES list — identical
+    literals on both engines. Apostrophes are doubled; newline / \\x1e
+    control chars embed as chr() concatenations (a raw control char inside
+    a SQL literal is parser-dependent)."""
+    out = []
+    for i, t in rows:
+        if t is None:
+            lit = "NULL"
+        else:
+            lit = (
+                "'"
+                + t.replace("'", "''").replace("\n", "' || chr(10) || '").replace("\x1e", "' || chr(30) || '")
+                + "'"
+            )
+        out.append(f"({i}, {lit})")
+    return ", ".join(out)
+
+
+# Planted C4-shaped rows (the synthetic corpus is single-line and largely
+# unpunctuated, so each published §2.2 rule gets a row that trips it —
+# the tests/test_pipeline.py funnel fixture pattern). 100001: line rules
+# (javascript / <3 words / no terminal punct); 100002: brace flag;
+# 100003: lorem flag; 100004/100005: NULL/empty; 100006: blocklist word;
+# 100007: punctuation RUNS count once ('...' is one boundary, not three).
+C4_PLANTED: list[tuple[int, str | None]] = [
+    (100001, 'Opening sentence stands alone.\nEnable JavaScript now please.\ntiny.\nA second good sentence follows!\nbare words without ending'),
+    (100002, 'Code sample { x = 1; }\nReadable prose sentence here.'),
+    (100003, 'Lorem ipsum placeholder page.\nReal content sentence too.'),
+    (100004, None),
+    (100005, ''),
+    (100006, 'This page mentions badword openly.\nClean second line here.'),
+    (100007, 'A trailing thought goes on...\nIs that really so?!\nOne more plain sentence.'),
+]
+C4_BAD_WORDS = ("badword",)
+C4_MIN_SENTENCES = 3
+
+
+def c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published C4 cleaning recipe (Raffel et al. 2020, §2.2) as one
+    per-page view: C4HeuristicRefiner's line rules + page flags
+    (operators/refiners.py) and C4PageFilter's verdict as a ``c4_page_pass``
+    column (operators/filters.py:237), over documents plus the planted
+    C4-shaped rows. Pure codegen'd Column HOFs — narrow map, fuses into the
+    scan, zero shuffle at any scale — with an exact DuckDB mirror
+    (list_filter + regexp over the chr(10)-split array)."""
+    from mega_data_factory_spark.operators.filters import C4PageFilter
+    from mega_data_factory_spark.operators.refiners import C4HeuristicRefiner
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select("doc_id", "text")
+    planted = spark.createDataFrame(C4_PLANTED, "doc_id long, text string")
+    df = C4HeuristicRefiner(bad_words=C4_BAD_WORDS).apply(base.unionByName(planted))
+    df = df.withColumn("c4_page_pass", C4PageFilter(min_sentences=C4_MIN_SENTENCES).predicate(df))
+    return df.select(
+        "doc_id",
+        "c4_text",
+        "c4_lines_removed",
+        "c4_sentences",
+        "c4_flag_brace",
+        "c4_flag_lorem",
+        "c4_flag_badword",
+        "c4_page_pass",
+    ).orderBy("doc_id")
+
+
+def _c4_clean_oracle() -> str:
+    import re as _re
+
+    # ONE alternation with consuming (^|\W)...(\W|$) boundaries — the
+    # refiner's exact pattern (RE2/Java common subset)
+    words = "|".join(_re.escape(w.lower()) for w in C4_BAD_WORDS)
+    badword_pat = r"(?:^|[^0-9A-Za-z_])(?:" + words + r")(?:[^0-9A-Za-z_]|$)"
+    ws = r"[ \t\x0B\f\r]+"
+    return f"""
+WITH corpus(doc_id, text) AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {_planted_values_sql(C4_PLANTED)})
+),
+kept AS (
+  SELECT doc_id, text,
+    CASE WHEN text IS NULL THEN NULL ELSE
+      list_filter(string_split(text, chr(10)), u ->
+        regexp_matches(trim(u), '[.!?"]$')
+        AND len(list_filter(regexp_split_to_array(trim(u), '{ws}'), w -> w <> '')) >= 3
+        AND NOT contains(lower(u), 'javascript'))
+    END AS ks
+  FROM corpus
+),
+flagged AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN NULL ELSE COALESCE(array_to_string(ks, chr(10)), '') END AS c4_text,
+    CAST(CASE WHEN text IS NULL THEN 0
+         ELSE len(string_split(text, chr(10))) - len(ks) END AS INT) AS c4_lines_removed,
+    CAST(COALESCE(len(regexp_extract_all(array_to_string(ks, chr(10)), '[.!?]+')), 0) AS INT) AS c4_sentences,
+    COALESCE(contains(text, '{{'), FALSE) AS c4_flag_brace,
+    COALESCE(contains(lower(text), 'lorem ipsum'), FALSE) AS c4_flag_lorem,
+    COALESCE(regexp_matches(lower(text), '{badword_pat}'), FALSE) AS c4_flag_badword
+  FROM kept
+)
+SELECT *,
+  (NOT c4_flag_brace AND NOT c4_flag_lorem AND NOT c4_flag_badword
+   AND c4_sentences >= {C4_MIN_SENTENCES}) AS c4_page_pass
+FROM flagged ORDER BY doc_id
+"""
+
+
+# Planted multi-sentence rows for the chunker (the corpus is single-line
+# and unpunctuated): budget-straddling sentences, punctuation-free text,
+# NULL/blank docs, multi-mark runs, an over-budget single sentence (raw
+# floor() ids jump — the DENSE index must not gap), embedded \\x1e chars.
+CHUNK_PLANTED: list[tuple[int, str | None]] = [
+    (200001, "One two three four. Five six seven! Eight nine ten eleven twelve? Tail."),
+    (200002, "Single sentence no punct at all"),
+    (200003, None),
+    (200004, "   "),
+    (200005, "A!? Multi mark run.  Double  spaced words here."),
+    (200006, " ".join(f"w{k}" for k in range(20)) + ". Next one here."),
+    (200007, "embedded \x1e sentinel chars. stripped before marking."),
+]
+CHUNK_TOKENS = 8
+
+
+def sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentenceChunker (operators/packing.py): sentence-boundary-aware
+    chunk assignment via the closed form floor(words_before / budget) —
+    posexplode + ONE doc-keyed window + one (doc, chunk) rebuild groupBy,
+    two compact shuffles, no Python — over documents plus planted
+    multi-sentence rows. The closed form (unlike greedy filling) is
+    exactly mirrorable in ANSI window SQL, so this row is hash-checked."""
+    from mega_data_factory_spark.operators.packing import SentenceChunker
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select("doc_id", "text")
+    planted = spark.createDataFrame(CHUNK_PLANTED, "doc_id long, text string")
+    return (
+        SentenceChunker(CHUNK_TOKENS)
+        .apply(base.unionByName(planted))
+        .select("doc_id", "chunk_index", "chunk_id", "chunk_text", "chunk_n_sentences", "chunk_n_tokens")
+        .orderBy("doc_id", "chunk_index")
+    )
+
+
+def _sentence_chunks_oracle() -> str:
+    ws = r"[ \t\x0B\f\r\n]+"
+    b = float(CHUNK_TOKENS)
+    return f"""
+WITH corpus(doc_id, text) AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {_planted_values_sql(CHUNK_PLANTED)})
+),
+cleaned AS (
+  SELECT doc_id, replace(COALESCE(text, ''), chr(30), ' ') AS t FROM corpus
+),
+sents AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(t, '([.!?]+){ws}', '\\1' || chr(30), 'g'), chr(30))) AS sent,
+         generate_subscripts(string_split(regexp_replace(t, '([.!?]+){ws}', '\\1' || chr(30), 'g'), chr(30)), 1) AS pos
+  FROM cleaned
+),
+wd AS (
+  SELECT doc_id, sent, pos,
+         len(list_filter(regexp_split_to_array(sent, '{ws}'), w -> w <> '')) AS w
+  FROM sents
+),
+assigned AS (
+  SELECT doc_id, sent, pos, w,
+         CAST(floor(CAST(COALESCE(sum(w) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / {b}) AS INT) AS chunk
+  FROM wd WHERE w > 0
+),
+chunks AS (
+  SELECT doc_id, chunk,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY chunk) - 1 AS INT) AS dense,
+         string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
+         CAST(count(*) AS INT) AS chunk_n_sentences,
+         CAST(sum(w) AS BIGINT) AS chunk_n_tokens
+  FROM assigned GROUP BY doc_id, chunk
+)
+SELECT c.doc_id,
+       CAST(COALESCE(k.dense, 0) AS INT) AS chunk_index,
+       c.doc_id || '#' || CAST(COALESCE(k.dense, 0) AS VARCHAR) AS chunk_id,
+       COALESCE(k.chunk_text, '') AS chunk_text,
+       COALESCE(k.chunk_n_sentences, 0) AS chunk_n_sentences,
+       COALESCE(k.chunk_n_tokens, 0) AS chunk_n_tokens
+FROM corpus c LEFT JOIN chunks k ON c.doc_id = k.doc_id
+ORDER BY c.doc_id, chunk_index
+"""
+
+
 # text_length_filter and docs_token_stats are consolidated OUT of the
 # driver window (TextLengthFilter stays driver-covered through
 # curation_pipeline/curation_funnel_by_source/text_cleanup; the token
@@ -931,6 +1121,8 @@ QUERIES = {
     "text_cleanup": text_cleanup,
     "url_rule_filters": url_rule_filters,
     "dsir_select": dsir_select,
+    "c4_clean": c4_clean,
+    "sentence_chunks": sentence_chunks,
     "curation_pipeline": curation_pipeline,
     "curation_rejection_summary": curation_rejection_summary,
 }
@@ -949,6 +1141,8 @@ ORACLE = {
     "text_cleanup": _text_cleanup_oracle(),
     "url_rule_filters": URL_RULES_ORACLE,
     "dsir_select": _dsir_select_oracle(),
+    "c4_clean": _c4_clean_oracle(),
+    "sentence_chunks": _sentence_chunks_oracle(),
     "curation_pipeline": CURATION_PIPELINE_ORACLE,
     "curation_rejection_summary": REJECTION_SUMMARY_ORACLE,
 }

@@ -154,14 +154,61 @@ ORDER BY doc_id
 """
 
 
+BLOOM_BAL_MIN = 5000.0
+
+
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bloom_pruned_left_join`` (operators/bloom.py) end to end: orders
+    left-joined to the high-balance customer slice through the Bloom
+    pre-filter. The operator's contract — row-for-row equal to the plain
+    left join whenever the right side is key-unique (customer is) — makes
+    the oracle the plain ANSI LEFT JOIN: a false NEGATIVE anywhere in the
+    fit/probe path would mis-route a matching order to the miss branch
+    (NULL right columns) and hash-mismatch; false positives only cost
+    pruning efficiency and are cut by the real join. Raw column passthrough
+    (no arithmetic) keeps the compare exact. FPR/pruning invariants hold
+    their own bar in tests/test_bloom.py."""
+    from mega_data_factory_spark.operators.bloom import bloom_pruned_left_join
+
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    left = t["orders"].select("o_orderkey", "o_custkey", "o_orderstatus")
+    right = (
+        t["customer"]
+        .filter(F.col("c_acctbal") >= BLOOM_BAL_MIN)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_acctbal", "c_mktsegment")
+    )
+    out = bloom_pruned_left_join(left, right, on="o_custkey", fpp=0.01)
+    return out.select("o_orderkey", "o_custkey", "o_orderstatus", "c_acctbal", "c_mktsegment").orderBy(
+        "o_orderkey"
+    )
+
+
+BLOOM_JOIN_ORACLE = f"""
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, r.c_acctbal, r.c_mktsegment
+FROM orders o
+LEFT JOIN (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_acctbal >= {BLOOM_BAL_MIN}
+) r ON o.o_custkey = r.c_custkey
+ORDER BY o.o_orderkey
+"""
+
+
 QUERIES = {
     "events_asof_purchase_click": events_asof_purchase_click,
-    "parts_price_range_join": parts_price_range_join,
+    "bloom_pruned_join": bloom_pruned_join,
     "url_filter_full": url_filter_full,
 }
 
 ORACLE = {
     "events_asof_purchase_click": ASOF_ORACLE,
-    "parts_price_range_join": RANGE_JOIN_ORACLE,
+    "bloom_pruned_join": BLOOM_JOIN_ORACLE,
     "url_filter_full": _url_oracle(),
 }
+
+# Rotated out of the driver window in round 7 (slot carries the
+# bloom_pruned_join row): bucketized value-distance joins are
+# driver-covered by events_asof_purchase_click (the same bucket+filter
+# machinery, operators/joins.py); the pytest differential bar stays via
+# plans.retired_queries (tests/test_window_join_queries.py).
+RETIRED_QUERIES = {"parts_price_range_join": parts_price_range_join}
+RETIRED_ORACLE = {"parts_price_range_join": RANGE_JOIN_ORACLE}

@@ -192,7 +192,6 @@ ORDER BY c_mktsegment, spend, c_custkey
 
 
 QUERIES = {
-    "customer_order_ranks": customer_order_ranks,
     "lineitem_running_revenue": lineitem_running_revenue,
     "orders_daily_moving_avg": orders_daily_moving_avg,
     "grouping_sets_orders": grouping_sets_orders,
@@ -200,9 +199,16 @@ QUERIES = {
 }
 
 ORACLE = {
-    "customer_order_ranks": CUSTOMER_RANKS_ORACLE,
     "lineitem_running_revenue": RUNNING_REVENUE_ORACLE,
     "orders_daily_moving_avg": MOVING_AVG_ORACLE,
     "grouping_sets_orders": GROUPING_SETS_ORACLE,
     "customer_spend_distribution": SPEND_DISTRIBUTION_ORACLE,
 }
+
+# Rotated out of the driver window in round 7 (slot carries the
+# sentence_chunks row): ranking windows are driver-covered by
+# customer_spend_distribution (rank/ntile/percent_rank/cume_dist family);
+# the pytest differential bar stays via plans.retired_queries
+# (tests/test_window_join_queries.py).
+RETIRED_QUERIES = {"customer_order_ranks": customer_order_ranks}
+RETIRED_ORACLE = {"customer_order_ranks": CUSTOMER_RANKS_ORACLE}

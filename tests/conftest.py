@@ -33,10 +33,13 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def assert_query_matches_oracle(spark, name: str, sf_dir: str = SF_DIR_ORACLE, rel_tol: float = 0.0):
     """Run queries()[name] on Spark and oracle_sql()[name] on DuckDB and
     compare row-count, sorted-column names, and values (exact, or to rel_tol
-    for floats). Mimics the driver's CORRECTNESS gate."""
-    from mega_data_factory_spark.plans import all_oracles, all_queries
+    for floats). Mimics the driver's CORRECTNESS gate. Queries rotated out
+    of the 50-row driver window (plans.retired_queries) keep this exact bar."""
+    from mega_data_factory_spark.plans import all_oracles, all_queries, retired_oracles, retired_queries
 
-    assert_df_matches_sql(all_queries()[name](spark, sf_dir), all_oracles()[name], sf_dir, rel_tol=rel_tol, name=name)
+    qs = {**all_queries(), **retired_queries()}
+    oracles = {**all_oracles(), **retired_oracles()}
+    assert_df_matches_sql(qs[name](spark, sf_dir), oracles[name], sf_dir, rel_tol=rel_tol, name=name)
 
 
 def assert_df_matches_sql(sdf, oracle_sql: str, sf_dir: str = SF_DIR_ORACLE, *, rel_tol: float = 0.0, name: str = "query"):

@@ -16,6 +16,8 @@ CURATION = [
     "sequence_packing",
     "text_cleanup",
     "url_rule_filters",
+    "c4_clean",
+    "sentence_chunks",
     "curation_pipeline",
     "curation_rejection_summary",
 ]
@@ -770,6 +772,9 @@ def test_c4_heuristic_refiner_behavior(spark):
         (4, 'This page mentions badword openly.\nClean second line here.'),
         (5, None),
         (6, ''),
+        # ellipsis + multi-mark runs: each RUN is one sentence boundary —
+        # counting characters would report 3 + 2 extra phantom sentences
+        (7, 'A trailing thought goes on...\nIs that really so?!\nOne more plain sentence.'),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in C4HeuristicRefiner(bad_words=("badword",)).apply(df).collect()}
@@ -790,6 +795,8 @@ def test_c4_heuristic_refiner_behavior(spark):
     assert out[5].c4_sentences == 0 and not out[5].c4_flag_badword
     # empty text: the single empty line fails the rules
     assert out[6].c4_text == "" and out[6].c4_lines_removed == 1 and out[6].c4_sentences == 0
+    # runs count once: '...' -> 1, '?!' -> 1, '.' -> 1 (chars would say 6)
+    assert out[7].c4_lines_removed == 0 and out[7].c4_sentences == 3
 
 
 def test_c4_page_filter_behavior(spark):
@@ -869,7 +876,7 @@ SELECT doc_id,
   CASE WHEN text IS NULL THEN NULL ELSE COALESCE(array_to_string(ks, chr(10)), '') END AS c4_text,
   CAST(CASE WHEN text IS NULL THEN 0
        ELSE len(string_split(text, chr(10))) - len(ks) END AS INT) AS c4_lines_removed,
-  CAST(COALESCE(len(regexp_extract_all(array_to_string(ks, chr(10)), '[.!?]')), 0) AS INT) AS c4_sentences,
+  CAST(COALESCE(len(regexp_extract_all(array_to_string(ks, chr(10)), '[.!?]+')), 0) AS INT) AS c4_sentences,
   COALESCE(contains(text, '{{'), FALSE) AS c4_flag_brace,
   COALESCE(contains(lower(text), 'lorem ipsum'), FALSE) AS c4_flag_lorem
 FROM kept ORDER BY doc_id

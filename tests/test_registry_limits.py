@@ -27,3 +27,14 @@ def test_no_duplicate_query_names_across_modules():
         for name in m.QUERIES:
             assert name not in seen, f"{name} registered by both {seen[name]} and {m.__name__}"
             seen[name] = m.__name__
+
+
+def test_retired_queries_stay_runnable_and_disjoint():
+    """Rotation contract: a retired query keeps its (query, oracle) pair —
+    the pytest differential bar — and never shadows a live registration."""
+    from mega_data_factory_spark.plans import retired_oracles, retired_queries
+
+    rq, ro = retired_queries(), retired_oracles()
+    assert set(rq) == set(ro), "every retired query needs its oracle (and vice versa)"
+    live = set(all_queries())
+    assert not (set(rq) & live), f"retired queries shadowing live ones: {sorted(set(rq) & live)}"

@@ -12,6 +12,7 @@ NAMES = [
     "customer_spend_distribution",
     "events_asof_purchase_click",
     "parts_price_range_join",
+    "bloom_pruned_join",
     "url_filter_full",
 ]
 
