@@ -18,18 +18,32 @@ Replication semantics (documented because they shape the workload):
   * embeddings offset only their ids: replica vectors are exact duplicates
     (cosine 1.0) — the realistic re-scrape shape for the cosine dedup path.
 
+File layout (round-7 fix): each replicated table is written as a DIRECTORY
+`{table}.parquet/` of >=32 part files, one COPY per (replica, shard). A
+single-file layout caps Spark's scan parallelism at the file's row-group
+split count (measured: 15 splits on sf10 documents -> 2.7x slower scans
+than a 32-file layout, scripts/diag_scan_parallelism.out), which mispriced
+url_filter_full / text_exact_dedup in the 100x sweep. Any real 10 TB corpus
+arrives as thousands of files — multi-file is the honest shape, and it is
+the reference's own sharding model (framework/executor.py:237-310: work is
+split file-per-worker). Spark reads the directory natively; DuckDB oracles
+read `{table}.parquet/*.parquet` (scripts/oracle_gate.py handles both).
+
 Usage: python scripts/make_scaled_sf.py [factor] [out_dir]
 """
 
 from __future__ import annotations
 
+import math
 import os
+import shutil
 import sys
 
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OFF = 10_000_000
+MIN_FILES = 32  # match local[32]; a real corpus has far more
 
 COPY_ONCE = ["region", "nation"]
 
@@ -56,19 +70,34 @@ def main() -> None:
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(t, "copied")
+    # shards per replica so every table lands with >= MIN_FILES part files;
+    # the shard predicate hashes the primary key, so part files are
+    # hash-balanced (no skewed stragglers at scan time).
+    shards = max(1, math.ceil(MIN_FILES / factor))
     for t, cols in KEYED.items():
+        pk = cols[0][0]
         proj = ", ".join(f"{c} + r * {OFF} AS {c}" if k else c for c, k in cols)
         if t == "documents":
             proj = proj.replace(
                 "text,",
                 "regexp_replace(text, '([A-Za-z0-9]+)', '\\1' || r, 'g') AS text,",
             )
-        con.execute(
-            f"COPY (SELECT {proj} FROM read_parquet('{SRC}/{t}.parquet'), range(0, {factor}) _r(r)) "
-            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
-        )
-        n = con.execute(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
-        print(t, f"x{factor} -> {n} rows")
+        dst = f"{out}/{t}.parquet"
+        if os.path.isfile(dst):
+            os.remove(dst)  # replace any old single-file layout
+        elif os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.makedirs(dst)
+        for r in range(factor):
+            for s in range(shards):
+                shard_pred = f" WHERE hash({pk}) % {shards} = {s}" if shards > 1 else ""
+                con.execute(
+                    f"COPY (SELECT {proj} FROM read_parquet('{SRC}/{t}.parquet'), "
+                    f"range({r}, {r + 1}) _r(r){shard_pred}) "
+                    f"TO '{dst}/part-{r:04d}-{s:02d}.parquet' (FORMAT PARQUET)"
+                )
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/*.parquet')").fetchone()[0]
+        print(t, f"x{factor} -> {n} rows in {factor * shards} files")
 
 
 if __name__ == "__main__":

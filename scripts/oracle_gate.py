@@ -51,7 +51,10 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(args.sf, f"{t}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # multi-file layout from make_scaled_sf.py: a directory of parts
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/*.parquet')")
+        elif os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs, osql = e.queries(), e.oracle_sql()
