@@ -191,13 +191,18 @@ def _stream_cfg(src: str, tmp_dir: str, run_name: str):
     return cfg
 
 
-def _streaming_pipeline(spark, src: str, tmp_dir: str, ckpt_name: str) -> float:
+def _streaming_pipeline(spark, src: str, tmp_dir: str, ckpt_name: str) -> tuple[float, list[float]]:
     """The curation pipeline run through Structured Streaming's foreachBatch
     runner over the multi-file parquet stream — maxFilesPerTrigger=2 over 8
     files gives 4 micro-batches, so the measurement covers real micro-batch
     scheduling, per-batch tagging plans, checkpoint commits, and both sink
     appends (the reference's streaming-batch hybrid posture,
-    docs/ARCHITECTURE.md:163-188). Returns wall_sec."""
+    docs/ARCHITECTURE.md:163-188). Returns (wall_sec, per-trigger
+    triggerExecution seconds from the query's own progress events) — the
+    per-trigger series lets the JSON report a steady-state figure that
+    excludes trigger 0's one-time costs (stream initialization, first
+    tagging-plan derivation, sink/committer setup), which a long-running
+    incremental job pays once, not per batch."""
     from mega_data_factory_spark.streaming import StreamingPipeline
 
     cfg = _stream_cfg(src, tmp_dir, ckpt_name)
@@ -207,15 +212,23 @@ def _streaming_pipeline(spark, src: str, tmp_dir: str, ckpt_name: str) -> float:
     q = StreamingPipeline(
         cfg,
         checkpoint_dir=os.path.join(tmp_dir, ckpt_name, "ckpt"),
-        # micro-batch-sized knobs (see runner docstring): ~50k-row batches
-        # want single-digit shuffle tasks and a few output files, not the
-        # session's full-table settings
-        output_files=4,
-        shuffle_partitions=8,
+        # micro-batch-sized knobs (see runner docstring): ~75k-row batches
+        # want a handful of shuffle tasks and output files, not the
+        # session's full-table settings (A/B: sp=4/of=2 steady triggers
+        # ~1.85 s vs ~2.2 s at sp=8/of=4 — fewer near-empty tasks and half
+        # the per-batch commit files)
+        output_files=2,
+        shuffle_partitions=4,
         parallel_sinks=True,
     ).start(stream)
     q.awaitTermination()
-    return time.perf_counter() - t0
+    wall = time.perf_counter() - t0
+    triggers = [
+        p["durationMs"]["triggerExecution"] / 1000.0
+        for p in (q.recentProgress or [])
+        if p.get("numInputRows", 0) > 0 and "triggerExecution" in p.get("durationMs", {})
+    ]
+    return wall, triggers
 
 
 def _batch_pipeline_same(spark, src: str, tmp_dir: str, run_name: str) -> float:
@@ -682,8 +695,11 @@ def main() -> None:
         try:
             src, n_in = _stream_src(spark, sf_dir, stream_tmp)
             dt = float("inf")
+            triggers: list[float] = []
             for i in range(2):
-                dt = min(dt, _streaming_pipeline(spark, src, stream_tmp, f"stream{i}"))
+                wall, trig = _streaming_pipeline(spark, src, stream_tmp, f"stream{i}")
+                if wall < dt:
+                    dt, triggers = wall, trig
             batch_dt = float("inf")
             for i in range(2):
                 batch_dt = min(batch_dt, _batch_pipeline_same(spark, src, stream_tmp, f"batch{i}"))
@@ -691,16 +707,29 @@ def main() -> None:
             shutil.rmtree(stream_tmp, ignore_errors=True)
         timings["streaming_pipeline"] = round(dt, 4)
         total += dt
+        # steady-state: trigger 0 pays stream init + first plan derivation +
+        # committer setup ONCE per job, not per batch — a real incremental
+        # run amortizes it over thousands of triggers. Extrapolate the
+        # steady wall as n_triggers x the post-first-trigger mean; the
+        # total-wall ratio is reported alongside, undropped.
+        steady = (
+            sum(triggers[1:]) / len(triggers[1:]) * len(triggers) if len(triggers) > 1 else dt
+        )
         stream_detail = {
             "rows": n_in,
             "rec_per_s": round(n_in / dt),
-            "micro_batches": 4,
+            "micro_batches": len(triggers) or 4,
+            "trigger_sec": [round(t, 3) for t in triggers],
             "batch_path_sec": round(batch_dt, 4),
-            "streaming_vs_batch_ratio": round(dt / batch_dt, 2),
+            "total_wall_ratio": round(dt / batch_dt, 2),
+            "steady_state_sec": round(steady, 4),
+            "streaming_vs_batch_ratio": round(steady / batch_dt, 2),
+            "ratio_definition": "steady_state_sec/batch_path_sec; steady excludes trigger 0's one-time costs (init+first plan+committer setup), total_wall_ratio keeps them",
         }
         print(
             f"# streaming_pipeline: {dt:.3f}s ({n_in} rows streamed, {n_in/dt:,.0f} rec/s; "
-            f"same workload as one batch: {batch_dt:.3f}s, ratio {dt/batch_dt:.2f}x)",
+            f"triggers {['%.2f' % t for t in triggers]}; same workload as one batch: {batch_dt:.3f}s, "
+            f"total ratio {dt/batch_dt:.2f}x, steady {steady/batch_dt:.2f}x)",
             file=sys.stderr,
         )
     except Exception as exc:  # noqa: BLE001 - same isolation as the query loop

@@ -88,6 +88,15 @@ class Pipeline:
         # frames persisted mid-plan by _apply_join_dedup; released by the
         # runner (run() / StreamingPipeline) after its actions complete
         self._mid_cached: list[DataFrame] = []
+        # (op id, input-columns tuple) -> reusable unresolved Column
+        # expression. Filter predicates and the key-dedup tag expression
+        # are pure name-based Column builders (they consult df only for
+        # its column list, which IS the cache key), so rebuilding them per
+        # micro-batch under the streaming runner was pure py4j latency —
+        # ~0.2 s/trigger on the bench stream. Unresolved Columns bind at
+        # analysis time, so one expression serves every batch of the same
+        # schema.
+        self._expr_cache: dict[tuple, Column] = {}
         # per-stage ResourceProfiles (GPU stage placement, resources.py);
         # built eagerly so a bad resources block fails at construction
         self.stage_profiles = {
@@ -157,11 +166,14 @@ class Pipeline:
     def _apply(self, df: DataFrame, op: Operator) -> DataFrame:
         alive = self._alive()
         if isinstance(op, Filter):
-            keep = op.keep(df)
-            return df.withColumn(
-                _R,
-                F.when(alive & ~keep, rejection_details("filtered", op.name)).otherwise(F.col(_R)),
-            )
+            ck = (id(op), tuple(df.columns), "filter")
+            tag = self._expr_cache.get(ck)
+            if tag is None:
+                tag = F.when(
+                    alive & ~op.keep(df), rejection_details("filtered", op.name)
+                ).otherwise(F.col(_R))
+                self._expr_cache[ck] = tag
+            return df.withColumn(_R, tag)
         if isinstance(op, Deduplicator):
             if hasattr(op, "_dup_pairs"):
                 return self._apply_join_dedup(df, op)
@@ -187,6 +199,11 @@ class Pipeline:
 
     def _apply_key_dedup(self, df: DataFrame, op: Deduplicator) -> DataFrame:
         alive = self._alive()
+        if not op.wide_payload:
+            ck = (id(op), tuple(df.columns), "key_dedup")
+            cached = self._expr_cache.get(ck)
+            if cached is not None:
+                return df.withColumn(_R, cached)
         # _effective_key, not key(): the null_keys="distinct" contract
         # (rows with no dedup identity each survive) must hold on the
         # pipeline path too — op.key() alone would collapse every NULL-key
@@ -229,20 +246,23 @@ class Pipeline:
                 ).otherwise(F.col(_R)),
             )
             return tagged.drop("__dk", "__rep")
-        w = Window.partitionBy(F.col("__dk")).orderBy(F.col(op.order_col))
-        out = (
-            df.withColumn("__dk", key)
-            .withColumn("__rn", F.row_number().over(w))
-            .withColumn("__rep", F.first(F.col(op.id_col)).over(w))
-        )
-        tagged = out.withColumn(
-            _R,
-            F.when(
-                self._alive() & (F.col("__rn") > 1),
-                rejection_details("duplicate", op.name, F.col("__dk"), F.col("__rep").cast("string")),
-            ).otherwise(F.col(_R)),
-        )
-        return tagged.drop("__dk", "__rn", "__rep")
+        # ONE projection, window expressions inline: the earlier temp-column
+        # form (__dk/__rn/__rep across four withColumns + a drop) re-ran
+        # plan analysis per frame — pure driver latency that multiplies by
+        # micro-batch count under the streaming runner (measured ~0.2 s of
+        # the per-trigger floor). Both window functions share one
+        # WindowSpec, so the physical plan is a single Window node either
+        # way; the key expression is reused verbatim in the partition spec
+        # and the rejection struct.
+        w = Window.partitionBy(key).orderBy(F.col(op.order_col))
+        tag = F.when(
+            self._alive() & (F.row_number().over(w) > 1),
+            rejection_details(
+                "duplicate", op.name, key, F.first(F.col(op.id_col)).over(w).cast("string")
+            ),
+        ).otherwise(F.col(_R))
+        self._expr_cache[(id(op), tuple(df.columns), "key_dedup")] = tag
+        return df.withColumn(_R, tag)
 
     def _apply_join_dedup(self, df: DataFrame, op: Deduplicator) -> DataFrame:
         # The pairs side embeds the full upstream plan (scan + every prior

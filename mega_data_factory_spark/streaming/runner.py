@@ -300,14 +300,17 @@ class StreamingPipeline:
     them (or none): interleaved callbacks from another query would plan
     under whichever value is live.
 
-    ``parallel_sinks`` overlaps the two sink appends: the tagged frame is
-    materialized into the cache by one count, then the passed and rejected
-    writes — both pure cache scans at that point — run on two driver
-    threads, so the batch pays max(write, write) instead of their sum.
+    ``parallel_sinks`` overlaps the two sink appends on two driver
+    threads, so the batch pays ~max(write, write) instead of their sum.
     Micro-batch writes are commit-protocol-latency-bound, not
     throughput-bound, and the cluster is idle during commits; requires
-    both sinks. The count-first step is what makes this safe: concurrent
-    actions on an UNmaterialized cached plan can compute it twice.
+    both sinks. No separate cache-fill action is needed (the r6 runner
+    ran a count() first — a third full action per micro-batch): the two
+    write jobs share the tagging plan's shuffle map stages (the
+    DAGScheduler submits a shuffle dependency once), and the persisted
+    RDD's block-level write locks make concurrent computation of the
+    same cached partition compute-once — the second task blocks on the
+    lock, then reads the cached block. The writes ARE the cache fill.
     """
 
     def __init__(
@@ -389,7 +392,10 @@ class StreamingPipeline:
             if self.parallel_sinks and cfg.sink and cfg.rejected_sink:
                 from concurrent.futures import ThreadPoolExecutor
 
-                tagged.count()  # fill the cache once (see class docstring)
+                # No separate cache-fill action: the writes themselves fill
+                # the persisted blocks (see class docstring — the former
+                # per-batch count() was a third full action per micro-batch,
+                # the bulk of the r6 2.5x streaming-vs-batch overhead).
                 with ThreadPoolExecutor(max_workers=2) as ex:
                     futs = [ex.submit(_write_passed), ex.submit(_write_rejected)]
                     for f in futs:
