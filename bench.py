@@ -289,6 +289,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    spreads: dict[str, list[float]] = {}  # sub-second queries: [min, max] of 3 passes
     stream_detail: dict | None = None  # set by the streaming section when it succeeds
     total = 0.0
     for name in HEADLINE:
@@ -307,13 +308,23 @@ def main() -> None:
         # cache / JIT state carries over, matching the reference's
         # steady-state methodology.
         try:
-            dt = float("inf")
+            passes: list[float] = []
             n = 0
             for _ in range(2):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = df.count()
-                dt = min(dt, time.perf_counter() - t0)
+                passes.append(time.perf_counter() - t0)
+            # sub-second queries swing ±30% run-over-run on this host (the
+            # r6 verdict's noise family) — take a third pass and publish
+            # the min/max spread so round-over-round comparisons can tell
+            # noise from regression without re-measuring
+            if min(passes) < 1.0:
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                passes.append(time.perf_counter() - t0)
+                spreads[name] = [round(min(passes), 4), round(max(passes), 4)]
+            dt = min(passes)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED ({errors[name]})", file=sys.stderr)
@@ -321,6 +332,81 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    try:
+        # Bucketed-layout datapoint for the suite's one fact-fact join
+        # (VERDICT r6 #5: promote the diag_q5_bucketed evidence into
+        # maintained bench lines). q5's lineitem-orders join core is timed
+        # two ways on the same data with auto-broadcast off (so the join
+        # strategy, not a broadcast, is what's measured): q5_join_core over
+        # plain parquet pays both fact shuffles; q5_bucketed reads tables
+        # written ONCE bucketed+sorted by the join key (the shipped
+        # ParquetDataWriter bucketing option, tests/test_storage_layout.py)
+        # and joins co-located — zero pre-join exchanges. The bucketed
+        # write itself is untimed layout cost: it amortizes across every
+        # subsequent join on the key, the point of the layout.
+        import re as _re
+        import shutil as _sh
+        import tempfile as _tf
+
+        from pyspark.sql import functions as F2
+
+        t5 = load_tables(spark, sf_dir, ("lineitem", "orders"))
+        li5 = t5["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+        od5 = t5["orders"].select("o_orderkey", "o_orderdate")
+
+        def _q5_core(l, o):
+            rev = (F2.col("l_extendedprice") * (1 - F2.col("l_discount"))).cast("decimal(18,6)")
+            return (
+                l.join(o, l.l_orderkey == o.o_orderkey)
+                .groupBy(F2.year("o_orderdate").alias("o_year"))
+                .agg(F2.sum(rev).alias("revenue"), F2.count(F2.lit(1)).alias("n"))
+            )
+
+        def _n_exchanges(df) -> int:
+            plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+            return len(_re.findall(r"\(\d+\) Exchange", plan))
+
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        wh5 = _tf.mkdtemp(prefix="mdf_q5_bucketed_")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            dt_plain = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _q5_core(li5, od5).collect()
+                dt_plain = min(dt_plain, time.perf_counter() - t0)
+            for tbl in ("bench_q5_bl", "bench_q5_bo"):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            li5.write.mode("overwrite").option("path", f"{wh5}/bl").bucketBy(32, "l_orderkey").sortBy(
+                "l_orderkey"
+            ).saveAsTable("bench_q5_bl")
+            od5.write.mode("overwrite").option("path", f"{wh5}/bo").bucketBy(32, "o_orderkey").sortBy(
+                "o_orderkey"
+            ).saveAsTable("bench_q5_bo")
+            bl5, bo5 = spark.table("bench_q5_bl"), spark.table("bench_q5_bo")
+            ex_plain, ex_bucketed = _n_exchanges(_q5_core(li5, od5)), _n_exchanges(_q5_core(bl5, bo5))
+            dt_bucketed = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _q5_core(bl5, bo5).collect()
+                dt_bucketed = min(dt_bucketed, time.perf_counter() - t0)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            for tbl in ("bench_q5_bl", "bench_q5_bo"):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            _sh.rmtree(wh5, ignore_errors=True)
+        timings["q5_join_core"] = round(dt_plain, 4)
+        timings["q5_bucketed"] = round(dt_bucketed, 4)
+        total += dt_plain + dt_bucketed
+        print(
+            f"# q5_join_core: {dt_plain:.3f}s ({ex_plain} exchanges) vs q5_bucketed: "
+            f"{dt_bucketed:.3f}s ({ex_bucketed} exchanges) — {dt_plain/dt_bucketed:.2f}x/join from layout",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["q5_bucketed"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# q5_bucketed: FAILED ({errors['q5_bucketed']})", file=sys.stderr)
 
     try:
         # LM-quality datapoint: fit the bigram perplexity model on the sf
@@ -592,9 +678,13 @@ def main() -> None:
             n_prof_rows = 0
             for name, df in load_tables(spark, sf_dir, ("lineitem", "orders")).items():
                 n_prof_rows += df.count()
-                df.repartition(int(spark.sparkContext.defaultParallelism)).write.mode(
-                    "overwrite"
-                ).parquet(f"{prof_tmp}/{name}")
+                # realistic layout: many similar-sized part files regardless
+                # of scale (maxRecordsPerFile caps each) — what any corpus
+                # sink produces, and the granularity the fixed-byte file
+                # sampler below needs to honor its budget at every SF
+                df.repartition(int(spark.sparkContext.defaultParallelism)).write.option(
+                    "maxRecordsPerFile", 50_000
+                ).mode("overwrite").parquet(f"{prof_tmp}/{name}")
                 prof_dfs[name] = spark.read.parquet(f"{prof_tmp}/{name}")
             dt = float("inf")
             n_out = 0
@@ -602,15 +692,50 @@ def main() -> None:
                 t0 = time.perf_counter()
                 n_out = sum(ColumnProfiler().profile(df).count() for df in prof_dfs.values())
                 dt = min(dt, time.perf_counter() - t0)
+            timings["column_profile"] = round(dt, 4)
+            total += dt
+            print(
+                f"# column_profile: {dt:.3f}s ({n_out} stat rows over {n_prof_rows} input rows, "
+                f"{n_prof_rows/dt:,.0f} rec/s)",
+                file=sys.stderr,
+            )
+
+            # Flat-cost profiling datapoint (the 100 TB posture): every
+            # in-situ profile pays at least the scan, so cost only stays
+            # flat as the corpus grows by bounding the BYTES read —
+            # sample_parquet_files takes a deterministic ~8 MB file subset
+            # per table (operators/profiling.py), then the sketch profile
+            # (HLL + approx_percentile) and the screened-candidates
+            # top_values run over the sample. Work is O(budget), so this
+            # line's scale slope is ~1 by construction; column_profile
+            # above keeps the honest full-scan number beside it.
+            from mega_data_factory_spark.operators.profiling import sample_parquet_files
+
+            cat_cols = {"lineitem": "l_returnflag", "orders": "o_orderpriority"}
+            dt = float("inf")
+            n_out = n_sampled = 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n_out = n_sampled = 0
+                for name in prof_dfs:
+                    s = sample_parquet_files(spark, f"{prof_tmp}/{name}", byte_budget=8 << 20)
+                    n_sampled += s.count()
+                    n_out += ColumnProfiler().profile(s).count()
+                    n_out += (
+                        ColumnProfiler([cat_cols[name]])
+                        .top_values(s, k=5, support=0.01, count_candidates=True)
+                        .count()
+                    )
+                dt = min(dt, time.perf_counter() - t0)
+            timings["column_profile_sketch"] = round(dt, 4)
+            total += dt
+            print(
+                f"# column_profile_sketch: {dt:.3f}s ({n_out} stat+hitter rows over a "
+                f"{n_sampled}-row fixed-byte file sample of {n_prof_rows} rows)",
+                file=sys.stderr,
+            )
         finally:
             _shutil.rmtree(prof_tmp, ignore_errors=True)
-        timings["column_profile"] = round(dt, 4)
-        total += dt
-        print(
-            f"# column_profile: {dt:.3f}s ({n_out} stat rows over {n_prof_rows} input rows, "
-            f"{n_prof_rows/dt:,.0f} rec/s)",
-            file=sys.stderr,
-        )
     except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
         errors["column_profile"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# column_profile: FAILED ({errors['column_profile']})", file=sys.stderr)
@@ -725,6 +850,13 @@ def main() -> None:
             "steady_state_sec": round(steady, 4),
             "streaming_vs_batch_ratio": round(steady / batch_dt, 2),
             "ratio_definition": "steady_state_sec/batch_path_sec; steady excludes trigger 0's one-time costs (init+first plan+committer setup), total_wall_ratio keeps them",
+            # the residual over 1.0x is per-TRIGGER fixed cost, not per-row
+            # engine inefficiency: the same 300k rows as ONE micro-batch run
+            # at/below the one-shot batch wall (sweep committed in
+            # scripts/diag_stream_overhead.out); deployments amortize it by
+            # sizing micro-batches, this bench keeps 4 small batches so the
+            # scheduling machinery stays IN the measurement
+            "overhead_attribution": "scripts/diag_stream_overhead.out",
         }
         print(
             f"# streaming_pipeline: {dt:.3f}s ({n_in} rows streamed, {n_in/dt:,.0f} rec/s; "
@@ -756,6 +888,11 @@ def main() -> None:
                 "warmup_excluded": True,
                 "timing": "min_of_2",
                 "image_timing": "steady_state_min_of_2",
+                # [min, max] over 3 passes for every sub-second query —
+                # the host's ±30% noise band, published so per-query
+                # round-over-round deltas inside the band aren't read as
+                # regressions (VERDICT r6 item 3)
+                **({"spread": spreads} if spreads else {}),
                 # workload additions make TOTALS incomparable round-over-round;
                 # compare per-query. streaming_pipeline (round 6) measures the
                 # foreachBatch micro-batch runner incl. checkpoint + two sink
@@ -771,6 +908,11 @@ def main() -> None:
                     "span_corruption_export",
                     "sentence_chunk_1m",
                 ],
+                # round 7: q5_join_core/q5_bucketed pair (same join, plain
+                # vs bucketed layout, broadcast off); column_profile_sketch
+                # (fixed-byte file-sample profile — flat cost by
+                # construction; column_profile keeps the full-scan number)
+                "new_in_round7": ["q5_join_core", "q5_bucketed", "column_profile_sketch"],
                 **({"streaming": stream_detail} if stream_detail else {}),
                 # a run with failed queries reports a smaller total than a
                 # clean run; flag it so comparisons don't read it as a win

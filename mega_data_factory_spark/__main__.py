@@ -119,6 +119,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     compp.add_argument("-s", "--store", required=True, help="store parquet directory")
     compp.add_argument("--target-files", type=int, default=None)
+    compp.add_argument(
+        "--metrics", default=None, help="metrics base path: also append a 'compaction' row to <metrics>/stores"
+    )
     compp.add_argument("--cpus", type=int, default=4)
     args = p.parse_args(argv)
 
@@ -306,12 +309,29 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "compact-store":
+        import uuid
+
         from mega_data_factory_spark.operators.dedup import compact_store
         from mega_data_factory_spark.session import get_spark
 
-        stats = compact_store(
-            get_spark("mdf-spark-cli", cpus=args.cpus), args.store, target_files=args.target_files
-        )
+        spark = get_spark("mdf-spark-cli", cpus=args.cpus)
+        stats = compact_store(spark, args.store, target_files=args.target_files)
+        if args.metrics:
+            # compactions land in the same stores metrics table the
+            # pipeline's post_update rows append to — one place to watch
+            # store growth AND its resets
+            from mega_data_factory_spark.metrics import write_store_metrics
+
+            write_store_metrics(
+                spark,
+                args.metrics,
+                run_id=uuid.uuid4().hex[:12],
+                pipeline="compact-store",
+                operator_name="compact_store",
+                store_path=args.store,
+                event="compaction",
+                rows_before=stats["rows_before"],
+            )
         print(json.dumps(stats))
         return 0
 

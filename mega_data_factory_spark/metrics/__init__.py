@@ -64,6 +64,68 @@ RUN_METRICS_SCHEMA = StructType(
     ]
 )
 
+# Fourth level (beyond the reference's three): incremental dedup STORE
+# state per run/compaction, so an always-on ingestion can watch its
+# seen-state grow and schedule compact_store from the metrics table
+# instead of spelunking directories (operators/dedup.store_stats; the
+# reference's bucket-sizing guidance analog, framework/backend.py:83-93).
+# event: 'post_update' (after a run appended its new keys; rows/files/
+# bytes are the store AS LEFT) or 'compaction' (rows_before carries the
+# pre-compaction row count).
+STORE_METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("pipeline", StringType()),
+        StructField("operator_name", StringType()),
+        StructField("store_path", StringType()),
+        StructField("event", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("rows", LongType()),
+        StructField("files", LongType()),
+        StructField("bytes", LongType()),
+        StructField("rows_before", LongType()),
+    ]
+)
+
+
+def write_store_metrics(
+    spark: SparkSession,
+    base_path: str,
+    *,
+    run_id: str,
+    pipeline: str,
+    operator_name: str,
+    store_path: str,
+    event: str = "post_update",
+    rows_before: int | None = None,
+) -> None:
+    """Append one store-state row under ``base_path``/stores (stats via
+    operators/dedup.store_stats — directory listing + parquet footers,
+    no data scan)."""
+    from mega_data_factory_spark.operators.dedup import store_stats
+
+    st = store_stats(spark, store_path)
+    row = spark.createDataFrame(
+        [
+            (
+                run_id,
+                pipeline,
+                operator_name,
+                store_path,
+                event,
+                int(st["rows"]),
+                int(st["files"]),
+                int(st["bytes"]),
+                rows_before,
+            )
+        ],
+        "run_id string, pipeline string, operator_name string, store_path string, "
+        "event string, rows long, files long, bytes long, rows_before long",
+    ).withColumn("timestamp", F.current_timestamp())
+    row.select([f.name for f in STORE_METRICS_SCHEMA.fields]).write.mode("append").parquet(
+        f"{base_path}/stores"
+    )
+
 
 def write_metrics(spark: SparkSession, result, base_path: str) -> None:
     """Write runs/stages/operators parquet under ``base_path`` (append)."""

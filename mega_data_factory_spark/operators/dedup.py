@@ -250,6 +250,34 @@ def compact_store(spark, store_path: str, *, target_files: int | None = None) ->
     return {"rows_before": before, "rows_after": after, "files": n_files}
 
 
+def store_stats(spark, store_path: str) -> dict:
+    """Observability for the incremental dedup stores: ``{rows, files,
+    bytes}`` of the store directory — the numbers that tell an always-on
+    ingestion when to run ``compact_store`` (rows grow with replayed
+    appends, files grow one-plus per run; the reference's analog is its
+    bucket-sizing guidance, framework/backend.py:83-93). Cheap by
+    construction: ``files``/``bytes`` from one directory listing, ``rows``
+    from parquet footers only (Spark answers a bare count without reading
+    row data). A missing store reports zeros (first run)."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    _recover_store(store_path)
+    base = store_path.rstrip("/")
+    files = n_bytes = 0
+    if os.path.isdir(base):
+        for entry in os.scandir(base):
+            if entry.is_file() and entry.name.endswith(".parquet"):
+                files += 1
+                n_bytes += entry.stat().st_size
+    try:
+        rows = spark.read.parquet(base).count()
+    except AnalysisException:
+        rows = 0
+    return {"rows": rows, "files": files, "bytes": n_bytes}
+
+
 class IncrementalKeyDeduplicator(IncrementalExactDeduplicator):
     """Store-backed first-wins dedup on an ARBITRARY key column/expression —
     the same parquet seen-keys machinery as the text-content store, but

@@ -49,6 +49,51 @@ ROUND_TO = 6
 SAMPLE_COL = "__profile_sample"
 
 
+def sample_parquet_files(
+    spark, path: str, *, byte_budget: int = 64 << 20, pattern: str = "*.parquet"
+) -> DataFrame:
+    """Fixed-byte, deterministic FILE sample of a parquet table — the
+    profiling posture that holds at 100 TB: every in-situ profile pays at
+    least the scan, so the only way profile cost stays flat as the corpus
+    grows is to bound the BYTES read. Real corpora land as many
+    similar-sized part files with hash-distributed rows (this repo's own
+    sinks and the reference's file-per-worker sharding,
+    framework/executor.py:237-310), which makes a file subset a uniform
+    row sample; a time-partitioned or sorted layout would bias it — pick
+    row-hash sampling there and pay the full scan.
+
+    Files are ranked by md5(file name) — deterministic across runs and
+    independent of listing order — and taken until their cumulative size
+    reaches ``byte_budget`` (always at least one file). Listing goes
+    through the Hadoop FileSystem API, so any cluster path scheme works.
+    A single-file ``path`` degenerates to reading that file.
+    """
+    import hashlib
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    if fs.isFile(root):
+        statuses = [fs.getFileStatus(root)]
+    else:
+        statuses = list(fs.globStatus(jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + pattern)) or [])
+        statuses = [s for s in statuses if s.isFile()]
+    if not statuses:
+        raise ValueError(f"sample_parquet_files: no files matching {pattern!r} under {path}")
+    files = sorted(
+        ((s.getPath().toString(), int(s.getLen())) for s in statuses),
+        key=lambda fl: hashlib.md5(fl[0].rsplit("/", 1)[-1].encode()).hexdigest(),
+    )
+    picked, acc = [], 0
+    for name, size in files:
+        picked.append(name)
+        acc += size
+        if acc >= byte_budget:
+            break
+    return spark.read.parquet(*picked)
+
+
 class ColumnProfiler:
     """Profiles a DataFrame into long-form ``(column, stat, value, text)``.
 

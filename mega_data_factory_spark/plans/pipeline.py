@@ -431,6 +431,20 @@ class Pipeline:
                         # plan (a second action must not refire the
                         # Observation)
                         op.update_store(tagged.filter(self._alive()).drop(_R), survivors=True)
+                        if self.config.metrics_path and getattr(op, "store_path", None):
+                            # store growth is monitorable from the metrics
+                            # table (event=post_update; footer/listing
+                            # stats, no data scan)
+                            from mega_data_factory_spark.metrics import write_store_metrics
+
+                            write_store_metrics(
+                                spark,
+                                self.config.metrics_path,
+                                run_id=run_id,
+                                pipeline=self.config.name,
+                                operator_name=op.name,
+                                store_path=op.store_path,
+                            )
             if pending is not None and self.config.sink and self.config.max_samples is None:
                 # checkpoint ONLY when every record of the pending files
                 # could have durably landed: needs the PASSED sink (a

@@ -268,3 +268,34 @@ def test_top_values_sketch_screens_heavy_hitters(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         ColumnProfiler(["key"]).top_values(df, k=0)
+
+
+def test_sample_parquet_files_fixed_budget(spark, tmp_path):
+    """File sampling is deterministic, honors the byte budget at file
+    granularity (always >= 1 file), degenerates cleanly for single files,
+    and composes with the sketch profiler — the flat-cost profile path."""
+    import pytest
+
+    from mega_data_factory_spark.operators.profiling import ColumnProfiler, sample_parquet_files
+
+    path = str(tmp_path / "many_files")
+    spark.range(100_000).selectExpr("id", "id % 13 AS cat").repartition(32).write.parquet(path)
+    total = sum(
+        f.stat().st_size for f in __import__("pathlib").Path(path).iterdir() if f.suffix == ".parquet"
+    )
+    small = sample_parquet_files(spark, path, byte_budget=total // 8)
+    # budget binds: a strict subset of files, same subset every call
+    assert 0 < len(small.inputFiles()) < 32
+    assert sorted(small.inputFiles()) == sorted(sample_parquet_files(spark, path, byte_budget=total // 8).inputFiles())
+    # huge budget -> everything
+    assert sample_parquet_files(spark, path, byte_budget=1 << 40).count() == 100_000
+    # single-file path degenerates to that file
+    one = small.inputFiles()[0].replace("file:", "")
+    assert sample_parquet_files(spark, one).inputFiles()[0].endswith(one.rsplit("/", 1)[-1])
+    # composes with the sketch profiler + top_values screen-and-count
+    prof = ColumnProfiler().profile(small)
+    assert prof.filter("column = 'cat' AND stat = 'count'").first().value > 0
+    tv = ColumnProfiler(["cat"]).top_values(small, k=3, support=0.01, count_candidates=True)
+    assert tv.count() == 3
+    with pytest.raises(ValueError, match="no files"):
+        sample_parquet_files(spark, str(tmp_path / "nope"), byte_budget=1)
