@@ -324,6 +324,11 @@ def generate_report(
         if rejected_path
         else ""
     )
+    # optional fourth/fifth levels: stores (incremental-dedup state per
+    # run/compaction) and triggers (streaming per-micro-batch telemetry) —
+    # rendered when their parquet exists; absence is not an error (batch
+    # pipelines without incremental dedup or streaming write neither)
+    extra = _store_section(spark, metrics_path) + _trigger_section(spark, metrics_path)
     return f"""<!doctype html><html><head><meta charset="utf-8">
 <title>Run {_esc(run_id)}</title><style>{_CSS}</style></head><body>
 <h1>Pipeline run {_esc(run['pipeline'])} / {_esc(run_id)}</h1>
@@ -344,10 +349,69 @@ def generate_report(
 {stage_rows}
 </table>
 {samples}
+{extra}
 <p class="legend">Per-record latency percentiles and stage-duration timeline are
 N/A under Spark's vectorized execution (see metrics/__init__.py); counts and
 pass rates carry the funnel/bottleneck diagnostics.</p>
 </body></html>"""
+
+
+def _store_section(spark: SparkSession, metrics_path: str) -> str:
+    """Incremental dedup store growth (latest 20 events across runs —
+    growth is a cross-run story, so this section is deliberately not
+    scoped to one run_id)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.parquet(os.path.join(metrics_path, "stores"))
+            .orderBy(F.col("timestamp").desc())
+            .limit(20)
+            .collect()
+        )
+    except AnalysisException:
+        return ""
+    if not rows:
+        return ""
+    body = "\n".join(
+        f"<tr><td>{_esc(r['event'])}</td><td>{_esc(r['operator_name'])}</td>"
+        f"<td>{_esc(r['store_path'])}</td><td>{r['rows']:,}</td><td>{r['files']:,}</td>"
+        f"<td>{r['bytes']:,}</td><td>{'' if r['rows_before'] is None else format(r['rows_before'], ',')}</td></tr>"
+        for r in rows
+    )
+    return (
+        "<h2>Incremental dedup stores</h2>"
+        "<table><tr><th>event</th><th>operator</th><th>store</th><th>rows</th>"
+        f"<th>files</th><th>bytes</th><th>rows before compaction</th></tr>{body}</table>"
+    )
+
+
+def _trigger_section(spark: SparkSession, metrics_path: str) -> str:
+    """Streaming per-trigger telemetry (latest 20 micro-batches)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.parquet(os.path.join(metrics_path, "triggers"))
+            .orderBy(F.col("timestamp").desc())
+            .limit(20)
+            .collect()
+        )
+    except AnalysisException:
+        return ""
+    if not rows:
+        return ""
+    body = "\n".join(
+        f"<tr><td>{_esc(r['pipeline'])}</td><td>{r['batch_id']}</td>"
+        f"<td>{r['num_input_rows']:,}</td><td>{r['processed_rows_per_second']:,.0f}</td>"
+        f"<td>{r['trigger_execution_ms']:,}</td><td>{r['add_batch_ms']:,}</td></tr>"
+        for r in rows
+    )
+    return (
+        "<h2>Streaming triggers</h2>"
+        "<table><tr><th>pipeline</th><th>batch</th><th>rows in</th><th>rows/s</th>"
+        f"<th>trigger ms</th><th>addBatch ms</th></tr>{body}</table>"
+    )
 
 
 def write_report(

@@ -21,6 +21,7 @@ first-wins semantics *within* each batch plus optional cross-batch exact
 dedup via ``dropDuplicates`` upstream.
 """
 
+from mega_data_factory_spark.streaming.listener import StreamingMetricsListener
 from mega_data_factory_spark.streaming.runner import (
     StreamingPipeline,
     session_window_agg,
@@ -34,6 +35,7 @@ from mega_data_factory_spark.streaming.runner import (
 
 __all__ = [
     "StreamingPipeline",
+    "StreamingMetricsListener",
     "windowed_agg",
     "session_window_agg",
     "stream_exact_dedup",

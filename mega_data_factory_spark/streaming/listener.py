@@ -1,0 +1,132 @@
+"""Per-trigger streaming telemetry into the metrics store.
+
+The batch runner writes run/stage/operator/stores metrics parquet
+(metrics/__init__.py — the reference's three-level telemetry,
+framework/metrics/writer.py:28-84, plus the round-7 stores level); a
+long-running Structured Streaming job needs the same observability per
+MICRO-BATCH: rows in, processing rate, trigger duration, sink commit
+share. Spark already computes all of it (StreamingQueryProgress) — this
+listener just lands each progress event as one parquet row under
+``<metrics>/triggers``, so the stream's health is queryable next to the
+batch runs with plain SQL (lag = addBatch_ms trend, input starvation =
+num_input_rows drops, commit share = commit_ms / trigger_ms).
+
+Design notes, Spark-first:
+  * A ``StreamingQueryListener`` runs on the driver's event thread —
+    writing a 1-row DataFrame per trigger from there is legal and cheap
+    (the write is the SAME session, local action), and parquet-append
+    keeps the metrics sink uniform with the batch levels.
+  * Events are session-global: rows carry (query_id, run_id, pipeline)
+    and the listener self-detaches when ITS query terminates, so
+    concurrent streams each attach their own listener without
+    cross-talk or listener leaks.
+  * At-least-once: a listener crash between progress events loses at
+    most the in-flight row — telemetry, not state; the checkpoint owns
+    exactly-once for data.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRIGGER_METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("pipeline", StringType()),
+        StructField("query_id", StringType()),
+        StructField("batch_id", LongType()),
+        StructField("timestamp", TimestampType()),
+        StructField("num_input_rows", LongType()),
+        StructField("input_rows_per_second", DoubleType()),
+        StructField("processed_rows_per_second", DoubleType()),
+        StructField("trigger_execution_ms", LongType()),
+        StructField("add_batch_ms", LongType()),
+        StructField("commit_offsets_ms", LongType()),
+    ]
+)
+
+
+class StreamingMetricsListener(StreamingQueryListener):
+    """Lands one row per StreamingQueryProgress under ``metrics_path``/
+    triggers, scoped to one query (the first it sees start after attach,
+    or an explicit ``query_id``); detaches itself when that query
+    terminates."""
+
+    def __init__(self, spark: SparkSession, metrics_path: str, *, pipeline: str, run_id: str, query_id: str | None = None):
+        self._spark = spark
+        self.metrics_path = metrics_path
+        self.pipeline = pipeline
+        self.run_id = run_id
+        self.query_id = query_id
+        self.rows_written = 0
+
+    # -- StreamingQueryListener hooks (event-thread; keep them cheap) ----
+
+    def onQueryStarted(self, event) -> None:
+        if self.query_id is None:
+            self.query_id = str(event.id)
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        # pyspark surfaces progress as an object with .json; parse once —
+        # the dict form is stable across minor versions, attribute
+        # accessors are not
+        d = json.loads(p.json) if hasattr(p, "json") else dict(p)
+        if self.query_id is not None and str(d.get("id")) != self.query_id:
+            return
+        if not d.get("numInputRows"):
+            return  # idle/no-data triggers carry no workload signal
+        dur = d.get("durationMs") or {}
+        row = (
+            self.run_id,
+            self.pipeline,
+            str(d.get("id")),
+            int(d.get("batchId", -1)),
+            int(d.get("numInputRows", 0)),
+            float(d.get("inputRowsPerSecond") or 0.0),
+            float(d.get("processedRowsPerSecond") or 0.0),
+            int(dur.get("triggerExecution", 0)),
+            int(dur.get("addBatch", 0)),
+            int(dur.get("commitOffsets", dur.get("commitBatch", 0)) or 0),
+        )
+        df = self._spark.createDataFrame(
+            [row],
+            "run_id string, pipeline string, query_id string, batch_id long, "
+            "num_input_rows long, input_rows_per_second double, processed_rows_per_second double, "
+            "trigger_execution_ms long, add_batch_ms long, commit_offsets_ms long",
+        ).withColumn("timestamp", F.current_timestamp())
+        df.select([f.name for f in TRIGGER_METRICS_SCHEMA.fields]).write.mode("append").parquet(
+            f"{self.metrics_path}/triggers"
+        )
+        self.rows_written += 1
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        if self.query_id is None or str(event.id) == self.query_id:
+            self.detach()
+
+    # ------------------------------------------------------------- manage
+
+    def attach(self) -> "StreamingMetricsListener":
+        self._spark.streams.addListener(self)
+        return self
+
+    def detach(self) -> None:
+        try:
+            self._spark.streams.removeListener(self)
+        except Exception:  # already removed / session torn down
+            pass

@@ -321,6 +321,7 @@ class StreamingPipeline:
         output_files: int | None = None,
         shuffle_partitions: int | None = None,
         parallel_sinks: bool = False,
+        metrics_path: str | None = None,
     ):
         self.config = config
         self.pipeline = Pipeline(config)
@@ -328,6 +329,10 @@ class StreamingPipeline:
         self.output_files = output_files
         self.shuffle_partitions = shuffle_partitions
         self.parallel_sinks = parallel_sinks
+        # per-trigger telemetry (streaming/listener.py) into the same
+        # metrics store the batch runner writes; defaults to the config's
+        # metrics_path so the YAML contract carries over unchanged
+        self.metrics_path = metrics_path or config.metrics_path
 
     def start(self, stream_df: DataFrame, *, trigger_available_now: bool = True):
         def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -345,7 +350,23 @@ class StreamingPipeline:
         writer = stream_df.writeStream.foreachBatch(_process).option("checkpointLocation", self.checkpoint_dir)
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
-        return writer.start()
+        q = writer.start()
+        if self.metrics_path:
+            import uuid
+
+            from mega_data_factory_spark.streaming.listener import StreamingMetricsListener
+
+            # attach AFTER start with the concrete query id: the listener
+            # scopes to this query and self-detaches on its termination,
+            # so concurrent streams on one session never cross-write
+            StreamingMetricsListener(
+                stream_df.sparkSession,
+                self.metrics_path,
+                pipeline=self.config.name,
+                run_id=uuid.uuid4().hex[:12],
+                query_id=str(q.id),
+            ).attach()
+        return q
 
     def _process_batch(self, batch_df: DataFrame) -> None:
         cfg = self.config

@@ -178,6 +178,30 @@ def test_html_report_from_metrics(spark, tmp_path):
     # without a rejected_path the section is absent (backwards compatible)
     plain = write_report(spark, cfg.metrics_path, str(tmp_path / "plain.html"))
     assert "Rejected samples" not in open(plain).read()
+    # no incremental stores / streaming in this run -> optional sections absent
+    assert "Incremental dedup stores" not in html_text
+    assert "Streaming triggers" not in html_text
+    # when the stores/triggers levels exist, the report renders them
+    from mega_data_factory_spark.metrics import write_store_metrics
+
+    spark.range(3).selectExpr("CAST(id AS STRING) AS content_key", "'r' AS representative_id").write.parquet(
+        str(tmp_path / "fake_store")
+    )
+    write_store_metrics(
+        spark, cfg.metrics_path, run_id=result.run_id, pipeline=cfg.name,
+        operator_name="IncrementalExactDeduplicator", store_path=str(tmp_path / "fake_store"),
+    )
+    spark.createDataFrame(
+        [(result.run_id, cfg.name, "q1", 0, 100, 50.0, 60.0, 1200, 900, 40, None)],
+        "run_id string, pipeline string, query_id string, batch_id long, num_input_rows long, "
+        "input_rows_per_second double, processed_rows_per_second double, trigger_execution_ms long, "
+        "add_batch_ms long, commit_offsets_ms long, ts string",
+    ).drop("ts").withColumn("timestamp", F.current_timestamp()).write.parquet(
+        f"{cfg.metrics_path}/triggers"
+    )
+    enriched = open(write_report(spark, cfg.metrics_path, str(tmp_path / "full.html"))).read()
+    assert "Incremental dedup stores" in enriched and "post_update" in enriched
+    assert "Streaming triggers" in enriched and "1,200" in enriched
 
 
 def test_custom_source_and_sink_registries(spark, tmp_path):

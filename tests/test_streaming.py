@@ -536,3 +536,71 @@ def test_streaming_c4_cleaning_composes(spark, tmp_path):
     rej = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "c4_rej")).collect()}
     assert set(rej) == {2, 3}
     assert all(r._rejection_details.operator == "C4PageFilter" for r in rej.values())
+
+
+def test_streaming_trigger_metrics_listener(spark, tmp_path):
+    """Per-trigger telemetry: a StreamingPipeline with metrics_path lands
+    one row per data-carrying micro-batch under <metrics>/triggers
+    (rows in, rates, trigger/addBatch durations), scoped to its own query
+    id, and the listener detaches itself on termination (a second stream
+    on the same session gets its own run_id, no cross-writes)."""
+    import time as _time
+
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.streaming import StreamingPipeline
+
+    src = tmp_path / "in"
+    write_events(src, EVENTS_A, "a")
+    write_events(src, EVENTS_B, "b")
+    metrics = str(tmp_path / "metrics")
+
+    def cfg_for(out: str) -> PipelineConfig:
+        cfg = PipelineConfig.from_dict(
+            {
+                "pipeline": {
+                    "name": "stream_telemetry",
+                    "id_col": "event_id",
+                    "metrics_path": metrics,  # YAML contract carries over
+                    "source": {"table": "unused"},
+                    "stages": [
+                        {"name": "s", "operators": [
+                            {"name": "NumericRangeFilter", "params": {"column": "value", "lo": 2.0}},
+                        ]},
+                    ],
+                }
+            }
+        )
+        cfg.sink = SinkConfig(path=str(tmp_path / out))
+        return cfg
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", "1").json(str(src))
+    q = StreamingPipeline(cfg_for("out1"), checkpoint_dir=str(tmp_path / "ck1")).start(stream)
+    q.awaitTermination(120)
+
+    def wait_rows(n: int):
+        # listener events are delivered asynchronously after termination
+        for _ in range(60):
+            try:
+                rows = spark.read.parquet(f"{metrics}/triggers").collect()
+                if len(rows) >= n:
+                    return rows
+            except Exception:
+                pass
+            _time.sleep(0.5)
+        raise AssertionError(f"expected >= {n} trigger metric rows")
+
+    rows = wait_rows(2)  # 2 files x maxFilesPerTrigger=1 -> 2 data batches
+    assert {r.query_id for r in rows} == {str(q.id)}
+    assert all(r.pipeline == "stream_telemetry" for r in rows)
+    assert sorted(r.batch_id for r in rows) == [0, 1]
+    assert sum(r.num_input_rows for r in rows) == len(EVENTS_A) + len(EVENTS_B)
+    assert all(r.trigger_execution_ms > 0 for r in rows)
+
+    # second stream: fresh run_id, still exactly one query_id per run
+    write_events(src, EVENTS_B, "c")
+    stream2 = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+    q2 = StreamingPipeline(cfg_for("out2"), checkpoint_dir=str(tmp_path / "ck2")).start(stream2)
+    q2.awaitTermination(120)
+    rows2 = wait_rows(3)
+    runs = {r.run_id: r.query_id for r in rows2}
+    assert len(runs) == 2 and str(q2.id) in runs.values()
