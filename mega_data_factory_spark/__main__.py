@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     valp.add_argument(
         "--explain", action="store_true", help="also print the physical plan (needs a readable source)"
     )
+    valp.add_argument(
+        "--lint",
+        action="store_true",
+        help="grade the physical plan (plans/lint.py): exit 1 on row-at-a-time "
+        "Python UDFs or cartesian products; report shuffle/Arrow/scan-pushdown counts",
+    )
     valp.add_argument("--cpus", type=int, default=4)
     sub.add_parser("list-operators", help="registered operator names")
     sub.add_parser("list-queries", help="oracle-checked query names")
@@ -158,11 +164,19 @@ def main(argv: list[str] | None = None) -> int:
             "rejected_sink": cfg.rejected_sink.path if cfg.rejected_sink else None,
             "valid": True,
         }
-        print(json.dumps(out))
-        if args.explain:
+        if args.explain or args.lint:
             from mega_data_factory_spark.session import get_spark
 
-            print(pipe.explain(get_spark("mdf-spark-cli", cpus=args.cpus)), file=sys.stderr)
+            plan = pipe.explain(get_spark("mdf-spark-cli", cpus=args.cpus))
+            if args.explain:
+                print(plan, file=sys.stderr)
+            if args.lint:
+                from mega_data_factory_spark.plans.lint import lint_plan
+
+                out["lint"] = lint_plan(plan)
+                print(json.dumps(out))
+                return 0 if out["lint"]["ok"] else 1
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "export-wds":

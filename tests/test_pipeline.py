@@ -392,6 +392,52 @@ def test_pipeline_explain_surface(spark):
     assert plan.count("hashpartitioning") == 1  # the dedup key shuffle
 
 
+def test_plan_lint_rules():
+    """lint_plan grades formatted plan text: the two always-wrong shapes
+    fail, clean plans pass, and scans surface pushdown + schema width."""
+    from mega_data_factory_spark.plans.lint import lint_plan
+
+    bad = "(1) Scan parquet\n(2) BatchEvalPython [f(x)]\n(3) CartesianProduct"
+    res = lint_plan(bad)
+    assert not res["ok"] and len(res["failures"]) == 2
+
+    clean = (
+        "(1) Scan parquet db.t\nPushedFilters: [IsNotNull(a), GreaterThan(a,5)]\n"
+        "ReadSchema: struct<a:int,b:string>\n"
+        "(2) Exchange hashpartitioning(a)\n(3) BroadcastExchange\n"
+        "(4) ArrowEvalPython [g(b)]\n(5) SortMergeJoin\nWholeStageCodegen (1)\nWholeStageCodegen (2)\n"
+    )
+    res = lint_plan(clean)
+    assert res["ok"] and res["failures"] == []
+    assert res["counts"]["shuffle_exchanges"] == 1
+    assert res["counts"]["broadcast_exchanges"] == 1
+    assert res["counts"]["arrow_python_crossings"] == 1
+    assert res["counts"]["whole_stage_codegen_spans"] == 2
+    assert res["scans"] == [
+        {"format": "parquet", "pushed_filters": "IsNotNull(a), GreaterThan(a,5)", "read_columns": 2}
+    ]
+
+
+def test_cli_validate_lint(spark, tmp_path, capsys):
+    """validate --lint grades the built plan end to end: the curation
+    YAML lints clean (no row UDFs, no cartesian, one dedup shuffle) and
+    its parquet scan shows a pruned ReadSchema."""
+    import json as _json
+
+    from mega_data_factory_spark.__main__ import main
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(YAML)
+    assert main(["validate", "-c", str(cfg_path), "--lint"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lint = out["lint"]
+    assert lint["ok"] and lint["failures"] == []
+    assert lint["counts"]["shuffle_exchanges"] >= 1  # the dedup key shuffle
+    assert lint["counts"]["arrow_python_crossings"] == 0  # pure-Column config
+    assert lint["scans"] and lint["scans"][0]["format"] == "parquet"
+    assert 0 < lint["scans"][0]["read_columns"] <= 6
+
+
 def test_cli_report_subcommand(spark, tmp_path, capsys):
     """python -m mega_data_factory_spark report -m <metrics> -o <html>."""
     cfg = PipelineConfig.from_yaml(YAML)
