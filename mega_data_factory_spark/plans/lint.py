@@ -40,7 +40,15 @@ def lint_plan(plan: str) -> dict:
         "shuffle_exchanges": len(re.findall(r"\(\d+\) Exchange\b", plan)),
         "broadcast_exchanges": len(re.findall(r"\(\d+\) BroadcastExchange\b", plan)),
         "arrow_python_crossings": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
-        "whole_stage_codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # simple mode prints "WholeStageCodegen (N)" wrappers; formatted
+        # mode tags operators with "[codegen id : N]" — count either.
+        # Best-effort: under AQE a PRE-execution formatted plan carries no
+        # codegen annotations at all (they appear once stages compile), so
+        # 0 here means "not annotated", not "interpreted"
+        "whole_stage_codegen_spans": len(
+            set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+            | set(re.findall(r"codegen id : (\d+)", plan))
+        ),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
     }

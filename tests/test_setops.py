@@ -94,15 +94,19 @@ def test_no_query_plans_a_cartesian_product(spark):
 
 
 def test_no_query_plans_a_rowwise_python_udf(spark):
-    """Sweep every registered query: none may compile to a row-at-a-time
-    Python UDF (BatchEvalPython — pickled per-row transfer, the 10-100x
-    slow path). Arrow-batched Python (ArrowEvalPython / MapInPandas /
-    FlatMapGroupsInPandas) is the engine's sanctioned Python tier."""
-    from mega_data_factory_spark.plans import all_queries
+    """Sweep every registered AND retired query through the plan lint
+    (plans/lint.py — the same audit `validate --lint` runs on user
+    configs): none may compile to a row-at-a-time Python UDF
+    (BatchEvalPython — pickled per-row transfer, the 10-100x slow path)
+    or a CartesianProduct. Arrow-batched Python (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) is the engine's sanctioned
+    Python tier."""
+    from mega_data_factory_spark.plans import all_queries, retired_queries
+    from mega_data_factory_spark.plans.lint import lint_plan
 
     offenders = []
-    for name, fn in all_queries().items():
-        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
-        if "BatchEvalPython" in plan:
-            offenders.append(name)
+    for name, fn in {**all_queries(), **retired_queries()}.items():
+        res = lint_plan(_plan(fn(spark, "/root/testdata/sf0.001")))
+        if not res["ok"]:
+            offenders.append((name, res["failures"]))
     assert not offenders, offenders
