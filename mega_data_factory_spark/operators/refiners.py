@@ -250,6 +250,74 @@ class RepetitionStatsRefiner(Refiner):
         )
 
 
+class CompressionRatioRefiner(Refiner):
+    """zlib (DEFLATE) compression ratio per document — the published
+    "gzip/compression ratio" quality heuristic (a standard signal in
+    open-data curation stacks, e.g. the RedPajama-v2 quality-signal set
+    and Dolma's repetition screens): near-duplicate boilerplate and
+    template spam compress far below normal prose, while garbled /
+    base64-ish / truly random text barely compresses. Filter both tails
+    by composing with ``NumericRangeFilter`` on ``compression_ratio``
+    (prose typically lands ~0.3-0.7 at the default level).
+
+    ``compression_ratio = len(zlib.compress(utf8(text), level)) /
+    len(utf8(text))``, rounded to 6. NULL and empty/whitespace-only text
+    yield NULL — no signal, and a zero-byte denominator must not fake a
+    "perfectly compressible" 0.0 that the low-tail filter would cut.
+
+    Scale shape: ONE Arrow crossing (vectorized pandas_udf over the text
+    batch; zlib runs at C speed), narrow map, zero shuffle — fuses into
+    the scan like every other refiner. ``level=1`` default: ~3-5x the
+    throughput of level 6 with nearly identical discriminative power
+    (thresholds consume the RANKING, not the absolute ratio; pick one
+    level per corpus and keep it — ratios across levels are not
+    comparable). Beyond the reference's surface — first-class per the
+    build brief. Not ANSI-SQL-expressible (DuckDB has no DEFLATE scalar):
+    the pytest bar is a value-for-value differential against direct zlib
+    over the real corpus plus planted tails (tests/test_curation.py)."""
+
+    def __init__(
+        self,
+        *,
+        text_col: str = "text",
+        level: int = 1,
+        out_col: str = "compression_ratio",
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        if not 1 <= level <= 9:
+            raise ValueError(f"level must be in [1, 9], got {level}")
+        self.text_col = text_col
+        self.level = int(level)
+        self.out_col = out_col
+
+    def _udf(self):
+        import zlib
+
+        import pandas as pd
+
+        level = self.level
+
+        @F.pandas_udf("double")
+        def ratio(s: pd.Series) -> pd.Series:
+            out = []
+            for t in s:
+                if t is None:
+                    out.append(None)
+                    continue
+                b = t.encode("utf-8")
+                if not b.strip():
+                    out.append(None)
+                    continue
+                out.append(round(len(zlib.compress(b, level)) / len(b), 6))
+            return pd.Series(out, dtype="float64")
+
+        return ratio
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        return {self.out_col: self._udf()(F.col(self.text_col))}
+
+
 # PII patterns: deliberately anchored, ASCII, backtracking-free so Java
 # regex (Spark) and RE2 (DuckDB) agree on every match boundary.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

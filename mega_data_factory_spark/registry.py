@@ -107,6 +107,7 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.refiners import (
         BoilerplateLineRefiner,
         C4HeuristicRefiner,
+        CompressionRatioRefiner,
         IntraDocDedupRefiner,
         UnicodeNormalizeRefiner,
         UrlCanonicalizeRefiner,
@@ -132,6 +133,7 @@ def _register_builtins() -> None:
         BoilerplateLineRefiner,
         C4HeuristicRefiner,
         C4PageFilter,
+        CompressionRatioRefiner,
         IntraDocDedupRefiner,
         UnicodeNormalizeRefiner,
         UrlCanonicalizeRefiner,

@@ -900,3 +900,94 @@ def test_c4_blocklist_nonword_edge_entries(spark):
     got = {x.doc_id: x.c4_flag_badword for x in r.apply(
         spark.createDataFrame(rows, "doc_id long, text string")).collect()}
     assert got == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_compression_ratio_refiner(spark):
+    """zlib-ratio quality signal: value-for-value against direct zlib over
+    the real corpus plus planted tails (repetitive boilerplate compresses
+    to a LOW ratio, base64-ish noise to a HIGH one; NULL/blank -> NULL);
+    the plan pays exactly one Arrow crossing; registry + level validation.
+    Not ANSI-SQL-expressible (no DEFLATE scalar in DuckDB), so the bar is
+    this differential rather than a driver oracle row."""
+    import zlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR_ORACLE
+    from mega_data_factory_spark.operators.refiners import CompressionRatioRefiner
+    from mega_data_factory_spark.registry import OPERATORS
+    from mega_data_factory_spark.session import load_tables
+
+    import hashlib
+
+    planted = [
+        (900101, "buy now " * 200),  # boilerplate -> low tail
+        # high-entropy tail must be NON-repeating (a repeated base64 block
+        # deflates like boilerplate): distinct hex digests, ~4 bits/char
+        (900102, "".join(hashlib.sha256(str(i).encode()).hexdigest() for i in range(40))),
+        (900103, None),
+        (900104, "   "),
+        (900105, "Ünïcòdé prose — naïve café résumé. " * 8),
+    ]
+    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"].select("doc_id", "text")
+    df = docs.unionByName(spark.createDataFrame(planted, "doc_id long, text string"))
+    out = CompressionRatioRefiner(level=6).apply(df)
+    got = {r.doc_id: r.compression_ratio for r in out.collect()}
+    for r in df.collect():
+        if r.text is None or not r.text.encode("utf-8").strip():
+            assert got[r.doc_id] is None, r.doc_id
+        else:
+            b = r.text.encode("utf-8")
+            assert got[r.doc_id] == pytest.approx(round(len(zlib.compress(b, 6)) / len(b), 6)), r.doc_id
+    # the tails separate: boilerplate well below the noise block
+    assert got[900101] < 0.1 < got[900102]
+    # one Arrow crossing, no row-wise Python (single-source plan: over a
+    # union, PushProjectionThroughUnion legitimately clones the projection
+    # into each branch — disjoint rows, not double work)
+    plan = CompressionRatioRefiner().apply(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1 and "BatchEvalPython" not in plan
+    # YAML path + param validation
+    op = OPERATORS.create("CompressionRatioRefiner", {"level": 2, "out_col": "cr"})
+    assert "cr" in op.apply(docs.limit(5)).columns
+    with pytest.raises(ValueError, match="level"):
+        CompressionRatioRefiner(level=0)
+
+
+def test_compression_ratio_filters_in_pipeline(spark, tmp_path):
+    """The published composition: ratio refiner + NumericRangeFilter cuts
+    both tails through the config-driven pipeline, rejected rows carrying
+    the filter's name."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    rows = [
+        (1, "A perfectly ordinary prose sentence about data pipelines and their joins. " * 4),
+        (2, "spam spam spam spam " * 150),               # low tail
+        (3, "aQx9zK3mPv8TnR5wYb2Lc7Jd4Fg6Hs1N" * 50),    # high tail
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView("cr_in")
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "cr_cut",
+                "id_col": "doc_id",
+                "source": {"table": "cr_in"},
+                "stages": [
+                    {"name": "quality", "operators": [
+                        {"name": "CompressionRatioRefiner", "params": {"level": 6}},
+                        {"name": "NumericRangeFilter",
+                         "params": {"column": "compression_ratio", "lo": 0.1, "hi": 0.75}},
+                    ]},
+                ],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"))
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rej"))
+    Pipeline(cfg).run(spark)
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    assert kept == {1}
+    assert {r.doc_id for r in rej.collect()} == {2, 3}
+    assert set(r.operator for r in rej.select("operator").collect()) == {"NumericRangeFilter"}
