@@ -256,3 +256,61 @@ class C4PageFilter(Filter):
             & ~F.coalesce(F.col("c4_flag_badword"), F.lit(True))
             & (F.coalesce(F.col("c4_sentences"), F.lit(0)) >= self.min_sentences)
         )
+
+
+class GopherQualityFilter(Filter):
+    """The published Gopher quality-filter rules (Rae et al. 2021 §A1.1)
+    over :class:`~mega_data_factory_spark.operators.refiners.GopherQualityRefiner`
+    columns — apply the refiner first (a frame without the columns fails
+    analysis loudly, the C4PageFilter contract). A page survives iff ALL
+    hold, with the paper's thresholds as defaults (every one a
+    constructor knob):
+
+      * 50 <= word count <= 100,000;
+      * 3 <= mean word length <= 10;
+      * '#'-to-word and ellipsis-to-word ratios <= 0.1;
+      * <= 90% of lines start with a bullet, <= 30% end in an ellipsis;
+      * >= 80% of words contain an alphabetic character;
+      * >= 2 of the paper's eight stopwords present.
+
+    NULL signal values count as failing (the ImageQualityFilter rule — a
+    row the refiner left unannotated must not silently pass)."""
+
+    def __init__(
+        self,
+        *,
+        min_words: int = 50,
+        max_words: int = 100_000,
+        min_mean_word_len: float = 3.0,
+        max_mean_word_len: float = 10.0,
+        max_symbol_ratio: float = 0.1,
+        max_bullet_line_frac: float = 0.9,
+        max_ellipsis_line_frac: float = 0.3,
+        min_alpha_word_frac: float = 0.8,
+        min_stopwords: int = 2,
+        name: str | None = None,
+    ):
+        super().__init__(name)
+        self.min_words = min_words
+        self.max_words = max_words
+        self.min_mean_word_len = min_mean_word_len
+        self.max_mean_word_len = max_mean_word_len
+        self.max_symbol_ratio = max_symbol_ratio
+        self.max_bullet_line_frac = max_bullet_line_frac
+        self.max_ellipsis_line_frac = max_ellipsis_line_frac
+        self.min_alpha_word_frac = min_alpha_word_frac
+        self.min_stopwords = min_stopwords
+
+    def predicate(self, df: DataFrame) -> Column:
+        wc = F.coalesce(F.col("gopher_word_count"), F.lit(-1))
+        mwl = F.coalesce(F.col("gopher_mean_word_len"), F.lit(-1.0))
+        return (
+            wc.between(self.min_words, self.max_words)
+            & mwl.between(self.min_mean_word_len, self.max_mean_word_len)
+            & (F.coalesce(F.col("gopher_hash_ratio"), F.lit(1.0)) <= self.max_symbol_ratio)
+            & (F.coalesce(F.col("gopher_ellipsis_ratio"), F.lit(1.0)) <= self.max_symbol_ratio)
+            & (F.coalesce(F.col("gopher_bullet_line_frac"), F.lit(1.0)) <= self.max_bullet_line_frac)
+            & (F.coalesce(F.col("gopher_ellipsis_line_frac"), F.lit(1.0)) <= self.max_ellipsis_line_frac)
+            & (F.coalesce(F.col("gopher_alpha_word_frac"), F.lit(0.0)) >= self.min_alpha_word_frac)
+            & (F.coalesce(F.col("gopher_stopword_count"), F.lit(0)) >= self.min_stopwords)
+        )

@@ -128,6 +128,90 @@ class QualityScoreRefiner(Refiner):
         }
 
 
+# Gopher quality-rule constants (Rae et al. 2021, Appendix A1.1) — the
+# published thresholds; every one is overridable on the filter. The
+# stopword list is the paper's own ("the, be, to, of, and, that, have,
+# with"); presence of >= 2 is the rule, not frequency.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("•", "‣", "▪", "-", "*")
+# explicit class, not \s: Java's \s includes \x0B, RE2's (DuckDB) does not
+GOPHER_WS = "[ \\t\\x0B\\f\\r\\n]+"
+
+
+class GopherQualityRefiner(Refiner):
+    """The published Gopher QUALITY signals (Rae et al. 2021 §A1.1) — the
+    document-structure half of the Gopher rules; the repetition half is
+    :class:`RepetitionStatsRefiner`, and together with the C4 and
+    RefinedWeb operators this completes the published-recipe cleaning
+    trio. Beyond the reference's surface — first-class per the build
+    brief.
+
+    Adds (all rounded to 6 where fractional; NULL text yields NULLs so
+    the filter's NULL-fails rule applies):
+      * ``gopher_word_count`` — whitespace words;
+      * ``gopher_mean_word_len`` — characters per word;
+      * ``gopher_hash_ratio`` / ``gopher_ellipsis_ratio`` — '#' and
+        '...'/'…' occurrences per word (the paper's symbol-to-word
+        ratios);
+      * ``gopher_bullet_line_frac`` — fraction of lines starting with a
+        bullet glyph; ``gopher_ellipsis_line_frac`` — fraction ending in
+        an ellipsis;
+      * ``gopher_alpha_word_frac`` — fraction of words containing at
+        least one [A-Za-z] character;
+      * ``gopher_stopword_count`` — how many of the paper's eight
+        stopwords appear (presence, not frequency).
+
+    Scale shape: pure Column HOFs over the split arrays — narrow map,
+    fuses into the scan, zero shuffle, zero Python; every expression is
+    in the Java/RE2 common subset, so the DuckDB mirror is
+    token-for-token (tests/test_curation.py holds the driver-gate bar)."""
+
+    def __init__(self, *, text_col: str = "text", name: str | None = None):
+        super().__init__(name)
+        self.text_col = text_col
+
+    def columns(self, df: DataFrame) -> dict[str, Column]:
+        t = F.col(self.text_col)
+        words = F.filter(F.split(t, GOPHER_WS), lambda w: w != "")
+        wc = F.size(words)
+        n_chars = F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        mean_len = F.when(wc > 0, F.round(n_chars.cast("double") / wc, 6))
+        lines = F.split(t, "\n")
+        n_lines = F.size(lines)
+        bullet = F.size(
+            F.filter(
+                lines,
+                lambda u: reduce(
+                    lambda a, b: a | b, [F.trim(u).startswith(g) for g in GOPHER_BULLETS]
+                ),
+            )
+        )
+        ell_lines = F.size(
+            F.filter(lines, lambda u: F.rtrim(u).endswith("...") | F.rtrim(u).endswith("…"))
+        )
+        alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        stop_hits = reduce(
+            lambda a, b: a + b,
+            [
+                F.when(F.lower(t).rlike(r"(?:^|[^0-9A-Za-z_])" + w + r"(?:[^0-9A-Za-z_]|$)"), 1).otherwise(0)
+                for w in GOPHER_STOPWORDS
+            ],
+        )
+        per_word = lambda n: F.when(wc > 0, F.round(n.cast("double") / wc, 6))  # noqa: E731
+        return {
+            "gopher_word_count": F.when(t.isNotNull(), wc).cast("int"),
+            "gopher_mean_word_len": mean_len,
+            "gopher_hash_ratio": per_word(F.regexp_count(t, F.lit("#"))),
+            # count RUNS of 3+ dots (or a '…' glyph) — '.....' is one
+            # ellipsis, not two; the c4_sentences run-counting lesson
+            "gopher_ellipsis_ratio": per_word(F.regexp_count(t, F.lit(r"\.{3,}|…"))),
+            "gopher_bullet_line_frac": F.when(n_lines > 0, F.round(bullet.cast("double") / n_lines, 6)),
+            "gopher_ellipsis_line_frac": F.when(n_lines > 0, F.round(ell_lines.cast("double") / n_lines, 6)),
+            "gopher_alpha_word_frac": per_word(alpha),
+            "gopher_stopword_count": F.when(t.isNotNull(), stop_hits).cast("int"),
+        }
+
+
 class RepetitionStatsRefiner(Refiner):
     """Gopher-rule repetition signals (Rae et al. 2021 §A1.1: documents
     dominated by repeated lines/n-grams are low-quality): adds

@@ -73,6 +73,7 @@ def _register_builtins() -> None:
     from mega_data_factory_spark.operators.filters import (
         C4PageFilter,
         DomainBlocklistFilter,
+        GopherQualityFilter,
         ImageQualityFilter,
         NumericRangeFilter,
         TextLengthFilter,
@@ -108,6 +109,7 @@ def _register_builtins() -> None:
         BoilerplateLineRefiner,
         C4HeuristicRefiner,
         CompressionRatioRefiner,
+        GopherQualityRefiner,
         IntraDocDedupRefiner,
         UnicodeNormalizeRefiner,
         UrlCanonicalizeRefiner,
@@ -134,6 +136,8 @@ def _register_builtins() -> None:
         C4HeuristicRefiner,
         C4PageFilter,
         CompressionRatioRefiner,
+        GopherQualityFilter,
+        GopherQualityRefiner,
         IntraDocDedupRefiner,
         UnicodeNormalizeRefiner,
         UrlCanonicalizeRefiner,
