@@ -800,3 +800,69 @@ def test_jsonl_gzip_roundtrip_through_config(spark, tmp_path):
     a = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
     b = {r.doc_id: (r.text, r.lang) for r in back.collect()}
     assert a == b
+
+
+def test_gopher_recipe_config(spark, tmp_path):
+    """The shipped Gopher-style recipe builds and runs end to end over a
+    MassiveWeb-shaped corpus: the funnel balances and each published rule
+    cuts exactly the pages planted to trip it — quality rules (short page,
+    hash spam, bullet wall, ellipsis trail-offs, stopword-free), the
+    repetition rules (dup-word page; top-bigram run page that PASSES the
+    dup-word cut), and the two-stage exact-then-MinHash dedup."""
+    from mega_data_factory_spark.config import SinkConfig
+
+    def page(uid: str, n: int = 44) -> str:
+        core = " ".join(f"item{uid}w{j}" for j in range(n))
+        return f"the report shows that {core} and it ends with a solid summary of results to be sure"
+
+    rows = [(i, page(str(i))) for i in range(30)]  # clean, unique, >= 50 words
+    rows += [
+        (100, "the short page has and of markers but far too few words."),  # word count < 50
+        (101, page("hash") + " " + "#tag " * 12),                            # hash ratio > 0.1
+        (102, "\n".join(f"• {page(f'b{k}', 8)}" for k in range(10))),        # bullet wall
+        (103, "\n".join([page("e0")] + [f"{page(f'e{k}', 6)}..." for k in range(9)])),  # ellipsis lines > 30%
+        # stopword-free but still English-marked: 'a' is an en marker yet
+        # not one of the paper's eight stopwords
+        (104, " ".join(f"standalone{j} wording{j} a" for j in range(20))),
+        # language cut: NO marker words in any language profile (the
+        # recipe's cut is lang_score >= 1, i.e. "some recognized language")
+        (105, "nessun marcatore qui davvero proprio niente affatto mai " * 8),
+        # repetition: >30% duplicate words, quality rules all pass
+        (106, "the analysis shows that " + "repeat " * 40 + " ".join(f"fill{j}" for j in range(30)) + " and so it goes with more of it"),
+        # top-bigram run: a 14-token 'gogo' run gives bigram share ~0.22
+        # while dup-word ratio stays ~0.22 (< 0.3, passes DupWordCut)
+        (107, "the report shows that " + "gogo " * 14 + " ".join(f"unique{j}xx{j} " for j in range(38)) + "and it ends with a summary of results"),
+        (200, page("dupA")),  # exact-dup pair: 201 repeats 200 verbatim
+        (201, page("dupA")),
+        (300, page("nearB") + " closing remark alpha."),  # near-dup pair
+        (301, page("nearB") + " closing remark omega."),
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    with open("configs/gopher_style_recipe.yaml") as f:
+        cfg = PipelineConfig.from_yaml(f.read())
+    cfg.source.path = src
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"), mode="overwrite")
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rej"), mode="overwrite")
+    cfg.metrics_path = str(tmp_path / "metrics")
+    result = Pipeline(cfg).run(spark)
+
+    rejected_total = sum(m.input_records - m.output_records for m in result.operators)
+    assert result.output_records + rejected_total == result.input_records == len(rows)
+
+    passed = spark.read.parquet(str(tmp_path / "out"))
+    ids = {r.doc_id for r in passed.select("doc_id").collect()}
+    assert ids == set(range(30)) | {200, 300}  # dedup winners are the smaller ids
+
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    cut_by = {r.doc_id: r.operator for r in rej.select("doc_id", "operator").collect()}
+    assert cut_by[105] == "LanguageCut"
+    for i in (100, 101, 102, 103, 104):
+        assert cut_by[i] == "GopherQualityFilter", (i, cut_by[i])
+    assert cut_by[106] == "DupWordCut"
+    assert cut_by[107] == "TopBigramCut"
+    assert cut_by[201] == "TextExactDeduplicator"
+    assert cut_by[301] == "MinHashLSHDeduplicator"
+    rep = rej.filter(F.col("doc_id") == 301).first()["_rejection_details"]["representative_id"]
+    assert rep == "300"
