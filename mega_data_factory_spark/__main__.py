@@ -119,6 +119,13 @@ def main(argv: list[str] | None = None) -> int:
     pdp.add_argument("-b", "--after", required=True, help="after parquet path")
     pdp.add_argument("-o", "--out", default=None, help="optional parquet output for the report")
     pdp.add_argument("--exact", action="store_true", help="exact distinct/percentiles (test scale)")
+    pdp.add_argument(
+        "--sample-bytes",
+        type=int,
+        default=None,
+        help="profile a deterministic fixed-byte FILE sample of each side "
+        "(flat cost at any corpus size) instead of the full tables",
+    )
     pdp.add_argument("--cpus", type=int, default=None)
     compp = sub.add_parser(
         "compact-store", help="compact an incremental-dedup key store (offline maintenance)"
@@ -302,14 +309,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "profile-diff":
-        from mega_data_factory_spark.operators.profiling import ColumnProfiler
+        from mega_data_factory_spark.operators.profiling import ColumnProfiler, sample_parquet_files
         from mega_data_factory_spark.session import get_spark
 
         spark = get_spark("mdf-spark-cli", cpus=args.cpus)
         prof = ColumnProfiler(approx=not args.exact)
+        if args.sample_bytes:
+            # flat-cost drift report at corpus scale: both sides profiled
+            # over a deterministic fixed-byte FILE sample (the
+            # column_profile_sketch posture) — sampled stats drift a
+            # little; the DELTAS between two uniform samples are the signal
+            read = lambda p: sample_parquet_files(spark, p, byte_budget=args.sample_bytes)  # noqa: E731
+        else:
+            read = lambda p: spark.read.parquet(p)  # noqa: E731
         report = ColumnProfiler.diff(
-            prof.profile(spark.read.parquet(args.before)),
-            prof.profile(spark.read.parquet(args.after)),
+            prof.profile(read(args.before)),
+            prof.profile(read(args.after)),
         ).orderBy("column", "stat")
         if args.out:
             report.write.mode("overwrite").parquet(args.out)

@@ -207,6 +207,12 @@ def test_cli_profile_diff(spark, tmp_path, capsys):
     mean = next(x for x in lines if x["column"] == "v" and x["stat"] == "mean")
     assert mean["before"] == 15.0 and mean["after"] == 5.0 and mean["delta"] == -10.0
     assert spark.read.parquet(out).count() == len(lines)
+    # --sample-bytes: flat-cost drift over a fixed-byte file sample; a
+    # huge budget samples everything, so the report matches the full one
+    assert main(["profile-diff", "-a", a, "-b", b, "--exact", "--sample-bytes", str(1 << 30)]) == 0
+    sampled = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    s_mean = next(x for x in sampled if x["column"] == "v" and x["stat"] == "mean")
+    assert s_mean == mean
 
 
 def test_top_values_exact_matches_oracle(spark):
