@@ -702,3 +702,44 @@ def test_wide_payload_null_key_duplicates_are_rejected(spark):
     d.wide_payload = True
     assert {r.id for r in d.apply(df).collect()} == {1, 3}
     assert {r.id for r in d.rejected(df).collect()} == {2}
+
+
+def test_pipeline_fused_key_dedup_null_semantics(spark, tmp_path):
+    """The round-7 fused pipeline key-dedup (one projection, window exprs
+    inline — no temp columns) preserves every NULL contract through the
+    config path: null_keys='distinct' exempts NULL-key rows, a NULL
+    order_col row has no position and always survives, a DEAD same-key row
+    never wins a window over alive rows, and the representative
+    attribution carries the winner id."""
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    rows = [
+        (1, "a", 10, 50), (2, None, 20, 60), (3, None, 30, 70), (4, "a", 40, 80),
+        (5, "b", None, 90), (6, "b", 60, 95), (7, "b", 5, 5),
+    ]
+    spark.createDataFrame(rows, "id long, k string, ord long, n long").createOrReplaceTempView("fkd_in")
+    cfg = PipelineConfig.from_dict(
+        {
+            "pipeline": {
+                "name": "fkd", "id_col": "id", "source": {"table": "fkd_in"},
+                "stages": [{"name": "s", "operators": [
+                    {"name": "NumericRangeFilter", "params": {"column": "n", "lo": 10}},
+                    {"name": "KeyDeduplicator",
+                     "params": {"key_cols": ["k"], "order_col": "ord", "id_col": "id", "null_keys": "distinct"}},
+                ]}],
+            }
+        }
+    )
+    cfg.sink = SinkConfig(path=str(tmp_path / "out"))
+    cfg.rejected_sink = SinkConfig(path=str(tmp_path / "rej"))
+    Pipeline(cfg).run(spark)
+    out = {r.id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    rej = spark.read.parquet(str(tmp_path / "rej"))
+    # 7 is dead (filter): its ord=5 must NOT win the 'b' window; 5's NULL
+    # ord has no position (always survives); 2/3 NULL-key exempt; 4 dups 1
+    assert out == {1, 2, 3, 5, 6}
+    assert {(r.id, r.operator) for r in rej.select("id", "operator").collect()} == {
+        (7, "NumericRangeFilter"), (4, "KeyDeduplicator"),
+    }
+    assert rej.filter("id = 4").first()["_rejection_details"]["representative_id"] == "1"
