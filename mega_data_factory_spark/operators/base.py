@@ -109,7 +109,21 @@ class Refiner(Operator):
 
 class Filter(Operator):
     """Keep rows where ``predicate`` holds; rejected rows can be captured as
-    a side output with rejection details."""
+    a side output with rejection details.
+
+    Purity contract (``cacheable_predicate``): ``predicate(df)`` must be a
+    PURE name-based Column builder — a function of the operator's immutable
+    params and ``df.columns`` only, never of ``df``'s data, an action on
+    ``df``, or mutable operator state. The pipeline relies on this to cache
+    the built expression per (operator, schema) and reuse it across
+    micro-batches (Pipeline._expr_cache). Every built-in Filter satisfies
+    it (unresolved Columns bind at analysis time, so one expression serves
+    every batch of the same schema). A custom Filter whose predicate
+    consults data or mutable state MUST set ``cacheable_predicate = False``
+    to opt out — otherwise a stale cached tag silently reuses the first
+    batch's decision logic on every later micro-batch."""
+
+    cacheable_predicate: bool = True
 
     @abstractmethod
     def predicate(self, df: DataFrame) -> Column:
@@ -135,7 +149,17 @@ class Deduplicator(Operator):
     deterministic strengthening of the reference's arrival-order semantics).
     Survivors keep their columns; duplicates carry ``_rejection_details``
     with ``dedup_key`` and ``representative_id`` = the survivor's id.
+
+    Purity contract (``cacheable_predicate``): like Filter.predicate,
+    ``key(df)`` / ``_effective_key(df)`` must be pure name-based Column
+    builders (a function of immutable params and ``df.columns`` only) —
+    the pipeline caches the built dedup-tag expression per
+    (operator, schema) and reuses it across micro-batches. Subclasses
+    whose key consults data or mutable state (e.g. a store snapshot
+    re-read per batch) must set ``cacheable_predicate = False``.
     """
+
+    cacheable_predicate: bool = True
 
     def __init__(
         self,

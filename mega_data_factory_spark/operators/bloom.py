@@ -238,12 +238,30 @@ class BloomFilter:
         import pandas as pd
 
         self._require_fitted()
-        # pandas + Arrow, not a Python list literal: a 1% filter over 10^8
-        # keys is a ~15M-element array, and the pickled-list createDataFrame
-        # path serializes it element by element
-        return spark.createDataFrame(
-            pd.DataFrame({"__bf_bits": [self.bits]}), "__bf_bits array<long>"
+        # Arrow sessions get the numpy array directly (zero-copy into an
+        # Arrow list cell); sessions WITHOUT Arrow take the pickled
+        # _createFromLocal path, whose verifier rejects numpy.int64
+        # elements for LongType — there the cell must be Python ints.
+        # Correctness must not depend on how the session was configured
+        # (the r7 driver gate ran Arrow-off and crashed here), so the
+        # conversion is keyed on the live conf with a belt-and-braces
+        # retry for any conf/fallback combination we did not foresee.
+        arrow_on = (
+            spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false").lower()
+            == "true"
         )
+        cell = self.bits if arrow_on else self.bits.tolist()
+        try:
+            return spark.createDataFrame(
+                pd.DataFrame({"__bf_bits": [cell]}), "__bf_bits array<long>"
+            )
+        except Exception:
+            if cell is self.bits:
+                return spark.createDataFrame(
+                    pd.DataFrame({"__bf_bits": [self.bits.tolist()]}),
+                    "__bf_bits array<long>",
+                )
+            raise
 
     def contains_expr(self, key: Column | str) -> Column:
         """Membership test against a plan-side ``__bf_bits`` array column

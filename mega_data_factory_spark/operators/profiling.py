@@ -68,19 +68,37 @@ def sample_parquet_files(
     through the Hadoop FileSystem API, so any cluster path scheme works.
     A single-file ``path`` degenerates to reading that file.
     """
+    import fnmatch
     import hashlib
 
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(hconf)
-    if fs.isFile(root):
+    is_dir = not fs.isFile(root)
+    if not is_dir:
         statuses = [fs.getFileStatus(root)]
     else:
         statuses = list(fs.globStatus(jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + pattern)) or [])
         statuses = [s for s in statuses if s.isFile()]
+        if not statuses and fs.exists(root):
+            # hive-partitioned layouts (partition_by sinks, e.g. rejected
+            # sinks partitioned by operator) nest part files under
+            # key=value directories — the flat glob sees none. Fall back
+            # to a recursive listing; basePath below restores the
+            # partition columns the leaf paths would otherwise drop.
+            # (exists() guard: listFiles throws FileNotFound on a missing
+            # root, where the contract is the ValueError below)
+            it = fs.listFiles(root, True)
+            while it.hasNext():
+                s = it.next()
+                if fnmatch.fnmatch(s.getPath().getName(), pattern):
+                    statuses.append(s)
     if not statuses:
-        raise ValueError(f"sample_parquet_files: no files matching {pattern!r} under {path}")
+        raise ValueError(
+            f"sample_parquet_files: no files matching {pattern!r} under {path} "
+            "(searched the top level and recursively through partition dirs)"
+        )
     files = sorted(
         ((s.getPath().toString(), int(s.getLen())) for s in statuses),
         key=lambda fl: hashlib.md5(fl[0].rsplit("/", 1)[-1].encode()).hexdigest(),
@@ -91,7 +109,12 @@ def sample_parquet_files(
         acc += size
         if acc >= byte_budget:
             break
-    return spark.read.parquet(*picked)
+    reader = spark.read
+    if is_dir:
+        # leaf-file reads of a partitioned table drop the key=value
+        # columns; basePath tells Spark where partition discovery starts
+        reader = reader.option("basePath", path)
+    return reader.parquet(*picked)
 
 
 class ColumnProfiler:

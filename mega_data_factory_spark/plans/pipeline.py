@@ -95,7 +95,9 @@ class Pipeline:
         # micro-batch under the streaming runner was pure py4j latency —
         # ~0.2 s/trigger on the bench stream. Unresolved Columns bind at
         # analysis time, so one expression serves every batch of the same
-        # schema.
+        # schema. The purity contract is stated on the Filter/Deduplicator
+        # base classes; custom operators that violate it opt out via
+        # cacheable_predicate=False and are rebuilt per frame.
         self._expr_cache: dict[tuple, Column] = {}
         # per-stage ResourceProfiles (GPU stage placement, resources.py);
         # built eagerly so a bad resources block fails at construction
@@ -166,13 +168,17 @@ class Pipeline:
     def _apply(self, df: DataFrame, op: Operator) -> DataFrame:
         alive = self._alive()
         if isinstance(op, Filter):
+            # cache gated on the base-class purity contract: a custom
+            # Filter whose predicate consults data/mutable state opts out
+            # with cacheable_predicate=False and is rebuilt per frame
             ck = (id(op), tuple(df.columns), "filter")
-            tag = self._expr_cache.get(ck)
+            tag = self._expr_cache.get(ck) if op.cacheable_predicate else None
             if tag is None:
                 tag = F.when(
                     alive & ~op.keep(df), rejection_details("filtered", op.name)
                 ).otherwise(F.col(_R))
-                self._expr_cache[ck] = tag
+                if op.cacheable_predicate:
+                    self._expr_cache[ck] = tag
             return df.withColumn(_R, tag)
         if isinstance(op, Deduplicator):
             if hasattr(op, "_dup_pairs"):
@@ -199,7 +205,7 @@ class Pipeline:
 
     def _apply_key_dedup(self, df: DataFrame, op: Deduplicator) -> DataFrame:
         alive = self._alive()
-        if not op.wide_payload:
+        if not op.wide_payload and op.cacheable_predicate:
             ck = (id(op), tuple(df.columns), "key_dedup")
             cached = self._expr_cache.get(ck)
             if cached is not None:
@@ -261,7 +267,8 @@ class Pipeline:
                 "duplicate", op.name, key, F.first(F.col(op.id_col)).over(w).cast("string")
             ),
         ).otherwise(F.col(_R))
-        self._expr_cache[(id(op), tuple(df.columns), "key_dedup")] = tag
+        if op.cacheable_predicate:
+            self._expr_cache[(id(op), tuple(df.columns), "key_dedup")] = tag
         return df.withColumn(_R, tag)
 
     def _apply_join_dedup(self, df: DataFrame, op: Deduplicator) -> DataFrame:

@@ -71,6 +71,12 @@ class StreamingMetricsListener(StreamingQueryListener):
         self.run_id = run_id
         self.query_id = query_id
         self.rows_written = 0
+        # rows that failed to land (transient FS error, session busy) stay
+        # buffered and ride the next flush — per-trigger telemetry remains
+        # LIVE (each progress event flushes immediately), but a failed
+        # write no longer silently drops its row; onQueryTerminated flushes
+        # the remainder
+        self._pending: list[tuple] = []
 
     # -- StreamingQueryListener hooks (event-thread; keep them cheap) ----
 
@@ -101,22 +107,39 @@ class StreamingMetricsListener(StreamingQueryListener):
             int(dur.get("addBatch", 0)),
             int(dur.get("commitOffsets", dur.get("commitBatch", 0)) or 0),
         )
-        df = self._spark.createDataFrame(
-            [row],
-            "run_id string, pipeline string, query_id string, batch_id long, "
-            "num_input_rows long, input_rows_per_second double, processed_rows_per_second double, "
-            "trigger_execution_ms long, add_batch_ms long, commit_offsets_ms long",
-        ).withColumn("timestamp", F.current_timestamp())
-        df.select([f.name for f in TRIGGER_METRICS_SCHEMA.fields]).write.mode("append").parquet(
-            f"{self.metrics_path}/triggers"
-        )
-        self.rows_written += 1
+        self._pending.append(row)
+        self._flush()
+
+    def _flush(self) -> None:
+        """Write buffered rows; keep them buffered on failure (retried at
+        the next progress event / terminate). The write is a single-row
+        local append — no shuffle, no AQE decision — so it is insensitive
+        to the foreachBatch runner's temporary shuffle_partitions
+        override that may be live on another driver thread; buffering
+        means even a hard failure only delays (never loses) the row."""
+        if not self._pending:
+            return
+        rows, self._pending = self._pending, []
+        try:
+            df = self._spark.createDataFrame(
+                rows,
+                "run_id string, pipeline string, query_id string, batch_id long, "
+                "num_input_rows long, input_rows_per_second double, processed_rows_per_second double, "
+                "trigger_execution_ms long, add_batch_ms long, commit_offsets_ms long",
+            ).withColumn("timestamp", F.current_timestamp())
+            df.select([f.name for f in TRIGGER_METRICS_SCHEMA.fields]).write.mode("append").parquet(
+                f"{self.metrics_path}/triggers"
+            )
+            self.rows_written += len(rows)
+        except Exception:
+            self._pending = rows + self._pending
 
     def onQueryIdle(self, event) -> None:
         pass
 
     def onQueryTerminated(self, event) -> None:
         if self.query_id is None or str(event.id) == self.query_id:
+            self._flush()
             self.detach()
 
     # ------------------------------------------------------------- manage

@@ -305,3 +305,28 @@ def test_sample_parquet_files_fixed_budget(spark, tmp_path):
     assert tv.count() == 3
     with pytest.raises(ValueError, match="no files"):
         sample_parquet_files(spark, str(tmp_path / "nope"), byte_budget=1)
+
+
+def test_sample_parquet_files_hive_partitioned(spark, tmp_path):
+    """Hive-partitioned layouts (partition_by sinks — e.g. the rejected
+    sink partitioned by operator) nest part files under key=value dirs:
+    the sampler must find them recursively AND keep the partition column
+    readable (basePath), so profile-diff --sample-bytes works on every
+    sink layout the engine itself writes."""
+    from mega_data_factory_spark.operators.profiling import sample_parquet_files
+
+    path = str(tmp_path / "parted")
+    (
+        spark.range(10_000)
+        .selectExpr("id", "CAST(id % 3 AS STRING) AS op")
+        .repartition(8)
+        .write.partitionBy("op")
+        .parquet(path)
+    )
+    sampled = sample_parquet_files(spark, path, byte_budget=1 << 40)
+    assert sampled.count() == 10_000
+    assert "op" in sampled.columns  # partition column survives leaf-file reads
+    # budget binds on the recursive listing too, deterministically
+    small = sample_parquet_files(spark, path, byte_budget=1)
+    assert len(small.inputFiles()) == 1
+    assert small.inputFiles() == sample_parquet_files(spark, path, byte_budget=1).inputFiles()
