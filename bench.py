@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}. The full record (per-query
+noise spreads, streaming trigger series and ratios, methodology notes,
+errors) is written to BENCH_DETAIL.json beside this script — the compact
+line must stay inside the driver's stdout tail-capture window
+(BENCH_r07.parsed was null because the one-line record outgrew it).
 
 Each query is materialized via a cheap count-collect (no driver-side row
 transfer of the full result) and timed wall-clock after a warm-up of the
@@ -130,19 +134,21 @@ def _text_pipeline_1m(spark) -> int:
 STREAM_ROWS_TARGET = 300_000
 
 
-def _stream_src(spark, sf_dir: str, tmp_dir: str) -> tuple[str, int]:
+def _stream_src(
+    spark, sf_dir: str, tmp_dir: str, *, rows_target: int = STREAM_ROWS_TARGET, name: str = "stream_src"
+) -> tuple[str, int]:
     """Build (untimed, once) the streaming bench corpus: the sf documents
-    replicated up to ~STREAM_ROWS_TARGET rows with unique doc_ids and
+    replicated up to ~rows_target rows with unique doc_ids and
     per-replica text salt (replicas are NOT exact dups of each other, so
     the dedup stage does realistic work — only the corpus's own planted
     duplicate block collides), written as an 8-file parquet layout that
     maxFilesPerTrigger slices into micro-batches."""
     from pyspark.sql import functions as F
 
-    src = os.path.join(tmp_dir, "stream_src")
+    src = os.path.join(tmp_dir, name)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
-    n_rep = max(1, STREAM_ROWS_TARGET // max(n_docs, 1))
+    n_rep = max(1, rows_target // max(n_docs, 1))
     if not os.path.exists(src):
         reps = spark.range(n_rep).withColumnRenamed("id", "rep")
         big = (
@@ -191,7 +197,10 @@ def _stream_cfg(src: str, tmp_dir: str, run_name: str):
     return cfg
 
 
-def _streaming_pipeline(spark, src: str, tmp_dir: str, ckpt_name: str) -> tuple[float, list[float]]:
+def _streaming_pipeline(
+    spark, src: str, tmp_dir: str, ckpt_name: str, *, files_per_trigger: int = 2,
+    shuffle_partitions: int = 4, output_files: int = 2,
+) -> tuple[float, list[float]]:
     """The curation pipeline run through Structured Streaming's foreachBatch
     runner over the multi-file parquet stream — maxFilesPerTrigger=2 over 8
     files gives 4 micro-batches, so the measurement covers real micro-batch
@@ -207,7 +216,11 @@ def _streaming_pipeline(spark, src: str, tmp_dir: str, ckpt_name: str) -> tuple[
 
     cfg = _stream_cfg(src, tmp_dir, ckpt_name)
     schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .parquet(src)
+    )
     t0 = time.perf_counter()
     q = StreamingPipeline(
         cfg,
@@ -217,8 +230,8 @@ def _streaming_pipeline(spark, src: str, tmp_dir: str, ckpt_name: str) -> tuple[
         # session's full-table settings (A/B: sp=4/of=2 steady triggers
         # ~1.85 s vs ~2.2 s at sp=8/of=4 — fewer near-empty tasks and half
         # the per-batch commit files)
-        output_files=2,
-        shuffle_partitions=4,
+        output_files=output_files,
+        shuffle_partitions=shuffle_partitions,
         parallel_sinks=True,
     ).start(stream)
     q.awaitTermination()
@@ -846,10 +859,17 @@ def main() -> None:
             "micro_batches": len(triggers) or 4,
             "trigger_sec": [round(t, 3) for t in triggers],
             "batch_path_sec": round(batch_dt, 4),
+            # streaming_vs_batch_ratio keeps its ROUND-6 definition
+            # (total wall / batch wall) so the key means the same thing in
+            # every round's artifact; the steady-state figure (excluding
+            # trigger 0's one-time init) is published under its own key
+            # (ADVICE r7: the r7 artifact briefly redefined the shared key,
+            # making an automated diff read a definition change as a win)
+            "streaming_vs_batch_ratio": round(dt / batch_dt, 2),
             "total_wall_ratio": round(dt / batch_dt, 2),
             "steady_state_sec": round(steady, 4),
-            "streaming_vs_batch_ratio": round(steady / batch_dt, 2),
-            "ratio_definition": "steady_state_sec/batch_path_sec; steady excludes trigger 0's one-time costs (init+first plan+committer setup), total_wall_ratio keeps them",
+            "steady_state_ratio": round(steady / batch_dt, 2),
+            "ratio_definition": "streaming_vs_batch_ratio = total_wall/batch_path (the r6 definition, stable key); steady_state_ratio excludes trigger 0's one-time costs (init+first plan+committer setup)",
             # the residual over 1.0x is per-TRIGGER fixed cost, not per-row
             # engine inefficiency: the same 300k rows as ONE micro-batch run
             # at/below the one-shot batch wall (sweep committed in
@@ -868,58 +888,119 @@ def main() -> None:
         errors["streaming_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
         print(f"# streaming_pipeline: FAILED ({errors['streaming_pipeline']})", file=sys.stderr)
 
+    try:
+        # Amortization datapoint (VERDICT r7 #7): the 300k/4-trigger line
+        # above keeps the micro-batch machinery IN the measurement, and its
+        # ratio over batch is dominated by ~2.25 s/trigger FIXED cost
+        # (scripts/diag_stream_overhead.out). A real deployment sizes
+        # micro-batches up; this measures that claim instead of
+        # extrapolating it: the SAME pipeline at ~1M rows in 2 triggers
+        # (8 files, maxFilesPerTrigger=4 -> ~500k rows/trigger) beside its
+        # own one-shot batch run. Bigger batches -> more shuffle tasks per
+        # trigger (sp=8 vs the small line's 4).
+        import shutil
+        import tempfile
+
+        amort_tmp = tempfile.mkdtemp(prefix="mdf_stream_amort_")
+        try:
+            src_big, n_big = _stream_src(
+                spark, sf_dir, amort_tmp, rows_target=1_000_000, name="stream_src_1m"
+            )
+            dt_big = float("inf")
+            trig_big: list[float] = []
+            for i in range(2):
+                # knobs sized to the TRIGGER (~500k rows), not the
+                # micro-batch-4 line's 75k: full session-scale shuffle
+                # width and 4 output files per sink (A/B sweep:
+                # scripts/diag_stream_amort.py — sp32/of4 1.45x vs
+                # sp8/of2 1.85x on the same corpus)
+                wall, trig = _streaming_pipeline(
+                    spark, src_big, amort_tmp, f"astream{i}", files_per_trigger=4,
+                    shuffle_partitions=32, output_files=4,
+                )
+                if wall < dt_big:
+                    dt_big, trig_big = wall, trig
+            batch_big = float("inf")
+            for i in range(2):
+                batch_big = min(batch_big, _batch_pipeline_same(spark, src_big, amort_tmp, f"abatch{i}"))
+        finally:
+            shutil.rmtree(amort_tmp, ignore_errors=True)
+        timings["streaming_pipeline_1m"] = round(dt_big, 4)
+        total += dt_big
+        amort_detail = {
+            "rows": n_big,
+            "rec_per_s": round(n_big / dt_big),
+            "micro_batches": len(trig_big) or 2,
+            "trigger_sec": [round(t, 3) for t in trig_big],
+            "batch_path_sec": round(batch_big, 4),
+            "streaming_vs_batch_ratio": round(dt_big / batch_big, 2),
+            "note": "same pipeline as `streaming` at ~1M rows / 2 triggers — measures that bigger micro-batches amortize the per-trigger fixed cost the 300k/4-trigger line retains",
+        }
+        if stream_detail is not None:
+            stream_detail["amortized_1m"] = amort_detail
+        print(
+            f"# streaming_pipeline_1m: {dt_big:.3f}s ({n_big} rows in {len(trig_big)} triggers, "
+            f"{n_big/dt_big:,.0f} rec/s; batch {batch_big:.3f}s, ratio {dt_big/batch_big:.2f}x)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["streaming_pipeline_1m"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# streaming_pipeline_1m: FAILED ({errors['streaming_pipeline_1m']})", file=sys.stderr)
+
     sf_base = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # a custom dir name must not crash the JSON emission (the tool's whole
     # output contract) after minutes of measurement — non-numeric -> null
     sf = float(sf_base) if re.fullmatch(r"[0-9.]+", sf_base or "") else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # every query is timed min-of-2 full plan+execute passes
-                # (steady-state; session warmup excluded). The image pipeline
-                # additionally warms until converged before its timed passes
-                # (worker-pool spawn + kernel JIT excluded), matching the
-                # reference baseline methodology.
-                "warmup_excluded": True,
-                "timing": "min_of_2",
-                "image_timing": "steady_state_min_of_2",
-                # [min, max] over 3 passes for every sub-second query —
-                # the host's ±30% noise band, published so per-query
-                # round-over-round deltas inside the band aren't read as
-                # regressions (VERDICT r6 item 3)
-                **({"spread": spreads} if spreads else {}),
-                # workload additions make TOTALS incomparable round-over-round;
-                # compare per-query. streaming_pipeline (round 6) measures the
-                # foreachBatch micro-batch runner incl. checkpoint + two sink
-                # appends over a ~200k-row 4-micro-batch stream, with the
-                # identical workload's one-shot batch wall as the denominator.
-                "new_in_round6": [
-                    "streaming_pipeline",
-                    "column_profile",
-                    "perplexity_1m",
-                    "quality_classifier_1m",
-                    "pq_ann_500k",
-                    "token_shard_export",
-                    "span_corruption_export",
-                    "sentence_chunk_1m",
-                ],
-                # round 7: q5_join_core/q5_bucketed pair (same join, plain
-                # vs bucketed layout, broadcast off); column_profile_sketch
-                # (fixed-byte file-sample profile — flat cost by
-                # construction; column_profile keeps the full-scan number)
-                "new_in_round7": ["q5_join_core", "q5_bucketed", "column_profile_sketch"],
-                **({"streaming": stream_detail} if stream_detail else {}),
-                # a run with failed queries reports a smaller total than a
-                # clean run; flag it so comparisons don't read it as a win
-                **({"errors": errors, "partial": True} if errors else {}),
-            }
-        )
-    )
+    # Two artifacts (VERDICT r7 #4: the r7 one-line record outgrew the
+    # driver's stdout tail-capture window and BENCH_r07.parsed came back
+    # null). The FINAL stdout line stays compact — metric/value/queries
+    # only, the machine-readable per-query record the driver stores —
+    # and everything else (spreads, streaming details, methodology
+    # notes, errors) goes to BENCH_DETAIL.json beside this script.
+    compact = {
+        "metric": "headline_query_wall_time",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # a run with failed queries reports a smaller total than a clean
+        # run; flag it so comparisons don't read it as a win
+        **({"partial": True} if errors else {}),
+        "detail": "BENCH_DETAIL.json",
+    }
+    detail = {
+        **compact,
+        # every query is timed min-of-2 full plan+execute passes
+        # (steady-state; session warmup excluded). The image pipeline
+        # additionally warms until converged before its timed passes
+        # (worker-pool spawn + kernel JIT excluded), matching the
+        # reference baseline methodology.
+        "warmup_excluded": True,
+        "timing": "min_of_2",
+        "image_timing": "steady_state_min_of_2",
+        # [min, max] over 3 passes for every sub-second query — the
+        # host's ±30% noise band, published so per-query round-over-round
+        # deltas inside the band aren't read as regressions
+        **({"spread": spreads} if spreads else {}),
+        # workload additions make TOTALS incomparable round-over-round;
+        # compare per-query. streaming_pipeline measures the foreachBatch
+        # micro-batch runner incl. checkpoint + two sink appends over a
+        # ~300k-row 4-micro-batch stream, with the identical workload's
+        # one-shot batch wall as the denominator; streaming_pipeline_1m
+        # (round 8) is the amortization datapoint — same pipeline, ~1M
+        # rows / 2 triggers.
+        "new_in_round7": ["q5_join_core", "q5_bucketed", "column_profile_sketch"],
+        "new_in_round8": ["streaming_pipeline_1m"],
+        **({"streaming": stream_detail} if stream_detail else {}),
+        **({"errors": errors} if errors else {}),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as exc:  # read-only checkout must not zero the run
+        print(f"# BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -1098,6 +1098,116 @@ ORDER BY c.doc_id, chunk_index
 """
 
 
+# Planted Gopher-rule rows: the signal-edge rows (bullet lists, ellipsis
+# runs, hash noise, NULL/blank, 5-dot run) plus one row per FILTER rule
+# (the funnel fixture shape from tests/test_curation.py): a surviving
+# prose page and pages tripping word count / mean word length / hash
+# ratio / bullet fraction / ellipsis-line fraction / stopword floor.
+_GOPHER_PROSE = ("the quick brown fox jumps over that lazy dog with style and grace " * 8).strip()
+GOPHER_PLANTED: list[tuple[int, str | None]] = [
+    (910001, "• first bullet line\n• second bullet line\n- third dashed\nplain closing line."),
+    (910002, "this sentence trails off...\nand this one too…\nbut not this one."),
+    (910003, "numbers 123 456 ## 789 # zz42"),
+    (910004, "the quick brown fox jumps over that lazy dog with style and more of it to be sure"),
+    (910005, None),
+    (910006, "   "),
+    (910007, "wait..... five dots is one ellipsis run"),
+    (920001, _GOPHER_PROSE),  # passes every rule
+    (920002, "too few words to have any chance here"),  # word count < 50
+    (920003, ("a " * 120).strip()),  # mean word len < 3 (and stopword-poor)
+    (920004, _GOPHER_PROSE + " " + ("#tag " * 40).strip()),  # hash ratio > 0.1
+    (920005, "\n".join(f"• {_GOPHER_PROSE[:40]}" for _ in range(10))),  # bullets > 90%
+    (920006, "\n".join([_GOPHER_PROSE] + [f"{_GOPHER_PROSE[:30]}..." for _ in range(9)])),  # ellipsis lines > 30%
+    (920007, ("zz9 " * 30 + _GOPHER_PROSE.replace("the", "zz1").replace("that", "zz2").replace("with", "zz3"))),  # stopwords < 2
+]
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021 §A1.1) as one
+    per-page view: GopherQualityRefiner's eight structure signals
+    (operators/refiners.py) and GopherQualityFilter's all-rules verdict as
+    a ``gopher_pass`` column (operators/filters.py), over documents plus
+    the planted rule-tripping rows. Pure codegen'd Column HOFs in the
+    Java/RE2 common subset — narrow map, fuses into the scan, zero shuffle
+    at any scale — with a token-for-token DuckDB mirror."""
+    from mega_data_factory_spark.operators.filters import GopherQualityFilter
+    from mega_data_factory_spark.operators.refiners import GopherQualityRefiner
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select("doc_id", "text")
+    planted = spark.createDataFrame(GOPHER_PLANTED, "doc_id long, text string")
+    df = GopherQualityRefiner().apply(base.unionByName(planted))
+    df = df.withColumn("gopher_pass", GopherQualityFilter().predicate(df))
+    return df.select(
+        "doc_id",
+        "gopher_word_count",
+        "gopher_mean_word_len",
+        "gopher_hash_ratio",
+        "gopher_ellipsis_ratio",
+        "gopher_bullet_line_frac",
+        "gopher_ellipsis_line_frac",
+        "gopher_alpha_word_frac",
+        "gopher_stopword_count",
+        "gopher_pass",
+    ).orderBy("doc_id")
+
+
+def _gopher_quality_oracle() -> str:
+    from mega_data_factory_spark.operators.refiners import GOPHER_BULLETS, GOPHER_STOPWORDS
+
+    ws = r"[ \t\x0B\f\r\n]+"
+    stop_sql = " + ".join(
+        f"(CASE WHEN regexp_matches(lower(text), '(^|[^0-9A-Za-z_]){w}([^0-9A-Za-z_]|$)') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+    bullets_sql = " OR ".join(f"starts_with(trim(u), '{g}')" for g in GOPHER_BULLETS)
+    # the filter's NULL-fails coalescing, mirrored term by term
+    # (operators/filters.py GopherQualityFilter.predicate)
+    pass_sql = """
+  COALESCE(gopher_word_count, -1) BETWEEN 50 AND 100000
+  AND COALESCE(gopher_mean_word_len, -1.0) BETWEEN 3.0 AND 10.0
+  AND COALESCE(gopher_hash_ratio, 1.0) <= 0.1
+  AND COALESCE(gopher_ellipsis_ratio, 1.0) <= 0.1
+  AND COALESCE(gopher_bullet_line_frac, 1.0) <= 0.9
+  AND COALESCE(gopher_ellipsis_line_frac, 1.0) <= 0.3
+  AND COALESCE(gopher_alpha_word_frac, 0.0) >= 0.8
+  AND COALESCE(gopher_stopword_count, 0) >= 2
+"""
+    return f"""
+WITH corpus(doc_id, text) AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {_planted_values_sql(GOPHER_PLANTED)})
+),
+w AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '{ws}'), x -> x <> '') AS words,
+    string_split(text, chr(10)) AS lines
+  FROM corpus
+),
+sig AS (
+SELECT doc_id,
+  CAST(CASE WHEN text IS NULL THEN NULL ELSE len(words) END AS INT) AS gopher_word_count,
+  CASE WHEN len(words) > 0
+       THEN round(CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE) / len(words), 6)
+       END AS gopher_mean_word_len,
+  CASE WHEN len(words) > 0
+       THEN round(CAST(len(regexp_extract_all(text, '#')) AS DOUBLE) / len(words), 6) END AS gopher_hash_ratio,
+  CASE WHEN len(words) > 0
+       THEN round(CAST(len(regexp_extract_all(text, '\\.{{3,}}|…')) AS DOUBLE) / len(words), 6) END AS gopher_ellipsis_ratio,
+  CASE WHEN len(lines) > 0
+       THEN round(CAST(len(list_filter(lines, u -> {bullets_sql})) AS DOUBLE) / len(lines), 6) END AS gopher_bullet_line_frac,
+  CASE WHEN len(lines) > 0
+       THEN round(CAST(len(list_filter(lines, u -> ends_with(rtrim(u), '...') OR ends_with(rtrim(u), '…'))) AS DOUBLE) / len(lines), 6) END AS gopher_ellipsis_line_frac,
+  CASE WHEN len(words) > 0
+       THEN round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words), 6) END AS gopher_alpha_word_frac,
+  CAST(CASE WHEN text IS NULL THEN NULL ELSE ({stop_sql}) END AS INT) AS gopher_stopword_count
+FROM w
+)
+SELECT *, ({pass_sql}) AS gopher_pass
+FROM sig ORDER BY doc_id
+"""
+
+
 # text_length_filter and docs_token_stats are consolidated OUT of the
 # driver window (TextLengthFilter stays driver-covered through
 # curation_pipeline/curation_funnel_by_source/text_cleanup; the token
@@ -1106,7 +1216,9 @@ ORDER BY c.doc_id, chunk_index
 # ngram_perplexity and sequence_packing rows; simhash_dedup's slot
 # (signature validation subsumed by simhash_near_dedup's hash-anchored
 # banding, with the exact form keeping its bar in
-# tests/test_dedup_similarity.py) carries the epoch_mix row.
+# tests/test_dedup_similarity.py) carries the epoch_mix row. Round 8:
+# gopher_quality rides the slot freed by retiring simhash_near_dedup
+# (plans/dedup_queries.py).
 QUERIES = {
     "epoch_mix": epoch_mix,
     "dataset_split_mix": dataset_split_mix,
@@ -1122,6 +1234,7 @@ QUERIES = {
     "url_rule_filters": url_rule_filters,
     "dsir_select": dsir_select,
     "c4_clean": c4_clean,
+    "gopher_quality": gopher_quality,
     "sentence_chunks": sentence_chunks,
     "curation_pipeline": curation_pipeline,
     "curation_rejection_summary": curation_rejection_summary,
@@ -1142,6 +1255,7 @@ ORACLE = {
     "url_rule_filters": URL_RULES_ORACLE,
     "dsir_select": _dsir_select_oracle(),
     "c4_clean": _c4_clean_oracle(),
+    "gopher_quality": _gopher_quality_oracle(),
     "sentence_chunks": _sentence_chunks_oracle(),
     "curation_pipeline": CURATION_PIPELINE_ORACLE,
     "curation_rejection_summary": REJECTION_SUMMARY_ORACLE,

@@ -465,13 +465,6 @@ SELECT c.vec_id FROM corpus c WHERE c.vec_id NOT IN (SELECT vec_id FROM dups) OR
 
 QUERIES = {
     "minhash_lsh_dedup": minhash_lsh_dedup,
-    # simhash_dedup is consolidated OUT of the driver window: the 60-bit
-    # signature arithmetic stays hash-anchored through simhash_near_dedup
-    # (whose band keys and bit_count verify are functions of the same
-    # signature), and the exact form keeps its full oracle bar in
-    # tests/test_dedup_similarity.py. Its slot carries plans/curation.py's
-    # epoch_mix row.
-    "simhash_near_dedup": simhash_near_dedup,
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
     "shared_span_dedup": shared_span_dedup,
     "decontamination": decontamination,
@@ -480,9 +473,17 @@ QUERIES = {
 
 ORACLE = {
     "minhash_lsh_dedup": MINHASH_ORACLE,
-    "simhash_near_dedup": SIMHASH_NEAR_ORACLE,
     "ngram_jaccard_dedup": JACCARD_ORACLE,
     "shared_span_dedup": SHARED_SPAN_ORACLE,
     "decontamination": DECONTAMINATION_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE,
 }
+
+# Rotated out of the driver window in round 8 (the near-dedup family held
+# 5 of 50 slots; the freed slot carries plans/curation.py's gopher_quality
+# row): simhash's 60-bit signature arithmetic, pigeonhole banding, and
+# bit_count(xor) verify keep their full oracle bar at pytest level via
+# plans.retired_queries (tests/test_dedup_similarity.py), exactly like the
+# exact-form simhash_dedup before it (rotated r6).
+RETIRED_QUERIES = {"simhash_near_dedup": simhash_near_dedup}
+RETIRED_ORACLE = {"simhash_near_dedup": SIMHASH_NEAR_ORACLE}

@@ -193,15 +193,54 @@ ORDER BY o.o_orderkey
 """
 
 
+def skew_split_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``skew_split_join`` (operators/joins.py) end to end: purchase events
+    left-joined to per-user event totals through the hybrid hot/cold join.
+    The operator's contract — the hot broadcast branch and the residual
+    shuffle branch partition the left rows by key, so their union equals
+    the plain join row-for-row — makes the oracle the plain ANSI LEFT JOIN
+    (the bloom_pruned_join oracle design): a row mis-routed between
+    branches, double-counted by overlapping predicates, or dropped by the
+    NULL-key guards would hash-mismatch. ``hot_threshold`` is derived from
+    the data (above-average purchase count per user) so the hot branch is
+    genuinely exercised at every scale factor, not just the driver's."""
+    from mega_data_factory_spark.operators.joins import skew_split_join
+
+    ev = load_events_us(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "value")
+    totals = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+    stats = purchases.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("u")
+    ).first()
+    thr = max(1, int(stats["n"]) // max(int(stats["u"]), 1))
+    out = skew_split_join(purchases, totals, on="user_id", how="left", hot_threshold=thr)
+    return out.select("event_id", "user_id", "value", "user_total").orderBy("event_id")
+
+
+SKEW_JOIN_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id
+)
+SELECT p.event_id, p.user_id, p.value, t.user_total
+FROM p LEFT JOIN t ON p.user_id = t.user_id
+ORDER BY p.event_id
+"""
+
+
 QUERIES = {
     "events_asof_purchase_click": events_asof_purchase_click,
     "bloom_pruned_join": bloom_pruned_join,
+    "skew_split_join": skew_split_join_purchases,
     "url_filter_full": url_filter_full,
 }
 
 ORACLE = {
     "events_asof_purchase_click": ASOF_ORACLE,
     "bloom_pruned_join": BLOOM_JOIN_ORACLE,
+    "skew_split_join": SKEW_JOIN_ORACLE,
     "url_filter_full": _url_oracle(),
 }
 

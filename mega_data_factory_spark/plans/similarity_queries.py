@@ -172,7 +172,6 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeps its oracle-differential bar. The freed slot carries the exact-mode
 # column_profile row (plans/profile_queries.py).
 QUERIES = {
-    "topk_cosine": topk_cosine,
     "ivf_ann_topk": ivf_ann_topk,
     "semantic_dedup_kmeans": semantic_dedup_kmeans,
 }
@@ -181,6 +180,13 @@ QUERIES = {
 # k-means training is iterative and not ANSI-SQL-expressible. The driver
 # records the weaker rows-only check; tests/test_clustering.py holds the
 # real bar (recall vs exact brute force, survivor-set invariants).
-ORACLE = {
-    "topk_cosine": TOPK_COSINE_ORACLE,
-}
+ORACLE = {}
+
+# Rotated out of the driver window in round 8 (slot carries the
+# skew_split_join row, plans/join_queries.py): the cosine fold arithmetic
+# stays driver-anchored via embedding_cosine_dedup (same DOT_SQL folds),
+# the ANN family keeps its recall bar in tests/test_clustering.py, and
+# the exact brute-force top-k keeps its full oracle bar at pytest level
+# via plans.retired_queries (tests/test_dedup_similarity.py).
+RETIRED_QUERIES = {"topk_cosine": topk_cosine}
+RETIRED_ORACLE = {"topk_cosine": TOPK_COSINE_ORACLE}

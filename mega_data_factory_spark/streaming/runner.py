@@ -359,13 +359,24 @@ class StreamingPipeline:
             # attach AFTER start with the concrete query id: the listener
             # scopes to this query and self-detaches on its termination,
             # so concurrent streams on one session never cross-write
-            StreamingMetricsListener(
+            listener = StreamingMetricsListener(
                 stream_df.sparkSession,
                 self.metrics_path,
                 pipeline=self.config.name,
                 run_id=uuid.uuid4().hex[:12],
                 query_id=str(q.id),
             ).attach()
+            # close the attach race: a fast availableNow query can
+            # terminate BEFORE the listener attaches — its terminate event
+            # was already dispatched, so onQueryTerminated never fires for
+            # this listener and it would stay registered on the session
+            # forever. If the query is already gone, detach now (its
+            # telemetry is unrecoverable either way — events predate the
+            # attach). A termination after this check is safe: the
+            # listener is attached, so the event reaches it and it
+            # self-detaches.
+            if not q.isActive:
+                listener.detach()
         return q
 
     def _process_batch(self, batch_df: DataFrame) -> None:

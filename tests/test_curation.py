@@ -994,72 +994,12 @@ def test_compression_ratio_filters_in_pipeline(spark, tmp_path):
 
 
 def test_gopher_quality_matches_oracle(spark):
-    """Gopher §A1.1 quality signals mirrored token-for-token in DuckDB over
-    the real corpus plus planted rows that trip each rule (bullet lists,
-    ellipsis spam, hash noise, stopword-free text, NULL/blank)."""
-    from tests.conftest import SF_DIR_ORACLE, assert_df_matches_sql
-    from mega_data_factory_spark.operators.refiners import GOPHER_STOPWORDS, GopherQualityRefiner
-    from mega_data_factory_spark.session import load_tables
-
-    planted = [
-        (910001, "• first bullet line\n• second bullet line\n- third dashed\nplain closing line."),
-        (910002, "this sentence trails off...\nand this one too…\nbut not this one."),
-        (910003, "numbers 123 456 ## 789 # zz42"),
-        (910004, "the quick brown fox jumps over that lazy dog with style and more of it to be sure"),
-        (910005, None),
-        (910006, "   "),
-        (910007, "wait..... five dots is one ellipsis run"),
-    ]
-    docs = load_tables(spark, SF_DIR_ORACLE, ("documents",))["documents"].select("doc_id", "text")
-    df = docs.unionByName(spark.createDataFrame(planted, "doc_id long, text string"))
-    out = (
-        GopherQualityRefiner()
-        .apply(df)
-        .select(
-            "doc_id", "gopher_word_count", "gopher_mean_word_len", "gopher_hash_ratio",
-            "gopher_ellipsis_ratio", "gopher_bullet_line_frac", "gopher_ellipsis_line_frac",
-            "gopher_alpha_word_frac", "gopher_stopword_count",
-        )
-        .orderBy("doc_id")
-    )
-    from mega_data_factory_spark.plans.curation import _planted_values_sql
-
-    ws = r"[ \t\x0B\f\r\n]+"
-    stop_sql = " + ".join(
-        f"(CASE WHEN regexp_matches(lower(text), '(^|[^0-9A-Za-z_]){w}([^0-9A-Za-z_]|$)') THEN 1 ELSE 0 END)"
-        for w in GOPHER_STOPWORDS
-    )
-    bullets_sql = " OR ".join(f"starts_with(trim(u), '{g}')" for g in ("•", "‣", "▪", "-", "*"))
-    sql = f"""
-WITH corpus(doc_id, text) AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL SELECT * FROM (VALUES {_planted_values_sql(planted)})
-),
-w AS (
-  SELECT doc_id, text,
-    list_filter(regexp_split_to_array(text, '{ws}'), x -> x <> '') AS words,
-    string_split(text, chr(10)) AS lines
-  FROM corpus
-)
-SELECT doc_id,
-  CAST(CASE WHEN text IS NULL THEN NULL ELSE len(words) END AS INT) AS gopher_word_count,
-  CASE WHEN len(words) > 0
-       THEN round(CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE) / len(words), 6)
-       END AS gopher_mean_word_len,
-  CASE WHEN len(words) > 0
-       THEN round(CAST(len(regexp_extract_all(text, '#')) AS DOUBLE) / len(words), 6) END AS gopher_hash_ratio,
-  CASE WHEN len(words) > 0
-       THEN round(CAST(len(regexp_extract_all(text, '\\.{{3,}}|…')) AS DOUBLE) / len(words), 6) END AS gopher_ellipsis_ratio,
-  CASE WHEN len(lines) > 0
-       THEN round(CAST(len(list_filter(lines, u -> {bullets_sql})) AS DOUBLE) / len(lines), 6) END AS gopher_bullet_line_frac,
-  CASE WHEN len(lines) > 0
-       THEN round(CAST(len(list_filter(lines, u -> ends_with(rtrim(u), '...') OR ends_with(rtrim(u), '…'))) AS DOUBLE) / len(lines), 6) END AS gopher_ellipsis_line_frac,
-  CASE WHEN len(words) > 0
-       THEN round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words), 6) END AS gopher_alpha_word_frac,
-  CAST(CASE WHEN text IS NULL THEN NULL ELSE ({stop_sql}) END AS INT) AS gopher_stopword_count
-FROM w ORDER BY doc_id
-"""
-    assert_df_matches_sql(out, sql, name="gopher_quality")
+    """Gopher §A1.1 quality signals + the all-rules filter verdict,
+    mirrored token-for-token in DuckDB over the real corpus plus the
+    planted rule-tripping rows (bullet lists, ellipsis spam, hash noise,
+    stopword-free text, NULL/blank, and one row per FILTER rule) -- now a
+    registered driver query (plans/curation.py gopher_quality)."""
+    assert_query_matches_oracle(spark, "gopher_quality")
 
 
 def test_gopher_quality_filter_rules(spark, tmp_path):

@@ -13,6 +13,7 @@ NAMES = [
     "events_asof_purchase_click",
     "parts_price_range_join",
     "bloom_pruned_join",
+    "skew_split_join",
     "url_filter_full",
 ]
 
