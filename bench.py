@@ -47,7 +47,10 @@ HEADLINE = [
     # joins + skew
     "events_asof_purchase_click",
     "events_salted_user_totals",
+    "skew_split_join",
     "url_filter_full",
+    # published quality rules (rotated into the driver window round 8)
+    "gopher_quality",
 ]
 
 
@@ -273,9 +276,11 @@ def main() -> None:
         sf_dir = f"/root/testdata/sf{v}" if re.fullmatch(r"[0-9.]+", v) else v
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("mdf-spark-bench", cpus=cpus)
-    from mega_data_factory_spark.plans import all_queries
+    from mega_data_factory_spark.plans import all_queries, retired_queries
 
-    qs = all_queries()
+    # retired queries stay benched: rotation frees a CORRECTNESS slot, but
+    # dropping the timing line would break round-over-round comparability
+    qs = {**all_queries(), **retired_queries()}
     # Steady-state measurement (matching the reference's steady-state
     # throughput numbers, BASELINE.md): warm the JVM, the Python UDF
     # workers, and each table's parquet footers/OS cache with one cheap
@@ -891,20 +896,23 @@ def main() -> None:
     try:
         # Amortization datapoint (VERDICT r7 #7): the 300k/4-trigger line
         # above keeps the micro-batch machinery IN the measurement, and its
-        # ratio over batch is dominated by ~2.25 s/trigger FIXED cost
+        # ratio over batch is dominated by per-trigger FIXED cost
         # (scripts/diag_stream_overhead.out). A real deployment sizes
         # micro-batches up; this measures that claim instead of
-        # extrapolating it: the SAME pipeline at ~1M rows in 2 triggers
-        # (8 files, maxFilesPerTrigger=4 -> ~500k rows/trigger) beside its
-        # own one-shot batch run. Bigger batches -> more shuffle tasks per
-        # trigger (sp=8 vs the small line's 4).
+        # extrapolating it: the SAME pipeline at ~2M rows in 2 triggers
+        # (8 files, maxFilesPerTrigger=4 -> ~1M rows/trigger) beside its
+        # own one-shot batch run. The per-trigger durationMs breakdown
+        # (diag'd) shows checkpoint machinery is ~300 ms/trigger; the rest
+        # of the residual is the JOB-SPLITTING floor — two half-corpus
+        # jobs cost more than one big one — which two_job_batch_sec
+        # measures directly.
         import shutil
         import tempfile
 
         amort_tmp = tempfile.mkdtemp(prefix="mdf_stream_amort_")
         try:
             src_big, n_big = _stream_src(
-                spark, sf_dir, amort_tmp, rows_target=1_000_000, name="stream_src_1m"
+                spark, sf_dir, amort_tmp, rows_target=2_000_000, name="stream_src_2m"
             )
             dt_big = float("inf")
             trig_big: list[float] = []
@@ -923,9 +931,25 @@ def main() -> None:
             batch_big = float("inf")
             for i in range(2):
                 batch_big = min(batch_big, _batch_pipeline_same(spark, src_big, amort_tmp, f"abatch{i}"))
+            # the like-for-like denominator: streaming processes the 1M
+            # rows as TWO ~500k jobs, so the per-JOB fixed costs (scan
+            # setup, shuffle setup, two sink commits) are paid twice even
+            # with zero streaming machinery. Two one-shot batch runs of a
+            # 500k corpus measure exactly that split — the residual of
+            # streaming over 2x this number is the true per-trigger
+            # streaming overhead (checkpoint/offset commits, foreachBatch
+            # dispatch), not job-splitting cost.
+            src_half, n_half = _stream_src(
+                spark, sf_dir, amort_tmp, rows_target=1_000_000, name="stream_src_1m"
+            )
+            batch_half = float("inf")
+            for i in range(2):
+                batch_half = min(
+                    batch_half, _batch_pipeline_same(spark, src_half, amort_tmp, f"hbatch{i}")
+                )
         finally:
             shutil.rmtree(amort_tmp, ignore_errors=True)
-        timings["streaming_pipeline_1m"] = round(dt_big, 4)
+        timings["streaming_pipeline_2m"] = round(dt_big, 4)
         total += dt_big
         amort_detail = {
             "rows": n_big,
@@ -934,18 +958,95 @@ def main() -> None:
             "trigger_sec": [round(t, 3) for t in trig_big],
             "batch_path_sec": round(batch_big, 4),
             "streaming_vs_batch_ratio": round(dt_big / batch_big, 2),
-            "note": "same pipeline as `streaming` at ~1M rows / 2 triggers — measures that bigger micro-batches amortize the per-trigger fixed cost the 300k/4-trigger line retains",
+            "two_job_batch_sec": round(2 * batch_half, 4),
+            "vs_two_job_ratio": round(dt_big / (2 * batch_half), 2),
+            "note": "same pipeline as `streaming` at ~2M rows / 2 triggers — bigger micro-batches amortize the per-trigger fixed cost the 300k/4-trigger line retains. two_job_batch_sec = 2x the one-shot batch wall of a 1M corpus: the same work split into the same two jobs WITHOUT streaming; vs_two_job_ratio isolates the true streaming machinery overhead from job-splitting cost.",
         }
         if stream_detail is not None:
-            stream_detail["amortized_1m"] = amort_detail
+            stream_detail["amortized_2m"] = amort_detail
         print(
-            f"# streaming_pipeline_1m: {dt_big:.3f}s ({n_big} rows in {len(trig_big)} triggers, "
-            f"{n_big/dt_big:,.0f} rec/s; batch {batch_big:.3f}s, ratio {dt_big/batch_big:.2f}x)",
+            f"# streaming_pipeline_2m: {dt_big:.3f}s ({n_big} rows in {len(trig_big)} triggers, "
+            f"{n_big/dt_big:,.0f} rec/s; batch {batch_big:.3f}s, ratio {dt_big/batch_big:.2f}x; "
+            f"2x500k-job batch {2*batch_half:.3f}s, vs-two-job {dt_big/(2*batch_half):.2f}x)",
             file=sys.stderr,
         )
     except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
-        errors["streaming_pipeline_1m"] = f"{type(exc).__name__}: {exc}"[:300]
-        print(f"# streaming_pipeline_1m: FAILED ({errors['streaming_pipeline_1m']})", file=sys.stderr)
+        errors["streaming_pipeline_2m"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# streaming_pipeline_2m: FAILED ({errors['streaming_pipeline_2m']})", file=sys.stderr)
+
+    try:
+        # Published-recipe datapoint (round 8): the shipped Gopher-style
+        # recipe (configs/gopher_style_recipe.yaml — language ID -> the
+        # Rae et al. §A1.1 quality rules -> repetition rules -> exact +
+        # MinHash dedup) end to end through Pipeline.run: one tagged
+        # Catalyst plan, both sinks, metrics. The recipes were
+        # funnel-checked but never timed as WHOLE pipelines
+        # (curation_pipeline is a smaller composite); this line gets a
+        # scale slope in BENCH_SCALE like every other. The built plan is
+        # lint-graded untimed in the same breath (plans/lint.py) so a
+        # recipe regression to a row-UDF or cartesian shape fails loudly
+        # here, not on a cluster.
+        import shutil as _rsh
+        import tempfile as _rtf
+
+        from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+        from mega_data_factory_spark.plans.lint import lint_plan
+        from mega_data_factory_spark.plans.pipeline import Pipeline
+
+        recipe_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "configs", "gopher_style_recipe.yaml"
+        )
+        with open(recipe_path) as f:
+            recipe_cfg = PipelineConfig.from_yaml(f.read())
+        recipe_tmp = _rtf.mkdtemp(prefix="mdf_recipe_bench_")
+        try:
+            # Corpus-shaped thresholds, BENCH COPY ONLY: the synthetic
+            # documents average ~54 words of stopword-free soup, so the
+            # published thresholds cut ~100% at GopherQualityFilter and
+            # every stage after it would measure an empty input. Signal
+            # computation cost is threshold-independent; these overrides
+            # keep the dedup stages processing the full volume. The
+            # shipped YAML keeps the published Rae et al. values
+            # (funnel-checked in tests/test_pipeline.py).
+            for st in recipe_cfg.stages:
+                for oc in st.operators:
+                    if oc.name == "GopherQualityFilter":
+                        oc.params = {"min_words": 10, "min_stopwords": 0}
+                    elif oc.params.get("name") in ("DupWordCut", "TopBigramCut"):
+                        oc.params = {**oc.params, "hi": 1.0}
+                    elif oc.params.get("name") == "LanguageCut":
+                        # scaled fixtures suffix every word with the
+                        # replica id (scripts/make_scaled_sf.py), erasing
+                        # the language markers — the published lo=1 cut
+                        # would kill 90-99% of the scaled corpus at stage
+                        # 1 and the slope would measure language-ID only
+                        oc.params = {**oc.params, "lo": 0}
+            recipe_cfg.source.path = f"{sf_dir}/documents.parquet"
+            recipe_cfg.sink = SinkConfig(path=os.path.join(recipe_tmp, "out"), mode="overwrite")
+            recipe_cfg.rejected_sink = SinkConfig(path=os.path.join(recipe_tmp, "rej"), mode="overwrite")
+            recipe_cfg.metrics_path = os.path.join(recipe_tmp, "metrics")
+            lint = lint_plan(Pipeline(recipe_cfg).explain(spark))
+            if not lint["ok"]:
+                raise RuntimeError(f"recipe plan lint failed: {lint['failures']}")
+            dt = float("inf")
+            res = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res = Pipeline(recipe_cfg).run(spark)
+                dt = min(dt, time.perf_counter() - t0)
+        finally:
+            _rsh.rmtree(recipe_tmp, ignore_errors=True)
+        timings["gopher_recipe_pipeline"] = round(dt, 4)
+        total += dt
+        print(
+            f"# gopher_recipe_pipeline: {dt:.3f}s ({res.input_records} -> {res.output_records} rows, "
+            f"{res.input_records/dt:,.0f} rec/s; lint clean, "
+            f"{lint['counts']['shuffle_exchanges']} exchanges)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 - same isolation as the query loop
+        errors["gopher_recipe_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# gopher_recipe_pipeline: FAILED ({errors['gopher_recipe_pipeline']})", file=sys.stderr)
 
     sf_base = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     # a custom dir name must not crash the JSON emission (the tool's whole
@@ -986,11 +1087,11 @@ def main() -> None:
         # compare per-query. streaming_pipeline measures the foreachBatch
         # micro-batch runner incl. checkpoint + two sink appends over a
         # ~300k-row 4-micro-batch stream, with the identical workload's
-        # one-shot batch wall as the denominator; streaming_pipeline_1m
-        # (round 8) is the amortization datapoint — same pipeline, ~1M
-        # rows / 2 triggers.
+        # one-shot batch wall as the denominator; streaming_pipeline_2m
+        # (round 8) is the amortization datapoint — same pipeline, ~2M
+        # rows / 2 triggers with a two-job floor measurement.
         "new_in_round7": ["q5_join_core", "q5_bucketed", "column_profile_sketch"],
-        "new_in_round8": ["streaming_pipeline_1m"],
+        "new_in_round8": ["streaming_pipeline_2m", "gopher_recipe_pipeline"],
         **({"streaming": stream_detail} if stream_detail else {}),
         **({"errors": errors} if errors else {}),
     }

@@ -1208,6 +1208,171 @@ FROM sig ORDER BY doc_id
 """
 
 
+# Planted URL rows covering every canonicalization step: scheme case,
+# www/port/userinfo/trailing-dot host cleanup, trailing-slash path cut,
+# tracking-param removal + query sort, fragment cut, protocol-relative
+# authorities, mailto/bare-email non-authorities, NULL/blank/host-less.
+URLCANON_PLANTED: list[tuple[int, str | None]] = [
+    (930001, "HTTPS://WWW.Example.COM:8080/Path/?utm_source=x&b=2&a=1#frag"),
+    (930002, "http://example.com/Path?a=1&b=2"),
+    (930003, "example.com/Path/?b=2&a=1&fbclid=zzz"),
+    (930004, "ftp://user:pw@Host.NET./dir//"),
+    (930005, "https://site.org/x?utm_campaign=c&gclid=g&ref"),
+    (930006, "http://site.org?download&z=9"),
+    (930007, "blog.example.co.uk/a/b/c?_ga=1.2&mc_cid=x&keep=yes"),
+    (930008, "http://www.w.org:"),
+    (930009, "site.io/page#section?notquery"),
+    (930010, "mailto:info@example.com"),
+    (930011, "Contact@Example.COM"),
+    (930012, "//user:pw@Host.NET:8080/x/?b=2&utm_medium=m&a=1"),
+    (930013, None),
+    (930014, "   "),
+    (930015, "/relative/only"),
+]
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UrlCanonicalizeRefiner`` (operators/refiners.py) — the C4/
+    RefinedWeb dedup-by-URL preparation — over the synthesized document
+    URLs (the url_filter_full corpus) plus planted rows covering every
+    canonicalization step. Pure codegen'd regex/HOF Columns in the
+    Java/RE2 common subset, zero shuffle; the oracle mirrors each step
+    token-for-token (promoted from the tests/test_curation.py bar)."""
+    from mega_data_factory_spark.operators.refiners import UrlCanonicalizeRefiner
+    from mega_data_factory_spark.plans.join_queries import _doc_urls
+
+    base = _doc_urls(spark, sf_dir)
+    planted = spark.createDataFrame(URLCANON_PLANTED, "doc_id long, url string")
+    out = UrlCanonicalizeRefiner().apply(base.unionByName(planted))
+    return out.select("doc_id", "url", "url_canonical").orderBy("doc_id")
+
+
+def _url_canonicalize_oracle() -> str:
+    from mega_data_factory_spark.functions.urls import TRACKING_PARAM_RE
+    from mega_data_factory_spark.plans.join_queries import URL_CORPUS_SQL
+
+    return f"""
+WITH corpus(doc_id, url) AS (
+  {URL_CORPUS_SQL.strip()}
+  UNION ALL SELECT * FROM (VALUES {_planted_values_sql(URLCANON_PLANTED)})
+),
+s AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*:)?//', ''),
+                        '#.*$', '') AS bare,
+         trim(url) AS u
+  FROM corpus
+),
+parts AS (
+  SELECT doc_id, url, u, bare,
+         regexp_matches(u, '^([a-zA-Z][a-zA-Z0-9+.-]*:)?//') AS had_authority,
+         regexp_extract(bare, '^([^/?]+)', 1) AS authority,
+         regexp_extract(bare, '^[^/?]+([^?]*)', 1) AS rawpath,
+         CASE WHEN contains(bare, '?') THEN regexp_extract(bare, '\\?(.*)$', 1) ELSE '' END AS q
+  FROM s
+),
+hp AS (
+  SELECT doc_id, url, u, q,
+         regexp_replace(regexp_replace(
+             regexp_replace(lower(CASE WHEN had_authority
+                                       THEN regexp_replace(authority, '^[^@]*@', '')
+                                       ELSE authority END),
+                            ':[0-9]*$', ''),
+             '^www\\.', ''), '\\.$', '') AS host,
+         regexp_replace(rawpath, '/+$', '') AS path
+  FROM parts
+),
+qf AS (
+  SELECT doc_id, url, u, host, path,
+         list_sort(list_filter(string_split(q, '&'),
+                   p -> length(p) > 0 AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))) AS params
+  FROM hp
+)
+SELECT doc_id, url,
+       CASE WHEN u IS NULL OR length(u) = 0 OR length(host) = 0 THEN NULL
+            ELSE host || path ||
+                 CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+       END AS url_canonical
+FROM qf ORDER BY doc_id
+"""
+
+
+# Planted chunker rows: exact-stride doc, shorter-than-one-chunk, empty,
+# NULL, NBSP (a WORD character under the engine-wide ASCII-whitespace
+# tokenization), and mixed tab/newline/multi-space whitespace.
+DOCCHUNK_PLANTED: list[tuple[int, str | None]] = [
+    (940001, " ".join(f"w{i}" for i in range(80))),
+    (940002, "one two"),
+    (940003, ""),
+    (940004, None),
+    (940005, "foo bar baz qux quux corge"),
+    (940006, "  leading and   multiple   spaces\ttabs\nnewlines here end."),
+]
+DOC_CHUNK_TOKENS, DOC_CHUNK_OVERLAP = 32, 8
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DocumentChunker`` (operators/packing.py) — overlapping
+    fixed-token context windows, the long-doc training / retrieval-corpus
+    preparation — over documents plus planted edge rows. One output row
+    per chunk; split + sequence + transform + posexplode, zero Python,
+    zero shuffle. The closed-form start positions (multiples of
+    ``chunk - overlap`` while they add unseen words) are mirrored exactly
+    in DuckDB list SQL."""
+    from mega_data_factory_spark.operators.packing import DocumentChunker
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select("doc_id", "text")
+    planted = spark.createDataFrame(DOCCHUNK_PLANTED, "doc_id long, text string")
+    out = DocumentChunker(DOC_CHUNK_TOKENS, overlap_tokens=DOC_CHUNK_OVERLAP).apply(
+        base.unionByName(planted)
+    )
+    return out.select(
+        "doc_id", "chunk_index", "chunk_id", "chunk_text", "chunk_n_tokens"
+    ).orderBy("doc_id", "chunk_index")
+
+
+def _doc_chunks_oracle() -> str:
+    chunk, overlap = DOC_CHUNK_TOKENS, DOC_CHUNK_OVERLAP
+    stride = chunk - overlap
+    # explicit class, not \s: Java's \s includes \x0B, RE2's does not
+    ws = r"[ \t\x0B\f\r\n]+"
+    return f"""
+WITH corpus(doc_id, text) AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {_planted_values_sql(DOCCHUNK_PLANTED)})
+),
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '{ws}'), x -> x <> '') AS words
+  FROM corpus
+),
+st AS (
+  SELECT doc_id, words,
+         CAST(greatest(floor((len(words) - {overlap + 1}) / {stride}.0) * {stride}, 0) AS BIGINT) AS last_start
+  FROM w
+),
+ex AS (
+  SELECT doc_id, words, unnest(range(0, last_start + 1, {stride})) AS s
+  FROM st
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(s // {stride} AS INT) AS chunk_index,
+         -- COALESCE: the empty-doc slice stringifies to NULL in DuckDB,
+         -- where Spark's array_join gives '' (the one-empty-chunk row)
+         COALESCE(array_to_string(list_slice(words, s + 1, s + {chunk}), ' '), '') AS chunk_text
+  FROM ex
+)
+SELECT doc_id, chunk_index,
+       CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_index AS VARCHAR) AS chunk_id,
+       chunk_text,
+       CAST(CASE WHEN chunk_text = '' THEN 0
+                 ELSE len(string_split(chunk_text, ' ')) END AS INT) AS chunk_n_tokens
+FROM chunks ORDER BY doc_id, chunk_index
+"""
+
+
 # text_length_filter and docs_token_stats are consolidated OUT of the
 # driver window (TextLengthFilter stays driver-covered through
 # curation_pipeline/curation_funnel_by_source/text_cleanup; the token
@@ -1235,6 +1400,8 @@ QUERIES = {
     "dsir_select": dsir_select,
     "c4_clean": c4_clean,
     "gopher_quality": gopher_quality,
+    "url_canonicalize": url_canonicalize,
+    "doc_chunks": doc_chunks,
     "sentence_chunks": sentence_chunks,
     "curation_pipeline": curation_pipeline,
     "curation_rejection_summary": curation_rejection_summary,
@@ -1256,6 +1423,8 @@ ORACLE = {
     "dsir_select": _dsir_select_oracle(),
     "c4_clean": _c4_clean_oracle(),
     "gopher_quality": _gopher_quality_oracle(),
+    "url_canonicalize": _url_canonicalize_oracle(),
+    "doc_chunks": _doc_chunks_oracle(),
     "sentence_chunks": _sentence_chunks_oracle(),
     "curation_pipeline": CURATION_PIPELINE_ORACLE,
     "curation_rejection_summary": REJECTION_SUMMARY_ORACLE,

@@ -466,7 +466,6 @@ SELECT c.vec_id FROM corpus c WHERE c.vec_id NOT IN (SELECT vec_id FROM dups) OR
 QUERIES = {
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
-    "shared_span_dedup": shared_span_dedup,
     "decontamination": decontamination,
     "embedding_cosine_dedup": embedding_cosine_dedup,
 }
@@ -474,16 +473,23 @@ QUERIES = {
 ORACLE = {
     "minhash_lsh_dedup": MINHASH_ORACLE,
     "ngram_jaccard_dedup": JACCARD_ORACLE,
-    "shared_span_dedup": SHARED_SPAN_ORACLE,
     "decontamination": DECONTAMINATION_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE,
 }
 
 # Rotated out of the driver window in round 8 (the near-dedup family held
-# 5 of 50 slots; the freed slot carries plans/curation.py's gopher_quality
-# row): simhash's 60-bit signature arithmetic, pigeonhole banding, and
-# bit_count(xor) verify keep their full oracle bar at pytest level via
-# plans.retired_queries (tests/test_dedup_similarity.py), exactly like the
-# exact-form simhash_dedup before it (rotated r6).
-RETIRED_QUERIES = {"simhash_near_dedup": simhash_near_dedup}
-RETIRED_ORACLE = {"simhash_near_dedup": SIMHASH_NEAR_ORACLE}
+# 5 of 50 slots; the freed slots carry plans/curation.py's gopher_quality
+# and doc_chunks rows): simhash's 60-bit signature arithmetic, pigeonhole
+# banding, and bit_count(xor) verify, and shared_span's inverted-index
+# exact-span machinery (the same shape ngram_jaccard keeps driver-anchored)
+# keep their full oracle bars at pytest level via plans.retired_queries
+# (tests/test_dedup_similarity.py), exactly like the exact-form
+# simhash_dedup before them (rotated r6).
+RETIRED_QUERIES = {
+    "simhash_near_dedup": simhash_near_dedup,
+    "shared_span_dedup": shared_span_dedup,
+}
+RETIRED_ORACLE = {
+    "simhash_near_dedup": SIMHASH_NEAR_ORACLE,
+    "shared_span_dedup": SHARED_SPAN_ORACLE,
+}

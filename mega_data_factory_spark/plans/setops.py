@@ -201,12 +201,18 @@ ORDER BY ranking, user_id
 
 QUERIES = {
     "customer_semi_anti_join": customer_semi_anti_join,
-    "nations_setops": nations_setops,
     "events_salted_user_totals": events_salted_user_totals,
 }
 
 ORACLE = {
     "customer_semi_anti_join": CUSTOMER_SEMI_ANTI_ORACLE,
-    "nations_setops": NATIONS_SETOPS_ORACLE,
     "events_salted_user_totals": SALTED_TOTALS_ORACLE,
 }
+
+# Rotated out of the driver window in round 8 (slot carries
+# plans/curation.py's url_canonicalize row): union/intersect/except are
+# Catalyst built-ins with the lowest regression surface in the suite;
+# the full oracle bar stays at pytest level via plans.retired_queries
+# (tests/test_setops.py).
+RETIRED_QUERIES = {"nations_setops": nations_setops}
+RETIRED_ORACLE = {"nations_setops": NATIONS_SETOPS_ORACLE}

@@ -17,6 +17,8 @@ CURATION = [
     "text_cleanup",
     "url_rule_filters",
     "c4_clean",
+    "url_canonicalize",
+    "doc_chunks",
     "sentence_chunks",
     "curation_pipeline",
     "curation_rejection_summary",
