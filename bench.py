@@ -431,6 +431,16 @@ def main() -> None:
         # documents corpus, score a 1M-row synthetic corpus (the same text
         # generator as text_pipeline_1m) — measures the model-join + per-doc
         # aggregate shape at training-pipeline volume (operators/lm.py).
+        #
+        # clearCache FIRST: the HEADLINE loop's k-means family
+        # (semantic_dedup/ivf) leaves fitted feature frames cached, and at
+        # the larger scale dirs that leftover state intermittently doubled
+        # the pure-JVM classifier apply below (the r7/r8
+        # quality_classifier_1m 13s-vs-5s bimodality — the same hazard the
+        # image block already cleared for itself, where it measured 12.5s
+        # vs 4s). Clearing here puts every model-fit line on the same
+        # clean-session footing at every scale.
+        spark.catalog.clearCache()
         from pyspark.sql import functions as F2
 
         from mega_data_factory_spark.operators.lm import NgramPerplexityScorer
@@ -967,7 +977,7 @@ def main() -> None:
         print(
             f"# streaming_pipeline_2m: {dt_big:.3f}s ({n_big} rows in {len(trig_big)} triggers, "
             f"{n_big/dt_big:,.0f} rec/s; batch {batch_big:.3f}s, ratio {dt_big/batch_big:.2f}x; "
-            f"2x500k-job batch {2*batch_half:.3f}s, vs-two-job {dt_big/(2*batch_half):.2f}x)",
+            f"2x-half-corpus-job batch {2*batch_half:.3f}s, vs-two-job {dt_big/(2*batch_half):.2f}x)",
             file=sys.stderr,
         )
     except Exception as exc:  # noqa: BLE001 - same isolation as the query loop

@@ -190,12 +190,23 @@ class GopherQualityRefiner(Refiner):
             F.filter(lines, lambda u: F.rtrim(u).endswith("...") | F.rtrim(u).endswith("…"))
         )
         alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-        stop_hits = reduce(
-            lambda a, b: a + b,
-            [
-                F.when(F.lower(t).rlike(r"(?:^|[^0-9A-Za-z_])" + w + r"(?:[^0-9A-Za-z_]|$)"), 1).otherwise(0)
-                for w in GOPHER_STOPWORDS
-            ],
+        # "how many of the paper's eight stopwords appear" — tokenize ONCE
+        # on non-word-char runs and intersect with the stopword set.
+        # Exactly equivalent to per-word boundary regexes
+        # ('(^|[^0-9A-Za-z_])the([^0-9A-Za-z_]|$)'): a match there is
+        # precisely 'the' occurring as a maximal [0-9A-Za-z_]-run, i.e. a
+        # token of this split ('the7'/'7the'/'the_' are single tokens and
+        # match neither form). Two measured Java-regex cliffs drove this
+        # shape (500k docs, sf10): the 8-regex form re-scanned the text
+        # per stopword (151 s, 40x the other seven signals COMBINED), and
+        # the spelled-out negated class '[^0-9a-z_]+' misses the engine's
+        # named-class fast path (24.8 s) where '\\W+' — the identical
+        # ASCII class, token-count-verified — splits in 0.9 s. The DuckDB
+        # oracle keeps the boundary-regex formulation, so the equivalence
+        # is hash-checked per row, not asserted.
+        stop_tokens = F.split(F.lower(t), r"\W+")
+        stop_hits = F.size(
+            F.array_intersect(F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]), stop_tokens)
         )
         per_word = lambda n: F.when(wc > 0, F.round(n.cast("double") / wc, 6))  # noqa: E731
         return {
