@@ -1,0 +1,74 @@
+"""Round-8 BENCH_SCALE note/correctness refresh (run after build_bench_scale).
+
+Usage: python scripts/patch_bench_scale_notes.py <gate10_result> <gate100_result>
+Each argument is the one-line summary string from the oracle_gate runs.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+NOTE = (
+    "wall-time scaling at 10x/100x data volume (sf0.1 -> replicated sf1/sf10, "
+    "scripts/make_scaled_sf.py; key-offset replication preserves join fanout, documents "
+    "perturbed per-replica so shingle DF distribution is scale-invariant; every scaled "
+    "table lands as >=32 hash-balanced parquet part files). slope = t(sfN)/t(sf0.1); "
+    "10*N = linear on fixed cores, 1.0 = flat. local[32], min-of-2 timing, 38 headline "
+    "lines incl. the round-8 additions: gopher_recipe_pipeline (the published Gopher "
+    "recipe end to end through Pipeline.run — benching it exposed and fixed the "
+    "stopword-count regex whale: 192 s -> 43 s per sf10 pass, commit 9d56e5d), "
+    "streaming_pipeline_2m (the amortization datapoint: ~1M-row triggers beside the "
+    "one-shot batch AND a two_job_batch_sec floor that separates job-splitting cost "
+    "from true streaming overhead), skew_split_join and gopher_quality (rotated driver "
+    "rows). Each scale measured in isolation — pgrep-verified no concurrent JVMs "
+    "(scripts/diag_classifier.out: an orphaned bench JVM is exactly what made the r7 "
+    "quality_classifier_1m sweep legs read 13 s against a ~5 s idle-host baseline); "
+    "fixed-size workload lines (text_pipeline_1m, pq_ann_500k, image_pipeline_100k) "
+    "bound the residual cross-window drift."
+)
+
+NOTE_100X = (
+    "sf10 = 100x rows via key-offset replication, 100 part files per table; "
+    "quadratic-oracle dedup rows excluded from the gate (their DuckDB mirrors are "
+    "all-pairs by construction), their SPARK plans run in the bench above — the "
+    "inverted-index/banded families stay flat-to-sublinear. Attributed steep slopes: "
+    "span_corruption_export/token_shard_export are super-linear WORK (tokens/doc rises "
+    "with the replication salt); the q5 family is the suite's one fact-fact join "
+    "(linear join work on fixed cores; the shipped bucketed layout keeps its ~1.5-1.9x "
+    "per-join advantage at sf10); column_profile is the honest full-scan mode beside "
+    "column_profile_sketch's flat fixed-byte sample; gopher_recipe_pipeline does "
+    "linear whole-pipeline work on 100x docs (its per-record throughput RISES ~4x "
+    "with scale as fixed costs amortize). The scaled corpus suffixes every word with "
+    "the replica id, so the recipe bench copy relaxes LanguageCut (lo=0) — the "
+    "published cut would otherwise reduce the scaled run to language-ID only; the "
+    "published thresholds stay in the shipped YAML and its pytest funnel."
+)
+
+
+def main() -> None:
+    with open("BENCH_SCALE.json") as f:
+        d = json.load(f)
+    d["note"] = NOTE
+    d["note_100x"] = NOTE_100X
+    if len(sys.argv) > 1:
+        d["correctness_at_10x"] = {
+            "gate": "scripts/oracle_gate.py --sf /root/repo/.localdata/sf1 --skip-quadratic",
+            "result": sys.argv[1],
+        }
+    if len(sys.argv) > 2:
+        d["correctness_at_100x"] = {
+            "gate": (
+                "scripts/oracle_gate.py --sf /root/repo/.localdata/sf10 --only "
+                "q1_pricing_summary,cube_status_priority,grouping_sets_orders,"
+                "events_salted_user_totals,dataset_split_mix,epoch_mix"
+            ),
+            "result": sys.argv[2],
+        }
+    with open("BENCH_SCALE.json", "w") as f:
+        json.dump(d, f, indent=1)
+    print("patched")
+
+
+if __name__ == "__main__":
+    main()
