@@ -823,15 +823,22 @@ class C4HeuristicRefiner(Refiner):
         if self.bad_words:
             # ONE alternation regex, not a scan per word: the published
             # LDNOOBW list is ~400 entries, and 400 regexp passes per row
-            # would dominate the refiner. Boundaries are consuming
-            # (^|\W)...(\W|$) groups rather than \b: list entries that
-            # START or END in a non-word character ('a$$'-style) have no
-            # \b at that edge — \b between two non-word chars never
-            # matches — so the \b form silently un-flags exactly the
-            # entries the list exists for. Consuming groups are fine for
-            # a boolean rlike and stay in the Java/RE2 common subset.
+            # would dominate the refiner. Boundaries are LOOKAROUNDS, not
+            # \b: list entries that START or END in a non-word character
+            # ('a$$'-style) have no \b at that edge — \b between two
+            # non-word chars never matches — so the \b form silently
+            # un-flags exactly the entries the list exists for. And not
+            # consuming (^|\W)...(\W|$) groups either: a pattern that
+            # LEADS with the boundary alternation forces Java's engine to
+            # attempt it at every position (measured 22-24 s over 500k
+            # sf10 docs vs 0.7-1.0 s for the identical-semantics
+            # lookaround form, which leads with the Boyer-Moore-able
+            # literal alternation — the gopher_stopword_count regex-cliff
+            # lesson). Lookarounds are Java-only; the DuckDB oracle keeps
+            # the consuming-group form (RE2 has no lookbehind), so the
+            # equivalence is hash-checked per row by the c4_clean gate.
             words = "|".join(_re.escape(w.lower()) for w in self.bad_words)
-            pat = r"(?:^|[^0-9A-Za-z_])(?:" + words + r")(?:[^0-9A-Za-z_]|$)"
+            pat = r"(?<![0-9A-Za-z_])(?:" + words + r")(?![0-9A-Za-z_])"
             badword = F.lower(t).rlike(pat)
         else:
             badword = F.lit(False)
