@@ -36,6 +36,14 @@ def lint_plan(plan: str) -> dict:
             "add the key equality or an explicit broadcast"
         )
     counts = {
+        # regexes whose PATTERN leads with a consuming boundary
+        # alternation ('(^|[^...])word...') force Java's engine to attempt
+        # the boundary at every text position — measured 22-151 s over
+        # 500k docs where the literal-led lookaround / tokenize-once forms
+        # run in ~1 s (the round-8 gopher-stopword and C4-badword fixes).
+        # Informational: plan strings embed the pattern literals, so a
+        # reintroduction shows up here in any `validate --lint` run.
+        "leading_boundary_regexes": len(re.findall(r"\(\?\:\^\|\[|\(\^\|\[", plan)),
         # broadcast exchanges are usually the GOOD kind — split them out
         "shuffle_exchanges": len(re.findall(r"\(\d+\) Exchange\b", plan)),
         "broadcast_exchanges": len(re.findall(r"\(\d+\) BroadcastExchange\b", plan)),

@@ -416,6 +416,14 @@ def test_plan_lint_rules():
     assert res["scans"] == [
         {"format": "parquet", "pushed_filters": "IsNotNull(a), GreaterThan(a,5)", "read_columns": 2}
     ]
+    # the Java-regex cliff signal: patterns leading with a consuming
+    # boundary alternation (the r8 gopher/C4 lesson) are counted,
+    # lookaround/literal-led forms are not
+    slow = "(1) Project [RLIKE(lower(t), (?:^|[^0-9A-Za-z_])(?:bad)(?:[^0-9A-Za-z_]|$))]"
+    assert lint_plan(slow)["counts"]["leading_boundary_regexes"] == 1
+    fast = "(1) Project [RLIKE(lower(t), (?<![0-9A-Za-z_])(?:bad)(?![0-9A-Za-z_]))]"
+    assert lint_plan(fast)["counts"]["leading_boundary_regexes"] == 0
+    assert res["counts"]["leading_boundary_regexes"] == 0
 
 
 def test_cli_validate_lint(spark, tmp_path, capsys):
