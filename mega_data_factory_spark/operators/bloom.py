@@ -255,13 +255,19 @@ class BloomFilter:
             return spark.createDataFrame(
                 pd.DataFrame({"__bf_bits": [cell]}), "__bf_bits array<long>"
             )
-        except Exception:
+        except (TypeError, ValueError) as exc:
+            # the retry exists ONLY for the type-verifier rejecting numpy
+            # cells on a non-Arrow createDataFrame path we failed to
+            # predict from the conf (PySparkTypeError subclasses
+            # TypeError/ValueError); genuinely transient failures — FS
+            # hiccup, cancelled job — must surface on the FIRST attempt,
+            # not after silently re-running a ~15M-element tolist()
             if cell is self.bits:
                 return spark.createDataFrame(
                     pd.DataFrame({"__bf_bits": [self.bits.tolist()]}),
                     "__bf_bits array<long>",
                 )
-            raise
+            raise exc
 
     def contains_expr(self, key: Column | str) -> Column:
         """Membership test against a plan-side ``__bf_bits`` array column

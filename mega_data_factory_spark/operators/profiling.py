@@ -68,7 +68,6 @@ def sample_parquet_files(
     through the Hadoop FileSystem API, so any cluster path scheme works.
     A single-file ``path`` degenerates to reading that file.
     """
-    import fnmatch
     import hashlib
 
     jvm = spark._jvm
@@ -85,14 +84,18 @@ def sample_parquet_files(
             # hive-partitioned layouts (partition_by sinks, e.g. rejected
             # sinks partitioned by operator) nest part files under
             # key=value directories — the flat glob sees none. Fall back
-            # to a recursive listing; basePath below restores the
-            # partition columns the leaf paths would otherwise drop.
-            # (exists() guard: listFiles throws FileNotFound on a missing
-            # root, where the contract is the ValueError below)
+            # to a recursive listing filtered by Hadoop's OWN GlobFilter,
+            # so `pattern` means the same thing ({a,b} alternation,
+            # backslash escapes, [seq] rules) on both layouts; basePath
+            # below restores the partition columns the leaf paths would
+            # otherwise drop. (exists() guard: listFiles throws
+            # FileNotFound on a missing root, where the contract is the
+            # ValueError below)
+            leaf_glob = jvm.org.apache.hadoop.fs.GlobFilter(pattern)
             it = fs.listFiles(root, True)
             while it.hasNext():
                 s = it.next()
-                if fnmatch.fnmatch(s.getPath().getName(), pattern):
+                if leaf_glob.accept(s.getPath()):
                     statuses.append(s)
     if not statuses:
         raise ValueError(

@@ -201,18 +201,22 @@ def skew_split_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plain join row-for-row — makes the oracle the plain ANSI LEFT JOIN
     (the bloom_pruned_join oracle design): a row mis-routed between
     branches, double-counted by overlapping predicates, or dropped by the
-    NULL-key guards would hash-mismatch. ``hot_threshold`` is derived from
-    the data (above-average purchase count per user) so the hot branch is
-    genuinely exercised at every scale factor, not just the driver's."""
+    NULL-key guards would hash-mismatch. ``hot_threshold`` is the p999 of
+    per-user purchase counts, so the hot set is the top ~0.1% whales at
+    ANY scale or key distribution — the power-law fixtures push their
+    whales over it (hot branch genuinely exercised), while a flat
+    distribution yields zero hot keys (plain-join fallback) instead of
+    tripping the operator's ``max_hot_keys`` guard, which an
+    above-the-MEAN threshold would do (every above-average user is "hot"
+    on a flat corpus). The threshold only routes rows between branches —
+    the union is threshold-invariant, so the oracle hash is too."""
     from mega_data_factory_spark.operators.joins import skew_split_join
 
     ev = load_events_us(spark, sf_dir)
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "value")
     totals = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
-    stats = purchases.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("u")
-    ).first()
-    thr = max(1, int(stats["n"]) // max(int(stats["u"]), 1))
+    counts = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("__c"))
+    thr = max(1, int(counts.approxQuantile("__c", [0.999], 0.001)[0]))
     out = skew_split_join(purchases, totals, on="user_id", how="left", hot_threshold=thr)
     return out.select("event_id", "user_id", "value", "user_total").orderBy("event_id")
 

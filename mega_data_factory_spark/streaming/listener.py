@@ -28,6 +28,7 @@ Design notes, Spark-first:
 from __future__ import annotations
 
 import json
+import sys
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -77,6 +78,12 @@ class StreamingMetricsListener(StreamingQueryListener):
         # write no longer silently drops its row; onQueryTerminated flushes
         # the remainder
         self._pending: list[tuple] = []
+        # a PERSISTENTLY failing sink (bad path, permissions) must be
+        # observable and bounded: failures are counted, the first few are
+        # surfaced on stderr, and the buffer keeps only the newest rows
+        self.flush_failures = 0
+        self._max_pending = 1024
+        self._max_logged_failures = 3
 
     # -- StreamingQueryListener hooks (event-thread; keep them cheap) ----
 
@@ -131,8 +138,29 @@ class StreamingMetricsListener(StreamingQueryListener):
                 f"{self.metrics_path}/triggers"
             )
             self.rows_written += len(rows)
-        except Exception:
+        except Exception as exc:  # noqa: BLE001 — event-thread must not throw
+            self.flush_failures += 1
+            if self.flush_failures <= self._max_logged_failures:
+                # stderr, not the listener bus: the bus is what we're on, and
+                # raising here kills the listener. Rate-limited so a dead
+                # sink over a long stream doesn't flood the log.
+                print(
+                    f"StreamingMetricsListener: trigger-metrics write to "
+                    f"{self.metrics_path}/triggers failed "
+                    f"({type(exc).__name__}: {exc}) — buffering "
+                    f"{len(rows) + len(self._pending)} row(s) for retry"
+                    + (
+                        " (further failures suppressed)"
+                        if self.flush_failures == self._max_logged_failures
+                        else ""
+                    ),
+                    file=sys.stderr,
+                )
             self._pending = rows + self._pending
+            if len(self._pending) > self._max_pending:
+                # keep the NEWEST rows — on a long-dead sink the earliest
+                # triggers are the least interesting ones to recover
+                self._pending = self._pending[-self._max_pending :]
 
     def onQueryIdle(self, event) -> None:
         pass

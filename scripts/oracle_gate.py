@@ -39,6 +39,13 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument("--skip-quadratic", action="store_true")
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="write a machine-readable {sf, ok, bad, skipped, per_query} summary "
+        "(consumed by scripts/patch_bench_scale_notes.py so BENCH_SCALE "
+        "correctness fields are gate-derived, not hand-transcribed)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -60,17 +67,21 @@ def main() -> int:
     qs, osql = e.queries(), e.oracle_sql()
     names = args.only.split(",") if args.only else list(qs)
     bad = ok = skipped = 0
+    per_query: dict[str, str] = {}
     for name in names:
         fn = qs.get(name)
         if fn is None:
             print(f"{name}: unknown query", file=sys.stderr)
             bad += 1
+            per_query[name] = "UNKNOWN"
             continue
         if name not in osql:
             skipped += 1
+            per_query[name] = "SKIP(no_oracle)"
             continue
         if args.skip_quadratic and name in QUADRATIC_ORACLES:
             skipped += 1
+            per_query[name] = "SKIP(quadratic)"
             continue
         t0 = time.time()
         try:
@@ -85,14 +96,35 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: ERROR {type(exc).__name__}: {exc}"[:200], flush=True)
             bad += 1
+            per_query[name] = f"ERROR({type(exc).__name__})"
             continue
         if good:
             ok += 1
+            per_query[name] = "OK"
             print(f"{name}: OK ({len(srows)} rows, {time.time()-t0:.1f}s)", flush=True)
         else:
             bad += 1
+            per_query[name] = f"MISMATCH({len(srows)}v{len(drows)})"
             print(f"{name}: MISMATCH ({len(srows)} vs {len(drows)} rows)", flush=True)
-    print(f"gate @ {args.sf}: {ok} OK, {bad} bad, {skipped} skipped (rows-only/quadratic)")
+    summary = f"gate @ {args.sf}: {ok} OK, {bad} bad, {skipped} skipped (rows-only/quadratic)"
+    print(summary)
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "gate_cmd": " ".join(sys.argv),
+                    "ok": ok,
+                    "bad": bad,
+                    "skipped": skipped,
+                    "summary": summary,
+                    "per_query": per_query,
+                },
+                f,
+                indent=1,
+            )
     return 1 if bad else 0
 
 

@@ -1,7 +1,10 @@
-"""Round-8 BENCH_SCALE note/correctness refresh (run after build_bench_scale).
+"""BENCH_SCALE note/correctness refresh (run after build_bench_scale).
 
-Usage: python scripts/patch_bench_scale_notes.py <gate10_result> <gate100_result>
-Each argument is the one-line summary string from the oracle_gate runs.
+Usage: python scripts/patch_bench_scale_notes.py <gate10.json> <gate100.json>
+Each argument is the --json-out file written by scripts/oracle_gate.py, so
+the correctness fields in BENCH_SCALE.json are MACHINE-DERIVED from the gate
+run (ok/bad/skipped counts parsed from the artifact), never hand-typed. The
+gate's own one-line summary rides along as a human-readable note.
 """
 
 from __future__ import annotations
@@ -46,25 +49,35 @@ NOTE_100X = (
 )
 
 
+def _gate_block(json_path: str) -> dict:
+    """Parse an oracle_gate --json-out artifact into the BENCH_SCALE
+    correctness block: counts are machine-derived; the gate's command line
+    and summary string are carried as provenance."""
+    with open(json_path) as f:
+        g = json.load(f)
+    return {
+        "gate": g["gate_cmd"],
+        "ok": g["ok"],
+        "bad": g["bad"],
+        "skipped": g["skipped"],
+        "result": g["summary"],
+        "failing": sorted(
+            name
+            for name, status in g.get("per_query", {}).items()
+            if status not in ("OK",) and not status.startswith("SKIP")
+        ),
+    }
+
+
 def main() -> None:
     with open("BENCH_SCALE.json") as f:
         d = json.load(f)
     d["note"] = NOTE
     d["note_100x"] = NOTE_100X
     if len(sys.argv) > 1:
-        d["correctness_at_10x"] = {
-            "gate": "scripts/oracle_gate.py --sf /root/repo/.localdata/sf1 --skip-quadratic",
-            "result": sys.argv[1],
-        }
+        d["correctness_at_10x"] = _gate_block(sys.argv[1])
     if len(sys.argv) > 2:
-        d["correctness_at_100x"] = {
-            "gate": (
-                "scripts/oracle_gate.py --sf /root/repo/.localdata/sf10 --only "
-                "q1_pricing_summary,cube_status_priority,grouping_sets_orders,"
-                "events_salted_user_totals,dataset_split_mix,epoch_mix"
-            ),
-            "result": sys.argv[2],
-        }
+        d["correctness_at_100x"] = _gate_block(sys.argv[2])
     with open("BENCH_SCALE.json", "w") as f:
         json.dump(d, f, indent=1)
     print("patched")
