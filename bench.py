@@ -137,6 +137,77 @@ def _text_pipeline_1m(spark) -> int:
 STREAM_ROWS_TARGET = 300_000
 
 
+def _host_state() -> dict:
+    """Pre-/post-flight host snapshot (VERDICT r8 Wrong #1: BENCH_r08's
+    driver run published load-inflated absolutes for the CPU-saturating
+    pure-JVM lines with nothing in the artifact flagging it). A foreign
+    JVM — almost always an orphaned earlier bench/pytest Spark (killing a
+    wrapper shell does NOT kill its JVM child) — is exactly the
+    contamination that made quality_classifier_1m read 13 s against a
+    ~5 s idle-host truth in r7/r8 (scripts/diag_classifier.out). Captured
+    into the published JSON so a contended run can be discounted instead
+    of read as a regression."""
+    import subprocess
+
+    me = os.getpid()
+    state: dict = {"load1": None, "foreign_jvms": [], "busy_foreign_procs": 0}
+    try:
+        state["load1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,ppid,pcpu,args"], capture_output=True, text=True, timeout=10
+        ).stdout
+        parent: dict[int, int] = {}
+        rows: list[tuple[int, float, str]] = []
+        for line in out.splitlines()[1:]:
+            parts = line.split(None, 3)
+            if len(parts) < 4:
+                continue
+            try:
+                pid, ppid, pcpu = int(parts[0]), int(parts[1]), float(parts[2])
+            except ValueError:
+                continue
+            parent[pid] = ppid
+            rows.append((pid, pcpu, parts[3]))
+
+        def _in_my_tree(pid: int) -> bool:
+            seen: set[int] = set()
+            while pid and pid not in seen:
+                if pid == me:
+                    return True
+                seen.add(pid)
+                pid = parent.get(pid, 0)
+            return False
+
+        for pid, pcpu, args in rows:
+            if _in_my_tree(pid):
+                continue
+            if "java" in args and ("spark" in args.lower() or "SparkSubmit" in args):
+                state["foreign_jvms"].append(
+                    {"pid": pid, "pcpu": pcpu, "cmd": args[:100]}
+                )
+            elif pcpu >= 50.0:
+                state["busy_foreign_procs"] += 1
+    except Exception:  # noqa: BLE001 — diagnostics must never fail the bench
+        state["ps_error"] = True
+    return state
+
+
+def _reference_timings() -> dict[str, float]:
+    """Most recent isolated-sweep sf0.1 timings (BENCH_SCALE.json), the
+    contention yardstick: a line landing >1.5x its isolated counterpart on
+    the same host is load, not code (code changes move BENCH_SCALE too —
+    it is rebuilt every round after the changes land)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json")
+    try:
+        with open(path) as f:
+            return dict(json.load(f)["sf0.1"]["queries"])
+    except Exception:  # noqa: BLE001 — missing/changed artifact: no yardstick
+        return {}
+
+
 def _stream_src(
     spark, sf_dir: str, tmp_dir: str, *, rows_target: int = STREAM_ROWS_TARGET, name: str = "stream_src"
 ) -> tuple[str, int]:
@@ -275,6 +346,23 @@ def main() -> None:
         v = args.sf
         sf_dir = f"/root/testdata/sf{v}" if re.fullmatch(r"[0-9.]+", v) else v
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # pre-flight BEFORE the session spins up: foreign Spark JVMs and load
+    # present now will share cores with every timed line below
+    host_start = _host_state()
+    if host_start["foreign_jvms"]:
+        print(
+            f"# WARNING: {len(host_start['foreign_jvms'])} foreign Spark JVM(s) running "
+            f"(load1={host_start['load1']}) — timings will be contention-inflated; "
+            "pids: " + ", ".join(str(j["pid"]) for j in host_start["foreign_jvms"]),
+            file=sys.stderr,
+        )
+    # contention yardstick: only meaningful at the scale BENCH_SCALE's
+    # isolated sweep measured (sf0.1, the driver's configuration)
+    ref_timings = (
+        _reference_timings()
+        if os.path.basename(sf_dir.rstrip("/")) == "sf0.1"
+        else {}
+    )
     spark = get_spark("mdf-spark-bench", cpus=cpus)
     from mega_data_factory_spark.plans import all_queries, retired_queries
 
@@ -308,6 +396,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     spreads: dict[str, list[float]] = {}  # sub-second queries: [min, max] of 3 passes
+    reruns: dict[str, int] = {}  # contention-guard extra passes taken per line
     stream_detail: dict | None = None  # set by the streaming section when it succeeds
     total = 0.0
     for name in HEADLINE:
@@ -342,6 +431,28 @@ def main() -> None:
                 n = fn(spark, sf_dir).count()
                 passes.append(time.perf_counter() - t0)
                 spreads[name] = [round(min(passes), 4), round(max(passes), 4)]
+            # contention guard (VERDICT r8 #1): a line >1.5x its isolated
+            # BENCH_SCALE counterpart AND >0.5s over it (sub-second lines
+            # swing ±30% on noise alone) is load-suspect — take up to two
+            # extra passes so a transient spike doesn't publish as the
+            # line's value; if it STILL doesn't recover, the end-of-run
+            # outlier block flags it for discount.
+            ref = ref_timings.get(name)
+            extra = 0
+            while (
+                ref
+                and min(passes) > 1.5 * ref
+                and min(passes) - ref > 0.5
+                and extra < 2
+            ):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                passes.append(time.perf_counter() - t0)
+                extra += 1
+            if extra:
+                reruns[name] = extra
+                if name in spreads:
+                    spreads[name] = [round(min(passes), 4), round(max(passes), 4)]
             dt = min(passes)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -1062,6 +1173,46 @@ def main() -> None:
     # a custom dir name must not crash the JSON emission (the tool's whole
     # output contract) after minutes of measurement — non-numeric -> null
     sf = float(sf_base) if re.fullmatch(r"[0-9.]+", sf_base or "") else None
+
+    # post-flight + outlier sweep (VERDICT r8 #1): any published line still
+    # >1.5x (and >0.5s over) its isolated BENCH_SCALE counterpart after the
+    # headline loop's in-flight re-runs is flagged, with the yardstick value,
+    # so a loaded run can never publish silently wrong absolutes again. The
+    # block-based lines (perplexity/classifier/streaming/...) can't cheaply
+    # re-run, so for them the flag IS the guard.
+    host_end = _host_state()
+    outliers = {
+        name: {
+            "sec": dt,
+            "isolated_sec": ref_timings[name],
+            "ratio": round(dt / ref_timings[name], 2),
+        }
+        for name, dt in timings.items()
+        if name in ref_timings
+        and dt > 1.5 * ref_timings[name]
+        and dt - ref_timings[name] > 0.5
+    }
+    contended = bool(
+        host_start["foreign_jvms"]
+        or host_end["foreign_jvms"]
+        or (outliers and (host_start["busy_foreign_procs"] or host_end["busy_foreign_procs"]))
+    )
+    host_state = {
+        "load1_start": host_start["load1"],
+        "load1_end": host_end["load1"],
+        "foreign_jvms_start": len(host_start["foreign_jvms"]),
+        "foreign_jvms_end": len(host_end["foreign_jvms"]),
+        "busy_foreign_procs_start": host_start["busy_foreign_procs"],
+        "busy_foreign_procs_end": host_end["busy_foreign_procs"],
+        **({"outliers_vs_isolated": outliers} if outliers else {}),
+        **({"contended": True} if contended else {}),
+    }
+    if outliers:
+        print(
+            f"# WARNING: {len(outliers)} line(s) >1.5x their isolated BENCH_SCALE "
+            f"counterpart ({', '.join(outliers)}) — see host_state in the JSON",
+            file=sys.stderr,
+        )
     # Two artifacts (VERDICT r7 #4: the r7 one-line record outgrew the
     # driver's stdout tail-capture window and BENCH_r07.parsed came back
     # null). The FINAL stdout line stays compact — metric/value/queries
@@ -1077,6 +1228,10 @@ def main() -> None:
         # a run with failed queries reports a smaller total than a clean
         # run; flag it so comparisons don't read it as a win
         **({"partial": True} if errors else {}),
+        # compact contention verdict: true when foreign Spark JVMs shared
+        # the host or flagged outliers coincided with measured load — the
+        # full evidence (loadavg, pids, per-line ratios) is in the detail
+        **({"contended": True} if contended else {}),
         "detail": "BENCH_DETAIL.json",
     }
     detail = {
@@ -1093,6 +1248,11 @@ def main() -> None:
         # host's ±30% noise band, published so per-query round-over-round
         # deltas inside the band aren't read as regressions
         **({"spread": spreads} if spreads else {}),
+        # host isolation evidence: pre/post loadavg, foreign-JVM scan,
+        # in-flight contention-guard re-runs, and any line still >1.5x its
+        # isolated BENCH_SCALE yardstick (VERDICT r8 #1)
+        "host_state": host_state,
+        **({"contention_reruns": reruns} if reruns else {}),
         # workload additions make TOTALS incomparable round-over-round;
         # compare per-query. streaming_pipeline measures the foreachBatch
         # micro-batch runner incl. checkpoint + two sink appends over a
