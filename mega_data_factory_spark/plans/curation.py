@@ -1373,6 +1373,140 @@ FROM chunks ORDER BY doc_id, chunk_index
 """
 
 
+# Planted intra-doc rows covering the refiner's edges: verbatim repeated
+# paragraph (2 drops), short units (bullets/blanks) never deduped, no-dup
+# doc, NULL text (stays NULL, 0 removed), empty text, and a mixed
+# short-repeat + long-repeat doc.
+INTRADOC_QUOTE = "the same quoted paragraph repeated verbatim"
+INTRADOC_PLANTED: list[tuple[int, str | None]] = [
+    (950001, f"opening prose line one\n{INTRADOC_QUOTE}\nmiddle prose\n{INTRADOC_QUOTE}\n{INTRADOC_QUOTE}\nclosing"),
+    (950002, "-\nlong unique line alpha\n-\nlong unique line beta\n-"),
+    (950003, "no duplicates here at all\nsecond distinct line"),
+    (950004, None),
+    (950005, ""),
+    (950006, "   short   \n   short   \nlong enough repeated unit\nlong enough repeated unit"),
+]
+
+
+def _intradoc_corpus_lines():
+    """The synthetic documents are single-line; build a deterministic
+    multi-line corpus from each doc's own text so the line dedup has real
+    work: three 60-char slices as lines, with doc_id%3 docs repeating
+    line 1 and doc_id%5 docs repeating line 2 (so ~half the corpus has
+    1-2 in-doc duplicates and the rest none)."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    l1, l2, l3 = (F.substring(t, 1 + 60 * i, 60) for i in range(3))
+    synth = F.concat(
+        F.concat_ws("\n", l1, l2, l3),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("\n"), l1)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("\n"), l2)).otherwise(F.lit("")),
+    )
+    return synth
+
+
+def intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IntraDocDedupRefiner`` (operators/refiners.py) — the RefinedWeb
+    intra-document repeated-line removal (first occurrence survives,
+    later exact repeats drop, short units are never treated as
+    duplicates) — over a deterministic multi-line rebuild of the
+    documents corpus plus planted edge rows. Pure Column HOFs (one
+    sorted-run pass over the split array): narrow map, fuses into the
+    scan, zero shuffle at any scale. Mirror: DuckDB unnest WITH
+    ORDINALITY + row_number per (doc, unit) + ordered string_agg rebuild
+    (promoted from the tests/test_curation.py bar, rotation wave 5)."""
+    from mega_data_factory_spark.operators.refiners import IntraDocDedupRefiner
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select("doc_id", _intradoc_corpus_lines().alias("text"))
+    planted = spark.createDataFrame(INTRADOC_PLANTED, "doc_id long, text string")
+    out = IntraDocDedupRefiner().apply(base.unionByName(planted))
+    return out.select("doc_id", "text_deduped", "dup_units_removed").orderBy("doc_id")
+
+
+def _intra_doc_dedup_oracle() -> str:
+    return f"""
+WITH corpus(doc_id, text) AS (
+  SELECT doc_id,
+         concat_ws(chr(10), substr(coalesce(text, ''), 1, 60),
+                            substr(coalesce(text, ''), 61, 60),
+                            substr(coalesce(text, ''), 121, 60))
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || substr(coalesce(text, ''), 1, 60) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || substr(coalesce(text, ''), 61, 60) ELSE '' END
+  FROM documents
+  UNION ALL SELECT * FROM (VALUES {_planted_values_sql(INTRADOC_PLANTED)})
+),
+units AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS u,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM corpus
+),
+marked AS (
+  SELECT doc_id, u, pos,
+         CASE WHEN length(trim(u)) >= 10
+              THEN row_number() OVER (PARTITION BY doc_id, u ORDER BY pos)
+              ELSE 1 END AS rn
+  FROM units
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN rn = 1 THEN u END, chr(10) ORDER BY pos) AS text_deduped,
+         CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS INT) AS dup_units_removed
+  FROM marked GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CASE WHEN c.text IS NULL THEN NULL ELSE COALESCE(r.text_deduped, '') END AS text_deduped,
+       CAST(CASE WHEN c.text IS NULL THEN 0 ELSE COALESCE(r.dup_units_removed, 0) END AS INT) AS dup_units_removed
+FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+ORDER BY c.doc_id
+"""
+
+
+# Planted NULL-group rows: NULL lang forms its OWN group and gets real
+# buckets (the NUL-sentinel rule) — mirrored via COALESCE grouping.
+PPLBUCKET_PLANTED: list[tuple[int, str | None, int]] = [
+    (960001, None, 10),
+    (960002, None, 20),
+    (960003, None, 30),
+]
+
+
+def perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PerplexityBucketRefiner`` (operators/lm.py) — the CCNet
+    head/middle/tail corpus cut (Wenzek et al. 2020 §4.3): per-language
+    exact tercile thresholds over a score column, one small aggregate
+    joined back on the group key (no per-group total sort), codegen'd
+    comparison for the bucket label. Scored here on ``n_chars`` grouped
+    by ``lang`` over documents plus planted NULL-group rows. Mirror:
+    DuckDB quantile_cont — the same p*(n-1) linear interpolation on
+    identical doubles (promoted from the tests/test_lm.py bar, rotation
+    wave 5)."""
+    from mega_data_factory_spark.operators.lm import PerplexityBucketRefiner
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select("doc_id", "lang", "n_chars")
+    planted = spark.createDataFrame(PPLBUCKET_PLANTED, "doc_id long, lang string, n_chars long")
+    r = PerplexityBucketRefiner(score_col="n_chars", group_col="lang")
+    out = r.apply(base.unionByName(planted))
+    return out.select("doc_id", "ppl_bucket").orderBy("doc_id")
+
+
+def _perplexity_bucket_oracle() -> str:
+    planted = ", ".join(f"({i}, chr(0), {s}.0)" for i, _, s in PPLBUCKET_PLANTED)
+    return f"""
+WITH t AS (
+  SELECT doc_id, COALESCE(lang, chr(0)) AS g, CAST(n_chars AS DOUBLE) AS s FROM documents
+  UNION ALL SELECT * FROM (VALUES {planted})
+),
+q AS (SELECT g, quantile_cont(s, 1.0/3.0) AS c1, quantile_cont(s, 2.0/3.0) AS c2
+      FROM t WHERE s IS NOT NULL GROUP BY g)
+SELECT doc_id,
+  CASE WHEN s IS NULL THEN NULL
+       WHEN s <= c1 THEN 'head' WHEN s <= c2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM t LEFT JOIN q USING (g) ORDER BY doc_id
+"""
+
+
 # text_length_filter and docs_token_stats are consolidated OUT of the
 # driver window (TextLengthFilter stays driver-covered through
 # curation_pipeline/curation_funnel_by_source/text_cleanup; the token
@@ -1383,8 +1517,12 @@ FROM chunks ORDER BY doc_id, chunk_index
 # banding, with the exact form keeping its bar in
 # tests/test_dedup_similarity.py) carries the epoch_mix row. Round 8:
 # gopher_quality rides the slot freed by retiring simhash_near_dedup
-# (plans/dedup_queries.py).
+# (plans/dedup_queries.py). Round 9 (rotation wave 5): intra_doc_dedup and
+# perplexity_bucket ride the slots freed by retiring embedding_cosine_dedup
+# (plans/dedup_queries.py) and events_json_props (plans/events.py).
 QUERIES = {
+    "intra_doc_dedup": intra_doc_dedup,
+    "perplexity_bucket": perplexity_bucket,
     "epoch_mix": epoch_mix,
     "dataset_split_mix": dataset_split_mix,
     "warc_extract": warc_extract,
@@ -1408,6 +1546,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "intra_doc_dedup": _intra_doc_dedup_oracle(),
+    "perplexity_bucket": _perplexity_bucket_oracle(),
     "epoch_mix": _epoch_mix_oracle(),
     "dataset_split_mix": _dataset_split_mix_oracle(),
     "warc_extract": _warc_extract_oracle(),

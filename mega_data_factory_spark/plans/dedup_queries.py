@@ -467,14 +467,12 @@ QUERIES = {
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
     "decontamination": decontamination,
-    "embedding_cosine_dedup": embedding_cosine_dedup,
 }
 
 ORACLE = {
     "minhash_lsh_dedup": MINHASH_ORACLE,
     "ngram_jaccard_dedup": JACCARD_ORACLE,
     "decontamination": DECONTAMINATION_ORACLE,
-    "embedding_cosine_dedup": COSINE_DEDUP_ORACLE,
 }
 
 # Rotated out of the driver window in round 8 (the near-dedup family held
@@ -488,8 +486,14 @@ ORACLE = {
 RETIRED_QUERIES = {
     "simhash_near_dedup": simhash_near_dedup,
     "shared_span_dedup": shared_span_dedup,
+    # Round 9 (wave 5): embedding-space near-dedup family coverage is held
+    # in the window by minhash_lsh_dedup + decontamination (banded/bucketed
+    # shapes) while the cosine dedup keeps its exact all-pairs DuckDB bar
+    # here; its slot carries plans/curation.py's intra_doc_dedup row.
+    "embedding_cosine_dedup": embedding_cosine_dedup,
 }
 RETIRED_ORACLE = {
     "simhash_near_dedup": SIMHASH_NEAR_ORACLE,
     "shared_span_dedup": SHARED_SPAN_ORACLE,
+    "embedding_cosine_dedup": COSINE_DEDUP_ORACLE,
 }

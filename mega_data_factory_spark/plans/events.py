@@ -232,19 +232,26 @@ def events_user_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_hourly_agg": events_hourly_agg,
     "events_sessionize": events_sessionize,
-    "events_json_props": events_json_props,
     "events_user_approx_distinct": events_user_approx_distinct,
 }
 
 ORACLE = {
     "events_hourly_agg": HOURLY_ORACLE,
     "events_sessionize": SESSIONIZE_ORACLE,
-    "events_json_props": JSON_PROPS_ORACLE,
 }
 
 # Rotated out of the driver window in round 7 (slot carries the c4_clean
 # row): window-dedup-per-group is driver-covered by orders_first_per_customer
 # and orders_dedup_rejected; the pytest differential bar stays via
-# plans.retired_queries (tests/test_events.py).
-RETIRED_QUERIES = {"events_first_per_user_type": events_first_per_user_type}
-RETIRED_ORACLE = {"events_first_per_user_type": FIRST_PER_USER_ORACLE}
+# plans.retired_queries (tests/test_events.py). Round 9 (wave 5):
+# events_json_props retires — JSON-path extraction stays pytest-anchored
+# here while the events family keeps hourly_agg/sessionize in the window;
+# its slot carries plans/curation.py's perplexity_bucket row.
+RETIRED_QUERIES = {
+    "events_first_per_user_type": events_first_per_user_type,
+    "events_json_props": events_json_props,
+}
+RETIRED_ORACLE = {
+    "events_first_per_user_type": FIRST_PER_USER_ORACLE,
+    "events_json_props": JSON_PROPS_ORACLE,
+}
