@@ -17,18 +17,26 @@ NOTE = (
     "scripts/make_scaled_sf.py; key-offset replication preserves join fanout, documents "
     "perturbed per-replica so shingle DF distribution is scale-invariant; every scaled "
     "table lands as >=32 hash-balanced parquet part files). slope = t(sfN)/t(sf0.1); "
-    "10*N = linear on fixed cores, 1.0 = flat. local[32], min-of-2 timing, 38 headline "
-    "lines incl. the round-8 additions: gopher_recipe_pipeline (the published Gopher "
-    "recipe end to end through Pipeline.run — benching it exposed and fixed the "
-    "stopword-count regex whale: 192 s -> 43 s per sf10 pass, commit 9d56e5d), "
-    "streaming_pipeline_2m (the amortization datapoint: ~1M-row triggers beside the "
-    "one-shot batch AND a two_job_batch_sec floor that separates job-splitting cost "
-    "from true streaming overhead), skew_split_join and gopher_quality (rotated driver "
-    "rows). Each scale measured in isolation — pgrep-verified no concurrent JVMs "
+    "10*N = linear on fixed cores, 1.0 = flat. local[32], min-of-2 timing. Round-9 "
+    "additions: fineweb_recipe_pipeline (the second shipped recipe — URL/cleanup/PII/"
+    "two-dedup heavy mix — end to end through Pipeline.run, lint-gated like the Gopher "
+    "line) and gopher_recipe_published (sf0.1 only: the Gopher recipe with the "
+    "published Rae et al. thresholds EXACTLY as shipped, zero overrides). The "
+    "cross-scale recipe lines run with corpus-shaped thresholds; EVERY delta vs the "
+    "shipped YAML is machine-recorded per line in BENCH_DETAIL.json "
+    "recipe_threshold_deltas — gopher: GopherQualityFilter(min_words=10, "
+    "min_stopwords=0), DupWordCut hi=1.0, TopBigramCut hi=1.0, LanguageCut lo=0; "
+    "fineweb: language NumericRangeFilter lo=0, QualityScoreCut lo=0, "
+    "GopherRepetitionCut hi=1.0 (the synthetic corpus is stopword-free soup and the "
+    "scaled fixtures replica-suffix every word, erasing the statistics those cuts key "
+    "on; unrelaxed, stage 1-2 would cut ~100% and later stages would measure empty "
+    "input). bench.py now also contention-guards itself: pre/post host_state "
+    "(loadavg + foreign-JVM scan), automatic extra passes for lines >1.5x their "
+    "isolated counterpart here, and a contended flag in the compact artifact "
     "(scripts/diag_classifier.out: an orphaned bench JVM is exactly what made the r7 "
-    "quality_classifier_1m sweep legs read 13 s against a ~5 s idle-host baseline); "
-    "fixed-size workload lines (text_pipeline_1m, pq_ann_500k, image_pipeline_100k) "
-    "bound the residual cross-window drift."
+    "quality_classifier_1m sweep legs read 13 s against a ~5 s idle-host baseline). "
+    "Each scale measured in isolation, pgrep-verified; fixed-size workload lines "
+    "(text_pipeline_1m, pq_ann_500k, image_pipeline_100k) bound residual drift."
 )
 
 NOTE_100X = (
@@ -40,12 +48,13 @@ NOTE_100X = (
     "with the replication salt); the q5 family is the suite's one fact-fact join "
     "(linear join work on fixed cores; the shipped bucketed layout keeps its ~1.5-1.9x "
     "per-join advantage at sf10); column_profile is the honest full-scan mode beside "
-    "column_profile_sketch's flat fixed-byte sample; gopher_recipe_pipeline does "
-    "linear whole-pipeline work on 100x docs (its per-record throughput RISES ~4x "
-    "with scale as fixed costs amortize). The scaled corpus suffixes every word with "
-    "the replica id, so the recipe bench copy relaxes LanguageCut (lo=0) — the "
-    "published cut would otherwise reduce the scaled run to language-ID only; the "
-    "published thresholds stay in the shipped YAML and its pytest funnel."
+    "column_profile_sketch's flat fixed-byte sample; the recipe lines do linear "
+    "whole-pipeline work on 100x docs (per-record throughput RISES with scale as "
+    "fixed costs amortize). Both recipe bench copies run relaxed thresholds at every "
+    "scale for slope comparability — the full per-line delta list is in "
+    "BENCH_DETAIL.json recipe_threshold_deltas and the NOTE above; the published "
+    "thresholds stay in the shipped YAMLs (pytest funnels) and are timed as shipped "
+    "by the sf0.1-only gopher_recipe_published line."
 )
 
 
