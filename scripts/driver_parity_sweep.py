@@ -69,7 +69,43 @@ def main() -> int:
             failures[name] = tb[-800:]
             print(json.dumps({"query": name, "error": tb.splitlines()[-1][:300]}), flush=True)
 
-    print(json.dumps({"failures": failures, "ran": len(qs)}), flush=True)
+    # The shipped YAML recipes, end to end through Pipeline.run on the SAME
+    # default session (VERDICT r8 #7): pytest runs them only under the tuned
+    # session; a recipe stage depending on session config (Arrow path,
+    # shuffle width, timezone) would pass there and fail on the driver.
+    import shutil
+    import tempfile
+
+    from mega_data_factory_spark.config import PipelineConfig, SinkConfig
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recipes = ["gopher_style_recipe.yaml", "fineweb_style_recipe.yaml"]
+    recipes_ran = 0
+    for yaml_name in recipes if only is None else []:
+        key = f"recipe:{yaml_name}"
+        tmp = tempfile.mkdtemp(prefix="mdf_parity_recipe_")
+        try:
+            with open(os.path.join(repo, "configs", yaml_name)) as f:
+                cfg = PipelineConfig.from_yaml(f.read())
+            cfg.source.path = f"{sf_dir}/documents.parquet"
+            cfg.sink = SinkConfig(path=os.path.join(tmp, "out"), mode="overwrite")
+            cfg.rejected_sink = SinkConfig(path=os.path.join(tmp, "rej"), mode="overwrite")
+            cfg.metrics_path = os.path.join(tmp, "metrics")
+            res = Pipeline(cfg).run(spark)
+            recipes_ran += 1
+            print(
+                json.dumps({"query": key, "rows": res.output_records, "input": res.input_records}),
+                flush=True,
+            )
+        except Exception:
+            tb = traceback.format_exc()
+            failures[key] = tb[-800:]
+            print(json.dumps({"query": key, "error": tb.splitlines()[-1][:300]}), flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps({"failures": failures, "ran": len(qs), "recipes_ran": recipes_ran}), flush=True)
     return 1 if failures else 0
 
 

@@ -49,6 +49,9 @@ def test_all_queries_run_on_default_session():
     # the sweep must actually cover the registry — guard against a silent
     # import failure reducing it to a no-op
     assert summary.get("ran", 0) >= 50
+    # ...and both shipped YAML recipes must have run Pipeline.run to
+    # completion on the same default session (round-9 extension)
+    assert summary.get("recipes_ran", 0) == 2
 
 
 def test_createdataframe_nested_numpy_sites_are_safe():
