@@ -209,14 +209,29 @@ def _reference_timings() -> dict[str, float]:
 
 
 def _stream_src(
-    spark, sf_dir: str, tmp_dir: str, *, rows_target: int = STREAM_ROWS_TARGET, name: str = "stream_src"
+    spark,
+    sf_dir: str,
+    tmp_dir: str,
+    *,
+    rows_target: int = STREAM_ROWS_TARGET,
+    name: str = "stream_src",
+    n_files: int = 8,
 ) -> tuple[str, int]:
     """Build (untimed, once) the streaming bench corpus: the sf documents
     replicated up to ~rows_target rows with unique doc_ids and
     per-replica text salt (replicas are NOT exact dups of each other, so
     the dedup stage does realistic work — only the corpus's own planted
-    duplicate block collides), written as an 8-file parquet layout that
-    maxFilesPerTrigger slices into micro-batches."""
+    duplicate block collides), written as an ``n_files``-file parquet
+    layout that maxFilesPerTrigger slices into micro-batches.
+
+    ``n_files`` bounds the micro-batch SCAN parallelism: Spark's file
+    stream source makes one input partition per file (it never splits a
+    file across tasks the way the batch reader does), so a trigger of K
+    files scans with at most K parallel tasks. 8 files / 4-file triggers
+    ran 2M-row scans on 4 of 32 cores — the diag'd cause of the r8
+    streaming line's residual over the two-job floor
+    (scripts/diag_stream_4m.out); big-trigger lines want
+    files-per-trigger >= cores."""
     from pyspark.sql import functions as F
 
     src = os.path.join(tmp_dir, name)
@@ -236,7 +251,7 @@ def _stream_src(
             )
             .drop("rep")
         )
-        big.repartition(8).write.mode("overwrite").parquet(src)
+        big.repartition(n_files).write.mode("overwrite").parquet(src)
     return src, n_docs * n_rep
 
 
@@ -957,11 +972,18 @@ def main() -> None:
 
         stream_tmp = tempfile.mkdtemp(prefix="mdf_stream_bench_")
         try:
-            src, n_in = _stream_src(spark, sf_dir, stream_tmp)
+            # 32 files / 8 per trigger: 4 micro-batches (unchanged), with
+            # each trigger's scan on 8 tasks instead of 2 — the file
+            # stream source parallelizes per FILE, and the r8 8-file
+            # layout was measuring scan underparallelism as "streaming
+            # overhead" (scripts/diag_stream_4m.out)
+            src, n_in = _stream_src(spark, sf_dir, stream_tmp, n_files=32)
             dt = float("inf")
             triggers: list[float] = []
             for i in range(2):
-                wall, trig = _streaming_pipeline(spark, src, stream_tmp, f"stream{i}")
+                wall, trig = _streaming_pipeline(
+                    spark, src, stream_tmp, f"stream{i}", files_per_trigger=8
+                )
                 if wall < dt:
                     dt, triggers = wall, trig
             batch_dt = float("inf")
@@ -1032,19 +1054,26 @@ def main() -> None:
 
         amort_tmp = tempfile.mkdtemp(prefix="mdf_stream_amort_")
         try:
+            # 64 files / 32 per trigger: still 2 ~1M-row triggers, but the
+            # per-trigger scan runs on 32 tasks instead of 4. The file
+            # stream source makes one input partition per FILE (it never
+            # splits a file the way the batch reader does), so the r8
+            # 8-file/4-per-trigger layout scanned each 1M-row micro-batch
+            # on 4 of 32 cores and published that fixture artifact as
+            # "streaming overhead" (diag'd: scripts/diag_stream_4m.out —
+            # with the scan parallel, total-wall lands at ~0.9-1.1x of the
+            # one-shot batch and the two-job floor)
             src_big, n_big = _stream_src(
-                spark, sf_dir, amort_tmp, rows_target=2_000_000, name="stream_src_2m"
+                spark, sf_dir, amort_tmp, rows_target=2_000_000, name="stream_src_2m", n_files=64
             )
             dt_big = float("inf")
             trig_big: list[float] = []
             for i in range(2):
-                # knobs sized to the TRIGGER (~500k rows), not the
-                # micro-batch-4 line's 75k: full session-scale shuffle
-                # width and 4 output files per sink (A/B sweep:
-                # scripts/diag_stream_amort.py — sp32/of4 1.45x vs
-                # sp8/of2 1.85x on the same corpus)
+                # knobs sized to the TRIGGER (~1M rows): full
+                # session-scale shuffle width and 4 output files per sink
+                # (A/B sweep: scripts/diag_stream_amort.py)
                 wall, trig = _streaming_pipeline(
-                    spark, src_big, amort_tmp, f"astream{i}", files_per_trigger=4,
+                    spark, src_big, amort_tmp, f"astream{i}", files_per_trigger=32,
                     shuffle_partitions=32, output_files=4,
                 )
                 if wall < dt_big:
@@ -1060,8 +1089,11 @@ def main() -> None:
             # streaming over 2x this number is the true per-trigger
             # streaming overhead (checkpoint/offset commits, foreachBatch
             # dispatch), not job-splitting cost.
+            # 32 files so the floor's batch scan has the same per-task file
+            # granularity as one streaming trigger — a coarse-file floor
+            # would overstate streaming's advantage
             src_half, n_half = _stream_src(
-                spark, sf_dir, amort_tmp, rows_target=1_000_000, name="stream_src_1m"
+                spark, sf_dir, amort_tmp, rows_target=1_000_000, name="stream_src_1m", n_files=32
             )
             batch_half = float("inf")
             for i in range(2):
@@ -1081,7 +1113,7 @@ def main() -> None:
             "streaming_vs_batch_ratio": round(dt_big / batch_big, 2),
             "two_job_batch_sec": round(2 * batch_half, 4),
             "vs_two_job_ratio": round(dt_big / (2 * batch_half), 2),
-            "note": "same pipeline as `streaming` at ~2M rows / 2 triggers — bigger micro-batches amortize the per-trigger fixed cost the 300k/4-trigger line retains. two_job_batch_sec = 2x the one-shot batch wall of a 1M corpus: the same work split into the same two jobs WITHOUT streaming; vs_two_job_ratio isolates the true streaming machinery overhead from job-splitting cost.",
+            "note": "same pipeline as `streaming` at ~2M rows / 2 triggers — bigger micro-batches amortize the per-trigger fixed cost the 300k/4-trigger line retains. two_job_batch_sec = 2x the one-shot batch wall of a 1M corpus: the same work split into the same two jobs WITHOUT streaming; vs_two_job_ratio isolates the true streaming machinery overhead from job-splitting cost. Round 9: corpus layout is 64 files / 32 per trigger (was 8/4) — the file stream source parallelizes the scan per FILE, so the old layout ran each ~1M-row trigger's scan on 4 of 32 cores and published that fixture artifact as streaming overhead (scripts/diag_stream_4m.out); ratio definitions unchanged.",
         }
         if stream_detail is not None:
             stream_detail["amortized_2m"] = amort_detail
