@@ -291,11 +291,14 @@ def _streaming_pipeline(
     shuffle_partitions: int = 4, output_files: int = 2,
 ) -> tuple[float, list[float]]:
     """The curation pipeline run through Structured Streaming's foreachBatch
-    runner over the multi-file parquet stream — maxFilesPerTrigger=2 over 8
-    files gives 4 micro-batches, so the measurement covers real micro-batch
-    scheduling, per-batch tagging plans, checkpoint commits, and both sink
-    appends (the reference's streaming-batch hybrid posture,
-    docs/ARCHITECTURE.md:163-188). Returns (wall_sec, per-trigger
+    runner over the multi-file parquet stream — files_per_trigger slices the
+    corpus into micro-batches (300k line: 8 over 32 files = 4 batches), so
+    the measurement covers real micro-batch scheduling, per-batch tagging
+    plans, checkpoint commits, and both sink appends (the reference's
+    streaming-batch hybrid posture, docs/ARCHITECTURE.md:163-188). NB the
+    file stream source scans one task per FILE — size files_per_trigger
+    toward the core count or the scan bottlenecks the trigger
+    (scripts/diag_stream_4m.out). Returns (wall_sec, per-trigger
     triggerExecution seconds from the query's own progress events) — the
     per-trigger series lets the JSON report a steady-state figure that
     excludes trigger 0's one-time costs (stream initialization, first

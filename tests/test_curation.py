@@ -5,6 +5,8 @@ import pytest
 from tests.conftest import assert_query_matches_oracle
 
 CURATION = [
+    "intra_doc_dedup",
+    "perplexity_bucket",
     "epoch_mix",
     "dataset_split_mix",
     "curation_funnel_by_source",
