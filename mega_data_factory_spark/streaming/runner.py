@@ -268,6 +268,17 @@ class StreamingPipeline:
     reference's per-shard ``records_processed`` checkpoints
     (loader_worker.py:133-140), done properly by the engine.
 
+    Source-layout rule: Spark's FILE stream source assigns one scan task
+    per file per micro-batch — it never splits a file across tasks the way
+    the batch reader's input splits do. ``maxFilesPerTrigger`` therefore
+    bounds each trigger's SCAN parallelism: 4 big files per trigger means
+    a 4-task scan no matter how many cores the job has (measured: a
+    ~1M-row trigger over 4-of-8 files read on 4 of 32 cores, nearly
+    doubling trigger wall — scripts/diag_stream_4m.out). Land streaming
+    corpora as many small-to-medium files and size files-per-trigger at or
+    above the core count; with that, this runner's micro-batches measure
+    at parity with the one-shot batch wall on the same volume.
+
     Note: plain dedup inside foreachBatch is first-wins *within* the
     micro-batch; for cross-batch seen-state use ``stream_exact_dedup``
     upstream OR an incremental store operator
