@@ -9,7 +9,7 @@ operation tree (identical IEEE results — no tolerance needed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mega_data_factory_spark.operators.dedup import KeyDeduplicator, TextExactDeduplicator
@@ -1507,6 +1507,156 @@ FROM t LEFT JOIN q USING (g) ORDER BY doc_id
 """
 
 
+# Cross-document boilerplate rebuild: the synthetic documents are
+# single-line, so the line corpus is manufactured deterministically — two
+# 60-char prose slices (doc-unique) plus injected chrome lines whose
+# doc-frequency brackets the 20% threshold at EVERY sf: CHROME1 on the
+# even half, CHROME2 on every 4th doc (both >= the cut), RARE on ~1%
+# (always below it), SHORT (8 chars < min_line_chars=10) on the odd half
+# — counted never, removed never. Planted edges: NULL text (stays NULL),
+# empty text (stays ''), an all-boilerplate doc (cleans to '').
+BOILER_CHROME1 = "Accept cookies to continue browsing this site"
+BOILER_CHROME2 = "All rights reserved footer boilerplate"
+BOILER_RARE = "limited time promotional banner offer"
+BOILER_SHORT = "hi again"
+BOILER_PLANTED: list[tuple[int, str | None]] = [
+    (960011, None),
+    (960012, ""),
+    (960013, BOILER_CHROME1),
+]
+
+
+def _boiler_corpus_text() -> Column:
+    t = F.coalesce(F.col("text"), F.lit(""))
+    l1, l2 = F.substring(t, 1, 60), F.substring(t, 61, 60)
+    return F.concat(
+        F.concat_ws("\n", l1, l2),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\n" + BOILER_CHROME1)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("\n" + BOILER_SHORT)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("\n" + BOILER_CHROME2)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 97 == 0, F.lit("\n" + BOILER_RARE)).otherwise(F.lit("")),
+    )
+
+
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``BoilerplateLineRefiner`` (operators/refiners.py) — CROSS-document
+    boilerplate line removal (RefinedWeb/CCNet: a line occurring in >=
+    max(min_docs, min_doc_frac x corpus) DISTINCT docs is chrome; strip it
+    per-document, keep the prose) over a deterministic multi-line rebuild
+    of the documents corpus plus planted edge rows. Scale shape: the
+    shuffle key is the md5-derived 60-bit line HASH, never line text (the
+    minhash compact-key discipline); distinct (doc, hash) pairs -> count
+    -> threshold cut -> order-preserving per-doc rebuild. Mirror: DuckDB
+    unnest + distinct doc-frequency + ordered string_agg (promoted from
+    the tests/test_curation.py bar, rotation wave 6)."""
+    from mega_data_factory_spark.operators.refiners import BoilerplateLineRefiner
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select("doc_id", _boiler_corpus_text().alias("text"))
+    planted = spark.createDataFrame(BOILER_PLANTED, "doc_id long, text string")
+    out = BoilerplateLineRefiner(min_doc_frac=0.2, min_docs=3).apply(
+        base.unionByName(planted)
+    )
+    return out.select("doc_id", "text_cleaned", "boilerplate_lines_removed").orderBy("doc_id")
+
+
+def _boilerplate_lines_oracle() -> str:
+    def _inj(mod: int, rem: int, line: str) -> str:
+        return f"|| CASE WHEN doc_id % {mod} = {rem} THEN chr(10) || '{line}' ELSE '' END"
+
+    return f"""
+WITH corpus(doc_id, text) AS (
+  SELECT doc_id,
+         concat_ws(chr(10), substr(coalesce(text, ''), 1, 60),
+                            substr(coalesce(text, ''), 61, 60))
+         {_inj(2, 0, BOILER_CHROME1)}
+         {_inj(2, 1, BOILER_SHORT)}
+         {_inj(4, 0, BOILER_CHROME2)}
+         {_inj(97, 0, BOILER_RARE)}
+  FROM documents
+  UNION ALL SELECT * FROM (VALUES {_planted_values_sql(BOILER_PLANTED)})
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM corpus
+),
+nd AS (SELECT COUNT(*) AS ndocs FROM corpus),
+counted AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines
+  WHERE length(trim(line)) >= 10 GROUP BY line
+),
+boiler AS (
+  SELECT line FROM counted, nd
+  WHERE df >= GREATEST(3, CAST(CEIL(0.2 * ndocs) AS BIGINT))
+),
+kept AS (
+  SELECT l.doc_id, l.line, l.pos, b.line IS NULL AS keep
+  FROM lines l LEFT JOIN boiler b
+    ON (length(trim(l.line)) >= 10 AND l.line = b.line)
+),
+rebuilt AS (
+  SELECT doc_id,
+         COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS text_cleaned,
+         CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS INT) AS boilerplate_lines_removed
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CASE WHEN c.text IS NULL THEN NULL ELSE COALESCE(r.text_cleaned, '') END AS text_cleaned,
+       CAST(CASE WHEN c.text IS NULL THEN 0 ELSE COALESCE(r.boilerplate_lines_removed, 0) END AS INT) AS boilerplate_lines_removed
+FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+ORDER BY c.doc_id
+"""
+
+
+# Quotas bracket the edges at every sf: src1/src5 cut below stratum size
+# (25 docs/source at sf0.01), src3's zero-quota empties its stratum,
+# src7's oversize quota keeps its stratum whole, and the 16 unquoted
+# sources pass untouched.
+STRATA_QUOTAS: dict[str, int] = {"src1": 17, "src3": 0, "src5": 4, "src7": 100000}
+
+
+def stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``StratifiedQuotaSampler`` (operators/sampling.py) — keep EXACTLY
+    min(quota, stratum size) rows per stratum, selected as the quota rows
+    with the smallest (stable md5-derived hash, id). Computed with the
+    histogram-boundary discipline (range-bucket the hash, count per
+    (stratum, bucket) — one compact groupBy — keep/drop buckets wholesale
+    and window ONLY the boundary bucket), not a full per-stratum sort: the
+    100 TB shape. Mirror: the cut provably equals the global rank, so the
+    oracle is row_number() OVER (PARTITION BY source ORDER BY h, id) <= q
+    with the engine's hash reproduced bit-for-bit (promoted from the
+    tests/test_curation.py bar, rotation wave 6)."""
+    from mega_data_factory_spark.operators.sampling import StratifiedQuotaSampler
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    out = StratifiedQuotaSampler(STRATA_QUOTAS, id_col="doc_id", stratum_col="source").apply(
+        t["documents"]
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def _stratified_quota_oracle() -> str:
+    qcase = " ".join(f"WHEN source = '{s}' THEN {q}" for s, q in STRATA_QUOTAS.items())
+    return f"""
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#quota'), 1, 15))::BIGINT AS hh,
+         CASE {qcase} ELSE NULL END AS q
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, q,
+         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, source FROM ranked
+WHERE q IS NULL OR (doc_id IS NOT NULL AND rn <= q)
+ORDER BY doc_id
+"""
+
+
 # text_length_filter and docs_token_stats are consolidated OUT of the
 # driver window (TextLengthFilter stays driver-covered through
 # curation_pipeline/curation_funnel_by_source/text_cleanup; the token
@@ -1519,10 +1669,15 @@ FROM t LEFT JOIN q USING (g) ORDER BY doc_id
 # gopher_quality rides the slot freed by retiring simhash_near_dedup
 # (plans/dedup_queries.py). Round 9 (rotation wave 5): intra_doc_dedup and
 # perplexity_bucket ride the slots freed by retiring embedding_cosine_dedup
-# (plans/dedup_queries.py) and events_json_props (plans/events.py).
+# (plans/dedup_queries.py) and events_json_props (plans/events.py); wave 6:
+# boilerplate_lines and stratified_quota ride the slots freed by retiring
+# cube_status_priority (plans/relational.py) and orders_daily_moving_avg
+# (plans/window_queries.py).
 QUERIES = {
     "intra_doc_dedup": intra_doc_dedup,
     "perplexity_bucket": perplexity_bucket,
+    "boilerplate_lines": boilerplate_lines,
+    "stratified_quota": stratified_quota,
     "epoch_mix": epoch_mix,
     "dataset_split_mix": dataset_split_mix,
     "warc_extract": warc_extract,
@@ -1548,6 +1703,8 @@ QUERIES = {
 ORACLE = {
     "intra_doc_dedup": _intra_doc_dedup_oracle(),
     "perplexity_bucket": _perplexity_bucket_oracle(),
+    "boilerplate_lines": _boilerplate_lines_oracle(),
+    "stratified_quota": _stratified_quota_oracle(),
     "epoch_mix": _epoch_mix_oracle(),
     "dataset_split_mix": _dataset_split_mix_oracle(),
     "warc_extract": _warc_extract_oracle(),

@@ -373,7 +373,6 @@ QUERIES = {
     "q3_segment_revenue": q3_segment_revenue,
     "q5_region_nation_revenue": q5_region_nation_revenue,
     "topk_orders": topk_orders,
-    "cube_status_priority": cube_status_priority,
     "orders_above_customer_avg": orders_above_customer_avg,
 }
 
@@ -382,6 +381,14 @@ ORACLE = {
     "q3_segment_revenue": Q3_ORACLE,
     "q5_region_nation_revenue": Q5_ORACLE,
     "topk_orders": TOPK_ORACLE,
-    "cube_status_priority": CUBE_ORACLE,
     "orders_above_customer_avg": ABOVE_AVG_ORACLE,
 }
+
+# Round 9 (rotation wave 6): cube_status_priority retires — the
+# grouping-analytics family (CUBE / ROLLUP / GROUPING SETS + grouping_id)
+# stays driver-covered by grouping_sets_orders (plans/window_queries.py,
+# the general mechanism of which cube is one spelling), and the exact
+# oracle bar stays via plans.retired_queries (tests/test_relational.py).
+# Its slot carries plans/curation.py's boilerplate_lines row.
+RETIRED_QUERIES = {"cube_status_priority": cube_status_priority}
+RETIRED_ORACLE = {"cube_status_priority": CUBE_ORACLE}

@@ -193,14 +193,12 @@ ORDER BY c_mktsegment, spend, c_custkey
 
 QUERIES = {
     "lineitem_running_revenue": lineitem_running_revenue,
-    "orders_daily_moving_avg": orders_daily_moving_avg,
     "grouping_sets_orders": grouping_sets_orders,
     "customer_spend_distribution": customer_spend_distribution,
 }
 
 ORACLE = {
     "lineitem_running_revenue": RUNNING_REVENUE_ORACLE,
-    "orders_daily_moving_avg": MOVING_AVG_ORACLE,
     "grouping_sets_orders": GROUPING_SETS_ORACLE,
     "customer_spend_distribution": SPEND_DISTRIBUTION_ORACLE,
 }
@@ -209,6 +207,16 @@ ORACLE = {
 # sentence_chunks row): ranking windows are driver-covered by
 # customer_spend_distribution (rank/ntile/percent_rank/cume_dist family);
 # the pytest differential bar stays via plans.retired_queries
-# (tests/test_window_join_queries.py).
-RETIRED_QUERIES = {"customer_order_ranks": customer_order_ranks}
-RETIRED_ORACLE = {"customer_order_ranks": CUSTOMER_RANKS_ORACLE}
+# (tests/test_window_join_queries.py). Round 9 (rotation wave 6):
+# orders_daily_moving_avg retires — running/moving frame windows stay
+# driver-covered by lineitem_running_revenue (rows-between frames on the
+# same engine path); its slot carries plans/curation.py's
+# stratified_quota row.
+RETIRED_QUERIES = {
+    "customer_order_ranks": customer_order_ranks,
+    "orders_daily_moving_avg": orders_daily_moving_avg,
+}
+RETIRED_ORACLE = {
+    "customer_order_ranks": CUSTOMER_RANKS_ORACLE,
+    "orders_daily_moving_avg": MOVING_AVG_ORACLE,
+}

@@ -7,6 +7,8 @@ from tests.conftest import assert_query_matches_oracle
 CURATION = [
     "intra_doc_dedup",
     "perplexity_bucket",
+    "boilerplate_lines",
+    "stratified_quota",
     "epoch_mix",
     "dataset_split_mix",
     "curation_funnel_by_source",
