@@ -192,7 +192,26 @@ def _host_state() -> dict:
                 state["busy_foreign_procs"] += 1
     except Exception:  # noqa: BLE001 — diagnostics must never fail the bench
         state["ps_error"] = True
+    state["cpu_probe_sec"] = _cpu_probe()
     return state
+
+
+def _cpu_probe() -> float:
+    """Fixed-work single-thread CPU reference (~0.2-0.4 s nominal on this
+    class of host): 400k chained sha256 digests — no allocation, no I/O,
+    no JVM. Round-9 addition after a same-code same-host same-config
+    idle-host triple read the classifier line at 19.5/8.4/5.9 s across
+    three runs (scripts/diag_episodic.out): when an outlier line is
+    flagged, a probe that is ALSO slow marks a host-level episode
+    (hypervisor throttling / noisy neighbor) the artifact can discount;
+    a normal probe beside a slow line points at the plan instead."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = hashlib.sha256(b"mdf-cpu-probe").digest()
+    for _ in range(400_000):
+        h = hashlib.sha256(h).digest()
+    return round(time.perf_counter() - t0, 4)
 
 
 def _reference_timings() -> dict[str, float]:
@@ -415,6 +434,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     spreads: dict[str, list[float]] = {}  # sub-second queries: [min, max] of 3 passes
     reruns: dict[str, int] = {}  # contention-guard extra passes taken per line
+    probe_at_outlier: dict[str, float] = {}  # cpu reference sampled beside a stuck-slow line
     stream_detail: dict | None = None  # set by the streaming section when it succeeds
     total = 0.0
     for name in HEADLINE:
@@ -471,6 +491,12 @@ def main() -> None:
                 reruns[name] = extra
                 if name in spreads:
                     spreads[name] = [round(min(passes), 4), round(max(passes), 4)]
+                if ref and min(passes) > 1.5 * ref:
+                    # still slow after re-runs: sample the CPU reference NOW
+                    # so the artifact records whether the host itself was
+                    # slow at this exact moment (episodic throttling) or
+                    # only this line was (plan regression)
+                    probe_at_outlier[name] = _cpu_probe()
             dt = min(passes)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -1293,6 +1319,11 @@ def main() -> None:
         "foreign_jvms_end": len(host_end["foreign_jvms"]),
         "busy_foreign_procs_start": host_start["busy_foreign_procs"],
         "busy_foreign_procs_end": host_end["busy_foreign_procs"],
+        # fixed-work single-thread CPU reference (~nominal band documented
+        # in _cpu_probe): slow probe + slow line = host episode, not plan
+        "cpu_probe_sec_start": host_start["cpu_probe_sec"],
+        "cpu_probe_sec_end": host_end["cpu_probe_sec"],
+        **({"cpu_probe_at_outlier": probe_at_outlier} if probe_at_outlier else {}),
         **({"outliers_vs_isolated": outliers} if outliers else {}),
         **({"contended": True} if contended else {}),
     }
