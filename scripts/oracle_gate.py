@@ -65,6 +65,14 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs, osql = e.queries(), e.oracle_sql()
+    if args.only:
+        # --only may name queries rotated out of the 50-row driver window
+        # (plans.retired_queries keep their oracle bar — e.g. the sf10
+        # decimal-family list pins cube_status_priority, retired in wave 6)
+        from mega_data_factory_spark.plans import retired_oracles, retired_queries
+
+        qs = {**qs, **retired_queries()}
+        osql = {**osql, **retired_oracles()}
     names = args.only.split(",") if args.only else list(qs)
     bad = ok = skipped = 0
     per_query: dict[str, str] = {}
