@@ -18,9 +18,12 @@ scripts/diag_spread.out)
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 QUERIES = ["topk_cosine", "text_exact_dedup"]
@@ -33,7 +36,7 @@ def main() -> None:
     ).stdout.split()
     print(f"host check: {len(foreign)} java process(es) before session start")
 
-    from mega_data_factory_spark.plans import all_queries
+    from mega_data_factory_spark.plans import all_queries, retired_queries
     from mega_data_factory_spark.session import get_spark, load_tables, TABLES
 
     spark = get_spark(cpus=32)
@@ -41,7 +44,7 @@ def main() -> None:
     for _, df in load_tables(spark, SF, TABLES).items():
         df.count()  # the bench's table warm-up (file listing + page cache)
 
-    qs = all_queries()
+    qs = {**all_queries(), **retired_queries()}  # topk_cosine is a retired bench line
     for name in QUERIES:
         fn = qs[name]
         series = []
