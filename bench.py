@@ -1170,40 +1170,65 @@ def main() -> None:
         the published Rae et al. values (funnel-checked in
         tests/test_pipeline.py), and gopher_recipe_published below times
         the recipe EXACTLY as shipped at sf0.1."""
+        # deltas are derived from the operators that ACTUALLY matched, not
+        # hardcoded: a recipe respelling that breaks a match would
+        # otherwise run the published cut (empty funnel) while the
+        # artifact still claimed the relaxation was applied — the inverse
+        # of the r8 Wrong #2 disclosure failure
+        applied: list[str] = []
         for st in recipe_cfg.stages:
             for oc in st.operators:
                 if oc.name == "GopherQualityFilter":
                     oc.params = {"min_words": 10, "min_stopwords": 0}
+                    applied.append("GopherQualityFilter(min_words=10, min_stopwords=0)")
                 elif oc.params.get("name") in ("DupWordCut", "TopBigramCut"):
                     oc.params = {**oc.params, "hi": 1.0}
+                    applied.append(f"{oc.params['name']} hi=1.0")
                 elif oc.params.get("name") == "LanguageCut":
                     oc.params = {**oc.params, "lo": 0}
-        return [
+                    applied.append("LanguageCut lo=0")
+        expected = {
             "GopherQualityFilter(min_words=10, min_stopwords=0)",
             "DupWordCut hi=1.0",
             "TopBigramCut hi=1.0",
             "LanguageCut lo=0",
-        ]
+        }
+        if set(applied) != expected:
+            raise RuntimeError(
+                f"gopher recipe relaxation drifted from the shipped YAML: "
+                f"applied {sorted(applied)}, expected {sorted(expected)}"
+            )
+        return applied
 
     def _relax_fineweb(recipe_cfg) -> list[str]:
         """Same disclosure discipline for the FineWeb-style recipe: the
         language / quality-score / repetition cuts key on word statistics
         the synthetic+scaled corpora don't carry; relaxed so every stage
         (incl. both dedups over the cleaned text) processes full volume."""
+        applied: list[str] = []
         for st in recipe_cfg.stages:
             for oc in st.operators:
                 nm = oc.params.get("name")
                 if nm == "LanguageCut" or (st.name == "language" and oc.name == "NumericRangeFilter"):
                     oc.params = {**oc.params, "lo": 0}
+                    applied.append("language NumericRangeFilter lo=0")
                 elif nm == "QualityScoreCut":
                     oc.params = {**oc.params, "lo": 0}
+                    applied.append("QualityScoreCut lo=0")
                 elif nm == "GopherRepetitionCut":
                     oc.params = {**oc.params, "hi": 1.0}
-        return [
+                    applied.append("GopherRepetitionCut hi=1.0")
+        expected = {
             "language NumericRangeFilter lo=0",
             "QualityScoreCut lo=0",
             "GopherRepetitionCut hi=1.0",
-        ]
+        }
+        if set(applied) != expected:
+            raise RuntimeError(
+                f"fineweb recipe relaxation drifted from the shipped YAML: "
+                f"applied {sorted(applied)}, expected {sorted(expected)}"
+            )
+        return applied
 
     def _recipe_line(line_name: str, yaml_name: str, relax) -> list[str]:
         """One shipped-YAML recipe end to end through Pipeline.run: one

@@ -216,7 +216,11 @@ def skew_split_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "value")
     totals = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
     counts = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("__c"))
-    thr = max(1, int(counts.approxQuantile("__c", [0.999], 0.001)[0]))
+    # approxQuantile returns [] on an EMPTY frame (a corpus with zero
+    # purchase rows) — fall back to thr=1 (plain-join path, zero hot keys)
+    # instead of IndexError-ing the gate/bench/parity sweep
+    q = counts.approxQuantile("__c", [0.999], 0.001)
+    thr = max(1, int(q[0])) if q else 1
     out = skew_split_join(purchases, totals, on="user_id", how="left", hot_threshold=thr)
     return out.select("event_id", "user_id", "value", "user_total").orderBy("event_id")
 

@@ -82,6 +82,7 @@ class StreamingMetricsListener(StreamingQueryListener):
         # observable and bounded: failures are counted, the first few are
         # surfaced on stderr, and the buffer keeps only the newest rows
         self.flush_failures = 0
+        self.rows_dropped = 0  # trigger rows lost to the _max_pending cap
         self._max_pending = 1024
         self._max_logged_failures = 3
 
@@ -140,15 +141,28 @@ class StreamingMetricsListener(StreamingQueryListener):
             self.rows_written += len(rows)
         except Exception as exc:  # noqa: BLE001 — event-thread must not throw
             self.flush_failures += 1
+            self._pending = rows + self._pending
+            if len(self._pending) > self._max_pending:
+                # keep the NEWEST rows — on a long-dead sink the earliest
+                # triggers are the least interesting ones to recover
+                self.rows_dropped += len(self._pending) - self._max_pending
+                self._pending = self._pending[-self._max_pending :]
             if self.flush_failures <= self._max_logged_failures:
                 # stderr, not the listener bus: the bus is what we're on, and
                 # raising here kills the listener. Rate-limited so a dead
-                # sink over a long stream doesn't flood the log.
+                # sink over a long stream doesn't flood the log. Counts are
+                # POST-trim so the log never overstates what is recoverable.
                 print(
                     f"StreamingMetricsListener: trigger-metrics write to "
                     f"{self.metrics_path}/triggers failed "
                     f"({type(exc).__name__}: {exc}) — buffering "
-                    f"{len(rows) + len(self._pending)} row(s) for retry"
+                    f"{len(self._pending)} row(s) for retry"
+                    + (
+                        f", {self.rows_dropped} oldest dropped at the "
+                        f"{self._max_pending}-row cap"
+                        if self.rows_dropped
+                        else ""
+                    )
                     + (
                         " (further failures suppressed)"
                         if self.flush_failures == self._max_logged_failures
@@ -156,11 +170,6 @@ class StreamingMetricsListener(StreamingQueryListener):
                     ),
                     file=sys.stderr,
                 )
-            self._pending = rows + self._pending
-            if len(self._pending) > self._max_pending:
-                # keep the NEWEST rows — on a long-dead sink the earliest
-                # triggers are the least interesting ones to recover
-                self._pending = self._pending[-self._max_pending :]
 
     def onQueryIdle(self, event) -> None:
         pass

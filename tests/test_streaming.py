@@ -604,3 +604,38 @@ def test_streaming_trigger_metrics_listener(spark, tmp_path):
     rows2 = wait_rows(3)
     runs = {r.run_id: r.query_id for r in rows2}
     assert len(runs) == 2 and str(q2.id) in runs.values()
+
+
+def test_listener_flush_failure_buffering(spark, tmp_path, capsys):
+    """A persistently failing metrics sink is observable AND bounded
+    (round-8 advice): failures are counted, the first few logged with the
+    POST-trim buffered count (never overstating what is recoverable), the
+    buffer keeps only the newest _max_pending rows with dropped rows
+    counted, and everything buffered lands once the sink recovers."""
+    from mega_data_factory_spark.streaming.listener import StreamingMetricsListener
+
+    blocked = tmp_path / "blocked"
+    blocked.write_text("a regular file where the metrics dir should be")
+    lst = StreamingMetricsListener(
+        spark, str(blocked / "metrics"), pipeline="p", run_id="r"
+    )
+    lst._max_pending = 8
+    row = ("r", "p", "q", 0, 1, 1.0, 1.0, 1, 1, 1)
+    for _ in range(12):
+        lst._pending.append(row)
+        lst._flush()
+    assert lst.flush_failures == 12
+    assert lst.rows_written == 0
+    assert len(lst._pending) == 8  # bounded at the cap
+    assert lst.rows_dropped == 4  # 12 buffered, newest 8 kept
+    err = capsys.readouterr().err
+    assert "buffering 1 row(s) for retry" in err  # first failure, post-trim count
+    assert err.count("StreamingMetricsListener") == 3  # rate-limited
+    assert "further failures suppressed" in err
+
+    # sink recovers: the buffered tail lands, nothing further is lost
+    lst.metrics_path = str(tmp_path / "metrics_ok")
+    lst._flush()
+    assert lst.flush_failures == 12 and not lst._pending
+    assert lst.rows_written == 8
+    assert spark.read.parquet(f"{lst.metrics_path}/triggers").count() == 8
