@@ -463,16 +463,81 @@ SELECT c.vec_id FROM corpus c WHERE c.vec_id NOT IN (SELECT vec_id FROM dups) OR
 """
 
 
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SemanticDecontaminationFilter`` (operators/dedup.py) — EMBEDDING-
+    SPACE eval-set decontamination (the vector-similarity complement of the
+    13-gram ``decontamination`` row): every training vector whose best
+    cosine against the benchmark reaches the threshold is rejected with
+    that benchmark item's id as representative (best-cosine ties break to
+    the smallest benchmark id). Scale shape: the benchmark side is a
+    BROADCAST normalized matrix and scoring is a streamed Arrow-batch
+    block matmul — training vectors never shuffle, there is no all-pairs
+    join anywhere in the Spark plan (the all-pairs form lives only in the
+    DuckDB mirror below, which is quadratic by construction and therefore
+    listed in scripts/oracle_gate.py QUADRATIC_ORACLES for the scaled
+    gates). Benchmark = every 10th embedding, so self-matches at rounded
+    cosine 1.0 are guaranteed and natural near-pairs exercise the 0.45
+    threshold. Promoted from the tests/test_dedup_similarity.py bar,
+    rotation wave 7. Reference parity: decontamination scrubbing per
+    reference docs/DATA_QUALITY.md; embedding-space variant beyond the
+    reference's n-gram surface."""
+    from mega_data_factory_spark.operators.dedup import SemanticDecontaminationFilter
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    bench = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    d = SemanticDecontaminationFilter(
+        bench,
+        threshold=SEMDECON_THRESHOLD,
+        vec_col="embedding",
+        benchmark_id_col="bench_id",
+        id_col="vec_id",
+    )
+    return (
+        d.rejected(emb)
+        .select("vec_id", F.col("_rejection_details.representative_id").alias("representative_id"))
+        .orderBy("vec_id")
+    )
+
+
+SEMDECON_THRESHOLD = 0.45
+
+SEMDECON_ORACLE = f"""
+WITH bench AS (
+  SELECT vec_id AS bid, embedding AS bv FROM embeddings WHERE vec_id % 10 = 0
+),
+pairs AS (
+  SELECT e.vec_id, b.bid, round({_cos_sql('e.embedding', 'b.bv')}, 6) AS c
+  FROM embeddings e CROSS JOIN bench b
+  WHERE {_cos_sql('e.embedding', 'b.bv')} IS NOT NULL
+),
+best AS (
+  SELECT vec_id, bid, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, bid) AS rn
+  FROM pairs
+)
+SELECT vec_id, CAST(bid AS VARCHAR) AS representative_id
+FROM best WHERE rn = 1 AND c >= {SEMDECON_THRESHOLD} ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "minhash_lsh_dedup": minhash_lsh_dedup,
     "ngram_jaccard_dedup": ngram_jaccard_dedup,
     "decontamination": decontamination,
+    # Round 9 (wave 7): rides the slot freed by retiring q3_segment_revenue
+    # (plans/relational.py — the join+agg+ordered-limit family stays
+    # driver-held by q5_region_nation_revenue and topk_orders)
+    "semantic_decontamination": semantic_decontamination,
 }
 
 ORACLE = {
     "minhash_lsh_dedup": MINHASH_ORACLE,
     "ngram_jaccard_dedup": JACCARD_ORACLE,
     "decontamination": DECONTAMINATION_ORACLE,
+    "semantic_decontamination": SEMDECON_ORACLE,
 }
 
 # Rotated out of the driver window in round 8 (the near-dedup family held

@@ -370,7 +370,6 @@ ORDER BY c_custkey
 # The freed slots carry shared_span_dedup and text_cleanup driver rows.
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
-    "q3_segment_revenue": q3_segment_revenue,
     "q5_region_nation_revenue": q5_region_nation_revenue,
     "topk_orders": topk_orders,
     "orders_above_customer_avg": orders_above_customer_avg,
@@ -378,7 +377,6 @@ QUERIES = {
 
 ORACLE = {
     "q1_pricing_summary": Q1_ORACLE,
-    "q3_segment_revenue": Q3_ORACLE,
     "q5_region_nation_revenue": Q5_ORACLE,
     "topk_orders": TOPK_ORACLE,
     "orders_above_customer_avg": ABOVE_AVG_ORACLE,
@@ -389,6 +387,16 @@ ORACLE = {
 # stays driver-covered by grouping_sets_orders (plans/window_queries.py,
 # the general mechanism of which cube is one spelling), and the exact
 # oracle bar stays via plans.retired_queries (tests/test_relational.py).
-# Its slot carries plans/curation.py's boilerplate_lines row.
-RETIRED_QUERIES = {"cube_status_priority": cube_status_priority}
-RETIRED_ORACLE = {"cube_status_priority": CUBE_ORACLE}
+# Its slot carries plans/curation.py's boilerplate_lines row. Wave 7:
+# q3_segment_revenue retires (the verdict called the relational family
+# over-represented; join+agg is driver-held by q5_region_nation_revenue
+# and the ordered limit by topk_orders) — its slot carries
+# plans/dedup_queries.py's semantic_decontamination row.
+RETIRED_QUERIES = {
+    "cube_status_priority": cube_status_priority,
+    "q3_segment_revenue": q3_segment_revenue,
+}
+RETIRED_ORACLE = {
+    "cube_status_priority": CUBE_ORACLE,
+    "q3_segment_revenue": Q3_ORACLE,
+}

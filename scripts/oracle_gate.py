@@ -30,6 +30,9 @@ QUADRATIC_ORACLES = {
     "ngram_jaccard_dedup",
     "embedding_cosine_dedup",
     "parts_price_range_join",
+    # the Spark plan is broadcast-matmul (linear); only the DuckDB mirror
+    # is an all-pairs cross join
+    "semantic_decontamination",
 }
 
 

@@ -10,6 +10,7 @@ NAMES = [
     "ngram_jaccard_dedup",
     "shared_span_dedup",
     "decontamination",
+    "semantic_decontamination",
     "simhash_near_dedup",
     "embedding_cosine_dedup",
     "topk_cosine",
