@@ -328,7 +328,11 @@ def generate_report(
     # run/compaction) and triggers (streaming per-micro-batch telemetry) —
     # rendered when their parquet exists; absence is not an error (batch
     # pipelines without incremental dedup or streaming write neither)
-    extra = _store_section(spark, metrics_path) + _trigger_section(spark, metrics_path)
+    extra = (
+        _store_section(spark, metrics_path)
+        + _trigger_section(spark, metrics_path)
+        + _telemetry_health_section(spark, metrics_path)
+    )
     return f"""<!doctype html><html><head><meta charset="utf-8">
 <title>Run {_esc(run_id)}</title><style>{_CSS}</style></head><body>
 <h1>Pipeline run {_esc(run['pipeline'])} / {_esc(run_id)}</h1>
@@ -383,6 +387,50 @@ def _store_section(spark: SparkSession, metrics_path: str) -> str:
         "<h2>Incremental dedup stores</h2>"
         "<table><tr><th>event</th><th>operator</th><th>store</th><th>rows</th>"
         f"<th>files</th><th>bytes</th><th>rows before compaction</th></tr>{body}</table>"
+    )
+
+
+def _telemetry_health_section(spark: SparkSession, metrics_path: str) -> str:
+    """Listener loss counters (latest 20 listener lifetimes). A non-zero
+    ``rows_dropped``/``flush_failures``/``rows_pending`` means per-trigger
+    telemetry was LOST or delayed — flagged in red so it cannot pass as a
+    healthy table (round-9 verdict task #7: a silent non-zero is the next
+    invisible-loss bug)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.parquet(os.path.join(metrics_path, "telemetry"))
+            .orderBy(F.col("timestamp").desc())
+            .limit(20)
+            .collect()
+        )
+    except AnalysisException:
+        return ""
+    if not rows:
+        return ""
+
+    def cell(v: int) -> str:
+        return f'<td style="color:#b91c1c;font-weight:bold">{v:,} &#9888;</td>' if v else f"<td>{v:,}</td>"
+
+    body = "\n".join(
+        f"<tr><td>{_esc(r['pipeline'])}</td><td>{_esc(r['query_id'])}</td>"
+        f"<td>{r['rows_written']:,}</td>{cell(r['flush_failures'])}"
+        f"{cell(r['rows_dropped'])}{cell(r['rows_pending'])}</tr>"
+        for r in rows
+    )
+    lost = sum(r["rows_dropped"] + r["rows_pending"] for r in rows)
+    warn = (
+        f'<p style="color:#b91c1c"><b>{lost:,} trigger-telemetry row(s) were dropped or '
+        "left unflushed</b> — the streaming-triggers table above is incomplete for "
+        "those runs.</p>"
+        if lost
+        else ""
+    )
+    return (
+        "<h2>Telemetry health</h2>" + warn +
+        "<table><tr><th>pipeline</th><th>query</th><th>rows written</th>"
+        f"<th>flush failures</th><th>rows dropped</th><th>rows pending</th></tr>{body}</table>"
     )
 
 

@@ -142,9 +142,17 @@ class KMeansIndex:
             feats.count()  # materialize before the iterative job storm
 
             def _fit(k):
-                return KMeans(
-                    k=k, seed=self.seed, maxIter=self.max_iter, initMode=self.init_mode
-                ).fit(feats)
+                from mega_data_factory_spark.operators.mlfit import strip_training_summary
+
+                # The retained KMeans training summary holds the
+                # SparkSession; stripped so `transform` closures stay
+                # serializable after any Observation completes (same
+                # failure mode as the classifier — see mlfit.py).
+                return strip_training_summary(
+                    KMeans(
+                        k=k, seed=self.seed, maxIter=self.max_iter, initMode=self.init_mode
+                    ).fit(feats)
+                )
 
             try:
                 self._model = _fit(self.k_fitted)

@@ -1,0 +1,84 @@
+"""Post-fit hygiene for ``pyspark.ml`` models kept on long-lived engines.
+
+A freshly fitted estimator (``LogisticRegressionModel``, ``KMeansModel``,
+...) retains its **training summary**, and the summary holds the live
+``SparkSession``. That is fine until the session accumulates
+task-unserializable state: the first completed ``df.observe(Observation,
+...)`` gives the session's ``ObservationManager`` listener state, after
+which ANY ``model.transform`` whose task closure drags the model (and via
+the summary, the session) dies with ``Task not serializable:
+org.apache.spark.sql.classic.ObservationManager``. Since
+``Pipeline.run`` registers exactly such an Observation for its free-rider
+metrics (plans/pipeline.py), "run a pipeline, then fit a classifier" would
+break the rest of the session.
+
+The summary is a training-time convenience this engine never reads, so we
+drop it driver-side immediately after ``fit``:
+
+  1. primary path: the JVM model's ``setSummary(None)`` — ``private[spark]``
+     in Scala source but public in bytecode, so py4j can call it; zero IO;
+  2. fallback: persist + reload through ``pyspark.ml`` persistence
+     (summaries are documented not to survive save/load) into a scratch
+     dir under the Hadoop default FS, which works from a cluster driver
+     too, not just local mode.
+
+Regression coverage: tests/test_classifier.py::test_fit_after_observation
+(poisons the session with a completed Observation first, the round-9
+verdict repro).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+
+def _strip_one(java_model) -> bool:
+    """Clear ``trainingSummary`` on one JVM model; True if now summary-free."""
+    try:
+        if not java_model.hasSummary():
+            return True
+        from pyspark import SparkContext
+
+        empty = SparkContext._jvm.scala.Option.empty()  # type: ignore[union-attr]
+        java_model.setSummary(empty)
+        return not java_model.hasSummary()
+    except Exception:  # noqa: BLE001 - py4j errors vary by Spark build
+        return False
+
+
+def strip_training_summary(model):
+    """Return ``model`` without any retained training summary.
+
+    ``model`` is a fitted ``pyspark.ml`` ``Model`` or ``PipelineModel``.
+    Mutates in place via the JVM setter when possible; falls back to a
+    save/load round-trip (returns the reloaded model) when any stage
+    refuses. Idempotent and cheap on the happy path (one py4j call per
+    stage, no jobs).
+    """
+    stages = getattr(model, "stages", None)
+    targets = stages if stages is not None else [model]
+    ok = True
+    for stage in targets:
+        jobj = getattr(stage, "_java_obj", None)
+        if jobj is not None and not _strip_one(jobj):
+            ok = False
+    if ok:
+        return model
+    # Fallback: ml persistence drops summaries by design. Use a per-call
+    # scratch path; on a cluster this resolves against the default FS the
+    # same way model.save does, so it is not a local-mode-only trick.
+    path = f"/tmp/mega_data_factory_spark_mlfit/{type(model).__name__}-{uuid.uuid4().hex}"
+    model.write().overwrite().save(path)
+    reloaded = type(model).load(path)
+    try:  # best-effort scratch cleanup (driver-side hadoop rm)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            jvm = spark.sparkContext._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+    except Exception:  # noqa: BLE001 - cleanup is advisory
+        pass
+    return reloaded

@@ -304,10 +304,10 @@ ORDER BY d.doc_id
 # identical literals on both engines (the dedup_queries planted-corpus
 # pattern). No apostrophes — the strings embed verbatim in the SQL mirror.
 CLEANUP_PLANTED: list[tuple[int, str]] = [
-    (900001, "Contact john.doe@example.com or jane99@mail.co for details. "
+    (10000900001, "Contact john.doe@example.com or jane99@mail.co for details. "
              "Call 555-123-4567 or 555 987 6543 now. Server 10.0.0.1 logs requests."),
-    (900002, "buy now buy now buy now buy now limited offer spam spam spam spam"),
-    (900003, "A clean sentence with no repeated content and no contact details at all."),
+    (10000900002, "buy now buy now buy now buy now limited offer spam spam spam spam"),
+    (10000900003, "A clean sentence with no repeated content and no contact details at all."),
 ]
 
 
@@ -912,7 +912,14 @@ def _planted_values_sql(rows: list[tuple[int, str | None]]) -> str:
     """Render planted (id, text) rows as a SQL VALUES list — identical
     literals on both engines. Apostrophes are doubled; newline / \\x1e
     control chars embed as chr() concatenations (a raw control char inside
-    a SQL literal is parser-dependent)."""
+    a SQL literal is parser-dependent).
+
+    Planted doc_ids live at >= 10^10: the base corpus ids are dense small
+    ints and scripts/make_scaled_sf.py offsets replica keys by 10M per
+    replica, so even a 100-replica scale dir tops out near 1.01e9 — a
+    planted id can never collide with a real row (a collision would merge
+    lines across docs in the groupBy rebuilds with nondeterministic
+    string_agg tie order; round-10 advice)."""
     out = []
     for i, t in rows:
         if t is None:
@@ -1105,20 +1112,20 @@ ORDER BY c.doc_id, chunk_index
 # ratio / bullet fraction / ellipsis-line fraction / stopword floor.
 _GOPHER_PROSE = ("the quick brown fox jumps over that lazy dog with style and grace " * 8).strip()
 GOPHER_PLANTED: list[tuple[int, str | None]] = [
-    (910001, "• first bullet line\n• second bullet line\n- third dashed\nplain closing line."),
-    (910002, "this sentence trails off...\nand this one too…\nbut not this one."),
-    (910003, "numbers 123 456 ## 789 # zz42"),
-    (910004, "the quick brown fox jumps over that lazy dog with style and more of it to be sure"),
-    (910005, None),
-    (910006, "   "),
-    (910007, "wait..... five dots is one ellipsis run"),
-    (920001, _GOPHER_PROSE),  # passes every rule
-    (920002, "too few words to have any chance here"),  # word count < 50
-    (920003, ("a " * 120).strip()),  # mean word len < 3 (and stopword-poor)
-    (920004, _GOPHER_PROSE + " " + ("#tag " * 40).strip()),  # hash ratio > 0.1
-    (920005, "\n".join(f"• {_GOPHER_PROSE[:40]}" for _ in range(10))),  # bullets > 90%
-    (920006, "\n".join([_GOPHER_PROSE] + [f"{_GOPHER_PROSE[:30]}..." for _ in range(9)])),  # ellipsis lines > 30%
-    (920007, ("zz9 " * 30 + _GOPHER_PROSE.replace("the", "zz1").replace("that", "zz2").replace("with", "zz3"))),  # stopwords < 2
+    (10000910001, "• first bullet line\n• second bullet line\n- third dashed\nplain closing line."),
+    (10000910002, "this sentence trails off...\nand this one too…\nbut not this one."),
+    (10000910003, "numbers 123 456 ## 789 # zz42"),
+    (10000910004, "the quick brown fox jumps over that lazy dog with style and more of it to be sure"),
+    (10000910005, None),
+    (10000910006, "   "),
+    (10000910007, "wait..... five dots is one ellipsis run"),
+    (10000920001, _GOPHER_PROSE),  # passes every rule
+    (10000920002, "too few words to have any chance here"),  # word count < 50
+    (10000920003, ("a " * 120).strip()),  # mean word len < 3 (and stopword-poor)
+    (10000920004, _GOPHER_PROSE + " " + ("#tag " * 40).strip()),  # hash ratio > 0.1
+    (10000920005, "\n".join(f"• {_GOPHER_PROSE[:40]}" for _ in range(10))),  # bullets > 90%
+    (10000920006, "\n".join([_GOPHER_PROSE] + [f"{_GOPHER_PROSE[:30]}..." for _ in range(9)])),  # ellipsis lines > 30%
+    (10000920007, ("zz9 " * 30 + _GOPHER_PROSE.replace("the", "zz1").replace("that", "zz2").replace("with", "zz3"))),  # stopwords < 2
 ]
 
 
@@ -1213,21 +1220,21 @@ FROM sig ORDER BY doc_id
 # tracking-param removal + query sort, fragment cut, protocol-relative
 # authorities, mailto/bare-email non-authorities, NULL/blank/host-less.
 URLCANON_PLANTED: list[tuple[int, str | None]] = [
-    (930001, "HTTPS://WWW.Example.COM:8080/Path/?utm_source=x&b=2&a=1#frag"),
-    (930002, "http://example.com/Path?a=1&b=2"),
-    (930003, "example.com/Path/?b=2&a=1&fbclid=zzz"),
-    (930004, "ftp://user:pw@Host.NET./dir//"),
-    (930005, "https://site.org/x?utm_campaign=c&gclid=g&ref"),
-    (930006, "http://site.org?download&z=9"),
-    (930007, "blog.example.co.uk/a/b/c?_ga=1.2&mc_cid=x&keep=yes"),
-    (930008, "http://www.w.org:"),
-    (930009, "site.io/page#section?notquery"),
-    (930010, "mailto:info@example.com"),
-    (930011, "Contact@Example.COM"),
-    (930012, "//user:pw@Host.NET:8080/x/?b=2&utm_medium=m&a=1"),
-    (930013, None),
-    (930014, "   "),
-    (930015, "/relative/only"),
+    (10000930001, "HTTPS://WWW.Example.COM:8080/Path/?utm_source=x&b=2&a=1#frag"),
+    (10000930002, "http://example.com/Path?a=1&b=2"),
+    (10000930003, "example.com/Path/?b=2&a=1&fbclid=zzz"),
+    (10000930004, "ftp://user:pw@Host.NET./dir//"),
+    (10000930005, "https://site.org/x?utm_campaign=c&gclid=g&ref"),
+    (10000930006, "http://site.org?download&z=9"),
+    (10000930007, "blog.example.co.uk/a/b/c?_ga=1.2&mc_cid=x&keep=yes"),
+    (10000930008, "http://www.w.org:"),
+    (10000930009, "site.io/page#section?notquery"),
+    (10000930010, "mailto:info@example.com"),
+    (10000930011, "Contact@Example.COM"),
+    (10000930012, "//user:pw@Host.NET:8080/x/?b=2&utm_medium=m&a=1"),
+    (10000930013, None),
+    (10000930014, "   "),
+    (10000930015, "/relative/only"),
 ]
 
 
@@ -1301,12 +1308,12 @@ FROM qf ORDER BY doc_id
 # NULL, NBSP (a WORD character under the engine-wide ASCII-whitespace
 # tokenization), and mixed tab/newline/multi-space whitespace.
 DOCCHUNK_PLANTED: list[tuple[int, str | None]] = [
-    (940001, " ".join(f"w{i}" for i in range(80))),
-    (940002, "one two"),
-    (940003, ""),
-    (940004, None),
-    (940005, "foo bar baz qux quux corge"),
-    (940006, "  leading and   multiple   spaces\ttabs\nnewlines here end."),
+    (10000940001, " ".join(f"w{i}" for i in range(80))),
+    (10000940002, "one two"),
+    (10000940003, ""),
+    (10000940004, None),
+    (10000940005, "foo bar baz qux quux corge"),
+    (10000940006, "  leading and   multiple   spaces\ttabs\nnewlines here end."),
 ]
 DOC_CHUNK_TOKENS, DOC_CHUNK_OVERLAP = 32, 8
 
@@ -1379,12 +1386,12 @@ FROM chunks ORDER BY doc_id, chunk_index
 # short-repeat + long-repeat doc.
 INTRADOC_QUOTE = "the same quoted paragraph repeated verbatim"
 INTRADOC_PLANTED: list[tuple[int, str | None]] = [
-    (950001, f"opening prose line one\n{INTRADOC_QUOTE}\nmiddle prose\n{INTRADOC_QUOTE}\n{INTRADOC_QUOTE}\nclosing"),
-    (950002, "-\nlong unique line alpha\n-\nlong unique line beta\n-"),
-    (950003, "no duplicates here at all\nsecond distinct line"),
-    (950004, None),
-    (950005, ""),
-    (950006, "   short   \n   short   \nlong enough repeated unit\nlong enough repeated unit"),
+    (10000950001, f"opening prose line one\n{INTRADOC_QUOTE}\nmiddle prose\n{INTRADOC_QUOTE}\n{INTRADOC_QUOTE}\nclosing"),
+    (10000950002, "-\nlong unique line alpha\n-\nlong unique line beta\n-"),
+    (10000950003, "no duplicates here at all\nsecond distinct line"),
+    (10000950004, None),
+    (10000950005, ""),
+    (10000950006, "   short   \n   short   \nlong enough repeated unit\nlong enough repeated unit"),
 ]
 
 
@@ -1465,9 +1472,9 @@ ORDER BY c.doc_id
 # Planted NULL-group rows: NULL lang forms its OWN group and gets real
 # buckets (the NUL-sentinel rule) — mirrored via COALESCE grouping.
 PPLBUCKET_PLANTED: list[tuple[int, str | None, int]] = [
-    (960001, None, 10),
-    (960002, None, 20),
-    (960003, None, 30),
+    (10000960001, None, 10),
+    (10000960002, None, 20),
+    (10000960003, None, 30),
 ]
 
 
@@ -1520,9 +1527,9 @@ BOILER_CHROME2 = "All rights reserved footer boilerplate"
 BOILER_RARE = "limited time promotional banner offer"
 BOILER_SHORT = "hi again"
 BOILER_PLANTED: list[tuple[int, str | None]] = [
-    (960011, None),
-    (960012, ""),
-    (960013, BOILER_CHROME1),
+    (10000960011, None),
+    (10000960012, ""),
+    (10000960013, BOILER_CHROME1),
 ]
 
 
@@ -1682,7 +1689,6 @@ QUERIES = {
     "dataset_split_mix": dataset_split_mix,
     "warc_extract": warc_extract,
     "curation_funnel_by_source": curation_funnel_by_source,
-    "text_exact_dedup": text_exact_dedup,
     "orders_first_per_customer": orders_first_per_customer,
     "orders_dedup_rejected": orders_dedup_rejected,
     "text_analysis": text_analysis,
@@ -1709,7 +1715,6 @@ ORACLE = {
     "dataset_split_mix": _dataset_split_mix_oracle(),
     "warc_extract": _warc_extract_oracle(),
     "curation_funnel_by_source": FUNNEL_ORACLE,
-    "text_exact_dedup": TEXT_DEDUP_ORACLE,
     "orders_first_per_customer": ORDERS_DEDUP_ORACLE,
     "orders_dedup_rejected": ORDERS_DEDUP_REJECTED_ORACLE,
     "text_analysis": _text_analysis_oracle(),
@@ -1726,3 +1731,13 @@ ORACLE = {
     "curation_pipeline": CURATION_PIPELINE_ORACLE,
     "curation_rejection_summary": REJECTION_SUMMARY_ORACLE,
 }
+
+# Rotation wave 8 (round 10): text_exact_dedup retires after eight
+# straight hash-green rounds — normalize->md5 exact dedup stays
+# driver-covered end-to-end inside curation_pipeline and the minhash/
+# jaccard rows key on the same normalize core; the full oracle bar stays
+# here via plans.retired_queries (tests/test_dedup_similarity.py). Its
+# window slot carries the re-promoted parts_price_range_join row
+# (plans/join_queries.py).
+RETIRED_QUERIES = {"text_exact_dedup": text_exact_dedup}
+RETIRED_ORACLE = {"text_exact_dedup": TEXT_DEDUP_ORACLE}

@@ -230,13 +230,11 @@ def events_user_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in tests/test_events.py::test_type_stats_matches_oracle. The freed slot
 # carries the dsir_select row (plans/curation.py).
 QUERIES = {
-    "events_hourly_agg": events_hourly_agg,
     "events_sessionize": events_sessionize,
     "events_user_approx_distinct": events_user_approx_distinct,
 }
 
 ORACLE = {
-    "events_hourly_agg": HOURLY_ORACLE,
     "events_sessionize": SESSIONIZE_ORACLE,
 }
 
@@ -250,8 +248,15 @@ ORACLE = {
 RETIRED_QUERIES = {
     "events_first_per_user_type": events_first_per_user_type,
     "events_json_props": events_json_props,
+    # Rotation wave 8 (round 10): events_hourly_agg retires after nine
+    # straight hash-green rounds — time-bucketed aggregation stays
+    # driver-covered by events_sessionize (same timestamp machinery) and
+    # the full oracle bar stays here; its window slot carries the
+    # re-promoted customer_order_ranks row (plans/window_queries.py).
+    "events_hourly_agg": events_hourly_agg,
 }
 RETIRED_ORACLE = {
     "events_first_per_user_type": FIRST_PER_USER_ORACLE,
     "events_json_props": JSON_PROPS_ORACLE,
+    "events_hourly_agg": HOURLY_ORACLE,
 }

@@ -243,6 +243,9 @@ QUERIES = {
     "bloom_pruned_join": bloom_pruned_join,
     "skew_split_join": skew_split_join_purchases,
     "url_filter_full": url_filter_full,
+    # Rotation wave 8 (round 10): re-promoted after three retired rounds
+    # (swap-for-freshness — text_exact_dedup's slot carries this row).
+    "parts_price_range_join": parts_price_range_join,
 }
 
 ORACLE = {
@@ -250,12 +253,8 @@ ORACLE = {
     "bloom_pruned_join": BLOOM_JOIN_ORACLE,
     "skew_split_join": SKEW_JOIN_ORACLE,
     "url_filter_full": _url_oracle(),
+    "parts_price_range_join": RANGE_JOIN_ORACLE,
 }
 
-# Rotated out of the driver window in round 7 (slot carries the
-# bloom_pruned_join row): bucketized value-distance joins are
-# driver-covered by events_asof_purchase_click (the same bucket+filter
-# machinery, operators/joins.py); the pytest differential bar stays via
-# plans.retired_queries (tests/test_window_join_queries.py).
-RETIRED_QUERIES = {"parts_price_range_join": parts_price_range_join}
-RETIRED_ORACLE = {"parts_price_range_join": RANGE_JOIN_ORACLE}
+RETIRED_QUERIES = {}
+RETIRED_ORACLE = {}

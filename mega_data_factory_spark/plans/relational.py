@@ -371,14 +371,12 @@ ORDER BY c_custkey
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_region_nation_revenue": q5_region_nation_revenue,
-    "topk_orders": topk_orders,
     "orders_above_customer_avg": orders_above_customer_avg,
 }
 
 ORACLE = {
     "q1_pricing_summary": Q1_ORACLE,
     "q5_region_nation_revenue": Q5_ORACLE,
-    "topk_orders": TOPK_ORACLE,
     "orders_above_customer_avg": ABOVE_AVG_ORACLE,
 }
 
@@ -395,8 +393,16 @@ ORACLE = {
 RETIRED_QUERIES = {
     "cube_status_priority": cube_status_priority,
     "q3_segment_revenue": q3_segment_revenue,
+    # Rotation wave 8 (round 10): topk_orders retires after nine straight
+    # hash-green rounds — ordered-limit (TakeOrderedAndProject) stays
+    # plan-shape-tested in tests/test_relational.py and q3 (retired)
+    # exercises the same path; its window slot carries the re-promoted
+    # nations_setops row (plans/setops.py) so long-retired rows rotate
+    # back under the driver's eye.
+    "topk_orders": topk_orders,
 }
 RETIRED_ORACLE = {
     "cube_status_priority": CUBE_ORACLE,
     "q3_segment_revenue": Q3_ORACLE,
+    "topk_orders": TOPK_ORACLE,
 }

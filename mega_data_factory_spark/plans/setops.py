@@ -202,17 +202,19 @@ ORDER BY ranking, user_id
 QUERIES = {
     "customer_semi_anti_join": customer_semi_anti_join,
     "events_salted_user_totals": events_salted_user_totals,
+    # Rotation wave 8 (round 10): RE-promoted after two retired rounds —
+    # with the promotion queue drained, rotation's job is keeping
+    # "retired" from meaning "unwatched by the driver": long-retired rows
+    # cycle back into the window while long-green veterans take their
+    # place at the pytest bar (topk_orders's slot carries this row).
+    "nations_setops": nations_setops,
 }
 
 ORACLE = {
     "customer_semi_anti_join": CUSTOMER_SEMI_ANTI_ORACLE,
     "events_salted_user_totals": SALTED_TOTALS_ORACLE,
+    "nations_setops": NATIONS_SETOPS_ORACLE,
 }
 
-# Rotated out of the driver window in round 8 (slot carries
-# plans/curation.py's url_canonicalize row): union/intersect/except are
-# Catalyst built-ins with the lowest regression surface in the suite;
-# the full oracle bar stays at pytest level via plans.retired_queries
-# (tests/test_setops.py).
-RETIRED_QUERIES = {"nations_setops": nations_setops}
-RETIRED_ORACLE = {"nations_setops": NATIONS_SETOPS_ORACLE}
+RETIRED_QUERIES = {}
+RETIRED_ORACLE = {}

@@ -195,12 +195,16 @@ QUERIES = {
     "lineitem_running_revenue": lineitem_running_revenue,
     "grouping_sets_orders": grouping_sets_orders,
     "customer_spend_distribution": customer_spend_distribution,
+    # Rotation wave 8 (round 10): re-promoted after three retired rounds
+    # (swap-for-freshness — events_hourly_agg's slot carries this row).
+    "customer_order_ranks": customer_order_ranks,
 }
 
 ORACLE = {
     "lineitem_running_revenue": RUNNING_REVENUE_ORACLE,
     "grouping_sets_orders": GROUPING_SETS_ORACLE,
     "customer_spend_distribution": SPEND_DISTRIBUTION_ORACLE,
+    "customer_order_ranks": CUSTOMER_RANKS_ORACLE,
 }
 
 # Rotated out of the driver window in round 7 (slot carries the
@@ -213,10 +217,8 @@ ORACLE = {
 # same engine path); its slot carries plans/curation.py's
 # stratified_quota row.
 RETIRED_QUERIES = {
-    "customer_order_ranks": customer_order_ranks,
     "orders_daily_moving_avg": orders_daily_moving_avg,
 }
 RETIRED_ORACLE = {
-    "customer_order_ranks": CUSTOMER_RANKS_ORACLE,
     "orders_daily_moving_avg": MOVING_AVG_ORACLE,
 }

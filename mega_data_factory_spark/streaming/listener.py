@@ -58,6 +58,25 @@ TRIGGER_METRICS_SCHEMA = StructType(
     ]
 )
 
+# Telemetry-about-the-telemetry: one row per listener lifetime under
+# ``<metrics>/telemetry`` so a lossy trigger sink is VISIBLE in the run
+# report (a silent non-zero rows_dropped is an invisible-loss bug —
+# round-9 verdict task #7). Written at query termination; counters are
+# the listener's own (rows it landed / failed to land / trimmed at the
+# buffer cap / still pending when the query ended).
+TELEMETRY_HEALTH_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("pipeline", StringType()),
+        StructField("query_id", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("rows_written", LongType()),
+        StructField("flush_failures", LongType()),
+        StructField("rows_dropped", LongType()),
+        StructField("rows_pending", LongType()),
+    ]
+)
+
 
 class StreamingMetricsListener(StreamingQueryListener):
     """Lands one row per StreamingQueryProgress under ``metrics_path``/
@@ -177,7 +196,44 @@ class StreamingMetricsListener(StreamingQueryListener):
     def onQueryTerminated(self, event) -> None:
         if self.query_id is None or str(event.id) == self.query_id:
             self._flush()
+            self.write_health()
             self.detach()
+
+    def write_health(self) -> None:
+        """Land the listener's own loss counters as one row under
+        ``<metrics>/telemetry`` (schema TELEMETRY_HEALTH_SCHEMA) so the
+        run report can show non-zero ``rows_dropped``/``flush_failures``.
+        Best-effort: if the metrics FS is the thing that is broken, the
+        counters have already been surfaced on stderr by ``_flush`` —
+        this must never throw on the event thread."""
+        try:
+            row = self._spark.createDataFrame(
+                [
+                    (
+                        self.run_id,
+                        self.pipeline,
+                        self.query_id or "",
+                        self.rows_written,
+                        self.flush_failures,
+                        self.rows_dropped,
+                        len(self._pending),
+                    )
+                ],
+                "run_id string, pipeline string, query_id string, rows_written long, "
+                "flush_failures long, rows_dropped long, rows_pending long",
+            ).withColumn("timestamp", F.current_timestamp())
+            row.select([f.name for f in TELEMETRY_HEALTH_SCHEMA.fields]).write.mode(
+                "append"
+            ).parquet(f"{self.metrics_path}/telemetry")
+        except Exception as exc:  # noqa: BLE001 — event-thread must not throw
+            print(
+                f"StreamingMetricsListener: telemetry-health write to "
+                f"{self.metrics_path}/telemetry failed ({type(exc).__name__}: {exc}); "
+                f"counters: rows_written={self.rows_written} "
+                f"flush_failures={self.flush_failures} rows_dropped={self.rows_dropped} "
+                f"rows_pending={len(self._pending)}",
+                file=sys.stderr,
+            )
 
     # ------------------------------------------------------------- manage
 

@@ -13,6 +13,31 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Adversarial-order hook: session-state bugs (e.g. the round-9
+    Observation-poisoned classifier fit) can hide behind pytest's default
+    alphabetical file order. ``MDF_TEST_ORDER=reverse`` reverses the
+    collected order; ``MDF_TEST_ORDER=<int>`` applies a seeded shuffle of
+    whole modules (modules stay contiguous so module-scoped fixtures are
+    built once each, but the cross-module order — where the poisoning
+    lives, via the session-scoped SparkSession — is scrambled).
+    scripts/run_adversarial_order.sh runs both modes once per round."""
+    mode = os.environ.get("MDF_TEST_ORDER")
+    if not mode:
+        return
+    if mode == "reverse":
+        items.reverse()
+        return
+    import random
+
+    modules: dict[str, list] = {}
+    for it in items:
+        modules.setdefault(it.nodeid.split("::", 1)[0], []).append(it)
+    keys = sorted(modules)
+    random.Random(int(mode)).shuffle(keys)
+    items[:] = [it for k in keys for it in modules[k]]
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("mdf-spark-tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))

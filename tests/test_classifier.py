@@ -149,3 +149,35 @@ def test_classifier_threshold_composes_with_pipeline(spark, corpora, tmp_path):
     assert kept.filter(F.col("doc_id") >= 3000).count() <= 5
     assert rej.filter(F.col("doc_id") < 3000).count() <= 5
     assert rej.select("operator").distinct().first()[0] == "NumericRangeFilter"
+
+
+def test_fit_after_observation_poisoned_session(spark, corpora):
+    """Round-9 verdict Wrong #1 regression: one completed ``Observation``
+    (exactly what ``Pipeline.run``'s free-rider metrics register) used to
+    make every later ``fit_weak -> apply -> toPandas`` die with ``Task not
+    serializable: ObservationManager`` — the retained LR training summary
+    dragged the SparkSession into the task closure. The fix strips the
+    summary post-fit (operators/mlfit.py); this test poisons the session
+    FIRST, then fits and scores, and also checks the KMeans sibling."""
+    from pyspark.sql import Observation
+
+    from mega_data_factory_spark.operators.classifier import QualityClassifier
+    from mega_data_factory_spark.operators.clustering import KMeansIndex
+
+    good_train, spam_train, good_hold, _ = corpora
+    obs = Observation("poison_regression")
+    good_train.observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get["n"] == good_train.count()  # the Observation COMPLETED
+
+    clf = QualityClassifier(num_features=1 << 14, max_iter=10).fit_weak(good_train, spam_train)
+    assert clf._model.stages[-1].hasSummary is False  # summary actually stripped
+    out = clf.apply(good_hold).select("quality_score").toPandas()
+    assert len(out) == good_hold.count()
+
+    # sibling audit: KMeansModel.transform closures have the same exposure
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(60)],
+        "id long, embedding array<double>",
+    )
+    idx = KMeansIndex(k=4, vec_col="embedding", seed=3).fit(vecs)
+    assert idx.assign(vecs).count() == 60

@@ -639,3 +639,19 @@ def test_listener_flush_failure_buffering(spark, tmp_path, capsys):
     assert lst.flush_failures == 12 and not lst._pending
     assert lst.rows_written == 8
     assert spark.read.parquet(f"{lst.metrics_path}/triggers").count() == 8
+
+    # the loss counters are SURFACED, not just held on the listener
+    # (round-9 verdict task #7): write_health lands one telemetry row and
+    # the run report renders it with the drop flagged
+    from mega_data_factory_spark.metrics.report import _telemetry_health_section
+
+    lst.write_health()
+    health = spark.read.parquet(f"{lst.metrics_path}/telemetry").collect()
+    assert len(health) == 1
+    h = health[0]
+    assert (h.rows_written, h.flush_failures, h.rows_dropped, h.rows_pending) == (8, 12, 4, 0)
+    html = _telemetry_health_section(spark, lst.metrics_path)
+    assert "Telemetry health" in html and "4" in html
+    assert "dropped or" in html  # the red incompleteness warning fired
+    # and the section stays silent when no telemetry was ever written
+    assert _telemetry_health_section(spark, str(tmp_path / "nowhere")) == ""
