@@ -113,18 +113,45 @@ class QualityScoreRefiner(Refiner):
         self.stopwords = stopwords
 
     def columns(self, df: DataFrame) -> dict[str, Column]:
+        # Each BASE signal (token count, stopword hits, normalized length)
+        # is bound ONCE as a lambda variable and the derived arithmetic
+        # reads the bound values. The naive formulation nested `tokens`
+        # inside ratio/avg_len/band/score, so the authored tree carried ~6
+        # copies of split(regexp_replace(text)) and 2 copies of the
+        # 10-regex stopword count — harmless under codegen CSE, but a
+        # pushed-down NumericRangeFilter(quality_score >= x) inlines the
+        # WHOLE tree into an interpreted predicate (the surrounding
+        # Project holds HOFs -> CodegenFallback, no subexpression
+        # elimination), re-scanning the text per copy per row: measured
+        # 11s -> 0.06s on a 500k-doc quality_rules chain (round-10
+        # scripts/diag_fineweb attribution). Values are bit-identical —
+        # same arithmetic on the same doubles.
         tokens = token_count(self.text_col)
         stop_hits = reduce(lambda a, b: a + b, [word_occurrences(self.text_col, w) for w in self.stopwords])
-        ratio = F.when(tokens > 0, stop_hits.cast("double") / tokens).otherwise(F.lit(0.0))
         norm = normalize_text(self.text_col, lowercase=False)
-        avg_len = F.when(tokens > 0, (F.length(norm) - (tokens - F.lit(1))).cast("double") / tokens).otherwise(F.lit(0.0))
-        length_component = F.least(tokens.cast("double") / F.lit(200.0), F.lit(1.0))
-        stop_component = F.least(ratio * F.lit(5.0), F.lit(1.0))
-        len_band = F.when((avg_len >= 3.0) & (avg_len <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
-        score = F.lit(0.4) * length_component + F.lit(0.3) * stop_component + F.lit(0.3) * len_band
+        base = F.array(
+            F.struct(
+                tokens.cast("double").alias("t"),
+                stop_hits.cast("double").alias("sh"),
+                F.length(norm).cast("double").alias("ln"),
+            )
+        )
+
+        def _derive(s: Column) -> Column:
+            ratio = F.when(s["t"] > 0, s["sh"] / s["t"]).otherwise(F.lit(0.0))
+            avg_len = F.when(s["t"] > 0, (s["ln"] - (s["t"] - F.lit(1.0))) / s["t"]).otherwise(F.lit(0.0))
+            length_component = F.least(s["t"] / F.lit(200.0), F.lit(1.0))
+            stop_component = F.least(ratio * F.lit(5.0), F.lit(1.0))
+            len_band = F.when((avg_len >= 3.0) & (avg_len <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+            score = F.lit(0.4) * length_component + F.lit(0.3) * stop_component + F.lit(0.3) * len_band
+            return F.struct(
+                F.round(ratio, 6).alias("stopword_ratio"), F.round(score, 6).alias("quality_score")
+            )
+
+        qs = F.transform(base, _derive)[0]
         return {
-            "stopword_ratio": F.round(ratio, 6),
-            "quality_score": F.round(score, 6),
+            "stopword_ratio": qs["stopword_ratio"],
+            "quality_score": qs["quality_score"],
         }
 
 
@@ -284,30 +311,43 @@ class RepetitionStatsRefiner(Refiner):
         )
 
     def columns(self, df: DataFrame) -> dict[str, Column]:
-        ws = self._words()
-        bg = self._bigrams(ws)
-        # longest run of equal consecutive elements in the SORTED bigram
-        # array == max bigram frequency; the aggregate's input array is
-        # evaluated once per row and the lambda touches only its own
-        # accumulator + element (no captured expression trees)
-        top = F.aggregate(
-            F.array_sort(bg),
-            F.struct(
-                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-            ),
-            lambda acc, y: F.struct(
-                y.alias("prev"),
-                F.when(y == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-                F.greatest(
-                    acc["best"],
-                    F.when(y == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-                ).alias("best"),
-            ),
-            lambda acc: acc["best"],
-        )
-        top_ratio = F.when(F.size(bg) > 0, top.cast("double") / F.size(bg)).otherwise(F.lit(0.0))
+        # Both output columns bind their word/bigram arrays ONCE as lambda
+        # variables (same round-10 lesson as QualityScoreRefiner: a
+        # pushed-down filter inlines the authored tree into an interpreted
+        # predicate, so every internal copy of split(normalize(text))
+        # re-evaluates per row — the naive tree held ws x3 and bg x3).
+        # The columns stay INDEPENDENT trees on purpose: a dup-only filter
+        # (DupWordCut) must not drag the O(n log n) bigram sort into its
+        # pushed predicate.
+        dup = F.transform(F.array(self._words()), lambda w: self._dup_ratio(w))[0]
+
+        def _top_ratio(bg: Column) -> Column:
+            # longest run of equal consecutive elements in the SORTED
+            # bigram array == max bigram frequency; the aggregate's lambda
+            # touches only its own accumulator + element (no captured
+            # expression trees)
+            top = F.aggregate(
+                F.array_sort(bg),
+                F.struct(
+                    F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+                ),
+                lambda acc, y: F.struct(
+                    y.alias("prev"),
+                    F.when(y == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                    F.greatest(
+                        acc["best"],
+                        F.when(y == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                    ).alias("best"),
+                ),
+                lambda acc: acc["best"],
+            )
+            return F.when(F.size(bg) > 0, top.cast("double") / F.size(bg)).otherwise(F.lit(0.0))
+
+        top_ratio = F.transform(
+            F.transform(F.array(self._words()), lambda w: self._bigrams(w)), _top_ratio
+        )[0]
         return {
-            "dup_word_ratio": F.round(self._dup_ratio(ws), 6),
+            "dup_word_ratio": F.round(dup, 6),
             "top_bigram_ratio": F.round(top_ratio, 6),
         }
 

@@ -59,6 +59,17 @@ def lint_plan(plan: str) -> dict:
         ),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        # expression-tree duplication canary (round-10 fineweb lesson): a
+        # pushed-down filter inlines the authored column tree into an
+        # interpreted predicate when the surrounding Project holds HOFs
+        # (CodegenFallback — no subexpression elimination), so every
+        # internal copy of split/regexp_replace re-scans the text per row
+        # (measured 127.6s -> 10.4s on the fineweb quality stage at sf10
+        # after binding base signals once as lambda variables,
+        # operators/refiners.py). Informational: a climbing count in a
+        # recipe plan means an operator reintroduced a nested authored
+        # tree.
+        "regexp_replace_sites": plan.count("regexp_replace"),
     }
     scans = []
     # formatted-mode scan blocks: "(1) Scan parquet ..." followed by

@@ -426,6 +426,29 @@ def test_plan_lint_rules():
     assert res["counts"]["leading_boundary_regexes"] == 0
 
 
+def test_recipe_plans_expression_duplication_bounded(spark):
+    """Expression-tree duplication canary (round-10 fineweb lesson): a
+    pushed-down filter inlines the authored column tree into an
+    interpreted predicate when the Project holds HOFs, so every internal
+    split/regexp_replace copy re-scans the text per row — the fineweb
+    quality stage paid 127.6s of a 140s sf10 wall before the refiners
+    bound their base signals once as lambda variables (28 regexp_replace
+    sites in the plan after, 61+ before). Pin generous bounds so a
+    refiner rewrite that reintroduces nested authored trees fails here,
+    not on a cluster."""
+    from mega_data_factory_spark.config import PipelineConfig
+    from mega_data_factory_spark.plans.lint import lint_plan
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    bounds = {"fineweb_style_recipe.yaml": 40, "gopher_style_recipe.yaml": 25}
+    for yaml_name, bound in bounds.items():
+        with open(f"configs/{yaml_name}") as f:
+            cfg = PipelineConfig.from_yaml(f.read())
+        lint = lint_plan(Pipeline(cfg).explain(spark))
+        n = lint["counts"]["regexp_replace_sites"]
+        assert n <= bound, f"{yaml_name}: {n} regexp_replace sites (> {bound}) — authored-tree duplication crept back"
+
+
 def test_cli_validate_lint(spark, tmp_path, capsys):
     """validate --lint grades the built plan end to end: the curation
     YAML lints clean (no row UDFs, no cartesian, one dedup shuffle) and
