@@ -82,16 +82,30 @@ class LanguageIdRefiner(Refiner):
         }
 
     def columns(self, df: DataFrame) -> dict[str, Column]:
+        # Per-language marker counts are bound ONCE as lambda variables
+        # (the round-10 expression-binding lesson, operators/refiners.py
+        # QualityScoreRefiner): the naive tree referenced each language's
+        # regex-count sum in `greatest` AND in every when-chain arm, so a
+        # pushed-down LanguageCut predicate re-ran ~3x the marker regexes
+        # per row interpreted. Values identical — same counts, same
+        # tie-break order.
         scores = self.scores()
         langs = list(scores)
-        best = F.greatest(*scores.values()) if len(langs) > 1 else scores[langs[0]]
-        pred = F.lit("und")
-        # first language in declared order wins ties -> iterate reversed so
-        # earlier langs overwrite later ones in the when-chain
-        for lang in reversed(langs):
-            pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-        pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-        return {"lang_pred": pred, "lang_score": best}
+        base = F.array(F.struct(*[scores[lang].alias(f"s_{i}") for i, lang in enumerate(langs)]))
+
+        def _derive(s: Column) -> Column:
+            vals = [s[f"s_{i}"] for i in range(len(langs))]
+            best = F.greatest(*vals) if len(langs) > 1 else vals[0]
+            pred = F.lit("und")
+            # first language in declared order wins ties -> iterate
+            # reversed so earlier langs overwrite later ones
+            for i in reversed(range(len(langs))):
+                pred = F.when(vals[i] == best, F.lit(langs[i])).otherwise(pred)
+            pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+            return F.struct(pred.alias("lang_pred"), best.alias("lang_score"))
+
+        out = F.transform(base, _derive)[0]
+        return {"lang_pred": out["lang_pred"], "lang_score": out["lang_score"]}
 
 
 DEFAULT_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
