@@ -127,21 +127,36 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
     Built as ``zip_with`` over shifted copies of the word array rather than
     ``transform(sequence, i -> slice(words, i, n))``: a captured expression
-    referenced inside a higher-order-function lambda is RE-EVALUATED per
-    element (the split+regex chain ran ~k times per row — a measured 4x+
-    slowdown on shingle-heavy plans); zip_with lambdas touch only their
-    element arguments, and the shifted ``slice`` calls sit at the top level
-    of one expression tree where codegen CSE applies. zip_with pads the
-    shorter side with NULLs and ``concat_ws`` skips NULLs, so the trailing
-    partial grams are cut by the final slice to k-(n-1) entries.
+    referenced inside a PER-ELEMENT higher-order-function lambda is
+    RE-EVALUATED per element (the split+regex chain ran ~k times per row —
+    a measured 4x+ slowdown on shingle-heavy plans); zip_with lambdas touch
+    only their element arguments. zip_with pads the shorter side with NULLs
+    and ``concat_ws`` skips NULLs, so the trailing partial grams are cut by
+    the final slice to k-(n-1) entries.
+
+    The normalized text and the word array are each bound ONCE as
+    single-element-``transform`` lambda variables (the round-10
+    expression-binding lesson, operators/refiners.py): the naive tree
+    referenced ``words`` in every shifted ``slice`` — ~2n copies of
+    split(normalize(text)), which codegen CSE absorbs but a pushed-down
+    filter or interpreted CodegenFallback Project re-evaluates per copy
+    per row (the c4 recipe's span-dedup filter carried 132 copies; at
+    span_tokens=20 that is ~40 full text re-scans per row per site).
+    Inner references to the bound variables (size/slice of a lambda var)
+    are O(1) attribute reads, and the zip_with chain is sequential — each
+    level evaluates once.
     """
-    norm = normalize_text(col)
-    words = F.split(norm, " ")
-    k = F.size(words)
-    grams = words
-    for i in range(2, n + 1):
-        grams = F.zip_with(grams, F.slice(words, i, k), lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.slice(grams, 1, k - F.lit(n - 1))
-    return F.when(norm.isNull(), F.lit(None).cast("array<string>")).otherwise(
-        F.when(k >= n, grams).otherwise(F.array(norm))
-    )
+
+    def build(nv: Column) -> Column:
+        def gram(words: Column) -> Column:
+            k = F.size(words)
+            grams = words
+            for i in range(2, n + 1):
+                grams = F.zip_with(grams, F.slice(words, i, k), lambda a, b: F.concat_ws(" ", a, b))
+            return F.when(k >= n, F.slice(grams, 1, k - F.lit(n - 1))).otherwise(F.array(nv))
+
+        return F.when(nv.isNull(), F.lit(None).cast("array<string>")).otherwise(
+            F.transform(F.array(F.split(nv, " ")), gram)[0]
+        )
+
+    return F.transform(F.array(normalize_text(col)), build)[0]
