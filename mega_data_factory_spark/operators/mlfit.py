@@ -42,7 +42,12 @@ def _strip_one(java_model) -> bool:
         empty = SparkContext._jvm.scala.Option.empty()  # type: ignore[union-attr]
         java_model.setSummary(empty)
         return not java_model.hasSummary()
-    except Exception:  # noqa: BLE001 - py4j errors vary by Spark build
+    except Exception as exc:  # noqa: BLE001 - py4j errors vary by Spark build
+        # A JVM stage with no hasSummary/setSummary method (HashingTF,
+        # Tokenizer, ...) cannot hold a summary at all — that's success,
+        # not a reason to pay the save/load fallback.
+        if "does not exist" in str(exc):
+            return True
         return False
 
 
@@ -59,6 +64,11 @@ def strip_training_summary(model):
     targets = stages if stages is not None else [model]
     ok = True
     for stage in targets:
+        # Transformers whose pyspark wrapper has no hasSummary (HashingTF,
+        # Tokenizer, ...) never retain a session-holding summary; probing
+        # their JVM object would raise and force the save/load fallback.
+        if not hasattr(stage, "hasSummary"):
+            continue
         jobj = getattr(stage, "_java_obj", None)
         if jobj is not None and not _strip_one(jobj):
             ok = False

@@ -181,3 +181,29 @@ def test_fit_after_observation_poisoned_session(spark, corpora):
     )
     idx = KMeansIndex(k=4, vec_col="embedding", seed=3).fit(vecs)
     assert idx.assign(vecs).count() == 60
+
+
+def test_strip_summary_happy_path_no_reload(spark, corpora):
+    """Round-10 advice: a PipelineModel stage without hasSummary (HashingTF)
+    must not force the save/load fallback — strip_training_summary should
+    skip it and return the SAME object after the in-place JVM strip."""
+    from pyspark.ml import Pipeline as MlPipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    from mega_data_factory_spark.operators.mlfit import strip_training_summary
+
+    good_train, spam_train, _, _ = corpora
+    train = good_train.withColumn("label", F.lit(0.0)).unionByName(
+        spam_train.withColumn("label", F.lit(1.0))
+    )
+    pipe = MlPipeline(stages=[
+        Tokenizer(inputCol="text", outputCol="words"),
+        HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 10),
+        LogisticRegression(maxIter=5),
+    ])
+    model = pipe.fit(train)
+    assert model.stages[-1].hasSummary is True  # fresh fit retains it
+    stripped = strip_training_summary(model)
+    assert stripped is model  # identity => in-place strip, no disk round-trip
+    assert stripped.stages[-1].hasSummary is False
