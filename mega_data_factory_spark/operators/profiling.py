@@ -49,8 +49,16 @@ ROUND_TO = 6
 SAMPLE_COL = "__profile_sample"
 
 
+SMALL_TABLE_FACTOR = 4
+
+
 def sample_parquet_files(
-    spark, path: str, *, byte_budget: int = 64 << 20, pattern: str = "*.parquet"
+    spark,
+    path: str,
+    *,
+    byte_budget: int = 64 << 20,
+    pattern: str = "*.parquet",
+    small_table_factor: int = SMALL_TABLE_FACTOR,
 ) -> DataFrame:
     """Fixed-byte, deterministic FILE sample of a parquet table — the
     profiling posture that holds at 100 TB: every in-situ profile pays at
@@ -67,6 +75,17 @@ def sample_parquet_files(
     reaches ``byte_budget`` (always at least one file). Listing goes
     through the Hadoop FileSystem API, so any cluster path scheme works.
     A single-file ``path`` degenerates to reading that file.
+
+    **Small-table auto-route (the sketch/exact crossover):** measured at
+    sf0.1 (round 10), the sampling machinery's fixed overhead — listing,
+    the extra sample scan, the freqItems screen — costs ~2x a plain
+    full-table profile, and only pays off once the table is large enough
+    that the budget actually prunes bytes. When the table's total size is
+    <= ``small_table_factor * byte_budget`` the function therefore returns
+    the plain full-table read (strictly more accurate, cheaper at this
+    size); pass ``small_table_factor=0`` to force sampling regardless.
+    The crossover sits between sf0.1 (~13 MB, full read wins) and sf1
+    (~190 MB, the 100x-flat sampled sketch wins) on the bench tables.
     """
     import hashlib
 
@@ -106,12 +125,17 @@ def sample_parquet_files(
         ((s.getPath().toString(), int(s.getLen())) for s in statuses),
         key=lambda fl: hashlib.md5(fl[0].rsplit("/", 1)[-1].encode()).hexdigest(),
     )
-    picked, acc = [], 0
-    for name, size in files:
-        picked.append(name)
-        acc += size
-        if acc >= byte_budget:
-            break
+    if sum(size for _, size in files) <= small_table_factor * byte_budget:
+        # below the crossover the full read is cheaper AND exact — take
+        # every listed file (pattern semantics preserved), no budget cut
+        picked = [name for name, _ in files]
+    else:
+        picked, acc = [], 0
+        for name, size in files:
+            picked.append(name)
+            acc += size
+            if acc >= byte_budget:
+                break
     reader = spark.read
     if is_dir:
         # leaf-file reads of a partitioned table drop the key=value
