@@ -372,13 +372,21 @@ def _natural_fixture_path(spark) -> str:
     sf0.1 row count) under .localdata/natural once and return the parquet
     path. Deterministic pure-function-of-id generation
     (fixtures.natural_documents_df), so a cached copy is bit-identical to
-    a fresh one; rebuilt only when absent."""
-    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".localdata", "natural")
+    a fresh one. The cache directory is keyed on a hash of the generator
+    module (fixtures.py) so a quota/vocab change in a later round can
+    never silently time a stale corpus (round-10 advice)."""
+    import hashlib
+
+    from mega_data_factory_spark import fixtures as _fixtures_mod
+
+    with open(_fixtures_mod.__file__, "rb") as fh:
+        gen_ver = hashlib.sha256(fh.read()).hexdigest()[:12]
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".localdata", f"natural-{gen_ver}"
+    )
     path = os.path.join(base, "documents.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        from mega_data_factory_spark.fixtures import natural_documents_df
-
-        natural_documents_df(spark, 5000).write.mode("overwrite").parquet(path)
+        _fixtures_mod.natural_documents_df(spark, 5000).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -399,8 +407,28 @@ def main() -> None:
         sf_dir = f"/root/testdata/sf{v}" if re.fullmatch(r"[0-9.]+", v) else v
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # pre-flight BEFORE the session spins up: foreign Spark JVMs and load
-    # present now will share cores with every timed line below
+    # present now will share cores with every timed line below.
+    # Round-11 load gate (r10 verdict Wrong #2): r10 started at load1=13.6
+    # and three fixed-size lines silently absorbed host drift while every
+    # per-line flag criterion passed. Wait (bounded) for the host to drain
+    # below ~2 before starting the clock; record how long we waited so the
+    # artifact shows whether the gate engaged.
+    load_gate_waited = 0.0
+    try:
+        gate_limit = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_SEC", "600"))
+        while os.getloadavg()[0] > 2.0 and load_gate_waited < gate_limit:
+            time.sleep(15.0)
+            load_gate_waited += 15.0
+        if load_gate_waited:
+            print(
+                f"# load gate: waited {load_gate_waited:.0f}s for load1 "
+                f"{'<= 2.0' if os.getloadavg()[0] <= 2.0 else 'to drain (GAVE UP, still '+str(round(os.getloadavg()[0],2))+')'}",
+                file=sys.stderr,
+            )
+    except OSError:
+        pass
     host_start = _host_state()
+    host_start["load_gate_waited_sec"] = load_gate_waited
     if host_start["foreign_jvms"]:
         print(
             f"# WARNING: {len(host_start['foreign_jvms'])} foreign Spark JVM(s) running "
@@ -916,9 +944,13 @@ def main() -> None:
             # sample_parquet_files takes a deterministic ~8 MB file subset
             # per table (operators/profiling.py), then the sketch profile
             # (HLL + approx_percentile) and the screened-candidates
-            # top_values run over the sample. Work is O(budget), so this
-            # line's scale slope is ~1 by construction; column_profile
-            # above keeps the honest full-scan number beside it.
+            # top_values run over the sample. Work is O(budget) once past
+            # the crossover; column_profile above keeps the honest
+            # full-scan number beside it. Round 11: below the crossover
+            # (total bytes <= 4x budget — sf0.1's ~13 MB tables) the
+            # sampler auto-routes to the full read, so this line no longer
+            # pays sampling overhead that only amortizes at scale; at sf1+
+            # the fixed-byte sample engages and the cost flattens.
             from mega_data_factory_spark.operators.profiling import sample_parquet_files
 
             cat_cols = {"lineitem": "l_returnflag", "orders": "o_orderpriority"}
@@ -1381,6 +1413,10 @@ def main() -> None:
     host_state = {
         "load1_start": host_start["load1"],
         "load1_end": host_end["load1"],
+        # seconds the startup load gate waited for load1 <= 2 (0 = host
+        # was already idle; r10 Wrong #2: a 13.6-load start inflated three
+        # fixed-size lines without tripping any per-line flag)
+        "load_gate_waited_sec": host_start.get("load_gate_waited_sec", 0.0),
         "foreign_jvms_start": len(host_start["foreign_jvms"]),
         "foreign_jvms_end": len(host_end["foreign_jvms"]),
         "busy_foreign_procs_start": host_start["busy_foreign_procs"],
