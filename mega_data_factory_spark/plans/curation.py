@@ -1701,7 +1701,6 @@ QUERIES = {
     "gopher_quality": gopher_quality,
     "url_canonicalize": url_canonicalize,
     "doc_chunks": doc_chunks,
-    "sentence_chunks": sentence_chunks,
     "curation_pipeline": curation_pipeline,
     "curation_rejection_summary": curation_rejection_summary,
 }
@@ -1727,7 +1726,6 @@ ORACLE = {
     "gopher_quality": _gopher_quality_oracle(),
     "url_canonicalize": _url_canonicalize_oracle(),
     "doc_chunks": _doc_chunks_oracle(),
-    "sentence_chunks": _sentence_chunks_oracle(),
     "curation_pipeline": CURATION_PIPELINE_ORACLE,
     "curation_rejection_summary": REJECTION_SUMMARY_ORACLE,
 }
@@ -1739,5 +1737,17 @@ ORACLE = {
 # here via plans.retired_queries (tests/test_dedup_similarity.py). Its
 # window slot carries the re-promoted parts_price_range_join row
 # (plans/join_queries.py).
-RETIRED_QUERIES = {"text_exact_dedup": text_exact_dedup}
-RETIRED_ORACLE = {"text_exact_dedup": TEXT_DEDUP_ORACLE}
+RETIRED_QUERIES = {
+    "text_exact_dedup": text_exact_dedup,
+    # Rotation wave 9 (round 11): sentence_chunks retires after eight
+    # straight hash-green rounds — sentence-boundary chunking keeps its
+    # exact oracle bar here while the chunking family stays
+    # driver-covered by doc_chunks (same closed-form offset machinery);
+    # its slot carries the re-promoted q3_segment_revenue row
+    # (plans/relational.py).
+    "sentence_chunks": sentence_chunks,
+}
+RETIRED_ORACLE = {
+    "text_exact_dedup": TEXT_DEDUP_ORACLE,
+    "sentence_chunks": _sentence_chunks_oracle(),
+}

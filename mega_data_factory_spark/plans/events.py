@@ -232,10 +232,16 @@ def events_user_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_user_approx_distinct": events_user_approx_distinct,
+    # Rotation wave 9 (round 11): events_json_props RE-promoted after two
+    # retired rounds (wave 5) — JSON-path extraction rotates back under
+    # the driver's eye; its slot comes from events_salted_user_totals
+    # (plans/setops.py) moving to the pytest bar.
+    "events_json_props": events_json_props,
 }
 
 ORACLE = {
     "events_sessionize": SESSIONIZE_ORACLE,
+    "events_json_props": JSON_PROPS_ORACLE,
 }
 
 # Rotated out of the driver window in round 7 (slot carries the c4_clean
@@ -247,7 +253,6 @@ ORACLE = {
 # its slot carries plans/curation.py's perplexity_bucket row.
 RETIRED_QUERIES = {
     "events_first_per_user_type": events_first_per_user_type,
-    "events_json_props": events_json_props,
     # Rotation wave 8 (round 10): events_hourly_agg retires after nine
     # straight hash-green rounds — time-bucketed aggregation stays
     # driver-covered by events_sessionize (same timestamp machinery) and
@@ -257,6 +262,5 @@ RETIRED_QUERIES = {
 }
 RETIRED_ORACLE = {
     "events_first_per_user_type": FIRST_PER_USER_ORACLE,
-    "events_json_props": JSON_PROPS_ORACLE,
     "events_hourly_agg": HOURLY_ORACLE,
 }

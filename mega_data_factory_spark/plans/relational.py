@@ -372,12 +372,21 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_region_nation_revenue": q5_region_nation_revenue,
     "orders_above_customer_avg": orders_above_customer_avg,
+    # Rotation wave 9 (round 11): cube_status_priority and
+    # q3_segment_revenue RE-promoted — the two longest-retired relational
+    # rows (waves 6 and 7) cycle back under the driver's eye; their slots
+    # come from customer_spend_distribution (plans/window_queries.py) and
+    # sentence_chunks (plans/curation.py) moving to the pytest bar.
+    "cube_status_priority": cube_status_priority,
+    "q3_segment_revenue": q3_segment_revenue,
 }
 
 ORACLE = {
     "q1_pricing_summary": Q1_ORACLE,
     "q5_region_nation_revenue": Q5_ORACLE,
     "orders_above_customer_avg": ABOVE_AVG_ORACLE,
+    "cube_status_priority": CUBE_ORACLE,
+    "q3_segment_revenue": Q3_ORACLE,
 }
 
 # Round 9 (rotation wave 6): cube_status_priority retires — the
@@ -391,18 +400,12 @@ ORACLE = {
 # and the ordered limit by topk_orders) — its slot carries
 # plans/dedup_queries.py's semantic_decontamination row.
 RETIRED_QUERIES = {
-    "cube_status_priority": cube_status_priority,
-    "q3_segment_revenue": q3_segment_revenue,
     # Rotation wave 8 (round 10): topk_orders retires after nine straight
     # hash-green rounds — ordered-limit (TakeOrderedAndProject) stays
-    # plan-shape-tested in tests/test_relational.py and q3 (retired)
-    # exercises the same path; its window slot carries the re-promoted
-    # nations_setops row (plans/setops.py) so long-retired rows rotate
-    # back under the driver's eye.
+    # plan-shape-tested in tests/test_relational.py and q3 (re-promoted
+    # wave 9) exercises the same path.
     "topk_orders": topk_orders,
 }
 RETIRED_ORACLE = {
-    "cube_status_priority": CUBE_ORACLE,
-    "q3_segment_revenue": Q3_ORACLE,
     "topk_orders": TOPK_ORACLE,
 }

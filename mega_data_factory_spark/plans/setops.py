@@ -201,7 +201,6 @@ ORDER BY ranking, user_id
 
 QUERIES = {
     "customer_semi_anti_join": customer_semi_anti_join,
-    "events_salted_user_totals": events_salted_user_totals,
     # Rotation wave 8 (round 10): RE-promoted after two retired rounds —
     # with the promotion queue drained, rotation's job is keeping
     # "retired" from meaning "unwatched by the driver": long-retired rows
@@ -212,9 +211,13 @@ QUERIES = {
 
 ORACLE = {
     "customer_semi_anti_join": CUSTOMER_SEMI_ANTI_ORACLE,
-    "events_salted_user_totals": SALTED_TOTALS_ORACLE,
     "nations_setops": NATIONS_SETOPS_ORACLE,
 }
 
-RETIRED_QUERIES = {}
-RETIRED_ORACLE = {}
+# Rotation wave 9 (round 11): events_salted_user_totals retires after ten
+# straight hash-green rounds — the salted-aggregation rewrite keeps its
+# exact oracle bar here while skew handling stays driver-covered by
+# skew_split_join (hot-key census + split join, the same skew family);
+# its slot carries the re-promoted events_json_props row (plans/events.py).
+RETIRED_QUERIES = {"events_salted_user_totals": events_salted_user_totals}
+RETIRED_ORACLE = {"events_salted_user_totals": SALTED_TOTALS_ORACLE}

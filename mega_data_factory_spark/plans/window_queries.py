@@ -194,7 +194,6 @@ ORDER BY c_mktsegment, spend, c_custkey
 QUERIES = {
     "lineitem_running_revenue": lineitem_running_revenue,
     "grouping_sets_orders": grouping_sets_orders,
-    "customer_spend_distribution": customer_spend_distribution,
     # Rotation wave 8 (round 10): re-promoted after three retired rounds
     # (swap-for-freshness — events_hourly_agg's slot carries this row).
     "customer_order_ranks": customer_order_ranks,
@@ -203,7 +202,6 @@ QUERIES = {
 ORACLE = {
     "lineitem_running_revenue": RUNNING_REVENUE_ORACLE,
     "grouping_sets_orders": GROUPING_SETS_ORACLE,
-    "customer_spend_distribution": SPEND_DISTRIBUTION_ORACLE,
     "customer_order_ranks": CUSTOMER_RANKS_ORACLE,
 }
 
@@ -218,7 +216,15 @@ ORACLE = {
 # stratified_quota row.
 RETIRED_QUERIES = {
     "orders_daily_moving_avg": orders_daily_moving_avg,
+    # Rotation wave 9 (round 11): customer_spend_distribution retires
+    # after ten straight hash-green rounds — the window-distribution
+    # family (ntile/percent_rank/cume_dist) keeps its exact oracle bar
+    # here while rank-family windows stay driver-covered by
+    # customer_order_ranks; its slot carries the re-promoted
+    # cube_status_priority row (plans/relational.py).
+    "customer_spend_distribution": customer_spend_distribution,
 }
 RETIRED_ORACLE = {
     "orders_daily_moving_avg": MOVING_AVG_ORACLE,
+    "customer_spend_distribution": SPEND_DISTRIBUTION_ORACLE,
 }
