@@ -82,13 +82,19 @@ class LanguageIdRefiner(Refiner):
         }
 
     def columns(self, df: DataFrame) -> dict[str, Column]:
-        # Per-language marker counts are bound ONCE as lambda variables
-        # (the round-10 expression-binding lesson, operators/refiners.py
-        # QualityScoreRefiner): the naive tree referenced each language's
-        # regex-count sum in `greatest` AND in every when-chain arm, so a
-        # pushed-down LanguageCut predicate re-ran ~3x the marker regexes
-        # per row interpreted. Values identical — same counts, same
-        # tie-break order.
+        # Per-language marker counts are bound once PER OUTPUT COLUMN
+        # REFERENCE as lambda variables (the round-10 expression-binding
+        # lesson, see QualityScoreRefiner below): the naive tree referenced
+        # each language's regex-count sum in `greatest` AND in every
+        # when-chain arm, so a pushed-down LanguageCut predicate re-ran ~3x
+        # the marker regexes per row interpreted. Note the invariant's
+        # limit: the dict below returns two getField projections of the
+        # same authored tree, so a Project that materializes BOTH lang_pred
+        # and lang_score still carries two copies of the marker-count
+        # struct — deduplicated by codegen CSE when compiled, but NOT
+        # shared in a CodegenFallback Project or a pushed single-column
+        # filter (which only ever pulls one copy, the stated goal). Values
+        # identical — same counts, same tie-break order.
         scores = self.scores()
         langs = list(scores)
         base = F.array(F.struct(*[scores[lang].alias(f"s_{i}") for i, lang in enumerate(langs)]))
@@ -128,8 +134,11 @@ class QualityScoreRefiner(Refiner):
 
     def columns(self, df: DataFrame) -> dict[str, Column]:
         # Each BASE signal (token count, stopword hits, normalized length)
-        # is bound ONCE as a lambda variable and the derived arithmetic
-        # reads the bound values. The naive formulation nested `tokens`
+        # is bound once PER OUTPUT COLUMN REFERENCE as a lambda variable
+        # and the derived arithmetic reads the bound values (the two
+        # getField projections returned below are separate copies of the
+        # authored tree — shared only under codegen CSE, which is fine for
+        # the stated goal of single-column pushed filters). The naive formulation nested `tokens`
         # inside ratio/avg_len/band/score, so the authored tree carried ~6
         # copies of split(regexp_replace(text)) and 2 copies of the
         # 10-regex stopword count — harmless under codegen CSE, but a

@@ -286,7 +286,11 @@ def test_stream_dedup_ttl_semantics(spark, tmp_path):
     contract here is the state-store TTL config, exercised with a horizon
     long enough that no eviction occurs mid-test.) Skips when protobuf —
     which transformWithState's Python protocol needs — is absent (this
-    container); the RuntimeError contract is asserted instead."""
+    container); the RuntimeError contract is asserted instead.
+
+    Environment-final (round 11): `import google.protobuf` fails and the
+    container's no-install policy forecloses adding it, so the gate stays;
+    the error-contract assertion below is the strongest in-container check."""
     import pytest
 
     from mega_data_factory_spark.streaming import stream_dedup_with_reps_ttl
