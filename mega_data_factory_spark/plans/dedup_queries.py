@@ -131,8 +131,13 @@ def _minhash_ctes() -> str:
         f"list_min(list_transform(hs, h -> ({MINHASH_A[i]} * (h % {MINHASH_P}) + {MINHASH_B[i]}) % {MINHASH_P}))"
         for i in range(NUM_HASHES)
     )
+    # band key = the 'b_m1,m2,..' signature string folded to a 60-bit long
+    # via the shared md5 fold (round 11 — identical bucketing, ~4.5x
+    # narrower shuffle on the Spark side; the mirror folds the same string)
     band_keys = ", ".join(
-        f"'{b}_' || array_to_string(sig[{b * ROWS_PER_BAND + 1}:{(b + 1) * ROWS_PER_BAND}], ',')"
+        _h64(
+            f"('{b}_' || array_to_string(sig[{b * ROWS_PER_BAND + 1}:{(b + 1) * ROWS_PER_BAND}], ','))"
+        )
         for b in range(BANDS)
     )
     return f"""

@@ -17,7 +17,24 @@ over that frozen input (min-of-2, steady-state warmup like bench.py):
                of the 'b_h1,h2,h3,h4' string (~80B -> 8B shuffle width);
                measures how much of the slope is shuffle-byte-bound
 
-plus the band-row count and mean band-key width (shuffle payload proxy).
+plus the band-row count and mean band-key width (shuffle payload proxy —
+after the round-11 fold the column is a LONG, so the reported "width" is
+its string repr ~18 chars; on the wire it is 8 bytes vs the 36.5-char
+string it replaced).
+
+FINDINGS (round 11, committed .out is the post-fold run):
+  * Attribution: the recipe dedup stage's steep 100x slope is an
+    sf0.1-DENOMINATOR artifact, not super-linear work — per-doc cost
+    FALLS ~18x with scale (both: 357us/doc at 4.7k docs -> 17us/doc at
+    473k docs); at sf0.1 the stage mostly measures fixed job overhead.
+    The sf10-absolute dominant cost is minhash signature CPU (shingle
+    build + one md5 per distinct shingle), which is pinned by the
+    cross-engine oracle discipline (DuckDB mirrors the exact md5 fold).
+  * Improvement landed: folding the band key 'b_m1,..,m4' string to one
+    60-bit long (hash64_from_md5, mirrored by _h64 in the oracle) cut
+    the pairs step 6.56s -> 5.68s (-13%) and back-to-back dedup
+    9.25s -> 8.25s at sf10, and shrinks the two banded shuffles ~4.5x
+    in bytes — the lever that matters on a real cluster.
 
 Run ISOLATED (tmux, pgrep -x java clean):
     python scripts/diag_fineweb_dedup.py | tee scripts/diag_fineweb_dedup.out
@@ -102,13 +119,12 @@ def long_key_band_pairs(d: MinHashLSHDeduplicator, df):
 
     from mega_data_factory_spark.functions.hashing import hash64_from_md5
     from mega_data_factory_spark.functions.text import word_shingles
+    from mega_data_factory_spark.operators.dedup import minhash_hash_family
 
     exploded = df.select(
         F.col(d.id_col),
         F.explode(F.array_distinct(word_shingles(d.text_col, d.shingle_n))).alias("__s"),
     ).select(F.col(d.id_col), hash64_from_md5(F.col("__s")).alias("__bh"))
-    from mega_data_factory_spark.functions.hashing import minhash_hash_family
-
     sig = exploded.groupBy(d.id_col).agg(
         *[F.min(minhash_hash_family(F.col("__bh"), i)).alias(f"__m{i}") for i in range(d.num_hashes)]
     )
