@@ -40,7 +40,7 @@ from mega_data_factory_spark.plans.curation import (
     _token_count,
     _wc,
 )
-from mega_data_factory_spark.plans.dedup_queries import _minhash_ctes, _shingle_ctes
+from mega_data_factory_spark.plans.dedup_queries import NORM_SQL, _minhash_ctes, _shingle_ctes
 
 N_DOCS = 1500  # 30 full doc_id % 50 quota cycles — every violator class present
 PLANTED_FLOOR = 10**10  # oracle-planted rows live above this; natural ids below
@@ -280,4 +280,73 @@ FROM n JOIN rebuilt r USING (doc_id)
         got = {d for d, o in cut_by.items() if o == op}
         assert got == ids, f"{op}: spark cut {len(got)} docs, duckdb {len(ids)}"
     assert passed == survivors
+    _assert_funnel(funnel, cuts, len(all_ids))
+
+
+def test_c4_published_funnel_matches_duckdb(spark, tmp_path, natural):
+    """Third shipped recipe: language -> C4 line rules + page flags ->
+    page filter -> exact-span dedup on the CLEANED text (span_tokens=15,
+    no DF cap in the shipped YAML)."""
+    src, con = natural
+    funnel, cut_by, passed = _run_recipe(spark, tmp_path, "c4_style_recipe.yaml", src)
+
+    all_ids = {r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()}
+
+    lang_ok = _lang_ok_ids(con)
+    # C4 heuristics: the driver oracle runs with the same (bad_words,
+    # min_sentences) the shipped YAML uses (plans/curation.py constants)
+    from mega_data_factory_spark.plans.curation import (
+        C4_BAD_WORDS,
+        C4_MIN_SENTENCES,
+        _c4_clean_oracle,
+    )
+
+    assert C4_BAD_WORDS == ("badword",) and C4_MIN_SENTENCES == 3  # YAML params
+    c4 = _annotation(con, _c4_clean_oracle(), ["c4_page_pass", "c4_text"])
+    s2 = {i for i in lang_ok if c4[i][0]}
+
+    # span dedup over the survivors' CLEANED text — the shipped recipe
+    # sets no max_doc_freq, so mirror the index without the DF cut
+    # (plans/dedup_queries._span_ctes applies one for its own bench row)
+    import pandas as pd
+
+    con.register(
+        "c4tbl",
+        pd.DataFrame(
+            {"doc_id": sorted(s2), "text": [c4[i][1] for i in sorted(s2)]}
+        ),
+    )
+    n = 15
+    span_cut_rows = con.execute(
+        f"""
+WITH corpus AS (SELECT doc_id, text FROM c4tbl),
+norm AS (SELECT doc_id, {NORM_SQL} AS t FROM corpus),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+sp AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(ws) - {n - 2}), i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS s
+  FROM w WHERE len(ws) >= {n}
+),
+inv AS (SELECT doc_id, unnest(s) AS span FROM sp),
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+  FROM inv a JOIN inv b ON a.span = b.span AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT DISTINCT idb FROM pairs WHERE shared >= 1
+"""
+    ).fetchall()
+    span_cut = {int(r[0]) for r in span_cut_rows}
+    survivors = s2 - span_cut
+
+    cuts = [
+        ("LanguageCut", all_ids - lang_ok),
+        ("C4PageFilter", lang_ok - s2),
+        ("SharedSpanDeduplicator", span_cut),
+    ]
+    for op, ids in cuts:
+        got = {d for d, o in cut_by.items() if o == op}
+        assert got == ids, f"{op}: spark cut {len(got)} docs, duckdb {len(ids)}"
+    assert passed == survivors
+    assert span_cut, "span dedup cut nothing — exact/near-dup quota should collide"
     _assert_funnel(funnel, cuts, len(all_ids))
