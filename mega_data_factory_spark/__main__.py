@@ -318,8 +318,14 @@ def main(argv: list[str] | None = None) -> int:
             # flat-cost drift report at corpus scale: both sides profiled
             # over a deterministic fixed-byte FILE sample (the
             # column_profile_sketch posture) — sampled stats drift a
-            # little; the DELTAS between two uniform samples are the signal
-            read = lambda p: sample_parquet_files(spark, p, byte_budget=args.sample_bytes)  # noqa: E731
+            # little; the DELTAS between two uniform samples are the
+            # signal. small_table_factor=0 disables the small-table
+            # auto-route here: a diff needs BOTH sides under the same
+            # estimator — one side routed to a full read against one
+            # sampled would surface sampling drift as a false delta.
+            read = lambda p: sample_parquet_files(  # noqa: E731
+                spark, p, byte_budget=args.sample_bytes, small_table_factor=0
+            )
         else:
             read = lambda p: spark.read.parquet(p)  # noqa: E731
         report = ColumnProfiler.diff(

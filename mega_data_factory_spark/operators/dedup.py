@@ -688,7 +688,12 @@ def banded_hamming_pairs(sig: DataFrame, *, bits: int, max_hamming: int, id_out:
         seg = F.shiftright(F.col("__sim"), start)
         if width < 64:  # (1 << 64) - 1 overflows a Column literal
             seg = seg.bitwiseAND(F.lit((1 << width) - 1))
-        band_keys.append(F.concat_ws("_", F.lit(b), seg.cast("string")))
+        # one 8-byte key instead of the 'b_<seg>' string (round 11, the
+        # MinHash band-fold sibling): banding is pruning ONLY — every
+        # candidate is verified by the exact bit_count below — so an
+        # xxhash64 collision can only add a candidate pair, never a false
+        # duplicate, and no oracle mirrors these keys
+        band_keys.append(F.xxhash64(F.lit(b), seg))
     banded = sig.select("__id", "__sim", F.explode(F.array(*band_keys)).alias("__bkey"))
     a = banded.select(F.col("__id").alias("__ida"), F.col("__sim").alias("__sima"), "__bkey")
     b_ = banded.select(F.col("__id").alias("__idb"), F.col("__sim").alias("__simb"), "__bkey")
