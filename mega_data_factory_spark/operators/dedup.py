@@ -250,6 +250,74 @@ def compact_store(spark, store_path: str, *, target_files: int | None = None) ->
     return {"rows_before": before, "rows_after": after, "files": n_files}
 
 
+def _require_long_band_key(raw: DataFrame, store_path: str) -> None:
+    """Schema-version guard for MinHash band stores (round-12 advice): the
+    round-11 key fold changed the store format from the ``'b_m1,m2,...'``
+    signature STRING to its 60-bit long fold. Reading a pre-fold store
+    with the new code would not error — Spark's non-ANSI equality casts
+    the long-vs-string join to double, every legacy key compares NULL,
+    and all historical near-duplicates get silently re-admitted (then
+    ``update_store`` appends long-typed files into the string-typed
+    directory, mixing schemas). So: hard-fail with a migration hint."""
+    from pyspark.sql.types import LongType
+
+    if "band_key" in raw.columns and not isinstance(
+        raw.schema["band_key"].dataType, LongType
+    ):
+        raise ValueError(
+            f"band store at {store_path!r} has a "
+            f"{raw.schema['band_key'].dataType.simpleString()} band_key — a "
+            "pre-round-11 (pre-key-fold) store. Run "
+            "migrate_band_store(spark, store_path) once to re-fold the "
+            "legacy signature-string keys to 60-bit longs (exact: the long "
+            "key IS hash64_from_md5 of the old string key), then retry."
+        )
+
+
+def migrate_band_store(spark, store_path: str) -> dict:
+    """One-shot exact migration of a pre-fold (string-keyed) MinHash band
+    store to the round-11 long-key format. The new key is
+    ``hash64_from_md5(<old string key>)`` by construction
+    (``_band_ids``'s fold), so re-folding stored strings reproduces the
+    exact keys current writers emit — no history is lost and no
+    signatures need recomputing. Same write-new/swap-old crash discipline
+    as ``compact_store``; collapses replayed duplicates in the same pass.
+    A store that is already long-keyed is left untouched."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import LongType, StringType
+
+    _recover_store(store_path)
+    df = spark.read.parquet(store_path)
+    dt = df.schema["band_key"].dataType
+    if isinstance(dt, LongType):
+        return {"migrated": False, "reason": "already long-keyed"}
+    if not isinstance(dt, StringType):
+        raise ValueError(
+            f"band store at {store_path!r} has unexpected band_key type "
+            f"{dt.simpleString()} (expected string for a legacy store)"
+        )
+    before = df.count()
+    folded = (
+        df.select(
+            hash64_from_md5(F.col("band_key")).alias("band_key"),
+            "representative_id",
+        )
+        .groupBy("band_key")
+        .agg(F.min("representative_id").alias("representative_id"))
+    )
+    after = folded.count()
+    n_files = max(1, after // 4_000_000)
+    tmp, old = store_path.rstrip("/") + ".compacting", store_path.rstrip("/") + ".old"
+    folded.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(store_path.rstrip("/"), old)
+    os.replace(tmp, store_path.rstrip("/"))
+    shutil.rmtree(old, ignore_errors=True)
+    return {"migrated": True, "rows_before": before, "rows_after": after}
+
+
 def store_stats(spark, store_path: str) -> dict:
     """Observability for the incremental dedup stores: ``{rows, files,
     bytes}`` of the store directory — the numbers that tell an always-on
@@ -552,6 +620,7 @@ class IncrementalMinHashDeduplicator(MinHashLSHDeduplicator):
             return spark.createDataFrame([], "band_key long, representative_id string")
         # outside the try — wrong-schema stores must raise, not read empty
         # (the IncrementalExactDeduplicator._store_keys rationale)
+        _require_long_band_key(raw, self.store_path)
         return raw.select("band_key", "representative_id")
 
     def _memo_token(self) -> object:
@@ -597,6 +666,17 @@ class IncrementalMinHashDeduplicator(MinHashLSHDeduplicator):
     def update_store(self, df: DataFrame, *, survivors: bool = False) -> None:
         """Append the surviving docs' band keys. Same at-least-once posture
         as the exact store: re-appending is harmless."""
+        # guard the append too: ``update_store(df, survivors=True)`` never
+        # reads the store via _store_bands, so without this check a legacy
+        # string-keyed directory would silently accumulate mixed-schema
+        # fragments (long rows beside string rows) — corrupting the store
+        # the moment it happens, not when it's next read
+        try:
+            existing = df.sparkSession.read.parquet(self.store_path)
+        except Exception:  # noqa: BLE001 - first run: nothing to guard
+            existing = None
+        if existing is not None:
+            _require_long_band_key(existing, self.store_path)
         out = df if survivors else self.apply(df)
         bands = (
             self._band_ids(out)

@@ -45,8 +45,17 @@ def _strip_one(java_model) -> bool:
     except Exception as exc:  # noqa: BLE001 - py4j errors vary by Spark build
         # A JVM stage with no hasSummary/setSummary method (HashingTF,
         # Tokenizer, ...) cannot hold a summary at all — that's success,
-        # not a reason to pay the save/load fallback.
-        if "does not exist" in str(exc):
+        # not a reason to pay the save/load fallback. Match py4j's
+        # missing-METHOD message specifically ("Method hasSummary([]) does
+        # not exist"), not the bare substring: a genuine summary failure
+        # whose message merely contains "does not exist" (e.g. a missing
+        # checkpoint file inside a real setSummary call) must fall through
+        # to the save/load path, not report the summary stripped
+        # (round-12 advice).
+        msg = str(exc)
+        if ("Method hasSummary" in msg or "Method setSummary" in msg) and (
+            "does not exist" in msg
+        ):
             return True
         return False
 

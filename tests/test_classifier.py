@@ -207,3 +207,26 @@ def test_strip_summary_happy_path_no_reload(spark, corpora):
     stripped = strip_training_summary(model)
     assert stripped is model  # identity => in-place strip, no disk round-trip
     assert stripped.stages[-1].hasSummary is False
+
+
+def test_strip_one_matches_missing_method_message_only():
+    """Round-12 advice: _strip_one must treat only py4j's missing-METHOD
+    message ('Method hasSummary([]) does not exist') as already-stripped.
+    A genuine summary failure whose message merely contains 'does not
+    exist' (e.g. a missing file inside a real setSummary call) must return
+    False so the save/load fallback engages."""
+    from mega_data_factory_spark.operators.mlfit import _strip_one
+
+    class _Raises:
+        def __init__(self, msg):
+            self._msg = msg
+
+        def hasSummary(self):
+            raise RuntimeError(self._msg)
+
+    # the no-summary-capable-stage case: short-circuits to success
+    assert _strip_one(_Raises("Method hasSummary([]) does not exist")) is True
+    assert _strip_one(_Raises("Method setSummary([class java.lang.Object]) does not exist")) is True
+    # a real failure that happens to contain the substring: NOT success
+    assert _strip_one(_Raises("checkpoint file /tmp/x does not exist")) is False
+    assert _strip_one(_Raises("boom")) is False

@@ -490,3 +490,91 @@ def test_store_growth_is_monitorable_in_metrics(spark, tmp_path):
     comp = events[-1]
     assert comp.rows_before == by_time[1].rows and 0 < comp.rows <= comp.rows_before
     assert comp.files == 1  # target_files honored, visible in the metrics
+
+
+def test_legacy_string_band_store_guarded_and_migrated(spark, tmp_path):
+    """Round-12 advice (high): a pre-round-11 band store carries the
+    'b_m1,m2,...' signature STRING as band_key. Reading it with the
+    long-key code would silently re-admit every historical near-duplicate
+    (non-ANSI long-vs-string join casts both sides to double -> NULL), and
+    update_store would append long-typed files into the string-typed
+    directory. Both paths must hard-fail with a migration hint; the
+    one-shot migration must reproduce the EXACT keys current writers emit
+    (the long key IS hash64_from_md5 of the legacy string key)."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.functions.hashing import hash64_from_md5
+    from mega_data_factory_spark.functions.text import word_shingles
+    from mega_data_factory_spark.operators.dedup import (
+        IncrementalMinHashDeduplicator,
+        migrate_band_store,
+        minhash_hash_family,
+    )
+
+    store = str(tmp_path / "legacy_bands")
+    num_hashes, bands, shingle_n = 16, 8, 3
+    rows_per_band = num_hashes // bands
+    text = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before the hunters arrive")
+    hist = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    # Build the store exactly as PRE-FOLD code did: same shingle/minhash
+    # expressions, band key left as the signature string (the fold's input).
+    exploded = hist.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", shingle_n))).alias("__s"),
+    ).select("doc_id", hash64_from_md5(F.col("__s")).alias("__bh"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[F.min(minhash_hash_family(F.col("__bh"), i)).alias(f"__m{i}")
+          for i in range(num_hashes)]
+    )
+    legacy_keys = F.array(*[
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            F.concat_ws(",", *[
+                F.col(f"__m{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ]),
+        )
+        for b in range(bands)
+    ])
+    sig.select(
+        F.explode(legacy_keys).alias("band_key"),
+        F.col("doc_id").cast("string").alias("representative_id"),
+    ).write.parquet(store)
+
+    d = IncrementalMinHashDeduplicator(
+        store, id_col="doc_id", num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    batch = spark.createDataFrame(
+        [(10, text.replace("green forest", "green woods"))],
+        "doc_id long, text string",
+    )
+    # read path fails loudly, not empty-admits
+    with pytest.raises(ValueError, match="migrate_band_store"):
+        d.apply(batch).count()
+    # append path fails loudly too (survivors=True never reads via apply)
+    with pytest.raises(ValueError, match="migrate_band_store"):
+        d.update_store(batch, survivors=True)
+
+    # migration folds to the exact keys the current writer emits
+    res = migrate_band_store(spark, store)
+    assert res["migrated"] is True
+    migrated = {(r.band_key, r.representative_id)
+                for r in spark.read.parquet(store).collect()}
+    native = {(r.band_key, r.representative_id)
+              for r in d._band_ids(hist).groupBy(
+                  F.col("__band_key").alias("band_key")
+              ).agg(F.min(F.col("doc_id").cast("string")).alias("representative_id")
+              ).collect()}
+    assert migrated == native
+    assert spark.read.parquet(store).schema["band_key"].simpleString().endswith("bigint")
+
+    # post-migration: historical near-dup rejected with the stored rep
+    reps = {r.doc_id: r["representative_id"] for r in d.rejected(batch).select(
+        "doc_id", "_rejection_details.representative_id").collect()}
+    assert reps == {10: "1"}
+    # idempotent: an already-long store is a no-op
+    assert migrate_band_store(spark, store) == {
+        "migrated": False, "reason": "already long-keyed"}
