@@ -1689,7 +1689,6 @@ QUERIES = {
     "dataset_split_mix": dataset_split_mix,
     "warc_extract": warc_extract,
     "curation_funnel_by_source": curation_funnel_by_source,
-    "orders_first_per_customer": orders_first_per_customer,
     "orders_dedup_rejected": orders_dedup_rejected,
     "text_analysis": text_analysis,
     "ngram_perplexity": ngram_perplexity,
@@ -1700,7 +1699,6 @@ QUERIES = {
     "c4_clean": c4_clean,
     "gopher_quality": gopher_quality,
     "url_canonicalize": url_canonicalize,
-    "doc_chunks": doc_chunks,
     "curation_pipeline": curation_pipeline,
     "curation_rejection_summary": curation_rejection_summary,
 }
@@ -1714,7 +1712,6 @@ ORACLE = {
     "dataset_split_mix": _dataset_split_mix_oracle(),
     "warc_extract": _warc_extract_oracle(),
     "curation_funnel_by_source": FUNNEL_ORACLE,
-    "orders_first_per_customer": ORDERS_DEDUP_ORACLE,
     "orders_dedup_rejected": ORDERS_DEDUP_REJECTED_ORACLE,
     "text_analysis": _text_analysis_oracle(),
     "ngram_perplexity": _ngram_perplexity_oracle(),
@@ -1725,7 +1722,6 @@ ORACLE = {
     "c4_clean": _c4_clean_oracle(),
     "gopher_quality": _gopher_quality_oracle(),
     "url_canonicalize": _url_canonicalize_oracle(),
-    "doc_chunks": _doc_chunks_oracle(),
     "curation_pipeline": CURATION_PIPELINE_ORACLE,
     "curation_rejection_summary": REJECTION_SUMMARY_ORACLE,
 }
@@ -1746,8 +1742,23 @@ RETIRED_QUERIES = {
     # its slot carries the re-promoted q3_segment_revenue row
     # (plans/relational.py).
     "sentence_chunks": sentence_chunks,
+    # Rotation wave 10 (round 12): orders_first_per_customer retires after
+    # eleven straight hash-green rounds — first-wins window dedup stays
+    # driver-covered by orders_dedup_rejected (the same operator's
+    # rejected side, identical window machinery) while the exact oracle
+    # bar stays here; its slot carries the re-promoted topk_orders row
+    # (plans/relational.py).
+    "orders_first_per_customer": orders_first_per_customer,
+    # Rotation wave 10 (round 12): doc_chunks retires after eleven
+    # straight hash-green rounds — closed-form chunking stays
+    # driver-covered by sequence_packing (the same offset machinery)
+    # while the exact oracle bar stays here; its slot carries the
+    # re-promoted events_hourly_agg row (plans/events.py).
+    "doc_chunks": doc_chunks,
 }
 RETIRED_ORACLE = {
     "text_exact_dedup": TEXT_DEDUP_ORACLE,
     "sentence_chunks": _sentence_chunks_oracle(),
+    "orders_first_per_customer": ORDERS_DEDUP_ORACLE,
+    "doc_chunks": _doc_chunks_oracle(),
 }

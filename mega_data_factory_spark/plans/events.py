@@ -237,30 +237,23 @@ QUERIES = {
     # the driver's eye; its slot comes from events_salted_user_totals
     # (plans/setops.py) moving to the pytest bar.
     "events_json_props": events_json_props,
+    # Rotation wave 10 (round 12): events_first_per_user_type RE-promoted
+    # after five retired rounds (wave 3, the longest-retired row) — its
+    # slot comes from customer_semi_anti_join (plans/join_queries.py)
+    # moving to the pytest bar.
+    "events_first_per_user_type": events_first_per_user_type,
+    # Rotation wave 10 (round 12): events_hourly_agg RE-promoted after two
+    # retired rounds (wave 8); its slot comes from doc_chunks
+    # (plans/curation.py) moving to the pytest bar.
+    "events_hourly_agg": events_hourly_agg,
 }
 
 ORACLE = {
     "events_sessionize": SESSIONIZE_ORACLE,
     "events_json_props": JSON_PROPS_ORACLE,
-}
-
-# Rotated out of the driver window in round 7 (slot carries the c4_clean
-# row): window-dedup-per-group is driver-covered by orders_first_per_customer
-# and orders_dedup_rejected; the pytest differential bar stays via
-# plans.retired_queries (tests/test_events.py). Round 9 (wave 5):
-# events_json_props retires — JSON-path extraction stays pytest-anchored
-# here while the events family keeps hourly_agg/sessionize in the window;
-# its slot carries plans/curation.py's perplexity_bucket row.
-RETIRED_QUERIES = {
-    "events_first_per_user_type": events_first_per_user_type,
-    # Rotation wave 8 (round 10): events_hourly_agg retires after nine
-    # straight hash-green rounds — time-bucketed aggregation stays
-    # driver-covered by events_sessionize (same timestamp machinery) and
-    # the full oracle bar stays here; its window slot carries the
-    # re-promoted customer_order_ranks row (plans/window_queries.py).
-    "events_hourly_agg": events_hourly_agg,
-}
-RETIRED_ORACLE = {
     "events_first_per_user_type": FIRST_PER_USER_ORACLE,
     "events_hourly_agg": HOURLY_ORACLE,
 }
+
+RETIRED_QUERIES = {}
+RETIRED_ORACLE = {}

@@ -379,6 +379,12 @@ QUERIES = {
     # sentence_chunks (plans/curation.py) moving to the pytest bar.
     "cube_status_priority": cube_status_priority,
     "q3_segment_revenue": q3_segment_revenue,
+    # Rotation wave 10 (round 12): topk_orders RE-promoted after two
+    # retired rounds (wave 8) — ordered-limit (TakeOrderedAndProject)
+    # rotates back under the driver's eye; its slot comes from
+    # orders_first_per_customer (plans/curation.py) moving to the
+    # pytest bar.
+    "topk_orders": topk_orders,
 }
 
 ORACLE = {
@@ -387,6 +393,7 @@ ORACLE = {
     "orders_above_customer_avg": ABOVE_AVG_ORACLE,
     "cube_status_priority": CUBE_ORACLE,
     "q3_segment_revenue": Q3_ORACLE,
+    "topk_orders": TOPK_ORACLE,
 }
 
 # Round 9 (rotation wave 6): cube_status_priority retires — the
@@ -399,13 +406,5 @@ ORACLE = {
 # over-represented; join+agg is driver-held by q5_region_nation_revenue
 # and the ordered limit by topk_orders) — its slot carries
 # plans/dedup_queries.py's semantic_decontamination row.
-RETIRED_QUERIES = {
-    # Rotation wave 8 (round 10): topk_orders retires after nine straight
-    # hash-green rounds — ordered-limit (TakeOrderedAndProject) stays
-    # plan-shape-tested in tests/test_relational.py and q3 (re-promoted
-    # wave 9) exercises the same path.
-    "topk_orders": topk_orders,
-}
-RETIRED_ORACLE = {
-    "topk_orders": TOPK_ORACLE,
-}
+RETIRED_QUERIES = {}
+RETIRED_ORACLE = {}

@@ -200,7 +200,6 @@ ORDER BY ranking, user_id
 
 
 QUERIES = {
-    "customer_semi_anti_join": customer_semi_anti_join,
     # Rotation wave 8 (round 10): RE-promoted after two retired rounds —
     # with the promotion queue drained, rotation's job is keeping
     # "retired" from meaning "unwatched by the driver": long-retired rows
@@ -210,7 +209,6 @@ QUERIES = {
 }
 
 ORACLE = {
-    "customer_semi_anti_join": CUSTOMER_SEMI_ANTI_ORACLE,
     "nations_setops": NATIONS_SETOPS_ORACLE,
 }
 
@@ -219,5 +217,17 @@ ORACLE = {
 # exact oracle bar here while skew handling stays driver-covered by
 # skew_split_join (hot-key census + split join, the same skew family);
 # its slot carries the re-promoted events_json_props row (plans/events.py).
-RETIRED_QUERIES = {"events_salted_user_totals": events_salted_user_totals}
-RETIRED_ORACLE = {"events_salted_user_totals": SALTED_TOTALS_ORACLE}
+RETIRED_QUERIES = {
+    "events_salted_user_totals": events_salted_user_totals,
+    # Rotation wave 10 (round 12): customer_semi_anti_join retires after
+    # eleven straight hash-green rounds — LEFT SEMI / LEFT ANTI stay
+    # driver-covered by url_filter_full's broadcast anti-join and
+    # bloom_pruned_join (plans/join_queries.py) while the exact oracle
+    # bar stays here; its slot carries the re-promoted
+    # events_first_per_user_type row (plans/events.py).
+    "customer_semi_anti_join": customer_semi_anti_join,
+}
+RETIRED_ORACLE = {
+    "events_salted_user_totals": SALTED_TOTALS_ORACLE,
+    "customer_semi_anti_join": CUSTOMER_SEMI_ANTI_ORACLE,
+}
