@@ -193,6 +193,7 @@ def _host_state() -> dict:
     except Exception:  # noqa: BLE001 — diagnostics must never fail the bench
         state["ps_error"] = True
     state["cpu_probe_sec"] = _cpu_probe()
+    state["cpu_probe_mt_sec"] = _cpu_probe_mt()
     return state
 
 
@@ -212,6 +213,52 @@ def _cpu_probe() -> float:
     for _ in range(400_000):
         h = hashlib.sha256(h).digest()
     return round(time.perf_counter() - t0, 4)
+
+
+def _cpu_probe_mt(n_threads: int | None = None) -> float:
+    """Fixed-work MULTI-CORE CPU reference (~0.12-0.16 s nominal on this
+    host class): N threads each sha256 a 4 MB buffer 16 times — hashlib
+    releases the GIL on large buffers, so the pool genuinely saturates
+    cores. Round-12 addition: the single-thread probe reads NOMINAL during
+    the host's episodic slow mode (measured this round — classifier line
+    at 15 s = 3.1x isolated across an entire session including its
+    post-drain re-measure, while cpu_probe_sec read 0.18 at both ends),
+    because that mode only degrades saturating multi-core work. A slow MT
+    probe beside a slow line marks the episode in the artifact; a nominal
+    MT probe beside a persistently slow pure-JVM line points at
+    JVM-internal state instead (see gc_ms in postrun_remeasure)."""
+    import concurrent.futures
+    import hashlib
+
+    n = n_threads or min(32, os.cpu_count() or 1)
+    buf = b"\xab" * (4 << 20)
+
+    def _work(_):
+        h = hashlib.sha256()
+        for _ in range(16):
+            h.update(buf)
+        return h.digest()
+
+    t0 = time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(n) as ex:
+        list(ex.map(_work, range(n)))
+    return round(time.perf_counter() - t0, 4)
+
+
+def _jvm_gc_ms(spark) -> int | None:
+    """Total JVM GC time (ms) across collectors — deltas around a
+    re-measure separate 'the session is GC-thrashing' from 'the host is
+    slow' for flagged lines (round-12: the classifier's 3x mode is sticky
+    per-session, survives a 150 s drain, and shows nominal python
+    probes — only a JVM-internal counter can attribute it)."""
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return int(sum(beans.get(i).getCollectionTime() for i in range(beans.size())))
+    except Exception:  # noqa: BLE001 - diagnostics must never fail the bench
+        return None
 
 
 def _wait_quiet(limit_sec: float) -> float:
@@ -1487,6 +1534,8 @@ def main() -> None:
                 continue
             done_blocks.add(id(blk))
             old = {n: timings.get(n) for n in names}
+            probe_mt0, gc0 = _cpu_probe_mt(), _jvm_gc_ms(spark)
+            t_re0 = time.perf_counter()
             try:
                 blk()
             except Exception as exc:  # noqa: BLE001 - keep the flagged value
@@ -1498,6 +1547,9 @@ def main() -> None:
                     "drain_waited_sec": drain_waited,
                 }
                 continue
+            re_wall = round(time.perf_counter() - t_re0, 4)
+            probe_mt1, gc1 = _cpu_probe_mt(), _jvm_gc_ms(spark)
+            gc_delta = (gc1 - gc0) if (gc0 is not None and gc1 is not None) else None
             for n in names:
                 o, fresh = old.get(n), timings.get(n)
                 if o is None or fresh is None:
@@ -1514,6 +1566,15 @@ def main() -> None:
                         "remeasured_sec": round(fresh, 4),
                         "published_sec": pub,
                         "drain_waited_sec": drain_waited,
+                        # attribution samples AROUND the re-measure: slow
+                        # MT probe = host episode; nominal probes + high
+                        # gc fraction = session GC thrash; all nominal +
+                        # still slow = suspect the plan (the single-thread
+                        # probe alone cannot tell these apart — r12)
+                        "cpu_probe_mt_sec": [probe_mt0, probe_mt1],
+                        **({"gc_ms_during_remeasure": gc_delta,
+                            "remeasure_block_wall_sec": re_wall}
+                           if gc_delta is not None else {}),
                     }
 
     # the block-based lines the sweep could not improve keep their flag —
@@ -1541,6 +1602,10 @@ def main() -> None:
         # in _cpu_probe): slow probe + slow line = host episode, not plan
         "cpu_probe_sec_start": host_start["cpu_probe_sec"],
         "cpu_probe_sec_end": host_end["cpu_probe_sec"],
+        # multi-core probe (~0.12-0.16s nominal): the only probe that
+        # reads slow during the episodic saturating-work slow mode (r12)
+        "cpu_probe_mt_sec_start": host_start.get("cpu_probe_mt_sec"),
+        "cpu_probe_mt_sec_end": host_end.get("cpu_probe_mt_sec"),
         **({"cpu_probe_at_outlier": probe_at_outlier} if probe_at_outlier else {}),
         # round-12 mid-run guard: flagged lines re-measured post-drain;
         # published value is min(flagged, re-measured), both kept in spread
