@@ -584,64 +584,63 @@ def main() -> None:
         # Each pass still re-plans and re-executes from scratch; only OS page
         # cache / JIT state carries over, matching the reference's
         # steady-state methodology.
-        if True:
-            passes: list[float] = []
-            n = 0
-            for _ in range(2):
-                t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                n = df.count()
-                passes.append(time.perf_counter() - t0)
-            # sub-second queries swing ±30% run-over-run on this host (the
-            # r6 verdict's noise family) — take a third pass and publish
-            # the min/max spread so round-over-round comparisons can tell
-            # noise from regression without re-measuring
-            if min(passes) < 1.0:
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                passes.append(time.perf_counter() - t0)
+        passes: list[float] = []
+        n = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            passes.append(time.perf_counter() - t0)
+        # sub-second queries swing ±30% run-over-run on this host (the
+        # r6 verdict's noise family) — take a third pass and publish
+        # the min/max spread so round-over-round comparisons can tell
+        # noise from regression without re-measuring
+        if min(passes) < 1.0:
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            passes.append(time.perf_counter() - t0)
+            spreads[name] = [round(min(passes), 4), round(max(passes), 4)]
+        # contention guard (VERDICT r8 #1): a line >1.5x its isolated
+        # BENCH_SCALE counterpart AND >0.5s over it (sub-second lines
+        # swing ±30% on noise alone) is load-suspect — take up to two
+        # extra passes so a transient spike doesn't publish as the
+        # line's value; if it STILL doesn't recover, the end-of-run
+        # outlier block flags it for discount.
+        ref = ref_timings.get(name)
+        extra = 0
+        probes: list[float] = []
+        while (
+            ref
+            and min(passes) > 1.5 * ref
+            and min(passes) - ref > 0.5
+            and extra < 2
+        ):
+            # sample the CPU reference BETWEEN passes (round-10 advice):
+            # a probe taken only after the re-runs finish can read
+            # nominal beside a still-slow min when a transient host
+            # episode ended mid-re-run — the probe window must overlap
+            # the slow measurement, not follow it
+            probes.append(_cpu_probe())
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            passes.append(time.perf_counter() - t0)
+            extra += 1
+        if extra:
+            reruns[name] = extra
+            if name in spreads:
                 spreads[name] = [round(min(passes), 4), round(max(passes), 4)]
-            # contention guard (VERDICT r8 #1): a line >1.5x its isolated
-            # BENCH_SCALE counterpart AND >0.5s over it (sub-second lines
-            # swing ±30% on noise alone) is load-suspect — take up to two
-            # extra passes so a transient spike doesn't publish as the
-            # line's value; if it STILL doesn't recover, the end-of-run
-            # outlier block flags it for discount.
-            ref = ref_timings.get(name)
-            extra = 0
-            probes: list[float] = []
-            while (
-                ref
-                and min(passes) > 1.5 * ref
-                and min(passes) - ref > 0.5
-                and extra < 2
-            ):
-                # sample the CPU reference BETWEEN passes (round-10 advice):
-                # a probe taken only after the re-runs finish can read
-                # nominal beside a still-slow min when a transient host
-                # episode ended mid-re-run — the probe window must overlap
-                # the slow measurement, not follow it
+            if ref and min(passes) > 1.5 * ref:
+                # still slow after re-runs: publish every probe taken
+                # alongside the passes plus one final sample — max over
+                # the window tells episodic throttling (slow probe ≈
+                # slow line) from a plan regression (nominal probes,
+                # slow line)
                 probes.append(_cpu_probe())
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                passes.append(time.perf_counter() - t0)
-                extra += 1
-            if extra:
-                reruns[name] = extra
-                if name in spreads:
-                    spreads[name] = [round(min(passes), 4), round(max(passes), 4)]
-                if ref and min(passes) > 1.5 * ref:
-                    # still slow after re-runs: publish every probe taken
-                    # alongside the passes plus one final sample — max over
-                    # the window tells episodic throttling (slow probe ≈
-                    # slow line) from a plan regression (nominal probes,
-                    # slow line)
-                    probes.append(_cpu_probe())
-                    probe_at_outlier[name] = {
-                        "probes_sec": [round(p, 4) for p in probes],
-                        "window": "sampled before each extra pass + after the last",
-                    }
-            dt = min(passes)
+                probe_at_outlier[name] = {
+                    "probes_sec": [round(p, 4) for p in probes],
+                    "window": "sampled before each extra pass + after the last",
+                }
+        dt = min(passes)
         timings[name] = round(dt, 4)
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -1534,6 +1533,11 @@ def main() -> None:
                 continue
             done_blocks.add(id(blk))
             old = {n: timings.get(n) for n in names}
+            # snapshot the original run's noise band BEFORE the re-run —
+            # _measure_headline (and some blocks) overwrite spreads[name]
+            # with the re-run's passes, and the original contended run's
+            # slowest pass is exactly the reading spread exists to keep
+            old_spread = {n: list(spreads[n]) for n in names if n in spreads}
             probe_mt0, gc0 = _cpu_probe_mt(), _jvm_gc_ms(spark)
             t_re0 = time.perf_counter()
             try:
@@ -1557,8 +1561,9 @@ def main() -> None:
                 pub = min(o, fresh)
                 timings[n] = pub
                 lo, hi = min(o, fresh), max(o, fresh)
-                if n in spreads:
-                    lo, hi = min(lo, spreads[n][0]), max(hi, spreads[n][1])
+                for band in (old_spread.get(n), spreads.get(n)):
+                    if band:
+                        lo, hi = min(lo, band[0]), max(hi, band[1])
                 spreads[n] = [round(lo, 4), round(hi, 4)]
                 if n in flagged_now or fresh != o:
                     postrun[n] = {

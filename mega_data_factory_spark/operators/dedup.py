@@ -679,13 +679,27 @@ class IncrementalMinHashDeduplicator(MinHashLSHDeduplicator):
         # reads the store via _store_bands, so without this check a legacy
         # string-keyed directory would silently accumulate mixed-schema
         # fragments (long rows beside string rows) — corrupting the store
-        # the moment it happens, not when it's next read
-        try:
-            existing = df.sparkSession.read.parquet(self.store_path)
-        except Exception:  # noqa: BLE001 - first run: nothing to guard
-            existing = None
-        if existing is not None:
-            _require_long_band_key(existing, self.store_path)
+        # the moment it happens, not when it's next read. _recover_store
+        # FIRST (round-12 review): a crashed compaction/migration leaves
+        # the data in ``.old`` with the live path missing — reading
+        # without recovery would treat that window as first-run and the
+        # append would recreate the directory with ONLY the new batch's
+        # bands, permanently orphaning the historical store. The check is
+        # memoized per instance: this process only ever appends long keys
+        # it wrote itself, so per-micro-batch re-validation would add a
+        # directory listing + footer read to every streaming trigger for
+        # a schema that cannot legally change mid-run.
+        if not getattr(self, "_store_schema_validated", False):
+            from pyspark.errors import AnalysisException
+
+            _recover_store(self.store_path)
+            try:
+                existing = df.sparkSession.read.parquet(self.store_path)
+            except AnalysisException:  # first run: nothing to guard
+                existing = None
+            if existing is not None:
+                _require_long_band_key(existing, self.store_path)
+            self._store_schema_validated = True
         out = df if survivors else self.apply(df)
         bands = (
             self._band_ids(out)

@@ -239,7 +239,7 @@ QUERIES = {
     "events_json_props": events_json_props,
     # Rotation wave 10 (round 12): events_first_per_user_type RE-promoted
     # after five retired rounds (wave 3, the longest-retired row) — its
-    # slot comes from customer_semi_anti_join (plans/join_queries.py)
+    # slot comes from customer_semi_anti_join (plans/setops.py)
     # moving to the pytest bar.
     "events_first_per_user_type": events_first_per_user_type,
     # Rotation wave 10 (round 12): events_hourly_agg RE-promoted after two

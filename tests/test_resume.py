@@ -578,3 +578,48 @@ def test_legacy_string_band_store_guarded_and_migrated(spark, tmp_path):
     # idempotent: an already-long store is a no-op
     assert migrate_band_store(spark, store) == {
         "migrated": False, "reason": "already long-keyed"}
+
+
+def test_update_store_recovers_crash_window_before_append(spark, tmp_path):
+    """Round-12 review: a compaction/migration crash between its two
+    directory swaps leaves the store in `.old` with the live path
+    missing. update_store(survivors=True) must RECOVER first — treating
+    that window as first-run would recreate the directory with only the
+    new batch's bands, permanently orphaning the historical store."""
+    import os
+    import shutil
+
+    from mega_data_factory_spark.operators.dedup import IncrementalMinHashDeduplicator
+
+    store = str(tmp_path / "crashy_bands")
+    text = ("a reasonably long document with enough distinct words to make "
+            "several shingles for minhash banding across the signature")
+    d = IncrementalMinHashDeduplicator(store, id_col="doc_id", num_hashes=16, bands=8)
+    hist = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    d.update_store(hist, survivors=True)
+    n_hist = spark.read.parquet(store).count()
+
+    # simulate the crash window: live path gone, data in .old
+    shutil.move(store, store + ".old")
+    assert not os.path.exists(store)
+
+    # fresh instance (no memoized validation) appends a new batch
+    d2 = IncrementalMinHashDeduplicator(store, id_col="doc_id", num_hashes=16, bands=8)
+    batch = spark.createDataFrame(
+        [(2, "entirely different content about orchard pruning schedules "
+             "and the seasonal grafting of heirloom apple varieties")],
+        "doc_id long, text string",
+    )
+    d2.update_store(batch, survivors=True)
+
+    # historical bands survived the crash window AND the new ones landed
+    rows = spark.read.parquet(store)
+    reps = {r.representative_id for r in rows.select("representative_id").distinct().collect()}
+    assert reps == {"1", "2"}
+    assert rows.count() > n_hist
+    assert not os.path.exists(store + ".old")  # recovery consumed .old
+    # and doc 1's near-dup is still rejected against the recovered store
+    neardup = spark.createDataFrame(
+        [(9, text.replace("signature", "signatures"))], "doc_id long, text string"
+    )
+    assert d2.apply(neardup).count() == 0
