@@ -105,7 +105,8 @@ def write_store_metrics(
     from mega_data_factory_spark.operators.dedup import store_stats
 
     st = store_stats(spark, store_path)
-    row = spark.createDataFrame(
+    row = _one_slice_df(
+        spark,
         [
             (
                 run_id,
@@ -127,6 +128,20 @@ def write_store_metrics(
     )
 
 
+def _one_slice_df(spark: SparkSession, rows: list, schema: str):
+    """createDataFrame for driver-small metric rows as ONE input slice.
+
+    ``createDataFrame(list)`` parallelizes into ``defaultParallelism``
+    slices (32 locally), so each tiny metrics write launched a 32-task
+    job; measured round 12, that made the three-level metrics write cost
+    ~1.7s per pipeline run (~0.57s per write) of pure task-launch
+    overhead — the single largest FIXED cost of the recipe bench lines
+    after the operator work itself. One explicit slice keeps each write
+    a one-task job (~0.27s) and one output file; the frames are a few
+    rows by contract, so a single slice loses no parallelism."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def write_metrics(spark: SparkSession, result, base_path: str) -> None:
     """Write runs/stages/operators parquet under ``base_path`` (append)."""
     now = F.current_timestamp()
@@ -135,7 +150,8 @@ def write_metrics(spark: SparkSession, result, base_path: str) -> None:
         (result.run_id, result.pipeline, m.stage, m.operator, i, m.input_records, m.output_records, m.pass_rate)
         for i, m in enumerate(result.operators)
     ]
-    ops = spark.createDataFrame(
+    ops = _one_slice_df(
+        spark,
         op_rows,
         "run_id string, pipeline string, stage_name string, operator_name string, position long, "
         "input_records long, output_records long, pass_rate double",
@@ -149,7 +165,8 @@ def write_metrics(spark: SparkSession, result, base_path: str) -> None:
             stage_rows[m.stage] = (m.input_records, m.output_records)
         else:
             stage_rows[m.stage] = (stage_rows[m.stage][0], m.output_records)
-    stages = spark.createDataFrame(
+    stages = _one_slice_df(
+        spark,
         [
             (result.run_id, result.pipeline, s, pos, i, o, (100.0 * o / i if i else 100.0))
             for pos, (s, (i, o)) in enumerate(stage_rows.items())
@@ -158,7 +175,8 @@ def write_metrics(spark: SparkSession, result, base_path: str) -> None:
         "input_records long, output_records long, pass_rate double",
     ).withColumn("timestamp", now)
 
-    runs = spark.createDataFrame(
+    runs = _one_slice_df(
+        spark,
         [
             (
                 result.run_id,

@@ -529,8 +529,22 @@ class MinHashLSHDeduplicator(JoinDeduplicator):
             F.col(self.id_col),
             F.explode(F.array_distinct(word_shingles(self.text_col, self.shingle_n))).alias("__s"),
         ).select(F.col(self.id_col), hash64_from_md5(F.col("__s")).alias("__bh"))
+        # Aggregates and the band fold below are authored as SQL expr
+        # strings, not composed Column objects — same Catalyst expressions
+        # (values verified identical, tests/test_dedup.py + the DuckDB
+        # oracle), but ONE py4j round trip each instead of ~10 per
+        # expression. Round-12 measurement: py4j latency on this class of
+        # host is ~2-4 ms/call, which made building this operator's plan
+        # alone cost ~1.1 s of pure driver time per pipeline construction
+        # (over half the fineweb recipe's plan-build phase); the expr-string
+        # form builds the same aggregate in ~0.05 s.
         sig = exploded.groupBy(self.id_col).agg(
-            *[F.min(minhash_hash_family(F.col("__bh"), i)).alias(f"__m{i}") for i in range(self.num_hashes)]
+            *[
+                F.expr(
+                    f"min(({MINHASH_A[i]}L * (__bh % {MINHASH_P}L) + {MINHASH_B[i]}L) % {MINHASH_P}L)"
+                ).alias(f"__m{i}")
+                for i in range(self.num_hashes)
+            ]
         )
         # The band key is the 'b_m1,m2,...' signature string FOLDED to one
         # 60-bit long (hash64_from_md5 — the same md5-derived fold every
@@ -551,18 +565,17 @@ class MinHashLSHDeduplicator(JoinDeduplicator):
         # no DuckDB twin — cross-engine key equality is the price. The
         # hamming band key (banded_hamming_pairs below) IS xxhash64,
         # because banding there is pruning-only with an exact verify.
-        bands = F.array(
-            *[
-                hash64_from_md5(
-                    F.concat_ws(
-                        "_",
-                        F.lit(b),
-                        F.concat_ws(",", *[F.col(f"__m{b * self.rows_per_band + r}").cast("string") for r in range(self.rows_per_band)]),
-                    )
-                )
-                for b in range(self.bands)
-            ]
-        )
+        def band_sql(b: int) -> str:
+            ms = ", ".join(
+                f"cast(__m{b * self.rows_per_band + r} as string)" for r in range(self.rows_per_band)
+            )
+            # hash64_from_md5's exact SQL spelling — the DuckDB mirror in
+            # plans/dedup_queries.py depends on this fold bit-for-bit
+            return (
+                f"cast(conv(substr(md5(concat_ws('_', '{b}', concat_ws(',', {ms}))), 1, 15), 16, 10) as bigint)"
+            )
+
+        bands = F.expr("array(" + ", ".join(band_sql(b) for b in range(self.bands)) + ")")
         return sig.select(F.col(self.id_col), F.explode(bands).alias("__band_key"))
 
     def _band_pairs(self, df: DataFrame) -> DataFrame:

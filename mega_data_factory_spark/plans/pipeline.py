@@ -389,7 +389,17 @@ class Pipeline:
                     self.config.rejected_sink,
                     partition_by=self.config.rejected_sink.partition_by or ["operator"],
                 )
-                write_sink(rejected, rej_cfg)
+                # REBALANCE on the partition columns before the hive-
+                # partitioned write (guide: coalesce-on-write): without it
+                # every cached task writes one file per partition value it
+                # holds — measured round 12 at bench scale: 514 files /
+                # ~1.0s for a ~2.5k-row rejected side vs 18 files / ~0.39s
+                # rebalanced. AQE both coalesces small partitions AND
+                # splits a skewed partition value across tasks, so the
+                # shape is safe when one operator rejects most of a
+                # 100 TB corpus (a plain repartition(cols) would funnel
+                # that operator through one task).
+                write_sink(rejected.hint("rebalance", *rej_cfg.partition_by), rej_cfg)
 
             got = obs.get
             total = got["total"]
