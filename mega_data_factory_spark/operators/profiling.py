@@ -427,27 +427,23 @@ class ColumnProfiler:
             )
 
         if self.approx:
-            types = dict(self._selected(df))
-            row = df.stat.freqItems(cols, support)
-            first = row.first()
             # stringify candidates through SPARK's cast, not Python str():
             # str(True)='True' but Spark casts to 'true' (doubles diverge
             # in exponent form too) — a str() list would silently match
-            # nothing in the join below for non-string columns. ONE job
-            # for every column: a single one-row frame of typed arrays,
-            # each cast to array<string> (element-wise Spark cast), not a
-            # createDataFrame+collect per column.
-            raw = {
-                c: [x for x in (first[f"{c}_freqItems"] or []) if x is not None] for c in cols
-            }
-            one = df.sparkSession.createDataFrame(
-                [tuple(raw[c] for c in cols)],
-                T.StructType([T.StructField(c, T.ArrayType(types[c])) for c in cols]),
+            # nothing in the join below for non-string columns. The cast
+            # is a projection ON the freqItems aggregate itself, so the
+            # screen + stringify is ONE job total (round 12: the former
+            # one-row createDataFrame + first() round trip was a separate
+            # task-launch per profiled table — pure fixed cost on the
+            # sketch path, which is job-count-bound, ~0.2s/table here).
+            srow = (
+                df.stat.freqItems(cols, support)
+                .select(
+                    *[F.col(f"`{c}_freqItems`").cast("array<string>").alias(c) for c in cols]
+                )
+                .first()
             )
-            srow = one.select(
-                *[F.col(c).cast("array<string>").alias(c) for c in cols]
-            ).first()
-            cand = sorted((c, v) for c in cols for v in (srow[c] or []))
+            cand = sorted((c, v) for c in cols for v in (srow[c] or []) if v is not None)
             if not count_candidates:
                 entries = [(c, None, v, None) for c, v in cand]
                 schema = "column string, rank int, text string, count long"

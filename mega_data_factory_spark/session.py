@@ -30,6 +30,22 @@ def get_spark(
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    # Driver heap sized to the LOCAL task slots (guide §5: memory per
+    # concurrent task), overridable via SPARK_DRIVER_MEMORY. Under a local
+    # master the "driver" JVM is the entire cluster — every executor
+    # thread's aggregation/join state, Arrow buffers and broadcasts live in
+    # this one heap — so a flat 8g gives 32 local tasks ~250 MB each.
+    # Round-12 measurement (scripts/evidence_r12/bench_16g*.json): on
+    # local[32] the flat 8g heap GC-thrashed the later bench blocks
+    # (2.9-6.3s of GC inside ~10s lines, multi-core CPU probe degrading 8x
+    # while the single-core probe stayed flat) and published 1.5-2.8x
+    # inflated walls for the Arrow/ML-heavy lines; 512 MB/slot returned
+    # them to their isolated-run values (pq_ann_500k 10.4->3.7s, whole
+    # suite -20%) with zero end-of-run outliers. On a real cluster this
+    # default is inert: the driver does no data work (floor stays 8g) and
+    # executor sizing is the deployment's spark.executor.memory.
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    default_driver_mem = f"{max(8, cpus // 2)}g" if master.startswith("local") else "8g"
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -45,7 +61,7 @@ def get_spark(
         # compact rows still batch by record count
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(16 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", default_driver_mem))
         # Broadcast thresholds: keep the STATIC threshold small — the static
         # planner works from parquet-size x selectivity guesses and a big
         # threshold lets it broadcast a filtered FACT side (measured: q3 at
