@@ -85,6 +85,20 @@ def word_occurrences(col: Column | str, word: str) -> Column:
     # anything) or kill the job at pattern-compile time. re.escape's
     # backslash-escapes are Java- and RE2-compatible for these inputs.
     pat = r"\b" + _re.escape(word.lower()) + r"\b"
+    if isinstance(col, str) and "`" not in col:
+        # Single-expr fast path (round 12): the stopword/marker refiners
+        # call this in loops of 8-16 words, and composing the chain as
+        # five Column ops costs five py4j round trips each (~2-4 ms/call
+        # on this host) — ~0.3-0.7 s of pure driver time per pipeline
+        # plan build. One F.expr builds the IDENTICAL expression tree
+        # (cast(coalesce(regexp_count(lower(col), pat), 0) as bigint));
+        # the pattern is escaped for Spark's string-literal rules
+        # (backslashes doubled, single quotes backslash-escaped) and the
+        # column name backtick-quoted. Columns or backtick-carrying names
+        # fall back to the composed form. Equivalence is pinned by
+        # tests/test_curation.py::test_word_occurrences_expr_parity.
+        lit = pat.replace("\\", "\\\\").replace("'", "\\'")
+        return F.expr(f"cast(coalesce(regexp_count(lower(`{col}`), '{lit}'), 0) as bigint)")
     return F.coalesce(F.regexp_count(F.lower(_c(col)), F.lit(pat)), F.lit(0)).cast("long")
 
 

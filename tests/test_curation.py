@@ -1057,3 +1057,38 @@ def test_gopher_quality_filter_rules(spark, tmp_path):
     df = GopherQualityRefiner().apply(spark.createDataFrame(rows[:2], "doc_id long, text string"))
     loose = GopherQualityFilter(min_words=5).apply(df)
     assert {r.doc_id for r in loose.collect()} == {1, 2}
+
+
+def test_word_occurrences_expr_parity(spark):
+    """The round-12 single-expr fast path of word_occurrences must produce
+    the same counts as the composed-Column fallback for every class of
+    word (plain, regex metacharacters, quotes, backslashes, unicode) and
+    for NULL/empty text — the fast path only changes how the expression
+    is BUILT (one parsed expr vs five py4j calls), never its value."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.functions.text import word_occurrences
+
+    rows = [
+        (0, "the cat and the hat"),
+        (1, "a.b matches a.b but not axb"),
+        (2, "it's don't o'clock 'quoted'"),
+        (3, "back\\slash c++ [set] (paren)"),
+        (4, "Tür tür TÜR"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    words = ["the", "a.b", "don't", "c++", "[set]", "back\\slash", "tür", "'quoted'"]
+    for w in words:
+        fast = [r["n"] for r in df.select(word_occurrences("text", w).alias("n")).orderBy("id").collect()]
+        # the Column path (fallback) — force it by passing a Column
+        slow = [
+            r["n"]
+            for r in df.select(word_occurrences(F.col("text"), w).alias("n")).orderBy("id").collect()
+        ]
+        assert fast == slow, f"expr/Column divergence for word {w!r}: {fast} vs {slow}"
+    # a backticked column name must take the fallback and still work
+    df2 = df.withColumnRenamed("text", "te`xt")
+    n = df2.select(word_occurrences(F.col("`te``xt`"), "the").alias("n")).count()
+    assert n == 7
