@@ -75,6 +75,17 @@ def get_spark(
         # real size allows a broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE sort-merge -> shuffled-hash conversion (guide §3.1): off by
+        # default (threshold 0); 64 MB lets AQE build a hash table from the
+        # smaller side of each post-shuffle partition INSTEAD of sorting
+        # both sides, using EXACT runtime sizes (the same trust-the-
+        # adaptive-planner split as the broadcast thresholds above). This
+        # is a per-partition bound, so it is scale-safe by construction —
+        # partitions outgrow it at 100 TB only if shuffle partitioning is
+        # missized, and then AQE simply keeps sort-merge. Measured round
+        # 12 on the suite's one fact-fact join (q5 core, broadcasts off):
+        # 1.08s -> 0.87s at sf0.1, min-of-3, reproduced twice.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     if not SparkSession.getActiveSession():
