@@ -367,11 +367,14 @@ class Pipeline:
             )
             observed = tagged.observe(obs, *obs_exprs)
             passed = observed.filter(self._alive()).drop(_R)
-            if self.config.sink:
-                write_sink(passed, self.config.sink)
-            else:
-                passed.count()  # populate the observation
-            if self.config.rejected_sink:
+
+            def _write_passed() -> None:
+                if self.config.sink:
+                    write_sink(passed, self.config.sink)
+                else:
+                    passed.count()  # populate the observation
+
+            def _write_rejected() -> None:
                 import dataclasses
 
                 rejected = (
@@ -400,6 +403,27 @@ class Pipeline:
                 # 100 TB corpus (a plain repartition(cols) would funnel
                 # that operator through one task).
                 write_sink(rejected.hint("rebalance", *rej_cfg.partition_by), rej_cfg)
+
+            if self.config.sink and self.config.rejected_sink:
+                # Overlap the two sink writes on two driver threads (guide
+                # §2.6; the streaming runner's parallel_sinks posture,
+                # always-on here): both actions read the SAME persisted
+                # tagged frame, the block-level cache write locks make
+                # concurrent first computation compute-once, and the
+                # Observation rides whichever action touches the observed
+                # plan (the passed write). The batch then pays
+                # ~max(write, write) instead of their sum — the rejected
+                # write is commit-latency-bound, not throughput-bound, and
+                # the cluster is otherwise idle during its commits.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    for fut in [ex.submit(_write_passed), ex.submit(_write_rejected)]:
+                        fut.result()
+            else:
+                _write_passed()
+                if self.config.rejected_sink:
+                    _write_rejected()
 
             got = obs.get
             total = got["total"]
