@@ -86,6 +86,29 @@ def get_spark(
         # 12 on the suite's one fact-fact join (q5 core, broadcasts off):
         # 1.08s -> 0.87s at sf0.1, min-of-3, reproduced twice.
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", str(64 * 1024 * 1024))
+        # GCLocker-starvation guard (guide §5): Arrow's JNI critical
+        # sections (Get/ReleasePrimitiveArrayCritical in the batch
+        # transport) hold the JDK GCLocker while our 16 MiB Arrow batches
+        # allocate G1-humongous arrays; on JDK 17 a thread whose allocation
+        # needs a GC retries only GCLockerRetryAllocationCount=2 times
+        # while the locker is held, then throws a SPURIOUS "Java heap
+        # space" OOM with free heap remaining. Observed once at the 100x
+        # local stress scale (sf10 sweep leg b10a, 12:00:22: executor OOMs
+        # + "Retried waiting for GCLocker too often" at the same instant
+        # during the Arrow BPE encode; the identically-configured b10b leg
+        # ran the same line clean in 33.9s, so capacity was not the
+        # limit). 100 retries makes the starvation window practically
+        # unhittable and costs nothing when the locker is uncontended.
+        # Executor opts are inert locally (same JVM) and the right default
+        # where Arrow UDFs actually run on a cluster.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
+        )
         .config("spark.ui.enabled", "false")
     )
     if not SparkSession.getActiveSession():
