@@ -20,6 +20,75 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# --- SQL-text twins -------------------------------------------------------
+# py4j costs ~2-4 ms per Column call on the bench hosts (round-12
+# measurement), so builders that compose dozens of Columns spend 100-350 ms
+# of pure driver latency per plan build. The *_sql helpers below render the
+# IDENTICAL Catalyst trees as SQL text so a whole builder parses in ONE
+# F.expr round trip. Every fast path is pinned to its composed twin by a
+# structural test (tests/test_refiner_expr_parity.py: analyzed-plan strings
+# equal modulo expression ids) — change one side and the test fails.
+
+
+def sql_string_literal(s: str) -> str:
+    """Render a python string as a Spark SQL string literal (default,
+    non-ANSI escape rules: backslash escapes are interpreted, so double
+    them; control characters spelled as escapes to keep the SQL text
+    printable)."""
+    out = (
+        s.replace("\\", "\\\\")
+        .replace("'", "\\'")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+        .replace("\x00", "\\0")
+    )
+    return f"'{out}'"
+
+
+def sql_plain_column(col: Column | str) -> str | None:
+    """Backtick-quoted reference for a plain string column name, or None
+    when the input needs the composed-Column path (a Column object, or a
+    name carrying a backtick)."""
+    if isinstance(col, str) and "`" not in col:
+        return f"`{col}`"
+    return None
+
+
+def normalize_text_sql(col_sql: str, *, lowercase: bool = True, collapse_whitespace: bool = True) -> str:
+    """SQL twin of :func:`normalize_text` (same tree, one parse)."""
+    c = col_sql
+    if collapse_whitespace:
+        c = f"trim(regexp_replace({c}, '\\\\s+', ' '))"
+    if lowercase:
+        c = f"lower({c})"
+    return c
+
+
+def token_count_sql(col_sql: str) -> str:
+    """SQL twin of :func:`token_count` (same tree, one parse)."""
+    norm = normalize_text_sql(col_sql, lowercase=False)
+    n = f"length({norm}) - length(replace({norm}, ' ', '')) + 1"
+    return f"cast(CASE WHEN (({norm} IS NULL) OR (length({norm}) = 0)) THEN 0 ELSE {n} END as bigint)"
+
+
+def text_length_sql(col_sql: str, length_col_sql: str | None = None) -> str:
+    """SQL twin of :func:`text_length` (same tree, one parse)."""
+    ln = f"length({col_sql})"
+    if length_col_sql is not None:
+        ln = f"coalesce(cast({length_col_sql} as bigint), cast({ln} as bigint))"
+    return f"coalesce(cast({ln} as bigint), cast(0 as bigint))"
+
+
+def word_occurrences_sql(col_sql: str, word: str) -> str:
+    r"""SQL twin of :func:`word_occurrences`'s fast path, for embedding in
+    larger expressions: ``col_sql`` is an already-rendered SQL fragment."""
+    import re as _re
+
+    pat = r"\b" + _re.escape(word.lower()) + r"\b"
+    return f"cast(coalesce(regexp_count(lower({col_sql}), {sql_string_literal(pat)}), 0) as bigint)"
+
+
 def normalize_text(col: Column | str, *, lowercase: bool = True, collapse_whitespace: bool = True) -> Column:
     """Canonical text normalization: trim, collapse runs of whitespace to one
     space, lowercase. Mirrors reference text_exact_dedup.py:66-72 (both steps
@@ -85,7 +154,8 @@ def word_occurrences(col: Column | str, word: str) -> Column:
     # anything) or kill the job at pattern-compile time. re.escape's
     # backslash-escapes are Java- and RE2-compatible for these inputs.
     pat = r"\b" + _re.escape(word.lower()) + r"\b"
-    if isinstance(col, str) and "`" not in col:
+    ref = sql_plain_column(col)
+    if ref is not None:
         # Single-expr fast path (round 12): the stopword/marker refiners
         # call this in loops of 8-16 words, and composing the chain as
         # five Column ops costs five py4j round trips each (~2-4 ms/call
@@ -93,12 +163,11 @@ def word_occurrences(col: Column | str, word: str) -> Column:
         # plan build. One F.expr builds the IDENTICAL expression tree
         # (cast(coalesce(regexp_count(lower(col), pat), 0) as bigint));
         # the pattern is escaped for Spark's string-literal rules
-        # (backslashes doubled, single quotes backslash-escaped) and the
-        # column name backtick-quoted. Columns or backtick-carrying names
-        # fall back to the composed form. Equivalence is pinned by
+        # (sql_string_literal) and the column name backtick-quoted.
+        # Columns or backtick-carrying names fall back to the composed
+        # form. Equivalence is pinned by
         # tests/test_curation.py::test_word_occurrences_expr_parity.
-        lit = pat.replace("\\", "\\\\").replace("'", "\\'")
-        return F.expr(f"cast(coalesce(regexp_count(lower(`{col}`), '{lit}'), 0) as bigint)")
+        return F.expr(word_occurrences_sql(ref, word))
     return F.coalesce(F.regexp_count(F.lower(_c(col)), F.lit(pat)), F.lit(0)).cast("long")
 
 

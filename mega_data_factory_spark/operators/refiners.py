@@ -18,9 +18,15 @@ from pyspark.sql import functions as F
 from mega_data_factory_spark.functions.hashing import stable_text_hash
 from mega_data_factory_spark.functions.text import (
     normalize_text,
+    normalize_text_sql,
+    sql_plain_column,
+    sql_string_literal,
     text_length,
+    text_length_sql,
     token_count,
+    token_count_sql,
     word_occurrences,
+    word_occurrences_sql,
 )
 from mega_data_factory_spark.operators.base import Refiner
 
@@ -35,6 +41,10 @@ class TextStatsRefiner(Refiner):
         self.length_col = length_col
 
     def columns(self, df: DataFrame) -> dict[str, Column]:
+        ref = sql_plain_column(self.text_col)
+        len_ref = sql_plain_column(self.length_col) if self.length_col is not None else None
+        if ref is not None and (self.length_col is None or len_ref is not None):
+            return self._columns_sql(ref, len_ref)
         tokens = token_count(self.text_col)
         norm = normalize_text(self.text_col, lowercase=False)
         # chars-in-tokens / tokens; normalized text has single spaces, so
@@ -47,6 +57,23 @@ class TextStatsRefiner(Refiner):
             "text_length": text_length(self.text_col, self.length_col),
             "token_count": tokens,
             "avg_token_len": avg_len,
+        }
+
+    def _columns_sql(self, ref: str, len_ref: str | None) -> dict[str, Column]:
+        """SQL-text twin of the composed tree above (one parse per output
+        column instead of ~30 py4j round trips; structural parity pinned by
+        tests/test_refiner_expr_parity.py)."""
+        tok = token_count_sql(ref)
+        norm = normalize_text_sql(ref, lowercase=False)
+        avg_len = (
+            f"CASE WHEN ({tok} > 0) THEN "
+            f"round(cast(length({norm}) - ({tok} - 1) as double) / {tok}, 6) "
+            f"ELSE 0.0D END"
+        )
+        return {
+            "text_length": F.expr(text_length_sql(ref, len_ref)),
+            "token_count": F.expr(tok),
+            "avg_token_len": F.expr(avg_len),
         }
 
 
@@ -95,6 +122,17 @@ class LanguageIdRefiner(Refiner):
         # shared in a CodegenFallback Project or a pushed single-column
         # filter (which only ever pulls one copy, the stated goal). Values
         # identical — same counts, same tie-break order.
+        #
+        # Fast path (round 12): the same tree authored as ONE SQL string
+        # (two F.expr round trips instead of ~45 Column calls at ~3 ms of
+        # py4j latency each — ~140 ms/plan-build measured in
+        # scripts/diag_r12_planbuild.py). Lambda variables are spelled `x`
+        # because pyspark's _create_lambda names them x/y/z, so the
+        # analyzed trees are identical modulo expression ids — pinned by
+        # tests/test_refiner_expr_parity.py.
+        ref = sql_plain_column(self.text_col)
+        if ref is not None:
+            return self._columns_sql(ref)
         scores = self.scores()
         langs = list(scores)
         base = F.array(F.struct(*[scores[lang].alias(f"s_{i}") for i, lang in enumerate(langs)]))
@@ -112,6 +150,28 @@ class LanguageIdRefiner(Refiner):
 
         out = F.transform(base, _derive)[0]
         return {"lang_pred": out["lang_pred"], "lang_score": out["lang_score"]}
+
+    def _columns_sql(self, ref: str) -> dict[str, Column]:
+        """SQL-text twin of the composed tree above (structural parity
+        pinned by tests/test_refiner_expr_parity.py)."""
+        scores = {
+            lang: " + ".join(word_occurrences_sql(ref, w) for w in words)
+            for lang, words in self.markers.items()
+        }
+        langs = list(scores)
+        fields = ", ".join(f"{scores[lang]} AS s_{i}" for i, lang in enumerate(langs))
+        base = f"array(struct({fields}))"
+        vals = [f"x.s_{i}" for i in range(len(langs))]
+        best = f"greatest({', '.join(vals)})" if len(langs) > 1 else vals[0]
+        pred = "'und'"
+        for i in reversed(range(len(langs))):
+            pred = (
+                f"CASE WHEN ({vals[i]} = {best}) "
+                f"THEN {sql_string_literal(langs[i])} ELSE {pred} END"
+            )
+        pred = f"CASE WHEN ({best} > 0) THEN {pred} ELSE 'und' END"
+        out = f"transform({base}, x -> struct({pred} AS lang_pred, {best} AS lang_score))[0]"
+        return {"lang_pred": F.expr(f"{out}.lang_pred"), "lang_score": F.expr(f"{out}.lang_score")}
 
 
 DEFAULT_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
@@ -149,6 +209,13 @@ class QualityScoreRefiner(Refiner):
         # 11s -> 0.06s on a 500k-doc quality_rules chain (round-10
         # scripts/diag_fineweb attribution). Values are bit-identical —
         # same arithmetic on the same doubles.
+        #
+        # Fast path (round 12): same tree authored as one SQL string per
+        # output column — see LanguageIdRefiner.columns for the py4j
+        # rationale; parity pinned by tests/test_refiner_expr_parity.py.
+        ref = sql_plain_column(self.text_col)
+        if ref is not None:
+            return self._columns_sql(ref)
         tokens = token_count(self.text_col)
         stop_hits = reduce(lambda a, b: a + b, [word_occurrences(self.text_col, w) for w in self.stopwords])
         norm = normalize_text(self.text_col, lowercase=False)
@@ -177,6 +244,33 @@ class QualityScoreRefiner(Refiner):
             "quality_score": qs["quality_score"],
         }
 
+    def _columns_sql(self, ref: str) -> dict[str, Column]:
+        """SQL-text twin of the composed tree above (structural parity
+        pinned by tests/test_refiner_expr_parity.py). Double literals carry
+        the D suffix — bare 0.0 parses as DECIMAL in Spark SQL, which would
+        drift the analyzed tree (and the arithmetic) from F.lit(0.0)."""
+        tok = token_count_sql(ref)
+        sh = " + ".join(word_occurrences_sql(ref, w) for w in self.stopwords)
+        norm = normalize_text_sql(ref, lowercase=False)
+        base = (
+            f"array(struct(cast({tok} as double) AS t, cast({sh} as double) AS sh, "
+            f"cast(length({norm}) as double) AS ln))"
+        )
+        ratio = "CASE WHEN (x.t > 0) THEN x.sh / x.t ELSE 0.0D END"
+        avg_len = "CASE WHEN (x.t > 0) THEN (x.ln - (x.t - 1.0D)) / x.t ELSE 0.0D END"
+        length_component = "least(x.t / 200.0D, 1.0D)"
+        stop_component = f"least({ratio} * 5.0D, 1.0D)"
+        len_band = f"CASE WHEN (({avg_len} >= 3.0D) AND ({avg_len} <= 10.0D)) THEN 1.0D ELSE 0.0D END"
+        score = f"0.4D * {length_component} + 0.3D * {stop_component} + 0.3D * {len_band}"
+        out = (
+            f"transform({base}, x -> struct(round({ratio}, 6) AS stopword_ratio, "
+            f"round({score}, 6) AS quality_score))[0]"
+        )
+        return {
+            "stopword_ratio": F.expr(f"{out}.stopword_ratio"),
+            "quality_score": F.expr(f"{out}.quality_score"),
+        }
+
 
 # Gopher quality-rule constants (Rae et al. 2021, Appendix A1.1) — the
 # published thresholds; every one is overridable on the filter. The
@@ -186,6 +280,10 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 GOPHER_BULLETS = ("•", "‣", "▪", "-", "*")
 # explicit class, not \s: Java's \s includes \x0B, RE2's (DuckDB) does not
 GOPHER_WS = "[ \\t\\x0B\\f\\r\\n]+"
+# the same patterns the composed path spells inline (kept as constants so
+# the SQL twin can reference them — Python 3.11 f-strings reject backslashes)
+_GOPHER_NONWORD = r"\W+"
+_GOPHER_ELLIPSIS = r"\.{3,}|…"
 
 
 class GopherQualityRefiner(Refiner):
@@ -221,6 +319,12 @@ class GopherQualityRefiner(Refiner):
         self.text_col = text_col
 
     def columns(self, df: DataFrame) -> dict[str, Column]:
+        # Fast path (round 12): same trees authored as one SQL string per
+        # output column — see LanguageIdRefiner.columns for the py4j
+        # rationale; parity pinned by tests/test_refiner_expr_parity.py.
+        ref = sql_plain_column(self.text_col)
+        if ref is not None:
+            return self._columns_sql(ref)
         t = F.col(self.text_col)
         words = F.filter(F.split(t, GOPHER_WS), lambda w: w != "")
         wc = F.size(words)
@@ -254,7 +358,7 @@ class GopherQualityRefiner(Refiner):
         # ASCII class, token-count-verified — splits in 0.9 s. The DuckDB
         # oracle keeps the boundary-regex formulation, so the equivalence
         # is hash-checked per row, not asserted.
-        stop_tokens = F.split(F.lower(t), r"\W+")
+        stop_tokens = F.split(F.lower(t), _GOPHER_NONWORD)
         stop_hits = F.size(
             F.array_intersect(F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]), stop_tokens)
         )
@@ -265,11 +369,57 @@ class GopherQualityRefiner(Refiner):
             "gopher_hash_ratio": per_word(F.regexp_count(t, F.lit("#"))),
             # count RUNS of 3+ dots (or a '…' glyph) — '.....' is one
             # ellipsis, not two; the c4_sentences run-counting lesson
-            "gopher_ellipsis_ratio": per_word(F.regexp_count(t, F.lit(r"\.{3,}|…"))),
+            "gopher_ellipsis_ratio": per_word(F.regexp_count(t, F.lit(_GOPHER_ELLIPSIS))),
             "gopher_bullet_line_frac": F.when(n_lines > 0, F.round(bullet.cast("double") / n_lines, 6)),
             "gopher_ellipsis_line_frac": F.when(n_lines > 0, F.round(ell_lines.cast("double") / n_lines, 6)),
             "gopher_alpha_word_frac": per_word(alpha),
             "gopher_stopword_count": F.when(t.isNotNull(), stop_hits).cast("int"),
+        }
+
+    def _columns_sql(self, ref: str) -> dict[str, Column]:
+        """SQL-text twin of the composed tree above (structural parity
+        pinned by tests/test_refiner_expr_parity.py)."""
+        words = f"filter(split({ref}, {sql_string_literal(GOPHER_WS)}), x -> (NOT (x = '')))"
+        wc = f"size({words})"
+        n_chars = f"aggregate({words}, cast(0 as bigint), (x, y) -> x + length(y))"
+        mean_len = f"CASE WHEN ({wc} > 0) THEN round(cast({n_chars} as double) / {wc}, 6) END"
+        lines = f"split({ref}, '\\n')"
+        n_lines = f"size({lines})"
+        starts = [f"startswith(trim(x), {sql_string_literal(g)})" for g in GOPHER_BULLETS]
+        bullet_pred = starts[0]
+        for s in starts[1:]:
+            bullet_pred = f"({bullet_pred} OR {s})"
+        bullet = f"size(filter({lines}, x -> {bullet_pred}))"
+        ell_lines = (
+            f"size(filter({lines}, x -> (endswith(rtrim(x), '...') OR endswith(rtrim(x), '…'))))"
+        )
+        alpha = f"size(filter({words}, x -> x RLIKE '[A-Za-z]'))"
+        stop_set = ", ".join(sql_string_literal(w) for w in GOPHER_STOPWORDS)
+        stop_tokens = f"split(lower({ref}), {sql_string_literal(_GOPHER_NONWORD)})"
+        stop_hits = f"size(array_intersect(array({stop_set}), {stop_tokens}))"
+
+        def per_word(n: str) -> str:
+            return f"CASE WHEN ({wc} > 0) THEN round(cast({n} as double) / {wc}, 6) END"
+
+        return {
+            "gopher_word_count": F.expr(
+                f"cast(CASE WHEN ({ref} IS NOT NULL) THEN {wc} END as int)"
+            ),
+            "gopher_mean_word_len": F.expr(mean_len),
+            "gopher_hash_ratio": F.expr(per_word(f"regexp_count({ref}, '#')")),
+            "gopher_ellipsis_ratio": F.expr(
+                per_word(f"regexp_count({ref}, {sql_string_literal(_GOPHER_ELLIPSIS)})")
+            ),
+            "gopher_bullet_line_frac": F.expr(
+                f"CASE WHEN ({n_lines} > 0) THEN round(cast({bullet} as double) / {n_lines}, 6) END"
+            ),
+            "gopher_ellipsis_line_frac": F.expr(
+                f"CASE WHEN ({n_lines} > 0) THEN round(cast({ell_lines} as double) / {n_lines}, 6) END"
+            ),
+            "gopher_alpha_word_frac": F.expr(per_word(alpha)),
+            "gopher_stopword_count": F.expr(
+                f"cast(CASE WHEN ({ref} IS NOT NULL) THEN {stop_hits} END as int)"
+            ),
         }
 
 
@@ -342,6 +492,13 @@ class RepetitionStatsRefiner(Refiner):
         # The columns stay INDEPENDENT trees on purpose: a dup-only filter
         # (DupWordCut) must not drag the O(n log n) bigram sort into its
         # pushed predicate.
+        #
+        # Fast path (round 12): same trees authored as one SQL string per
+        # output column — see LanguageIdRefiner.columns for the py4j
+        # rationale; parity pinned by tests/test_refiner_expr_parity.py.
+        ref = sql_plain_column(self.text_col)
+        if ref is not None:
+            return self._columns_sql(ref)
         dup = F.transform(F.array(self._words()), lambda w: self._dup_ratio(w))[0]
 
         def _top_ratio(bg: Column) -> Column:
@@ -372,6 +529,37 @@ class RepetitionStatsRefiner(Refiner):
         return {
             "dup_word_ratio": F.round(dup, 6),
             "top_bigram_ratio": F.round(top_ratio, 6),
+        }
+
+    def _columns_sql(self, ref: str) -> dict[str, Column]:
+        """SQL-text twin of the composed tree above (structural parity
+        pinned by tests/test_refiner_expr_parity.py). Inner lambdas reuse
+        the binder name x exactly like pyspark's _create_lambda does
+        (shadowing is safe — no inner lambda references an outer binder)."""
+        ws = f"split({normalize_text_sql(ref)}, ' ')"
+        dup_body = (
+            "CASE WHEN (size(x) > 0) "
+            "THEN 1.0D - cast(size(array_distinct(x)) as double) / size(x) "
+            "ELSE 0.0D END"
+        )
+        dup = f"transform(array({ws}), x -> {dup_body})[0]"
+        bigrams = (
+            "zip_with(slice(x, 1, greatest(size(x) - 1, 0)), "
+            "slice(x, 2, greatest(size(x) - 1, 0)), (x, y) -> concat(x, ' ', y))"
+        )
+        run = "CASE WHEN (y = x.prev) THEN x.run + 1 ELSE 1 END"
+        top = (
+            "aggregate(array_sort(x), struct('' AS prev, 0 AS run, 0 AS best), "
+            f"(x, y) -> struct(y AS prev, {run} AS run, greatest(x.best, {run}) AS best), "
+            "x -> x.best)"
+        )
+        top_body = (
+            f"CASE WHEN (size(x) > 0) THEN cast({top} as double) / size(x) ELSE 0.0D END"
+        )
+        top_ratio = f"transform(transform(array({ws}), x -> {bigrams}), x -> {top_body})[0]"
+        return {
+            "dup_word_ratio": F.expr(f"round({dup}, 6)"),
+            "top_bigram_ratio": F.expr(f"round({top_ratio}, 6)"),
         }
 
     def apply(self, df: DataFrame) -> DataFrame:
@@ -796,6 +984,12 @@ class IntraDocDedupRefiner(Refiner):
     def columns(self, df: DataFrame) -> dict[str, Column]:
         import re
 
+        # Fast path (round 12): same trees authored as one SQL string per
+        # output column — see LanguageIdRefiner.columns for the py4j
+        # rationale; parity pinned by tests/test_refiner_expr_parity.py.
+        ref = sql_plain_column(self.text_col)
+        if ref is not None:
+            return self._columns_sql(ref)
         t = F.col(self.text_col)
         units = F.split(t, re.escape(self.sep))
         dropped = self._dropped_positions(units)
@@ -807,6 +1001,37 @@ class IntraDocDedupRefiner(Refiner):
         return {
             self.out_col: F.when(t.isNotNull(), rebuilt),
             "dup_units_removed": F.when(t.isNotNull(), F.size(dropped)).otherwise(F.lit(0)).cast("int"),
+        }
+
+    def _columns_sql(self, ref: str) -> dict[str, Column]:
+        """SQL-text twin of the composed tree above (structural parity
+        pinned by tests/test_refiner_expr_parity.py)."""
+        import re
+
+        units = f"split({ref}, {sql_string_literal(re.escape(self.sep))})"
+        zipped = f"transform({units}, (x, y) -> struct(x AS u, y AS p))"
+        by_unit = (
+            f"array_sort({zipped}, (x, y) -> "
+            "CASE WHEN (x.u < y.u) THEN -1 WHEN (x.u > y.u) THEN 1 ELSE x.p - y.p END)"
+        )
+        acc0 = "struct(cast(NULL as string) AS prev, cast(array() as array<int>) AS ps)"
+        walked = (
+            f"aggregate({by_unit}, {acc0}, (x, y) -> struct(y.u AS prev, "
+            f"CASE WHEN ((y.u <=> x.prev) AND (length(trim(y.u)) >= {self.min_unit_chars})) "
+            "THEN array_append(x.ps, y.p) ELSE x.ps END AS ps))"
+        )
+        dropped = f"{walked}.ps"
+        kept = f"filter({zipped}, x -> (NOT array_contains({dropped}, x.p)))"
+        rebuilt = (
+            f"array_join(transform({kept}, x -> x.u), {sql_string_literal(self.sep)})"
+        )
+        return {
+            self.out_col: F.expr(
+                f"CASE WHEN ({ref} IS NOT NULL) THEN {rebuilt} END"
+            ),
+            "dup_units_removed": F.expr(
+                f"cast(CASE WHEN ({ref} IS NOT NULL) THEN size({dropped}) ELSE 0 END as int)"
+            ),
         }
 
 

@@ -1,0 +1,124 @@
+"""Structural parity for the round-12 SQL-text fast paths.
+
+py4j costs ~2-4 ms per Column call on the bench hosts, so the struct-builder
+refiners (LanguageId / QualityScore / RepetitionStats / GopherQuality /
+IntraDocDedup / TextStats) author their Catalyst trees as ONE SQL string per
+output column instead of dozens of composed Column calls. The fast path must
+be a pure re-spelling: this module pins, for every such refiner,
+
+  * analyzed-plan equality with the composed-Column twin, modulo expression
+    ids (`#123`) and the fresh-name suffix pyspark appends to lambda
+    variables (`lambda x_1` vs SQL's `lambda x` — the binder NAME is
+    display-only; references resolve by id). Any drift in literals, casts,
+    operator shape, or lambda structure fails the diff.
+  * value equality on an adversarial fixture (quotes, backslashes, regex
+    metacharacters, repeated lines, unicode, empty, NULL).
+
+The composed path is forced by stubbing the plain-column detector
+(`refiners.sql_plain_column`) to return None — exactly the dispatch the
+fast path takes for Column inputs or backticked names.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import mega_data_factory_spark.operators.refiners as R
+
+ROWS = [
+    (0, "the cat and the hat el la de que der die und das le les et des"),
+    (1, "repeat line\nrepeat line\nrepeat line\nunique tail line here"),
+    (2, "it's a 'quoted' back\\slash c++ a.b [set] (paren) #tag ..."),
+    (3, "• bullet one\n- bullet two\nends with ellipsis...\nplain line."),
+    (4, "Tür tür TÜR déjà vu … naïve"),
+    (5, "word " * 50 + "word"),
+    (6, ""),
+    (7, None),
+]
+
+
+REFINERS = [
+    pytest.param(lambda: R.TextStatsRefiner(), id="TextStatsRefiner"),
+    pytest.param(lambda: R.TextStatsRefiner(length_col="n_chars"), id="TextStatsRefiner-lencol"),
+    pytest.param(lambda: R.LanguageIdRefiner(), id="LanguageIdRefiner"),
+    pytest.param(lambda: R.QualityScoreRefiner(), id="QualityScoreRefiner"),
+    pytest.param(lambda: R.GopherQualityRefiner(), id="GopherQualityRefiner"),
+    pytest.param(lambda: R.RepetitionStatsRefiner(), id="RepetitionStatsRefiner"),
+    pytest.param(lambda: R.IntraDocDedupRefiner(), id="IntraDocDedupRefiner"),
+    pytest.param(
+        lambda: R.IntraDocDedupRefiner(sep=". ", min_unit_chars=4, out_col="td"),
+        id="IntraDocDedupRefiner-sep",
+    ),
+]
+
+
+def _fixture_df(spark):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(ROWS, "doc_id long, text string").withColumn(
+        "n_chars", F.when(F.col("doc_id") % 2 == 0, F.length("text"))
+    )
+
+
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def _norm(plan: str) -> str:
+    plan = re.sub(r"#\d+", "#N", plan)
+    # pyspark's _unresolved_named_lambda_variable appends a fresh counter
+    # to its fixed x/y/z binder names; the SQL text spells them bare. The
+    # name is cosmetic (references bind by expression id, already
+    # normalized above) — but only the SUFFIX is normalized, so a twin
+    # that swapped binders (x for y) would still fail the diff.
+    return re.sub(r"lambda ([xyz])_\d+", r"lambda \1", plan)
+
+
+def _both_paths(make_refiner, df):
+    fast = make_refiner().apply(df)
+    orig = R.sql_plain_column
+    R.sql_plain_column = lambda c: None
+    try:
+        slow = make_refiner().apply(df)
+    finally:
+        R.sql_plain_column = orig
+    return fast, slow
+
+
+@pytest.mark.parametrize("make_refiner", REFINERS)
+def test_fast_path_tree_identical(spark, make_refiner):
+    df = _fixture_df(spark)
+    fast, slow = _both_paths(make_refiner, df)
+    a, b = _norm(_analyzed(fast)), _norm(_analyzed(slow))
+    assert a == b, "SQL-text twin drifted from the composed tree:\n" + "\n".join(
+        f"fast: {x}\nslow: {y}" for x, y in zip(a.splitlines(), b.splitlines()) if x != y
+    )
+
+
+@pytest.mark.parametrize("make_refiner", REFINERS)
+def test_fast_path_values_identical(spark, make_refiner):
+    df = _fixture_df(spark)
+    fast, slow = _both_paths(make_refiner, df)
+    rows_f = [tuple(str(v) for v in r) for r in fast.orderBy("doc_id").collect()]
+    rows_s = [tuple(str(v) for v in r) for r in slow.orderBy("doc_id").collect()]
+    assert rows_f == rows_s
+
+
+def test_fast_path_actually_dispatches(spark):
+    """The fast path must engage for plain string column names (the guard
+    against a silent fallback that would quietly re-pay the py4j cost)."""
+    df = _fixture_df(spark)
+    for p in REFINERS:
+        make = p.values[0]
+        r = make()
+        assert hasattr(r, "_columns_sql"), type(r).__name__
+    # and the plain-column detector must refuse anything it cannot safely
+    # interpolate into SQL text: backtick-carrying names (F.col cannot
+    # parse those either — the composed fallback's pre-existing limit, not
+    # a twin regression) and Column objects.
+    from pyspark.sql import functions as F
+
+    assert R.sql_plain_column("te`xt") is None
+    assert R.sql_plain_column(F.col("text")) is None
