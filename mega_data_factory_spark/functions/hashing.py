@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from mega_data_factory_spark.functions.text import normalize_text
+from mega_data_factory_spark.functions.text import (
+    normalize_text,
+    sql_plain_column,
+    sql_string_literal,
+)
 
 
 def _c(col: Column | str) -> Column:
@@ -53,15 +57,32 @@ def content_key(
     return F.when(norm.isNull(), F.concat(F.lit("id:"), _c(id_col).cast("string"))).otherwise(F.md5(norm))
 
 
-def hash64_from_md5(col: Column, *, seed: int | str | None = None) -> Column:
+def hash64_from_md5_sql(col_sql: str, *, seed: int | str | None = None) -> str:
+    """SQL twin of :func:`hash64_from_md5` (same tree, one parse);
+    ``col_sql`` is an already-rendered SQL fragment."""
+    s = f"cast({col_sql} as string)"
+    if seed is not None:
+        s = f"concat({s}, {sql_string_literal(f'#{seed}')})"
+    return f"cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)"
+
+
+def hash64_from_md5(col: Column | str, *, seed: int | str | None = None) -> Column:
     """Deterministic 60-bit integer hash derived from md5 hex — reproducible
     in ANSI SQL: ``conv(substr(md5(x), 1, 15), 16, 10)``.
 
     ``seed`` (appended with a ``#`` separator before hashing) yields an
     independent hash family member — the minhash/LSH machinery uses
     ``seed=0..k-1`` for its k permutations.
+
+    Plain string column names take the :func:`hash64_from_md5_sql`
+    single-expr fast path (round 12, same tree — pinned by
+    tests/test_refiner_expr_parity.py::test_hash64_twin); Column inputs
+    keep the composed form.
     """
-    s = col.cast("string")
+    ref = sql_plain_column(col)
+    if ref is not None:
+        return F.expr(hash64_from_md5_sql(ref, seed=seed))
+    s = _c(col).cast("string")
     if seed is not None:
         s = F.concat(s, F.lit(f"#{seed}"))
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")

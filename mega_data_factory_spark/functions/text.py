@@ -202,6 +202,31 @@ def word_ngram_array(col: Column | str, *, bigrams: bool = True, empty_on_null: 
     return w
 
 
+def word_shingles_sql(col_sql: str, n: int = 3) -> str:
+    """SQL twin of :func:`word_shingles` (same tree, one parse).
+
+    Binder spelling: pyspark's ``_create_lambda`` names every lambda arg
+    ``x``/``y``/``z`` plus a fresh numeric suffix, and the parity
+    normalizer (tests/test_refiner_expr_parity.py) folds ``x_<k>`` and
+    bare ``x`` together. The two nested unary binders are spelled
+    ``x_1``/``x_2`` here — DISTINCT names, because the composed tree
+    references the OUTER normalized-text variable (``array(x_1)``, the
+    fewer-than-n-tokens fallback) from inside the inner lambda, which a
+    same-name shadowing spelling could not express."""
+    grams = "x_2"
+    for i in range(2, n + 1):
+        grams = f"zip_with({grams}, slice(x_2, {i}, size(x_2)), (x, y) -> concat_ws(' ', x, y))"
+    gram = (
+        f"CASE WHEN (size(x_2) >= {n}) THEN slice({grams}, 1, size(x_2) - {n - 1}) "
+        f"ELSE array(x_1) END"
+    )
+    build = (
+        f"CASE WHEN (x_1 IS NULL) THEN cast(NULL as array<string>) "
+        f"ELSE transform(array(split(x_1, ' ')), x_2 -> {gram})[0] END"
+    )
+    return f"transform(array({normalize_text_sql(col_sql)}), x_1 -> {build})[0]"
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Array of word n-gram shingles over the normalized text, preserving
     document order (duplicates included). Documents with fewer than ``n``
@@ -228,7 +253,17 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     Inner references to the bound variables (size/slice of a lambda var)
     are O(1) attribute reads, and the zip_with chain is sequential — each
     level evaluates once.
+
+    Plain string column names take the :func:`word_shingles_sql` single-expr
+    fast path (round 12): the composed form below costs ~45 py4j round trips
+    (~100-250 ms of pure driver latency per plan build on the bench hosts)
+    and is rebuilt on every pass of every consumer (MinHash/ngram-Jaccard/
+    shared-span/decontamination plans). Identical analyzed tree, pinned by
+    tests/test_refiner_expr_parity.py::test_word_shingles_twin.
     """
+    ref = sql_plain_column(col)
+    if ref is not None:
+        return F.expr(word_shingles_sql(ref, n))
 
     def build(nv: Column) -> Column:
         def gram(words: Column) -> Column:

@@ -528,7 +528,7 @@ class MinHashLSHDeduplicator(JoinDeduplicator):
         exploded = df.select(
             F.col(self.id_col),
             F.explode(F.array_distinct(word_shingles(self.text_col, self.shingle_n))).alias("__s"),
-        ).select(F.col(self.id_col), hash64_from_md5(F.col("__s")).alias("__bh"))
+        ).select(F.col(self.id_col), hash64_from_md5("__s").alias("__bh"))
         # Aggregates and the band fold below are authored as SQL expr
         # strings, not composed Column objects — same Catalyst expressions
         # (values verified identical, tests/test_dedup.py + the DuckDB
@@ -540,9 +540,11 @@ class MinHashLSHDeduplicator(JoinDeduplicator):
         # form builds the same aggregate in ~0.05 s.
         sig = exploded.groupBy(self.id_col).agg(
             *[
+                # alias INSIDE the expr string: a separate .alias() is one
+                # more py4j round trip per hash (16 per plan build)
                 F.expr(
-                    f"min(({MINHASH_A[i]}L * (__bh % {MINHASH_P}L) + {MINHASH_B[i]}L) % {MINHASH_P}L)"
-                ).alias(f"__m{i}")
+                    f"min(({MINHASH_A[i]}L * (__bh % {MINHASH_P}L) + {MINHASH_B[i]}L) % {MINHASH_P}L) AS __m{i}"
+                )
                 for i in range(self.num_hashes)
             ]
         )

@@ -106,6 +106,52 @@ def test_fast_path_values_identical(spark, make_refiner):
     assert rows_f == rows_s
 
 
+@pytest.mark.parametrize("n", [1, 2, 3, 4])
+def test_word_shingles_twin(spark, n):
+    """word_shingles' SQL-text fast path (round 12): identical analyzed
+    tree and values vs the composed nested-lambda form, across shingle
+    widths — this expression feeds every oracle-anchored dedup key
+    (MinHash bands, ngram Jaccard, decontamination), so the bar is plan
+    equality, not just value equality."""
+    import mega_data_factory_spark.functions.text as T
+
+    df = _fixture_df(spark)
+    fast = df.select(T.word_shingles("text", n).alias("s"))
+    orig = T.sql_plain_column
+    T.sql_plain_column = lambda c: None
+    try:
+        slow = df.select(T.word_shingles("text", n).alias("s"))
+    finally:
+        T.sql_plain_column = orig
+    a, b = _norm(_analyzed(fast)), _norm(_analyzed(slow))
+    assert a == b, "\n".join(
+        f"fast: {x}\nslow: {y}" for x, y in zip(a.splitlines(), b.splitlines()) if x != y
+    )
+    rows_f = [str(r) for r in fast.collect()]
+    rows_s = [str(r) for r in slow.collect()]
+    assert rows_f == rows_s
+    # and the fast path must actually engage for a plain name
+    assert "pythonUDF" not in _analyzed(fast)  # sanity: still pure SQL exprs
+
+
+@pytest.mark.parametrize("seed", [None, 0, 7, "wds", "a'b\\c"])
+def test_hash64_twin(spark, seed):
+    """hash64_from_md5's SQL-text fast path: identical analyzed tree and
+    values vs the composed form, including seeds that need SQL string
+    escaping."""
+    import mega_data_factory_spark.functions.hashing as H
+    from pyspark.sql import functions as F
+
+    df = _fixture_df(spark)
+    fast = df.select(H.hash64_from_md5("text", seed=seed).alias("h"))
+    slow = df.select(H.hash64_from_md5(F.col("text"), seed=seed).alias("h"))
+    a, b = _norm(_analyzed(fast)), _norm(_analyzed(slow))
+    assert a == b, "\n".join(
+        f"fast: {x}\nslow: {y}" for x, y in zip(a.splitlines(), b.splitlines()) if x != y
+    )
+    assert [str(r) for r in fast.collect()] == [str(r) for r in slow.collect()]
+
+
 def test_fast_path_actually_dispatches(spark):
     """The fast path must engage for plain string column names (the guard
     against a silent fallback that would quietly re-pay the py4j cost)."""
