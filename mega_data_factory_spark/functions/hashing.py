@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from mega_data_factory_spark.functions.text import (
     normalize_text,
+    normalize_text_sql,
     sql_plain_column,
     sql_string_literal,
 )
@@ -55,6 +56,25 @@ def content_key(
         # for non-NULL text.
         norm = F.concat(F.coalesce(_c(url_col), F.lit("")), F.lit("|"), norm)
     return F.when(norm.isNull(), F.concat(F.lit("id:"), _c(id_col).cast("string"))).otherwise(F.md5(norm))
+
+
+def content_key_sql(
+    text_sql: str,
+    id_sql: str,
+    *,
+    url_sql: str | None = None,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+) -> str:
+    """SQL twin of :func:`content_key` (same tree, one parse); all inputs
+    are already-rendered SQL fragments."""
+    norm = normalize_text_sql(text_sql, lowercase=lowercase, collapse_whitespace=collapse_whitespace)
+    if url_sql is not None:
+        norm = f"concat(coalesce({url_sql}, ''), '|', {norm})"
+    return (
+        f"CASE WHEN ({norm} IS NULL) THEN concat('id:', cast({id_sql} as string)) "
+        f"ELSE md5({norm}) END"
+    )
 
 
 def hash64_from_md5_sql(col_sql: str, *, seed: int | str | None = None) -> str:

@@ -12,6 +12,8 @@ engine-specific collation or hashing.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -44,6 +46,21 @@ def sql_string_literal(s: str) -> str:
         .replace("\x00", "\\0")
     )
     return f"'{out}'"
+
+
+def sql_number_literal(v: int | float) -> str | None:
+    """SQL literal whose PARSED TYPE matches ``F.lit(v)``: plain digits for
+    32-bit ints (wider ints and bools have no spelling this helper
+    guarantees faithful — callers fall back to the composed path on None),
+    ``repr(v)`` + the ``D`` suffix for finite floats (bare ``0.3`` parses
+    as DECIMAL in Spark SQL; ``repr`` round-trips the exact double)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return str(v) if -(2**31) <= v <= 2**31 - 1 else None
+    if isinstance(v, float) and math.isfinite(v):
+        return f"{v!r}D"
+    return None
 
 
 def sql_plain_column(col: Column | str) -> str | None:

@@ -43,6 +43,22 @@ REJECTION_DETAILS_COL = "_rejection_details"
 REJECTION_STRUCT_DDL = "struct<reason:string,operator:string,dedup_key:string,representative_id:string>"
 
 
+def rejection_details_sql(reason: str, operator: str) -> str:
+    """SQL twin of :func:`rejection_details` for the filtered case (both
+    key fields NULL) — same tree, one parse. Spelled ``struct(x AS name)``
+    (NOT ``named_struct``): both resolve to CreateNamedStruct, but the
+    parsed function name survives into the analyzed plan's toString and
+    the parity tests compare those strings."""
+    from mega_data_factory_spark.functions.text import sql_string_literal
+
+    return (
+        f"struct(cast({sql_string_literal(reason)} as string) AS reason, "
+        f"cast({sql_string_literal(operator)} as string) AS operator, "
+        f"cast(null as string) AS dedup_key, "
+        f"cast(null as string) AS representative_id)"
+    )
+
+
 def rejection_details(
     reason: Column | str,
     operator: Column | str,
@@ -129,7 +145,22 @@ class Filter(Operator):
     def predicate(self, df: DataFrame) -> Column:
         """Boolean keep-condition. NULL counts as reject."""
 
+    def predicate_sql(self, df: DataFrame) -> str | None:
+        """Optional SQL-text twin of :meth:`predicate` (round 12): an
+        already-rendered SQL fragment that parses to the IDENTICAL
+        Catalyst tree, or None to keep the composed path. Subclasses that
+        implement it must return None for any parameterization they
+        cannot faithfully spell (Column inputs, backticked names,
+        non-32-bit ints — see functions.text.sql_number_literal) and pin
+        the equality in tests/test_refiner_expr_parity.py. Motivation:
+        py4j costs ~2-4 ms per Column call on the bench hosts, and filter
+        predicates + the pipeline tag rebuild on every cold plan."""
+        return None
+
     def keep(self, df: DataFrame) -> Column:
+        psql = self.predicate_sql(df)
+        if psql is not None:
+            return F.expr(f"coalesce({psql}, false)")
         return F.coalesce(self.predicate(df), F.lit(False))
 
     def apply(self, df: DataFrame) -> DataFrame:
@@ -203,6 +234,45 @@ class Deduplicator(Operator):
     @abstractmethod
     def key(self, df: DataFrame) -> Column:
         """Dedup key expression (string)."""
+
+    def key_sql(self, df: DataFrame) -> str | None:
+        """Optional SQL-text twin of :meth:`key` (round 12): an
+        already-rendered SQL fragment parsing to the IDENTICAL tree, or
+        None to keep the composed path (the Filter.predicate_sql
+        contract — return None for any parameterization without a
+        faithful spelling; pin equality in
+        tests/test_refiner_expr_parity.py)."""
+        return None
+
+    def _missing_key_sql(self, df: DataFrame) -> str | None:
+        """SQL twin of :meth:`_missing_key`; subclasses that override
+        ``_missing_key`` must override this too (or return None)."""
+        k = self.key_sql(df)
+        return None if k is None else f"({k} IS NULL)"
+
+    def effective_key_sql(self, df: DataFrame) -> str | None:
+        """SQL twin of :meth:`_effective_key` — the whole NULL-handling
+        wrapper as one fragment, or None when any piece lacks a faithful
+        spelling. Control characters are spelled with Spark's
+        string-literal escapes where one exists (``\\0`` for NUL) and
+        raw otherwise (US, ``\\x1f``) — both parse to the identical
+        literal bytes (pinned by the parity tests)."""
+        from mega_data_factory_spark.functions.text import sql_plain_column
+
+        k = self.key_sql(df)
+        o = sql_plain_column(self.order_col)
+        if k is None or o is None:
+            return None
+        unique = (
+            "concat_ws('', '\\0N\x1f', coalesce(cast(" + o + " as string), "
+            "concat_ws('', 'mi:', cast(monotonically_increasing_id() as string))))"
+        )
+        if self.null_keys == "distinct":
+            m = self._missing_key_sql(df)
+            if m is None:
+                return None
+            return f"CASE WHEN ({m} OR ({o} IS NULL)) THEN {unique} ELSE {k} END"
+        return f"CASE WHEN ({o} IS NULL) THEN {unique} ELSE {k} END"
 
     def _missing_key(self, df: DataFrame) -> Column:
         """True where the row has NO dedup identity (used by

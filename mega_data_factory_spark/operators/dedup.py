@@ -16,8 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mega_data_factory_spark.functions.hashing import content_key, hash64_from_md5
-from mega_data_factory_spark.functions.text import word_shingles
+from mega_data_factory_spark.functions.hashing import content_key, content_key_sql, hash64_from_md5
+from mega_data_factory_spark.functions.text import sql_plain_column, word_shingles
 from mega_data_factory_spark.functions.vectors import is_finite_vector, l2_norm
 from mega_data_factory_spark.operators.base import (
     Deduplicator,
@@ -55,6 +55,19 @@ class TextExactDeduplicator(Deduplicator):
             url_col=self.url_col,
             lowercase=self.lowercase,
             collapse_whitespace=self.collapse_whitespace,
+        )
+
+    def key_sql(self, df: DataFrame) -> str | None:
+        tc, ic = sql_plain_column(self.text_col), sql_plain_column(self.id_col)
+        if tc is None or ic is None:
+            return None
+        usql = None
+        if self.url_col is not None:
+            usql = sql_plain_column(self.url_col)
+            if usql is None:
+                return None
+        return content_key_sql(
+            tc, ic, url_sql=usql, lowercase=self.lowercase, collapse_whitespace=self.collapse_whitespace
         )
 
 
@@ -399,6 +412,13 @@ class IncrementalKeyDeduplicator(IncrementalExactDeduplicator):
             return F.when(self._missing_key(df), unique).otherwise(raw)
         return F.coalesce(raw, F.lit("\x00"))
 
+    def key_sql(self, df: DataFrame) -> str | None:
+        # key() above wraps KeyDeduplicator.key with store-safe NULL
+        # sentinels — the TextExact twin this class would otherwise
+        # inherit does NOT mirror it. No twin authored (the join-dedup
+        # pipeline path never consults effective_key_sql here).
+        return None
+
 
 class KeyDeduplicator(Deduplicator):
     """Dedup on an arbitrary existing column/expression (generic first-wins
@@ -437,6 +457,15 @@ class KeyDeduplicator(Deduplicator):
             return cols[0]
         return F.concat_ws("\x1f", *[F.coalesce(c, F.lit("\x00")) for c in cols])
 
+    def key_sql(self, df: DataFrame) -> str | None:
+        refs = [sql_plain_column(c) for c in self.key_cols]
+        if any(r is None for r in refs):
+            return None
+        if len(refs) == 1:
+            return f"cast({refs[0]} as string)"
+        parts = ", ".join(f"coalesce(cast({r} as string), '\\0')" for r in refs)
+        return f"concat_ws('\x1f', {parts})"
+
     def _missing_key(self, df: DataFrame) -> Column:
         # the multi-column key() sentinels NULLs into a non-NULL concat, so
         # "distinct" mode must test the underlying columns: ANY NULL
@@ -444,6 +473,15 @@ class KeyDeduplicator(Deduplicator):
         cond = F.col(self.key_cols[0]).isNull()
         for c in self.key_cols[1:]:
             cond = cond | F.col(c).isNull()
+        return cond
+
+    def _missing_key_sql(self, df: DataFrame) -> str | None:
+        refs = [sql_plain_column(c) for c in self.key_cols]
+        if any(r is None for r in refs):
+            return None
+        cond = f"({refs[0]} IS NULL)"
+        for r in refs[1:]:
+            cond = f"({cond} OR ({r} IS NULL))"
         return cond
 
 

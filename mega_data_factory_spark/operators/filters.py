@@ -17,7 +17,13 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mega_data_factory_spark.functions.text import text_length, word_occurrences
+from mega_data_factory_spark.functions.text import (
+    sql_number_literal,
+    sql_plain_column,
+    text_length,
+    text_length_sql,
+    word_occurrences,
+)
 from mega_data_factory_spark.operators.base import Filter
 
 
@@ -48,6 +54,20 @@ class TextLengthFilter(Filter):
     def predicate(self, df: DataFrame) -> Column:
         ln = text_length(self.text_col, self.length_col if self.length_col in (df.columns if df is not None else []) else None)
         return ln.between(self.min_length, self.max_length)
+
+    def predicate_sql(self, df: DataFrame) -> str | None:
+        tc = sql_plain_column(self.text_col)
+        mn, mx = sql_number_literal(self.min_length), sql_number_literal(self.max_length)
+        if tc is None or mn is None or mx is None:
+            return None
+        lc = self.length_col if self.length_col in (df.columns if df is not None else []) else None
+        lsql = None
+        if lc is not None:
+            lsql = sql_plain_column(lc)
+            if lsql is None:
+                return None
+        ln = text_length_sql(tc, lsql)
+        return f"(({ln} >= {mn}) AND ({ln} <= {mx}))"
 
 
 def word_score(col: Column | str, weights: dict[str, float]) -> Column:
@@ -233,6 +253,23 @@ class NumericRangeFilter(Filter):
             cond = cond & (c <= self.hi)
         return cond
 
+    def predicate_sql(self, df: DataFrame) -> str | None:
+        c = sql_plain_column(self.column)
+        if c is None:
+            return None
+        cond = "true"
+        if self.lo is not None:
+            lo = sql_number_literal(self.lo)
+            if lo is None:
+                return None
+            cond = f"({cond} AND ({c} >= {lo}))"
+        if self.hi is not None:
+            hi = sql_number_literal(self.hi)
+            if hi is None:
+                return None
+            cond = f"({cond} AND ({c} <= {hi}))"
+        return cond
+
 
 class C4PageFilter(Filter):
     """Page-level C4 drop rules (Raffel et al. 2020, §2.2) over
@@ -255,6 +292,17 @@ class C4PageFilter(Filter):
             & ~F.coalesce(F.col("c4_flag_lorem"), F.lit(True))
             & ~F.coalesce(F.col("c4_flag_badword"), F.lit(True))
             & (F.coalesce(F.col("c4_sentences"), F.lit(0)) >= self.min_sentences)
+        )
+
+    def predicate_sql(self, df: DataFrame) -> str | None:
+        n = sql_number_literal(self.min_sentences)
+        if n is None:
+            return None
+        return (
+            "((((NOT coalesce(`c4_flag_brace`, true)) "
+            "AND (NOT coalesce(`c4_flag_lorem`, true))) "
+            "AND (NOT coalesce(`c4_flag_badword`, true))) "
+            f"AND (coalesce(`c4_sentences`, 0) >= {n}))"
         )
 
 
@@ -314,3 +362,38 @@ class GopherQualityFilter(Filter):
             & (F.coalesce(F.col("gopher_alpha_word_frac"), F.lit(0.0)) >= self.min_alpha_word_frac)
             & (F.coalesce(F.col("gopher_stopword_count"), F.lit(0)) >= self.min_stopwords)
         )
+
+    def predicate_sql(self, df: DataFrame) -> str | None:
+        lits = [
+            sql_number_literal(v)
+            for v in (
+                self.min_words,
+                self.max_words,
+                self.min_mean_word_len,
+                self.max_mean_word_len,
+                self.max_symbol_ratio,
+                self.max_bullet_line_frac,
+                self.max_ellipsis_line_frac,
+                self.min_alpha_word_frac,
+                self.min_stopwords,
+            )
+        ]
+        if any(v is None for v in lits):
+            return None
+        mnw, mxw, mnl, mxl, sym, bul, ell, alpha, stop = lits
+        wc = "coalesce(`gopher_word_count`, -1)"
+        mwl = "coalesce(`gopher_mean_word_len`, -1.0D)"
+        clauses = [
+            f"(({wc} >= {mnw}) AND ({wc} <= {mxw}))",
+            f"(({mwl} >= {mnl}) AND ({mwl} <= {mxl}))",
+            f"(coalesce(`gopher_hash_ratio`, 1.0D) <= {sym})",
+            f"(coalesce(`gopher_ellipsis_ratio`, 1.0D) <= {sym})",
+            f"(coalesce(`gopher_bullet_line_frac`, 1.0D) <= {bul})",
+            f"(coalesce(`gopher_ellipsis_line_frac`, 1.0D) <= {ell})",
+            f"(coalesce(`gopher_alpha_word_frac`, 0.0D) >= {alpha})",
+            f"(coalesce(`gopher_stopword_count`, 0) >= {stop})",
+        ]
+        out = clauses[0]
+        for c in clauses[1:]:
+            out = f"({out} AND {c})"
+        return out

@@ -174,9 +174,24 @@ class Pipeline:
             ck = (id(op), tuple(df.columns), "filter")
             tag = self._expr_cache.get(ck) if op.cacheable_predicate else None
             if tag is None:
-                tag = F.when(
-                    alive & ~op.keep(df), rejection_details("filtered", op.name)
-                ).otherwise(F.col(_R))
+                # SQL-text fast path (round 12): filters exposing
+                # predicate_sql get the whole tag — alive gate, keep
+                # coalesce, rejection struct — parsed in ONE py4j round
+                # trip instead of ~20-45 composed Column calls per cold
+                # plan build. Identical analyzed tree, pinned per filter
+                # class in tests/test_refiner_expr_parity.py.
+                psql = op.predicate_sql(df)
+                if psql is not None:
+                    from mega_data_factory_spark.operators.base import rejection_details_sql
+
+                    tag = F.expr(
+                        f"CASE WHEN ((`{_R}` IS NULL) AND (NOT coalesce({psql}, false))) "
+                        f"THEN {rejection_details_sql('filtered', op.name)} ELSE `{_R}` END"
+                    )
+                else:
+                    tag = F.when(
+                        alive & ~op.keep(df), rejection_details("filtered", op.name)
+                    ).otherwise(F.col(_R))
                 if op.cacheable_predicate:
                     self._expr_cache[ck] = tag
             return df.withColumn(_R, tag)
@@ -210,6 +225,16 @@ class Pipeline:
             cached = self._expr_cache.get(ck)
             if cached is not None:
                 return df.withColumn(_R, cached)
+            # SQL-text fast path (round 12): the whole tag — dead-row key
+            # sentinel, effective key, both window functions, rejection
+            # struct — parsed in ONE py4j round trip instead of ~50
+            # composed Column calls per cold plan build. Identical
+            # analyzed tree (window frames, double casts and all), pinned
+            # per dedup class in tests/test_refiner_expr_parity.py.
+            tag = self._key_dedup_tag_sql(op, df)
+            if tag is not None:
+                self._expr_cache[ck] = tag
+                return df.withColumn(_R, tag)
         # _effective_key, not key(): the null_keys="distinct" contract
         # (rows with no dedup identity each survive) must hold on the
         # pipeline path too — op.key() alone would collapse every NULL-key
@@ -270,6 +295,33 @@ class Pipeline:
         if op.cacheable_predicate:
             self._expr_cache[(id(op), tuple(df.columns), "key_dedup")] = tag
         return df.withColumn(_R, tag)
+
+    @staticmethod
+    def _key_dedup_tag_sql(op: Deduplicator, df: DataFrame) -> Column | None:
+        """One-expr spelling of the window dedup tag below, or None when
+        the operator/key has no faithful SQL twin (the composed path then
+        builds the identical tree Column by Column)."""
+        from mega_data_factory_spark.functions.text import sql_plain_column, sql_string_literal
+
+        esql = op.effective_key_sql(df)
+        ic = sql_plain_column(op.id_col)
+        oc = sql_plain_column(op.order_col)
+        if esql is None or ic is None or oc is None:
+            return None
+        key = (
+            f"CASE WHEN (`{_R}` IS NULL) THEN cast({esql} as string) "
+            f"ELSE concat_ws('', '\\0D\x1f', coalesce(cast({ic} as string), '')) END"
+        )
+        over = f"OVER (PARTITION BY {key} ORDER BY {oc})"
+        name = sql_string_literal(op.name)
+        return F.expr(
+            f"CASE WHEN ((`{_R}` IS NULL) AND (row_number() {over} > 1)) "
+            f"THEN struct(cast('duplicate' as string) AS reason, "
+            f"cast({name} as string) AS operator, "
+            f"cast({key} as string) AS dedup_key, "
+            f"cast(cast(first({ic}) {over} as string) as string) AS representative_id) "
+            f"ELSE `{_R}` END"
+        )
 
     def _apply_join_dedup(self, df: DataFrame, op: Deduplicator) -> DataFrame:
         # The pairs side embeds the full upstream plan (scan + every prior

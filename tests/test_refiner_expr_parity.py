@@ -152,6 +152,212 @@ def test_hash64_twin(spark, seed):
     assert [str(r) for r in fast.collect()] == [str(r) for r in slow.collect()]
 
 
+FILTERS = [
+    pytest.param(
+        lambda: __import__("mega_data_factory_spark.operators.filters", fromlist=["x"]).NumericRangeFilter(
+            column="score", lo=1, hi=0.6, name="RangeCut"
+        ),
+        id="NumericRangeFilter",
+    ),
+    pytest.param(
+        lambda: __import__("mega_data_factory_spark.operators.filters", fromlist=["x"]).NumericRangeFilter(
+            column="score", lo=0.3, name="LoOnly"
+        ),
+        id="NumericRangeFilter-lo",
+    ),
+    pytest.param(
+        lambda: __import__("mega_data_factory_spark.operators.filters", fromlist=["x"]).TextLengthFilter(
+            min_length=5, max_length=1000
+        ),
+        id="TextLengthFilter",
+    ),
+    pytest.param(
+        lambda: __import__("mega_data_factory_spark.operators.filters", fromlist=["x"]).TextLengthFilter(
+            min_length=5, max_length=1000, length_col="n_chars"
+        ),
+        id="TextLengthFilter-lencol",
+    ),
+    pytest.param(
+        lambda: __import__("mega_data_factory_spark.operators.filters", fromlist=["x"]).GopherQualityFilter(),
+        id="GopherQualityFilter",
+    ),
+    pytest.param(
+        lambda: __import__("mega_data_factory_spark.operators.filters", fromlist=["x"]).C4PageFilter(),
+        id="C4PageFilter",
+    ),
+]
+
+
+def _filter_fixture(spark):
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.base import REJECTION_STRUCT_DDL
+    from mega_data_factory_spark.operators.refiners import (
+        C4HeuristicRefiner,
+        GopherQualityRefiner,
+    )
+
+    df = (
+        _fixture_df(spark)
+        .withColumn("score", (F.col("doc_id") * 7 % 13).cast("double") / 10)
+        .withColumn("_rejection_details", F.lit(None).cast(REJECTION_STRUCT_DDL))
+    )
+    df = df.withColumns(GopherQualityRefiner().columns(df))
+    df = C4HeuristicRefiner().apply(df)  # columns + derived (c4_sentences)
+    return df
+
+
+@pytest.mark.parametrize("make_filter", FILTERS)
+def test_filter_tag_twin(spark, make_filter):
+    """The pipeline's filter tag (alive gate + keep coalesce + rejection
+    struct) authored as one SQL expr must be tree- and value-identical to
+    the composed form — for every filter class exposing predicate_sql."""
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    df = _filter_fixture(spark)
+
+    def tag(force_composed: bool):
+        op = make_filter()
+        assert op.predicate_sql(df) is not None, "twin must dispatch on this fixture"
+        if force_composed:
+            op.predicate_sql = lambda df: None  # instance shadow: composed path
+        pipe = Pipeline.__new__(Pipeline)
+        pipe._expr_cache = {}
+        pipe._mid_cached = []
+        return pipe._apply(df, op)
+
+    fast, slow = tag(False), tag(True)
+    a, b = _norm(_analyzed(fast)), _norm(_analyzed(slow))
+    assert a == b, "\n".join(
+        f"fast: {x}\nslow: {y}" for x, y in zip(a.splitlines(), b.splitlines()) if x != y
+    )
+    rows_f = [str(r) for r in fast.orderBy("doc_id").collect()]
+    rows_s = [str(r) for r in slow.orderBy("doc_id").collect()]
+    assert rows_f == rows_s
+
+
+@pytest.mark.parametrize("make_filter", FILTERS)
+def test_filter_keep_twin(spark, make_filter):
+    """Filter.keep()'s fast path (used by apply()/rejected() outside the
+    pipeline) must match the composed coalesce(predicate, false)."""
+    df = _filter_fixture(spark)
+    op_fast, op_slow = make_filter(), make_filter()
+    op_slow.predicate_sql = lambda df: None
+    fast = df.select(op_fast.keep(df).alias("k"))
+    slow = df.select(op_slow.keep(df).alias("k"))
+    a, b = _norm(_analyzed(fast)), _norm(_analyzed(slow))
+    assert a == b, "\n".join(
+        f"fast: {x}\nslow: {y}" for x, y in zip(a.splitlines(), b.splitlines()) if x != y
+    )
+    assert [str(r) for r in fast.collect()] == [str(r) for r in slow.collect()]
+
+
+def test_filter_twin_refuses_unspellable(spark):
+    """Parameterizations with no faithful SQL spelling must fall back."""
+    from mega_data_factory_spark.operators.filters import NumericRangeFilter
+
+    df = _filter_fixture(spark)
+    assert NumericRangeFilter(column="sc`ore", lo=1).predicate_sql(df) is None
+    assert NumericRangeFilter(column="score", lo=2**40).predicate_sql(df) is None
+    assert NumericRangeFilter(column="score", lo=float("inf")).predicate_sql(df) is None
+
+
+def _make_dedups():
+    from mega_data_factory_spark.operators.dedup import KeyDeduplicator, TextExactDeduplicator
+
+    return [
+        pytest.param(lambda: TextExactDeduplicator(), id="TextExact"),
+        pytest.param(lambda: TextExactDeduplicator(url_col="url", lowercase=False), id="TextExact-url"),
+        pytest.param(
+            lambda: TextExactDeduplicator(collapse_whitespace=False, name="Exact2"),
+            id="TextExact-nocollapse",
+        ),
+        pytest.param(
+            lambda: KeyDeduplicator(["url"], order_col="doc_id"), id="KeyDedup-single"
+        ),
+        pytest.param(
+            lambda: KeyDeduplicator(["url", "n_chars"], order_col="doc_id"), id="KeyDedup-multi"
+        ),
+        pytest.param(
+            lambda: KeyDeduplicator(["url"], order_col="doc_id", null_keys="distinct"),
+            id="KeyDedup-distinct",
+        ),
+        pytest.param(
+            lambda: KeyDeduplicator(["url", "n_chars"], order_col="doc_id", null_keys="distinct"),
+            id="KeyDedup-multi-distinct",
+        ),
+    ]
+
+
+def _dedup_fixture(spark):
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.base import REJECTION_STRUCT_DDL
+
+    return (
+        _fixture_df(spark)
+        .withColumn(
+            "url",
+            F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("http://ex.com/"), (F.col("doc_id") % 2).cast("string"))),
+        )
+        .withColumn(
+            "_rejection_details",
+            F.when(
+                F.col("doc_id") == 5,
+                F.expr(
+                    "struct(cast('filtered' as string) AS reason, cast('Pre' as string) AS operator, "
+                    "cast(null as string) AS dedup_key, cast(null as string) AS representative_id)"
+                ),
+            ).otherwise(F.lit(None).cast(REJECTION_STRUCT_DDL)),
+        )
+    )
+
+
+@pytest.mark.parametrize("make_dedup", _make_dedups())
+def test_key_dedup_tag_twin(spark, make_dedup):
+    """The pipeline's window dedup tag authored as one SQL expr must be
+    tree- and value-identical to the composed form — across key shapes,
+    url composites, both null_keys modes, and with dead rows present."""
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    df = _dedup_fixture(spark)
+
+    def tag(force_composed: bool):
+        op = make_dedup()
+        assert op.effective_key_sql(df) is not None, "twin must dispatch on this fixture"
+        if force_composed:
+            op.effective_key_sql = lambda df: None  # instance shadow
+        pipe = Pipeline.__new__(Pipeline)
+        pipe._expr_cache = {}
+        pipe._mid_cached = []
+        return pipe._apply(df, op)
+
+    fast, slow = tag(False), tag(True)
+    a, b = _norm(_analyzed(fast)), _norm(_analyzed(slow))
+    assert a == b, "\n".join(
+        f"fast: {x}\nslow: {y}" for x, y in zip(a.splitlines(), b.splitlines()) if x != y
+    )
+    rows_f = [str(r) for r in fast.orderBy("doc_id").collect()]
+    rows_s = [str(r) for r in slow.orderBy("doc_id").collect()]
+    assert rows_f == rows_s
+
+
+def test_key_dedup_twin_refuses_unspellable(spark):
+    from mega_data_factory_spark.operators.dedup import (
+        IncrementalKeyDeduplicator,
+        KeyDeduplicator,
+        TextExactDeduplicator,
+    )
+
+    df = _dedup_fixture(spark)
+    assert TextExactDeduplicator(text_col="te`xt").key_sql(df) is None
+    assert KeyDeduplicator(["u`rl"], order_col="doc_id").key_sql(df) is None
+    # IncrementalKeyDeduplicator's key() wraps extra sentinels — it must
+    # NOT inherit the TextExact twin
+    inc = IncrementalKeyDeduplicator.__new__(IncrementalKeyDeduplicator)
+    assert IncrementalKeyDeduplicator.key_sql(inc, df) is None
+
+
 def test_fast_path_actually_dispatches(spark):
     """The fast path must engage for plain string column names (the guard
     against a silent fallback that would quietly re-pay the py4j cost)."""
