@@ -109,6 +109,18 @@ class Refiner(Operator):
     def columns(self, df: DataFrame) -> dict[str, Column]:
         """New column name -> expression."""
 
+    def columns_sql_text(self, df: DataFrame) -> dict[str, str] | None:
+        """Optional RAW-SQL form of :meth:`columns` (round 12): new column
+        name -> already-rendered SQL fragment parsing to the identical
+        tree, or None to keep the Column path. Where :meth:`columns`'
+        SQL-twin fast path saves one py4j round trip per Column CALL,
+        this hook lets the pipeline fold a refiner's whole projection —
+        alive gate included — into ONE ``selectExpr`` round trip. Same
+        dispatch discipline as predicate_sql: None for any
+        parameterization without a faithful spelling; equality pinned in
+        tests/test_refiner_expr_parity.py."""
+        return None
+
     def derived_columns(self, df: DataFrame) -> dict[str, Column]:
         """Second-stage columns over the ``columns`` output (by name)."""
         return {}

@@ -41,10 +41,9 @@ class TextStatsRefiner(Refiner):
         self.length_col = length_col
 
     def columns(self, df: DataFrame) -> dict[str, Column]:
-        ref = sql_plain_column(self.text_col)
-        len_ref = sql_plain_column(self.length_col) if self.length_col is not None else None
-        if ref is not None and (self.length_col is None or len_ref is not None):
-            return self._columns_sql(ref, len_ref)
+        texts = self.columns_sql_text(df)
+        if texts is not None:
+            return {k: F.expr(s) for k, s in texts.items()}
         tokens = token_count(self.text_col)
         norm = normalize_text(self.text_col, lowercase=False)
         # chars-in-tokens / tokens; normalized text has single spaces, so
@@ -59,10 +58,15 @@ class TextStatsRefiner(Refiner):
             "avg_token_len": avg_len,
         }
 
-    def _columns_sql(self, ref: str, len_ref: str | None) -> dict[str, Column]:
+    def columns_sql_text(self, df: DataFrame) -> dict[str, str] | None:
         """SQL-text twin of the composed tree above (one parse per output
-        column instead of ~30 py4j round trips; structural parity pinned by
+        column instead of ~30 py4j round trips — and ONE pipeline-side
+        selectExpr for the whole projection; structural parity pinned by
         tests/test_refiner_expr_parity.py)."""
+        ref = sql_plain_column(self.text_col)
+        len_ref = sql_plain_column(self.length_col) if self.length_col is not None else None
+        if ref is None or (self.length_col is not None and len_ref is None):
+            return None
         tok = token_count_sql(ref)
         norm = normalize_text_sql(ref, lowercase=False)
         avg_len = (
@@ -71,9 +75,9 @@ class TextStatsRefiner(Refiner):
             f"ELSE 0.0D END"
         )
         return {
-            "text_length": F.expr(text_length_sql(ref, len_ref)),
-            "token_count": F.expr(tok),
-            "avg_token_len": F.expr(avg_len),
+            "text_length": text_length_sql(ref, len_ref),
+            "token_count": tok,
+            "avg_token_len": avg_len,
         }
 
 
@@ -130,9 +134,9 @@ class LanguageIdRefiner(Refiner):
         # because pyspark's _create_lambda names them x/y/z, so the
         # analyzed trees are identical modulo expression ids — pinned by
         # tests/test_refiner_expr_parity.py.
-        ref = sql_plain_column(self.text_col)
-        if ref is not None:
-            return self._columns_sql(ref)
+        texts = self.columns_sql_text(df)
+        if texts is not None:
+            return {k: F.expr(s) for k, s in texts.items()}
         scores = self.scores()
         langs = list(scores)
         base = F.array(F.struct(*[scores[lang].alias(f"s_{i}") for i, lang in enumerate(langs)]))
@@ -151,9 +155,12 @@ class LanguageIdRefiner(Refiner):
         out = F.transform(base, _derive)[0]
         return {"lang_pred": out["lang_pred"], "lang_score": out["lang_score"]}
 
-    def _columns_sql(self, ref: str) -> dict[str, Column]:
+    def columns_sql_text(self, df: DataFrame) -> dict[str, str] | None:
         """SQL-text twin of the composed tree above (structural parity
         pinned by tests/test_refiner_expr_parity.py)."""
+        ref = sql_plain_column(self.text_col)
+        if ref is None:
+            return None
         scores = {
             lang: " + ".join(word_occurrences_sql(ref, w) for w in words)
             for lang, words in self.markers.items()
@@ -171,7 +178,7 @@ class LanguageIdRefiner(Refiner):
             )
         pred = f"CASE WHEN ({best} > 0) THEN {pred} ELSE 'und' END"
         out = f"transform({base}, x -> struct({pred} AS lang_pred, {best} AS lang_score))[0]"
-        return {"lang_pred": F.expr(f"{out}.lang_pred"), "lang_score": F.expr(f"{out}.lang_score")}
+        return {"lang_pred": f"{out}.lang_pred", "lang_score": f"{out}.lang_score"}
 
 
 DEFAULT_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
@@ -213,9 +220,9 @@ class QualityScoreRefiner(Refiner):
         # Fast path (round 12): same tree authored as one SQL string per
         # output column — see LanguageIdRefiner.columns for the py4j
         # rationale; parity pinned by tests/test_refiner_expr_parity.py.
-        ref = sql_plain_column(self.text_col)
-        if ref is not None:
-            return self._columns_sql(ref)
+        texts = self.columns_sql_text(df)
+        if texts is not None:
+            return {k: F.expr(s) for k, s in texts.items()}
         tokens = token_count(self.text_col)
         stop_hits = reduce(lambda a, b: a + b, [word_occurrences(self.text_col, w) for w in self.stopwords])
         norm = normalize_text(self.text_col, lowercase=False)
@@ -244,11 +251,14 @@ class QualityScoreRefiner(Refiner):
             "quality_score": qs["quality_score"],
         }
 
-    def _columns_sql(self, ref: str) -> dict[str, Column]:
+    def columns_sql_text(self, df: DataFrame) -> dict[str, str] | None:
         """SQL-text twin of the composed tree above (structural parity
         pinned by tests/test_refiner_expr_parity.py). Double literals carry
         the D suffix — bare 0.0 parses as DECIMAL in Spark SQL, which would
         drift the analyzed tree (and the arithmetic) from F.lit(0.0)."""
+        ref = sql_plain_column(self.text_col)
+        if ref is None:
+            return None
         tok = token_count_sql(ref)
         sh = " + ".join(word_occurrences_sql(ref, w) for w in self.stopwords)
         norm = normalize_text_sql(ref, lowercase=False)
@@ -267,8 +277,8 @@ class QualityScoreRefiner(Refiner):
             f"round({score}, 6) AS quality_score))[0]"
         )
         return {
-            "stopword_ratio": F.expr(f"{out}.stopword_ratio"),
-            "quality_score": F.expr(f"{out}.quality_score"),
+            "stopword_ratio": f"{out}.stopword_ratio",
+            "quality_score": f"{out}.quality_score",
         }
 
 
@@ -322,9 +332,9 @@ class GopherQualityRefiner(Refiner):
         # Fast path (round 12): same trees authored as one SQL string per
         # output column — see LanguageIdRefiner.columns for the py4j
         # rationale; parity pinned by tests/test_refiner_expr_parity.py.
-        ref = sql_plain_column(self.text_col)
-        if ref is not None:
-            return self._columns_sql(ref)
+        texts = self.columns_sql_text(df)
+        if texts is not None:
+            return {k: F.expr(s) for k, s in texts.items()}
         t = F.col(self.text_col)
         words = F.filter(F.split(t, GOPHER_WS), lambda w: w != "")
         wc = F.size(words)
@@ -376,9 +386,12 @@ class GopherQualityRefiner(Refiner):
             "gopher_stopword_count": F.when(t.isNotNull(), stop_hits).cast("int"),
         }
 
-    def _columns_sql(self, ref: str) -> dict[str, Column]:
+    def columns_sql_text(self, df: DataFrame) -> dict[str, str] | None:
         """SQL-text twin of the composed tree above (structural parity
         pinned by tests/test_refiner_expr_parity.py)."""
+        ref = sql_plain_column(self.text_col)
+        if ref is None:
+            return None
         words = f"filter(split({ref}, {sql_string_literal(GOPHER_WS)}), x -> (NOT (x = '')))"
         wc = f"size({words})"
         n_chars = f"aggregate({words}, cast(0 as bigint), (x, y) -> x + length(y))"
@@ -402,22 +415,20 @@ class GopherQualityRefiner(Refiner):
             return f"CASE WHEN ({wc} > 0) THEN round(cast({n} as double) / {wc}, 6) END"
 
         return {
-            "gopher_word_count": F.expr(
-                f"cast(CASE WHEN ({ref} IS NOT NULL) THEN {wc} END as int)"
+            "gopher_word_count": f"cast(CASE WHEN ({ref} IS NOT NULL) THEN {wc} END as int)",
+            "gopher_mean_word_len": mean_len,
+            "gopher_hash_ratio": per_word(f"regexp_count({ref}, '#')"),
+            "gopher_ellipsis_ratio": per_word(
+                f"regexp_count({ref}, {sql_string_literal(_GOPHER_ELLIPSIS)})"
             ),
-            "gopher_mean_word_len": F.expr(mean_len),
-            "gopher_hash_ratio": F.expr(per_word(f"regexp_count({ref}, '#')")),
-            "gopher_ellipsis_ratio": F.expr(
-                per_word(f"regexp_count({ref}, {sql_string_literal(_GOPHER_ELLIPSIS)})")
-            ),
-            "gopher_bullet_line_frac": F.expr(
+            "gopher_bullet_line_frac": (
                 f"CASE WHEN ({n_lines} > 0) THEN round(cast({bullet} as double) / {n_lines}, 6) END"
             ),
-            "gopher_ellipsis_line_frac": F.expr(
+            "gopher_ellipsis_line_frac": (
                 f"CASE WHEN ({n_lines} > 0) THEN round(cast({ell_lines} as double) / {n_lines}, 6) END"
             ),
-            "gopher_alpha_word_frac": F.expr(per_word(alpha)),
-            "gopher_stopword_count": F.expr(
+            "gopher_alpha_word_frac": per_word(alpha),
+            "gopher_stopword_count": (
                 f"cast(CASE WHEN ({ref} IS NOT NULL) THEN {stop_hits} END as int)"
             ),
         }
@@ -496,9 +507,9 @@ class RepetitionStatsRefiner(Refiner):
         # Fast path (round 12): same trees authored as one SQL string per
         # output column — see LanguageIdRefiner.columns for the py4j
         # rationale; parity pinned by tests/test_refiner_expr_parity.py.
-        ref = sql_plain_column(self.text_col)
-        if ref is not None:
-            return self._columns_sql(ref)
+        texts = self.columns_sql_text(df)
+        if texts is not None:
+            return {k: F.expr(s) for k, s in texts.items()}
         dup = F.transform(F.array(self._words()), lambda w: self._dup_ratio(w))[0]
 
         def _top_ratio(bg: Column) -> Column:
@@ -531,11 +542,14 @@ class RepetitionStatsRefiner(Refiner):
             "top_bigram_ratio": F.round(top_ratio, 6),
         }
 
-    def _columns_sql(self, ref: str) -> dict[str, Column]:
+    def columns_sql_text(self, df: DataFrame) -> dict[str, str] | None:
         """SQL-text twin of the composed tree above (structural parity
         pinned by tests/test_refiner_expr_parity.py). Inner lambdas reuse
         the binder name x exactly like pyspark's _create_lambda does
         (shadowing is safe — no inner lambda references an outer binder)."""
+        ref = sql_plain_column(self.text_col)
+        if ref is None:
+            return None
         ws = f"split({normalize_text_sql(ref)}, ' ')"
         dup_body = (
             "CASE WHEN (size(x) > 0) "
@@ -558,8 +572,8 @@ class RepetitionStatsRefiner(Refiner):
         )
         top_ratio = f"transform(transform(array({ws}), x -> {bigrams}), x -> {top_body})[0]"
         return {
-            "dup_word_ratio": F.expr(f"round({dup}, 6)"),
-            "top_bigram_ratio": F.expr(f"round({top_ratio}, 6)"),
+            "dup_word_ratio": f"round({dup}, 6)",
+            "top_bigram_ratio": f"round({top_ratio}, 6)",
         }
 
     def apply(self, df: DataFrame) -> DataFrame:
@@ -987,9 +1001,9 @@ class IntraDocDedupRefiner(Refiner):
         # Fast path (round 12): same trees authored as one SQL string per
         # output column — see LanguageIdRefiner.columns for the py4j
         # rationale; parity pinned by tests/test_refiner_expr_parity.py.
-        ref = sql_plain_column(self.text_col)
-        if ref is not None:
-            return self._columns_sql(ref)
+        texts = self.columns_sql_text(df)
+        if texts is not None:
+            return {k: F.expr(s) for k, s in texts.items()}
         t = F.col(self.text_col)
         units = F.split(t, re.escape(self.sep))
         dropped = self._dropped_positions(units)
@@ -1003,11 +1017,14 @@ class IntraDocDedupRefiner(Refiner):
             "dup_units_removed": F.when(t.isNotNull(), F.size(dropped)).otherwise(F.lit(0)).cast("int"),
         }
 
-    def _columns_sql(self, ref: str) -> dict[str, Column]:
+    def columns_sql_text(self, df: DataFrame) -> dict[str, str] | None:
         """SQL-text twin of the composed tree above (structural parity
         pinned by tests/test_refiner_expr_parity.py)."""
         import re
 
+        ref = sql_plain_column(self.text_col)
+        if ref is None:
+            return None
         units = f"split({ref}, {sql_string_literal(re.escape(self.sep))})"
         zipped = f"transform({units}, (x, y) -> struct(x AS u, y AS p))"
         by_unit = (
@@ -1026,10 +1043,8 @@ class IntraDocDedupRefiner(Refiner):
             f"array_join(transform({kept}, x -> x.u), {sql_string_literal(self.sep)})"
         )
         return {
-            self.out_col: F.expr(
-                f"CASE WHEN ({ref} IS NOT NULL) THEN {rebuilt} END"
-            ),
-            "dup_units_removed": F.expr(
+            self.out_col: f"CASE WHEN ({ref} IS NOT NULL) THEN {rebuilt} END",
+            "dup_units_removed": (
                 f"cast(CASE WHEN ({ref} IS NOT NULL) THEN size({dropped}) ELSE 0 END as int)"
             ),
         }

@@ -205,15 +205,38 @@ class Pipeline:
                 # linear-aggregation repetition stats) — apply() preserves
                 # the tag column; the alive gate is the operator's concern
                 return op.apply(df)
-            cols = op.columns(df)
-            out = df.withColumns({k: F.when(alive, v) for k, v in cols.items()})
+            texts = op.columns_sql_text(df)
+            if (
+                texts is not None
+                and not (set(texts) & set(df.columns))  # selectExpr('*', x AS c)
+                # cannot REPLACE an existing column the way withColumns does
+                and all("`" not in k for k in texts)
+            ):
+                # SQL-text fast path (round 12): the whole projection —
+                # alive gate included — in ONE selectExpr round trip
+                # instead of 2-3 py4j calls per output column. Identical
+                # analyzed tree (withColumns over all-new names IS
+                # Project [*, aliases]), pinned per refiner in
+                # tests/test_refiner_expr_parity.py.
+                out = df.selectExpr(
+                    "*",
+                    *[
+                        f"CASE WHEN (`{_R}` IS NULL) THEN {sql} END AS `{k}`"
+                        for k, sql in texts.items()
+                    ],
+                )
+                keys = texts
+            else:
+                cols = op.columns(df)
+                out = df.withColumns({k: F.when(alive, v) for k, v in cols.items()})
+                keys = cols
             derived = op.derived_columns(out)
             if derived:
                 out = out.withColumns({k: F.when(alive, v) for k, v in derived.items()})
             # '__'-prefixed columns() keys are refiner-private intermediates
             # (the struct-once geometry — see Refiner docstring): feed
             # derived_columns, then drop
-            tmp = [k for k in cols if k.startswith("__")]
+            tmp = [k for k in keys if k.startswith("__")]
             return out.drop(*tmp) if tmp else out
         # generic operator: full-frame transform (must preserve the tag col)
         return op.apply(df)

@@ -262,6 +262,73 @@ def test_filter_twin_refuses_unspellable(spark):
     assert NumericRangeFilter(column="score", lo=float("inf")).predicate_sql(df) is None
 
 
+@pytest.mark.parametrize("make_refiner", REFINERS)
+def test_pipeline_refiner_projection_twin(spark, make_refiner):
+    """Pipeline._apply's one-selectExpr refiner projection (alive gate
+    folded into each CASE) must be tree- and value-identical to the
+    composed withColumns-of-F.when path — for every refiner exposing
+    columns_sql_text, including with dead rows present."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.operators.base import REJECTION_STRUCT_DDL
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    df = _fixture_df(spark).withColumn(
+        "_rejection_details",
+        F.when(
+            F.col("doc_id") == 1,
+            F.expr(
+                "struct(cast('filtered' as string) AS reason, cast('Pre' as string) AS operator, "
+                "cast(null as string) AS dedup_key, cast(null as string) AS representative_id)"
+            ),
+        ).otherwise(F.lit(None).cast(REJECTION_STRUCT_DDL)),
+    )
+
+    def applied(force_composed: bool):
+        op = make_refiner()
+        assert op.columns_sql_text(df) is not None, "twin must dispatch on this fixture"
+        if force_composed:
+            op.columns_sql_text = lambda df: None  # instance shadow
+        pipe = Pipeline.__new__(Pipeline)
+        pipe._expr_cache = {}
+        pipe._mid_cached = []
+        return pipe._apply(df, op)
+
+    fast, slow = applied(False), applied(True)
+    a, b = _norm(_analyzed(fast)), _norm(_analyzed(slow))
+    assert a == b, "\n".join(
+        f"fast: {x}\nslow: {y}" for x, y in zip(a.splitlines(), b.splitlines()) if x != y
+    )
+    rows_f = [str(r) for r in fast.orderBy("doc_id").collect()]
+    rows_s = [str(r) for r in slow.orderBy("doc_id").collect()]
+    assert rows_f == rows_s
+
+
+def test_pipeline_refiner_projection_collision_falls_back(spark):
+    """selectExpr('*', x AS c) cannot REPLACE an existing column the way
+    withColumns does — a refiner whose output name already exists in the
+    frame must take the composed path (which replaces in place)."""
+    from pyspark.sql import functions as F
+
+    import mega_data_factory_spark.operators.refiners as R
+    from mega_data_factory_spark.operators.base import REJECTION_STRUCT_DDL
+    from mega_data_factory_spark.plans.pipeline import Pipeline
+
+    df = (
+        _fixture_df(spark)
+        .withColumn("_rejection_details", F.lit(None).cast(REJECTION_STRUCT_DDL))
+        .withColumn("token_count", F.lit(-1))  # collides with TextStats output
+    )
+    pipe = Pipeline.__new__(Pipeline)
+    pipe._expr_cache = {}
+    pipe._mid_cached = []
+    out = pipe._apply(df, R.TextStatsRefiner())
+    # exactly ONE token_count column, replaced in place
+    assert out.columns.count("token_count") == 1
+    vals = {r["doc_id"]: r["token_count"] for r in out.collect()}
+    assert vals[0] != -1  # replaced, not kept
+
+
 def _make_dedups():
     from mega_data_factory_spark.operators.dedup import KeyDeduplicator, TextExactDeduplicator
 
@@ -365,7 +432,7 @@ def test_fast_path_actually_dispatches(spark):
     for p in REFINERS:
         make = p.values[0]
         r = make()
-        assert hasattr(r, "_columns_sql"), type(r).__name__
+        assert r.columns_sql_text(df) is not None, type(r).__name__
     # and the plain-column detector must refuse anything it cannot safely
     # interpolate into SQL text: backtick-carrying names (F.col cannot
     # parse those either — the composed fallback's pre-existing limit, not
