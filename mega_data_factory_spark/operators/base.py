@@ -321,6 +321,25 @@ class Deduplicator(Operator):
         return F.when(no_position, unique).otherwise(k)
 
     def _ranked(self, df: DataFrame) -> DataFrame:
+        # SQL-text fast path (round 12): the standalone query path — the
+        # pipeline tag has its own one-expr spelling — builds its three
+        # columns via ONE F.expr each instead of the composed builders
+        # (~100 ms per cold plan build for the md5 text key). Same
+        # dispatch discipline as the other twins (None = composed
+        # fallback); identical analyzed tree pinned in
+        # tests/test_refiner_expr_parity.py.
+        from mega_data_factory_spark.functions.text import sql_plain_column
+
+        esql = self.effective_key_sql(df)
+        ic = sql_plain_column(self.id_col)
+        oc = sql_plain_column(self.order_col)
+        if esql is not None and ic is not None and oc is not None:
+            over = f"OVER (PARTITION BY __dedup_key ORDER BY {oc})"
+            return (
+                df.withColumn("__dedup_key", F.expr(esql))
+                .withColumn("__rn", F.expr(f"row_number() {over}"))
+                .withColumn("__rep", F.expr(f"first({ic}) {over}"))
+            )
         w = Window.partitionBy(F.col("__dedup_key")).orderBy(F.col(self.order_col))
         return (
             df.withColumn("__dedup_key", self._effective_key(df))
@@ -352,7 +371,9 @@ class Deduplicator(Operator):
             # a semi-join on order_col can never match their NULL — union
             # them back rather than silently dropping them from BOTH sides
             return survivors.unionByName(df.filter(F.col(self.order_col).isNull()))
-        return self._ranked(df).filter(F.col("__rn") == 1).drop("__dedup_key", "__rn", "__rep")
+        # string filter == the composed F.col("__rn") == 1 tree (one parse
+        # round trip; pinned with the _ranked twin)
+        return self._ranked(df).filter("(__rn = 1)").drop("__dedup_key", "__rn", "__rep")
 
     def rejected(self, df: DataFrame) -> DataFrame:
         if self.wide_payload:
@@ -375,10 +396,20 @@ class Deduplicator(Operator):
                 REJECTION_DETAILS_COL,
                 rejection_details("duplicate", self.name, F.col("__dedup_key"), F.col("__win_order").cast("string")),
             ).drop("__dedup_key", "__jk", "__win_order", "__rn", "__rep")
-        dups = self._ranked(df).filter(F.col("__rn") > 1)
+        from mega_data_factory_spark.functions.text import sql_string_literal
+
+        # one-expr spelling of the composed rejection_details(...) call
+        # below it replaces (same tree: struct-with-aliases, the double
+        # cast on __rep and all — pinned with the _ranked twin)
+        dups = self._ranked(df).filter("(__rn > 1)")
         return dups.withColumn(
             REJECTION_DETAILS_COL,
-            rejection_details("duplicate", self.name, F.col("__dedup_key"), F.col("__rep").cast("string")),
+            F.expr(
+                f"struct(cast('duplicate' as string) AS reason, "
+                f"cast({sql_string_literal(self.name)} as string) AS operator, "
+                f"cast(__dedup_key as string) AS dedup_key, "
+                f"cast(cast(__rep as string) as string) AS representative_id)"
+            ),
         ).drop("__dedup_key", "__rn", "__rep")
 
 

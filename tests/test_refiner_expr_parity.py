@@ -425,6 +425,61 @@ def test_key_dedup_twin_refuses_unspellable(spark):
     assert IncrementalKeyDeduplicator.key_sql(inc, df) is None
 
 
+@pytest.mark.parametrize("make_dedup", _make_dedups())
+@pytest.mark.parametrize("force_composed_key", [False, True], ids=["twin-key", "composed-key"])
+def test_standalone_dedup_twin(spark, make_dedup, force_composed_key):
+    """Deduplicator.apply()/rejected() on the STANDALONE query path (the
+    pipeline tag has its own pinned twin) must be tree- and value-identical
+    to the pre-twin composed construction, replicated verbatim below. The
+    composed-key variant forces effective_key_sql -> None, pinning the
+    unconditional string-filter and rejection-struct spellings on their
+    own."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mega_data_factory_spark.operators.base import (
+        REJECTION_DETAILS_COL,
+        rejection_details,
+    )
+
+    df = _dedup_fixture(spark)
+
+    op = make_dedup()
+    assert op.effective_key_sql(df) is not None, "twin must dispatch on this fixture"
+    if force_composed_key:
+        op.effective_key_sql = lambda df: None  # instance shadow
+    fast_surv, fast_rej = op.apply(df), op.rejected(df)
+
+    # the pre-twin composed construction, replicated verbatim
+    ref = make_dedup()
+    w = Window.partitionBy(F.col("__dedup_key")).orderBy(F.col(ref.order_col))
+    ranked = (
+        df.withColumn("__dedup_key", ref._effective_key(df))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__rep", F.first(F.col(ref.id_col)).over(w))
+    )
+    slow_surv = ranked.filter(F.col("__rn") == 1).drop("__dedup_key", "__rn", "__rep")
+    slow_rej = (
+        ranked.filter(F.col("__rn") > 1)
+        .withColumn(
+            REJECTION_DETAILS_COL,
+            rejection_details(
+                "duplicate", ref.name, F.col("__dedup_key"), F.col("__rep").cast("string")
+            ),
+        )
+        .drop("__dedup_key", "__rn", "__rep")
+    )
+
+    for fast, slow in ((fast_surv, slow_surv), (fast_rej, slow_rej)):
+        a, b = _norm(_analyzed(fast)), _norm(_analyzed(slow))
+        assert a == b, "\n".join(
+            f"fast: {x}\nslow: {y}" for x, y in zip(a.splitlines(), b.splitlines()) if x != y
+        )
+        rows_f = [str(r) for r in fast.orderBy("doc_id").collect()]
+        rows_s = [str(r) for r in slow.orderBy("doc_id").collect()]
+        assert rows_f == rows_s
+
+
 def test_fast_path_actually_dispatches(spark):
     """The fast path must engage for plain string column names (the guard
     against a silent fallback that would quietly re-pay the py4j cost)."""
