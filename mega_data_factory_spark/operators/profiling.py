@@ -418,7 +418,9 @@ class ColumnProfiler:
                         *[
                             F.struct(
                                 F.lit(c).alias("column"),
-                                F.col(c).cast("string").alias("text"),
+                                # quoted so a backtick-carrying name parses
+                                # (r12 advice; backticks double inside quotes)
+                                F.col(f"`{c.replace('`', '``')}`").cast("string").alias("text"),
                             )
                             for c in cols
                         ]
@@ -436,10 +438,27 @@ class ColumnProfiler:
             # one-row createDataFrame + first() round trip was a separate
             # task-launch per profiled table — pure fixed cost on the
             # sketch path, which is job-count-bound, ~0.2s/table here).
+            # identifier quoting (r12 advice): a profiled column whose NAME
+            # carries a backtick must not break the parse. freqItems itself
+            # parses raw names (and the stringify select does too), so
+            # backtick-carrying columns are aliased to safe placeholders
+            # first — doubling the backtick is how a quoted identifier
+            # spells a literal one — and mapped back after.
+            safe = {
+                c: (f"__tv_bt{i}" if "`" in c else c) for i, c in enumerate(cols)
+            }
+            src = df
+            if any(s != c for c, s in safe.items()):
+                src = df.select(
+                    *[F.col(f"`{c.replace('`', '``')}`").alias(s) for c, s in safe.items()]
+                )
             srow = (
-                df.stat.freqItems(cols, support)
+                src.stat.freqItems(list(safe.values()), support)
                 .select(
-                    *[F.col(f"`{c}_freqItems`").cast("array<string>").alias(c) for c in cols]
+                    *[
+                        F.col(f"`{safe[c]}_freqItems`").cast("array<string>").alias(c)
+                        for c in cols
+                    ]
                 )
                 .first()
             )

@@ -1700,7 +1700,6 @@ QUERIES = {
     "gopher_quality": gopher_quality,
     "url_canonicalize": url_canonicalize,
     "curation_pipeline": curation_pipeline,
-    "curation_rejection_summary": curation_rejection_summary,
 }
 
 ORACLE = {
@@ -1723,7 +1722,6 @@ ORACLE = {
     "gopher_quality": _gopher_quality_oracle(),
     "url_canonicalize": _url_canonicalize_oracle(),
     "curation_pipeline": CURATION_PIPELINE_ORACLE,
-    "curation_rejection_summary": REJECTION_SUMMARY_ORACLE,
 }
 
 # Rotation wave 8 (round 10): text_exact_dedup retires after eight
@@ -1755,10 +1753,18 @@ RETIRED_QUERIES = {
     # while the exact oracle bar stays here; its slot carries the
     # re-promoted events_hourly_agg row (plans/events.py).
     "doc_chunks": doc_chunks,
+    # Rotation wave 11 (round 13): curation_rejection_summary retires after
+    # twelve straight hash-green rounds — the rejection-funnel family stays
+    # driver-covered by curation_pipeline (same funnel, the summary's
+    # input) and curation_funnel_by_source (the per-source cut of the same
+    # rejection structs); its slot carries the re-promoted
+    # shared_span_dedup row (plans/dedup_queries.py).
+    "curation_rejection_summary": curation_rejection_summary,
 }
 RETIRED_ORACLE = {
     "text_exact_dedup": TEXT_DEDUP_ORACLE,
     "sentence_chunks": _sentence_chunks_oracle(),
     "orders_first_per_customer": ORDERS_DEDUP_ORACLE,
     "doc_chunks": _doc_chunks_oracle(),
+    "curation_rejection_summary": REJECTION_SUMMARY_ORACLE,
 }

@@ -530,19 +530,28 @@ FROM best WHERE rn = 1 AND c >= {SEMDECON_THRESHOLD} ORDER BY vec_id
 
 QUERIES = {
     "minhash_lsh_dedup": minhash_lsh_dedup,
-    "ngram_jaccard_dedup": ngram_jaccard_dedup,
     "decontamination": decontamination,
     # Round 9 (wave 7): rides the slot freed by retiring q3_segment_revenue
     # (plans/relational.py — the join+agg+ordered-limit family stays
     # driver-held by q5_region_nation_revenue and topk_orders)
     "semantic_decontamination": semantic_decontamination,
+    # Rotation wave 11 (round 13, r12 verdict Next #7): simhash_near_dedup
+    # and shared_span_dedup RE-promoted — with topk_cosine
+    # (plans/similarity_queries.py) the three longest-retired rows (all
+    # round 8) cycle back under the driver's eye; their slots come from
+    # ngram_jaccard_dedup (below), curation_rejection_summary
+    # (plans/curation.py) and grouping_sets_orders
+    # (plans/window_queries.py) moving to the pytest bar.
+    "simhash_near_dedup": simhash_near_dedup,
+    "shared_span_dedup": shared_span_dedup,
 }
 
 ORACLE = {
     "minhash_lsh_dedup": MINHASH_ORACLE,
-    "ngram_jaccard_dedup": JACCARD_ORACLE,
     "decontamination": DECONTAMINATION_ORACLE,
     "semantic_decontamination": SEMDECON_ORACLE,
+    "simhash_near_dedup": SIMHASH_NEAR_ORACLE,
+    "shared_span_dedup": SHARED_SPAN_ORACLE,
 }
 
 # Rotated out of the driver window in round 8 (the near-dedup family held
@@ -554,16 +563,20 @@ ORACLE = {
 # (tests/test_dedup_similarity.py), exactly like the exact-form
 # simhash_dedup before them (rotated r6).
 RETIRED_QUERIES = {
-    "simhash_near_dedup": simhash_near_dedup,
-    "shared_span_dedup": shared_span_dedup,
     # Round 9 (wave 5): embedding-space near-dedup family coverage is held
     # in the window by minhash_lsh_dedup + decontamination (banded/bucketed
     # shapes) while the cosine dedup keeps its exact all-pairs DuckDB bar
     # here; its slot carries plans/curation.py's intra_doc_dedup row.
     "embedding_cosine_dedup": embedding_cosine_dedup,
+    # Rotation wave 11 (round 13): ngram_jaccard_dedup retires after twelve
+    # straight hash-green rounds — the verified-near-dup family stays
+    # driver-covered by minhash_lsh_dedup plus the two wave-11 re-promoted
+    # rows (simhash_near_dedup's banding+verify, shared_span_dedup's exact
+    # spans); the full Jaccard oracle bar stays here
+    # (tests/test_dedup_similarity.py) and the bench line keeps running.
+    "ngram_jaccard_dedup": ngram_jaccard_dedup,
 }
 RETIRED_ORACLE = {
-    "simhash_near_dedup": SIMHASH_NEAR_ORACLE,
-    "shared_span_dedup": SHARED_SPAN_ORACLE,
     "embedding_cosine_dedup": COSINE_DEDUP_ORACLE,
+    "ngram_jaccard_dedup": JACCARD_ORACLE,
 }

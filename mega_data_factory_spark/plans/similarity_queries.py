@@ -174,19 +174,22 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ivf_ann_topk": ivf_ann_topk,
     "semantic_dedup_kmeans": semantic_dedup_kmeans,
+    # Rotation wave 11 (round 13, r12 verdict Next #7): topk_cosine
+    # RE-promoted — the longest-retired row (round 8) cycles back under
+    # the driver's eye; its slot comes from grouping_sets_orders
+    # (plans/window_queries.py) moving to the pytest bar.
+    "topk_cosine": topk_cosine,
 }
 
 # ivf_ann_topk / semantic_dedup_kmeans deliberately have no oracle entry:
 # k-means training is iterative and not ANSI-SQL-expressible. The driver
 # records the weaker rows-only check; tests/test_clustering.py holds the
 # real bar (recall vs exact brute force, survivor-set invariants).
-ORACLE = {}
+ORACLE = {"topk_cosine": TOPK_COSINE_ORACLE}
 
-# Rotated out of the driver window in round 8 (slot carries the
-# skew_split_join row, plans/join_queries.py): the cosine fold arithmetic
-# stays driver-anchored via embedding_cosine_dedup (same DOT_SQL folds),
-# the ANN family keeps its recall bar in tests/test_clustering.py, and
-# the exact brute-force top-k keeps its full oracle bar at pytest level
-# via plans.retired_queries (tests/test_dedup_similarity.py).
-RETIRED_QUERIES = {"topk_cosine": topk_cosine}
-RETIRED_ORACLE = {"topk_cosine": TOPK_COSINE_ORACLE}
+# topk_cosine was rotated out in round 8 (slot carried the skew_split_join
+# row, plans/join_queries.py) and RE-promoted by rotation wave 11
+# (round 13) as the longest-retired row — full oracle bar back under the
+# driver's eye.
+RETIRED_QUERIES = {}
+RETIRED_ORACLE = {}

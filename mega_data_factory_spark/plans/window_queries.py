@@ -193,7 +193,6 @@ ORDER BY c_mktsegment, spend, c_custkey
 
 QUERIES = {
     "lineitem_running_revenue": lineitem_running_revenue,
-    "grouping_sets_orders": grouping_sets_orders,
     # Rotation wave 8 (round 10): re-promoted after three retired rounds
     # (swap-for-freshness — events_hourly_agg's slot carries this row).
     "customer_order_ranks": customer_order_ranks,
@@ -201,7 +200,6 @@ QUERIES = {
 
 ORACLE = {
     "lineitem_running_revenue": RUNNING_REVENUE_ORACLE,
-    "grouping_sets_orders": GROUPING_SETS_ORACLE,
     "customer_order_ranks": CUSTOMER_RANKS_ORACLE,
 }
 
@@ -223,8 +221,17 @@ RETIRED_QUERIES = {
     # customer_order_ranks; its slot carries the re-promoted
     # cube_status_priority row (plans/relational.py).
     "customer_spend_distribution": customer_spend_distribution,
+    # Rotation wave 11 (round 13): grouping_sets_orders retires after
+    # eleven straight hash-green rounds — the grouping-analytics family
+    # (CUBE / ROLLUP / GROUPING SETS + grouping_id) stays driver-covered by
+    # cube_status_priority (plans/relational.py, re-promoted wave 9; cube
+    # is the superset spelling of the same Expand mechanism); its slot
+    # carries the re-promoted simhash_near_dedup row
+    # (plans/dedup_queries.py).
+    "grouping_sets_orders": grouping_sets_orders,
 }
 RETIRED_ORACLE = {
     "orders_daily_moving_avg": MOVING_AVG_ORACLE,
     "customer_spend_distribution": SPEND_DISTRIBUTION_ORACLE,
+    "grouping_sets_orders": GROUPING_SETS_ORACLE,
 }

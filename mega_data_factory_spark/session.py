@@ -13,6 +13,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _host_mem_gib() -> int | None:
+    """Effective memory budget in GiB: the cgroup v2 limit when one is set
+    (containers/CI), else physical MemTotal. None when neither is readable
+    (non-Linux) — callers keep their slot-scaled default then."""
+    try:
+        with open("/sys/fs/cgroup/memory.max") as f:
+            v = f.read().strip()
+        if v.isdigit():
+            return max(1, int(v) >> 30)
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return max(1, int(line.split()[1]) >> 20)
+    except OSError:
+        pass
+    return None
+
+
 def get_spark(
     app_name: str = "mega-data-factory-spark",
     cpus: int | None = None,
@@ -45,7 +66,21 @@ def get_spark(
     # default is inert: the driver does no data work (floor stays 8g) and
     # executor sizing is the deployment's spark.executor.memory.
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
-    default_driver_mem = f"{max(8, cpus // 2)}g" if master.startswith("local") else "8g"
+    if master.startswith("local"):
+        # r12-advice cap: the slot-scaled default assumed core count tracks
+        # host RAM; on a high-core/low-memory box (cloud VM, CI cgroup) a
+        # 32-core default of 16g trades GC pressure for a kernel/cgroup OOM
+        # kill. Cap at half the detected budget (the other half stays for
+        # Python workers, Arrow off-heap and the page cache); on this 128
+        # GiB / 32-core class the cap is far above the slot value, so the
+        # local default is unchanged.
+        mem_gib = _host_mem_gib()
+        slot_mem = max(8, cpus // 2)
+        if mem_gib is not None:
+            slot_mem = max(2, min(slot_mem, mem_gib // 2))
+        default_driver_mem = f"{slot_mem}g"
+    else:
+        default_driver_mem = "8g"
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -101,16 +136,24 @@ def get_spark(
         # unhittable and costs nothing when the locker is uncontended.
         # Executor opts are inert locally (same JVM) and the right default
         # where Arrow UDFs actually run on a cluster.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
-        )
-        .config(
-            "spark.executor.extraJavaOptions",
-            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
-        )
         .config("spark.ui.enabled", "false")
     )
+    # r12-advice: a builder-set extraJavaOptions silently clobbers any
+    # deployment-provided JVM options (spark-defaults.conf loses to the
+    # builder). Append deployment options from the env (mirroring the
+    # SPARK_DRIVER_MEMORY override) and from extra_conf instead of
+    # overwriting them — the GCLocker guard composes with GC tuning,
+    # -Djava.io.tmpdir etc. rather than replacing it.
+    _gclocker = "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100"
+    extra_conf = dict(extra_conf or {})
+    for key, env in (
+        ("spark.driver.extraJavaOptions", "SPARK_DRIVER_JAVA_OPTIONS"),
+        ("spark.executor.extraJavaOptions", "SPARK_EXECUTOR_JAVA_OPTIONS"),
+    ):
+        supplied = " ".join(
+            s for s in (extra_conf.pop(key, ""), os.environ.get(env, "")) if s
+        ).strip()
+        builder = builder.config(key, f"{_gclocker} {supplied}".strip() if supplied else _gclocker)
     if not SparkSession.getActiveSession():
         builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
     if extra_conf:

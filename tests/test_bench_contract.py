@@ -59,3 +59,12 @@ def test_shipped_yardstick_covers_the_headline_surface():
         yardstick = json.load(f)["sf0.1"]["queries"]
     missing = [n for n in bench.HEADLINE if n not in yardstick]
     assert not missing, f"yardstick missing headline lines: {missing}"
+
+
+def test_wait_probe_nominal_is_bounded():
+    """The round-13 escalated drain polls the multi-core probe; a zero
+    budget must return after at most one probe (no sleep loop), so the
+    episode gate can never hang a bench run."""
+    waited, probe = bench._wait_probe_nominal(0.0)
+    assert waited == 0.0
+    assert probe > 0.0  # one real probe reading was taken

@@ -341,3 +341,20 @@ def test_sample_parquet_files_hive_partitioned(spark, tmp_path):
     small = sample_parquet_files(spark, path, byte_budget=1)
     assert len(small.inputFiles()) == 1
     assert small.inputFiles() == sample_parquet_files(spark, path, byte_budget=1).inputFiles()
+
+
+def test_top_values_approx_backtick_column_name(spark):
+    """r12 advice: the sketch path parses freqItems result columns into SQL
+    identifiers — a profiled column whose NAME carries a backtick must not
+    break the parse (Spark escapes a literal backtick by doubling it)."""
+    from mega_data_factory_spark.operators.profiling import ColumnProfiler
+
+    df = spark.createDataFrame(
+        [("a",)] * 8 + [("b",)] * 2, ["plain"]
+    ).withColumnRenamed("plain", "we`ird")
+    p = ColumnProfiler(["we`ird"], approx=True)
+    out = {
+        (r["column"], r["text"]): r["count"]
+        for r in p.top_values(df, k=2, support=0.1, count_candidates=True).collect()
+    }
+    assert out[("we`ird", "a")] == 8

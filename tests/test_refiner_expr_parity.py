@@ -496,3 +496,61 @@ def test_fast_path_actually_dispatches(spark):
 
     assert R.sql_plain_column("te`xt") is None
     assert R.sql_plain_column(F.col("text")) is None
+
+
+def test_minhash_band_ids_twin(spark):
+    """The MinHash signature aggregates and band fold are authored as SQL
+    expr strings (round-12 py4j batch) yet are the bit-for-bit cross-engine
+    key contract with the DuckDB oracle mirror — r12 advice: pin them
+    against the pre-rewrite composed construction (replicated verbatim
+    below) the way test_standalone_dedup_twin pins the ranked triple, so a
+    future edit to the fold spelling cannot silently drift the key."""
+    from pyspark.sql import functions as F
+
+    from mega_data_factory_spark.functions.hashing import hash64_from_md5
+    from mega_data_factory_spark.functions.text import word_shingles
+    from mega_data_factory_spark.operators.dedup import (
+        MinHashLSHDeduplicator,
+        minhash_hash_family,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(9)) + f" tail{i % 5}")
+        for i in range(40)
+    ] + [(100, None), (101, ""), (102, "short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    op = MinHashLSHDeduplicator(num_hashes=8, bands=4)
+    fast = op._band_ids(df)
+
+    # pre-rewrite composed construction, replicated verbatim
+    exploded = df.select(
+        F.col(op.id_col),
+        F.explode(F.array_distinct(word_shingles(op.text_col, op.shingle_n))).alias("__s"),
+    ).select(F.col(op.id_col), hash64_from_md5("__s").alias("__bh"))
+    sig = exploded.groupBy(op.id_col).agg(
+        *[
+            F.min(minhash_hash_family(F.col("__bh"), i)).alias(f"__m{i}")
+            for i in range(op.num_hashes)
+        ]
+    )
+
+    def band_col(b: int):
+        ms = F.concat_ws(
+            ",",
+            *[
+                F.col(f"__m{b * op.rows_per_band + r}").cast("string")
+                for r in range(op.rows_per_band)
+            ],
+        )
+        return hash64_from_md5(F.concat_ws("_", F.lit(str(b)), ms))
+
+    slow = sig.select(
+        F.col(op.id_col),
+        F.explode(F.array(*[band_col(b) for b in range(op.bands)])).alias("__band_key"),
+    )
+
+    got = sorted(map(tuple, fast.collect()))
+    want = sorted(map(tuple, slow.collect()))
+    assert got == want and len(got) > 0
