@@ -35,6 +35,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mega_data_factory_spark.functions.text import sql_number_literal, sql_string_literal
+
 NUMERIC_TYPES = (
     T.ByteType,
     T.ShortType,
@@ -287,6 +289,141 @@ class ColumnProfiler:
                 add(name, "max", F.max(c).cast("string"), text=True)
         return exprs, layout
 
+    # ----------------------------------------------------- SQL-text twin
+    # py4j costs ~2-4 ms per Column call on the bench hosts (round-12
+    # measurement); profile() composes ~30 Column calls per aggregated
+    # column plus ~8 per unpivot entry — ~2000 round trips ≈ 2.1 s of pure
+    # driver latency for a 16-column table (scripts/diag_r13b_profile_build
+    # .py). The twin below renders the IDENTICAL Catalyst trees as SQL text
+    # (three selectExpr round trips total), following the round-12 twin
+    # discipline: unspellable parameterizations return None and take the
+    # composed path; analyzed-plan + value equality is pinned by
+    # tests/test_profile_twin_parity.py.
+
+    def _distinct_sql(self, ident: str) -> str | None:
+        if self.approx:
+            rsd = sql_number_literal(float(self.distinct_rsd))
+            return None if rsd is None else f"approx_count_distinct({ident}, {rsd})"
+        return f"count(DISTINCT {ident})"
+
+    def _pcts_sql(self, ident: str, sampled: bool) -> str | None:
+        ps = [sql_number_literal(float(p)) for p in self.percentiles]
+        if any(p is None for p in ps):
+            return None
+        arr = f"array({', '.join(ps)})"
+        v = f"CAST({ident} AS double)"
+        if self.approx:
+            if sampled:
+                v = f"CASE WHEN `{SAMPLE_COL}` THEN {v} END"
+            acc = sql_number_literal(self.approx_percentile_accuracy)
+            if acc is None:
+                return None
+            return f"approx_percentile({v}, {arr}, {acc})"
+        # the explicit int frequency matches F.percentile's lit(1) default;
+        # the parser's 2-arg form defaults to 1L (long) — a different
+        # literal node (visible as `1L` in the formatted plan's generated
+        # alias even though analyzed toString masks the type)
+        return f"percentile({v}, {arr}, 1)"
+
+    def _agg_exprs_sql(
+        self, cols: list[tuple[str, T.DataType]]
+    ) -> tuple[list[str], list[tuple[str, str, bool, str, int | None]]] | None:
+        """SQL-text twin of :meth:`_agg_exprs` (same trees, three parse
+        round trips); ``None`` when a parameterization has no
+        guaranteed-faithful spelling (backtick-carrying names, non-32-bit
+        ints, non-finite floats) — callers fall back to the composed
+        path."""
+        if any("`" in name for name, _ in cols):
+            return None
+        exprs: list[str] = []
+        layout: list[tuple[str, str, bool, str, int | None]] = []
+        sampled = self._samples()
+
+        def add(col: str, stat: str, e_sql: str, *, text: bool = False) -> None:
+            alias = f"{col}__{stat}"
+            exprs.append(f"{e_sql} AS `{alias}`")
+            layout.append((col, stat, text, alias, None))
+
+        for name, dtype in cols:
+            ident = f"`{name}`"
+            add(name, "count", f"count({ident})")
+            add(name, "nulls", f"(count(1) - count({ident}))")
+            d = self._distinct_sql(ident)
+            if d is None:
+                return None
+            add(name, "distinct", d)
+            if isinstance(dtype, NUMERIC_TYPES):
+                add(name, "min", f"CAST(min({ident}) AS double)")
+                add(name, "max", f"CAST(max({ident}) AS double)")
+                add(
+                    name,
+                    "mean",
+                    f"round((CAST(sum(CAST({ident} AS decimal(38,6))) AS double)"
+                    f" / count({ident})), {ROUND_TO})",
+                )
+                if self.percentiles:
+                    p = self._pcts_sql(ident, sampled)
+                    if p is None:
+                        return None
+                    alias = f"{name}__pcts"
+                    exprs.append(f"{p} AS `{alias}`")
+                    for i, pv in enumerate(self.percentiles):
+                        layout.append((name, f"p{pv * 100:g}", False, alias, i))
+            elif isinstance(dtype, T.StringType):
+                add(name, "min_len", f"CAST(min(length({ident})) AS double)")
+                add(name, "max_len", f"CAST(max(length({ident})) AS double)")
+                add(
+                    name,
+                    "avg_len",
+                    f"round((CAST(sum(CAST(length({ident}) AS decimal(38,6))) AS double)"
+                    f" / count({ident})), {ROUND_TO})",
+                )
+                add(name, "min", f"min({ident})", text=True)
+                add(name, "max", f"max({ident})", text=True)
+            else:
+                add(name, "min", f"CAST(min({ident}) AS string)", text=True)
+                add(name, "max", f"CAST(max({ident}) AS string)", text=True)
+        return exprs, layout
+
+    def _unpivot_sql(self, layout: list[tuple[str, str, bool, str, int | None]]) -> str:
+        structs = []
+        for col, stat, is_text, alias, idx in layout:
+            v = f"`{alias}`"
+            if idx is not None:  # percentile unpacked from the shared array
+                v = f"round({v}[{idx}], {ROUND_TO})"
+            if is_text:
+                value, text = "CAST(NULL AS double)", f"CAST({v} AS string)"
+            else:
+                value, text = f"CAST({v} AS double)", "CAST(NULL AS string)"
+            structs.append(
+                f"struct({sql_string_literal(col)} AS `column`,"
+                f" {sql_string_literal(stat)} AS `stat`,"
+                f" {value} AS `value`, {text} AS `text`)"
+            )
+        return f"explode(array({', '.join(structs)})) AS e"
+
+    def _profile_sql(self, df: DataFrame, cols: list[tuple[str, T.DataType]]) -> DataFrame | None:
+        """The three-round-trip fast path, or None -> composed fallback."""
+        sample_sql = None
+        if self._samples():
+            if SAMPLE_COL in df.columns:
+                # composed withColumn REPLACES a colliding column;
+                # selectExpr('*', ...) would duplicate it instead
+                return None
+            k = sql_number_literal(self.percentile_sample_mod)
+            if k is None:
+                return None
+            sample_sql = (
+                f"(pmod(xxhash64(monotonically_increasing_id()), {k}) = 0)"
+                f" AS `{SAMPLE_COL}`"
+            )
+        twin = self._agg_exprs_sql(cols)
+        if twin is None:
+            return None
+        agg_strs, layout = twin
+        src = df.selectExpr("*", sample_sql) if sample_sql is not None else df
+        return src.selectExpr(*agg_strs).selectExpr(self._unpivot_sql(layout)).select("e.*")
+
     # -------------------------------------------------------------- surface
 
     def profile(self, df: DataFrame) -> DataFrame:
@@ -296,6 +433,17 @@ class ColumnProfiler:
         cols = self._selected(df)
         if not cols:
             raise ValueError("no profilable columns selected")
+        fast = self._profile_sql(df, cols)
+        if fast is not None:
+            return fast
+        return self._profile_composed(df, cols)
+
+    def _profile_composed(
+        self, df: DataFrame, cols: list[tuple[str, T.DataType]]
+    ) -> DataFrame:
+        """The pre-twin composed-Column construction, byte-for-byte — the
+        fallback for unspellable parameterizations and the parity tests'
+        reference tree."""
         if self._samples():
             # row-identity sample flag, projected before the aggregate:
             # monotonically_increasing_id is unique per row (partition-
